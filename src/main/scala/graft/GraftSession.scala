@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the graft engine.
+  *
+  * Jet analog: `JetInstance`/`JetConfig` (reference:
+  * hazelcast-jet-core/src/main/java/com/hazelcast/jet/JetInstance.java) — but in a
+  * Spark-first design the "instance" is just a tuned `SparkSession`. All engine
+  * defaults that matter at 100 TB scale (AQE, skew-join handling, partition
+  * coalescing) are switched on here so every query planned through this session
+  * benefits without per-operator tuning.
+  */
+object GraftSession {
+
+  /** Apply graft engine defaults to any builder (used by Verify/Bench/tests). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE: runtime re-planning — coalesce small shuffle partitions, convert
+      // sort-merge to broadcast when a side turns out small, split skewed joins.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The driver's `events` fixture carries TIMESTAMP(NANOS) parquet columns,
+      // which Spark cannot represent natively; read them as epoch-nano longs and
+      // convert in `Tables` (lossless: the fixture is whole-microsecond).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: String = "32", appName: String = "graft"): SparkSession = {
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = math.max(4, cores.toIntOption.getOrElse(32))
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

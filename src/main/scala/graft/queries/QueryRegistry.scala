@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry assembling every query module into the driver contract maps. */
+object QueryRegistry {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: TPC-H Q1-shaped pricing summary. */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    TpchQueries.q01_pricing_summary(spark, dir)
+
+  def all: Map[String, Q] =
+    TpchQueries.entries
+
+  def oracles: Map[String, String] =
+    TpchQueries.oracles
+}

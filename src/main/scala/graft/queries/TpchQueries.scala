@@ -1,0 +1,386 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory queries (SURVEY.md §2.3, §2.5, §2.6, §2.10–2.12)
+  * over the driver TESTDATA star schema, each with a DuckDB-runnable oracle.
+  *
+  * Scale notes (100 TB design rules):
+  *  - dimension joins (`region/nation/customer/supplier/part`) are explicit
+  *    `broadcast()` — at real scale these stay tiny relative to the fact tables;
+  *  - aggregations are plain `groupBy().agg()` so Catalyst plans two-phase
+  *    (partial + final) hash aggregation — the Jet `accumulateByKeyP`/`combineByKeyP`
+  *    shape (reference: impl/pipeline/transform/GroupTransform.java:111-118) for free;
+  *  - no `collect()` anywhere; top-k per key uses window `row_number` which is a
+  *    single shuffle on the group key.
+  */
+object TpchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- q01 agg
+  /** TPC-H Q1 shape: the Jet two-stage keyed aggregation (`groupingKey().aggregate`,
+    * AggregateOperations summing/averaging/counting — reference:
+    * aggregate/AggregateOperations.java:94-411).
+    */
+  val q01_pricing_summary: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01_oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------- q02 filter + project
+  /** Stateless row ops: `map`/`filter` (GeneralStage.java:78-95) = Catalyst
+    * Project/Filter; predicate + projection push down to the parquet scan.
+    */
+  val q02_filter_project: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  val q02_oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------- q03 global aggregate
+  /** Non-keyed ("global") aggregate — Jet's two-stage global agg with an all-to-one
+    * combine (AggregateTransform.java:121-139). Spark does partial aggregation on
+    * every partition and a single final reduce: same shape, no full shuffle.
+    */
+  val q03_global_agg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum($"l_quantity").as("total_qty"),
+      min($"l_extendedprice").as("min_price"),
+      max($"l_extendedprice").as("max_price"),
+      avg($"l_discount").as("avg_disc"))
+  }
+
+  val q03_oracle: String =
+    """SELECT count(*) AS n_rows, sum(l_quantity) AS total_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  avg(l_discount) AS avg_disc
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------- q04 broadcast hash join
+  /** Jet `hashJoin` IS a broadcast hash join: enriching side replicated to every
+    * processor (HashJoinP.java, reference impl/processor/HashJoinP.java) — exactly
+    * Spark's `join(broadcast(dim))`. Customer is the dim side here.
+    */
+  val q04_join_broadcast: Q = (s, dir) => {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    orders.join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("revenue"))
+  }
+
+  val q04_oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ----------------------------------------------------- q05 multi-way join
+  /** N-way hash join (Jet `hashJoinBuilder`, GeneralStage.java:864-954): one fact
+    * stream enriched by several broadcast dims in a chain — Catalyst collapses
+    * the broadcast joins into one stage.
+    */
+  val q05_join_multiway: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q05_oracle: String =
+    """SELECT r_name, n_name,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------------ q06 distinct
+  /** Jet `distinct` (DistinctTransform.java:45-60) = `dropDuplicates`; Spark plans
+    * it as partial+final hash agg, same two-stage HashSet shape.
+    */
+  val q06_distinct: Q = (s, dir) => {
+    t(s, dir, "orders").select("o_custkey", "o_orderstatus").dropDuplicates()
+  }
+
+  val q06_oracle: String =
+    "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+  // ---------------------------------------------------------- q07 sort+limit
+  /** Jet `BatchStage.sort()` (SortTransform.java:53-71) is a local-sort + single
+    * merge; Spark's `orderBy` is a range-partitioned sample sort — strictly better
+    * at scale. Limit pushes into the sort (TakeOrderedAndProject).
+    */
+  val q07_sort_limit: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q07_oracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------- q08 top-N per key
+  /** Jet `topN` aggregate (AggregateOperations.java:279, bounded-PQ accumulator).
+    * Scale-safe Spark shape: window `row_number` over the group key — one shuffle,
+    * no unbounded `collect_list`.
+    */
+  val q08_topn_per_key: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  }
+
+  val q08_oracle: String =
+    """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |  FROM lineitem) WHERE rn <= 3""".stripMargin
+
+  // ------------------------------------------------------ q09 minBy / maxBy
+  /** Jet `minBy`/`maxBy` (AggregateOperations.java:200-237) = `min_by`/`max_by`.
+    * Tie-broken through a (price, orderkey, linenumber) struct so the argmax is
+    * deterministic in both engines.
+    */
+  val q09_minby_maxby: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        max_by($"l_orderkey", struct($"l_extendedprice", $"l_orderkey", $"l_linenumber"))
+          .as("max_price_orderkey"),
+        min_by($"l_orderkey", struct($"l_extendedprice", $"l_orderkey", $"l_linenumber"))
+          .as("min_price_orderkey"),
+        max($"l_extendedprice").as("max_price"),
+        min($"l_extendedprice").as("min_price"))
+  }
+
+  val q09_oracle: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rmax,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rmin
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rmax = 1 THEN l_orderkey END) AS max_price_orderkey,
+      |  max(CASE WHEN rmin = 1 THEN l_orderkey END) AS min_price_orderkey,
+      |  max(l_extendedprice) AS max_price,
+      |  min(l_extendedprice) AS min_price
+      |FROM ranked GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------- q10 concatenating / toList
+  /** Jet `concatenating` + `sorting` + `toSet` (AggregateOperations.java:500-546,
+    * 1286, 804): emitted as a deterministic sorted join so the oracle hash is
+    * stable across engines. `collect_set` is bounded here (5 statuses) — at scale
+    * this pattern is only safe for low-cardinality groups, which is exactly the
+    * Jet contract too (accumulator lives on the heap).
+    */
+  val q10_concat_sorted: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
+        count(lit(1)).as("n"))
+  }
+
+  val q10_oracle: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------- q11 union/merge
+  /** Jet `merge` (MergeTransform.java) = `unionByName`; Spark unions are free
+    * (no shuffle) — partitions concatenate.
+    */
+  val q11_union_merge: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val hi = o.filter($"o_totalprice" > 150000).select($"o_orderkey", lit("hi").as("bucket"))
+    val lo = o.filter($"o_totalprice" < 1000).select($"o_orderkey", lit("lo").as("bucket"))
+    hi.unionByName(lo).groupBy($"bucket").agg(count(lit(1)).as("n"))
+  }
+
+  val q11_oracle: String =
+    """SELECT bucket, count(*) AS n FROM (
+      |  SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 150000
+      |  UNION ALL
+      |  SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 1000)
+      |GROUP BY bucket""".stripMargin
+
+  // ------------------------------------------------------- q12 co-aggregate
+  /** Jet `aggregate2` / co-group (BatchStageWithKey.java:211-391): two keyed inputs
+    * aggregated into one result per key. Spark shape: aggregate each input on its
+    * key, then join the compact per-key aggregates (shuffle on pre-aggregated data
+    * only — far smaller than co-shuffling raw inputs).
+    */
+  val q12_coaggregate: Q = (s, dir) => {
+    import s.implicits._
+    val ordersAgg = t(s, dir, "orders").groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total_spent"))
+    val custAgg = t(s, dir, "customer").select($"c_custkey".as("custkey"), $"c_acctbal")
+    custAgg.join(ordersAgg, Seq("custkey"), "left_outer")
+      .select($"custkey",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"total_spent", lit(0.0)).as("total_spent"),
+        $"c_acctbal")
+  }
+
+  val q12_oracle: String =
+    """SELECT c_custkey AS custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(total_spent, 0.0) AS total_spent,
+      |  c_acctbal
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+      |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey""".stripMargin
+
+  // ------------------------------------------------- q13 distinct-count agg
+  /** DISTINCT inside aggregates — Jet forces single-phase
+    * (AggregatePhysicalRule.java:87-96); Spark's expand/partial-distinct rewrite
+    * is strictly better. Also covers `countDistinct`.
+    */
+  val q13_count_distinct: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        sum_distinct($"l_quantity").as("sum_qty_distinct"))
+  }
+
+  val q13_oracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  sum(DISTINCT l_quantity) AS sum_qty_distinct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------- q14 grouping sets (superset)
+  /** Beyond-reference: Jet has no ROLLUP/CUBE (AggregatePhysicalRule.java:64
+    * asserts simple groups); Spark has them natively.
+    */
+  val q14_rollup: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  val q14_oracle: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ------------------------------------------------- q15 intersect / except
+  /** Beyond-reference set ops (absent in Jet, SURVEY §2.10): customers with orders
+    * in 1995 but none in 2001.
+    */
+  val q15_except_intersect: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val y1995 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+    val y2001 = o.filter(year($"o_orderdate") === 2001).select($"o_custkey")
+    y1995.except(y2001)
+  }
+
+  val q15_oracle: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01_pricing_summary,
+    "q02_filter_project" -> q02_filter_project,
+    "q03_global_agg" -> q03_global_agg,
+    "q04_join_broadcast" -> q04_join_broadcast,
+    "q05_join_multiway" -> q05_join_multiway,
+    "q06_distinct" -> q06_distinct,
+    "q07_sort_limit" -> q07_sort_limit,
+    "q08_topn_per_key" -> q08_topn_per_key,
+    "q09_minby_maxby" -> q09_minby_maxby,
+    "q10_concat_sorted" -> q10_concat_sorted,
+    "q11_union_merge" -> q11_union_merge,
+    "q12_coaggregate" -> q12_coaggregate,
+    "q13_count_distinct" -> q13_count_distinct,
+    "q14_rollup" -> q14_rollup,
+    "q15_except_intersect" -> q15_except_intersect)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01_oracle,
+    "q02_filter_project" -> q02_oracle,
+    "q03_global_agg" -> q03_oracle,
+    "q04_join_broadcast" -> q04_oracle,
+    "q05_join_multiway" -> q05_oracle,
+    "q06_distinct" -> q06_oracle,
+    "q07_sort_limit" -> q07_oracle,
+    "q08_topn_per_key" -> q08_oracle,
+    "q09_minby_maxby" -> q09_oracle,
+    "q10_concat_sorted" -> q10_oracle,
+    "q11_union_merge" -> q11_oracle,
+    "q12_coaggregate" -> q12_oracle,
+    "q13_count_distinct" -> q13_oracle,
+    "q14_rollup" -> q14_oracle,
+    "q15_except_intersect" -> q15_oracle)
+}
