@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity primitives over `ARRAY<FLOAT>` embedding columns, built on
+  * Spark's higher-order array functions (`zip_with`/`aggregate`/`transform`) so
+  * they run inside codegen without UDF overhead.
+  *
+  * Scale design: brute-force top-k is the exact baseline (one broadcast of the
+  * query set, a map-side score, and a per-query top-k — no shuffle of the corpus);
+  * the LSH variant buckets vectors by random-hyperplane signs so the candidate
+  * set per query is a tiny fraction of the corpus at 100 TB.
+  */
+object SimilarityFunctions {
+
+  /** Cast a float vector to double for stable, engine-comparable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 pseudo-hyperplane sign for (plane j, dim k): parity of the
+    * first hex digit of md5("hp<j>:<k>"). Reproducible in any engine with md5.
+    */
+  private def planeSign(j: Int, k: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp$j:$k".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xF) % 2 == 1) 1 else -1
+  }
+
+  /** Random-hyperplane LSH bucket id (0 until 2^planes) for a vector column.
+    * The signs are compile-time constants, so the projection is a plain
+    * codegen'd arithmetic expression over the array.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val proj = (0 until dims).map { k =>
+        val s = planeSign(j, k)
+        if (s > 0) element_at(v, k + 1).cast("double")
+        else -element_at(v, k + 1).cast("double")
+      }.reduce(_ + _)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus, score row-locally, keep k per query via a window on the query id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` primitives
+  * (higher-order array functions + regex), so every call stays inside whole-stage
+  * codegen — no UDFs, no serialization walls. All operations are row-local
+  * (no shuffle), which is what makes them safe at 100 TB: they scale linearly
+  * with input splits.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empty strings filtered out. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct token set (for Jaccard / MinHash style dedup). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count — the "wc -w" notion of tokens. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * non-alphanumeric non-space characters each count as one token — a cheap,
+    * deterministic proxy for BPE vocabulary pressure.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
+      t => trim(t) =!= ""))
+
+  /** Word k-grams ("shingles") of the token sequence, joined by single spaces. */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ts) - k, lit(-1))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Quality score in [0,1]: penalizes extreme lengths, high punctuation density
+    * and low stopword density (Gopher/C4-style heuristics, public recipe).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("double")
+    val stopHits = size(filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+    val punctRatio = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text)).otherwise(0.0)
+    val lenScore = when(nTok >= 10 && nTok <= 10000, 1.0)
+      .when(nTok > 0, 0.5).otherwise(0.0)
+    // weighted blend, clamped to [0,1]
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.4) * lenScore + lit(0.4) * least(lit(1.0), stopRatio * 5) +
+        lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio * 10))))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + deterministic (public common-word lists).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "que"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  /** Language-ID: hit-count each language's stopword list over the token bag;
+    * argmax with lexicographic tie-break ("und" = undetermined when no hits).
+    * Row-local, codegen-friendly; at scale this is a pure map stage.
+    */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then lang desc? no — lexicographic
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit-ish polynomial rolling fingerprint over the token sequence.
+    * Each token contributes the first four hex chars of its md5; the rolling
+    * state is `(acc * 1000003 + tokVal) mod 2^31-1`. Deterministic and
+    * reproducible in any engine with md5 + a fold (DuckDB: list_reduce).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L),
+      (acc, tok) => {
+        val h = md5(tok)
+        val v = (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) * 4096 +
+          (instr(lit("0123456789abcdef"), substring(h, 2, 1)) - 1) * 256 +
+          (instr(lit("0123456789abcdef"), substring(h, 3, 1)) - 1) * 16 +
+          (instr(lit("0123456789abcdef"), substring(h, 4, 1)) - 1)
+        pmod(acc * 1000003L + v.cast("long"), lit(2147483647L))
+      })
+  }
+
+  /** Exact-duplicate fingerprint: md5 of the normalized (tokenized re-joined)
+    * text — whitespace/punctuation-insensitive exact dedup key.
+    */
+  def exactFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{SimilarityFunctions => S}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` fixture (ARRAY<FLOAT> x 64):
+  * brute-force cosine top-k (exact baseline), random-hyperplane LSH bucketing
+  * (the scale path), and per-label centroids. Oracles replay the identical
+  * double-precision arithmetic in DuckDB.
+  */
+object EmbeddingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val dims = 64
+
+  /** DuckDB SQL fragment: cosine between two DOUBLE-cast float lists, explicit
+    * arithmetic (no list_cosine_similarity — we control the exact operation
+    * order so the hash compare is stable).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+
+  // ----------------------------------------------- q40 brute-force cosine topk
+  val q40_cosine_topk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
+  val q40_oracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+
+  // --------------------------------------------------- q41 LSH bucket histogram
+  /** Random-hyperplane LSH bucketing — the ANN scale path: bucket assignment is a
+    * row-local projection; at query time only same-bucket candidates are scored.
+    * Here: the bucket histogram (validates the exact bucket function cross-engine).
+    */
+  val q41_lsh_buckets: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), countDistinct($"label").as("n_labels"))
+  }
+
+  /** The oracle needs the same ±1 sign matrix; generate the literal list per plane. */
+  private def planeSignsSql(j: Int): String = {
+    (0 until dims).map { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp$j:$k".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xF) % 2 == 1) "1.0" else "-1.0"
+    }.mkString("[", ",", "]")
+  }
+
+  val q41_oracle: String = {
+    val bits = (0 until 4).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> embedding[i]::DOUBLE * (${planeSignsSql(j)})[i])) > 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT ($bits) AS bucket, count(*) AS n, count(DISTINCT label) AS n_labels
+       |FROM embeddings GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------- q42 ANN via LSH bucket
+  /** ANN top-3: same-bucket candidates only, then exact cosine rank — the
+    * bucketed search path end-to-end (query set = vec_id < 5).
+    */
+  val q42_ann_lsh_topk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"), $"bucket")
+    val cands = emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("cv"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    cands.join(broadcast(queries), Seq("bucket"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", S.cosine($"qv", $"cv").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
+  val q42_oracle: String = {
+    val bits = (0 until 4).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> embedding[i]::DOUBLE * (${planeSignsSql(j)})[i])) > 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  // ------------------------------------------------------- q43 label centroids
+  /** Per-label centroid (mean vector) summarized by its L2 norm — the
+    * embedding-aggregation path (posexplode → per-dimension mean → recombine).
+    * At scale: one shuffle keyed on (label, dim) with partial aggregation.
+    */
+  val q43_centroids: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", posexplode(S.toDouble($"embedding")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"x").as("m"), count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(sqrt(sum($"m" * $"m")).as("centroid_norm"), max($"n").as("n_vectors"))
+  }
+
+  val q43_oracle: String =
+    """WITH expanded AS (
+      |  SELECT label, unnest(embedding)::DOUBLE AS x,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |means AS (
+      |  SELECT label, pos, avg(x) AS m, count(*) AS n FROM expanded GROUP BY label, pos)
+      |SELECT label, sqrt(sum(m * m)) AS centroid_norm, max(n) AS n_vectors
+      |FROM means GROUP BY label""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q40_cosine_topk" -> q40_cosine_topk,
+    "q41_lsh_buckets" -> q41_lsh_buckets,
+    "q42_ann_lsh_topk" -> q42_ann_lsh_topk,
+    "q43_centroids" -> q43_centroids)
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" -> q40_oracle,
+    "q41_lsh_buckets" -> q41_oracle,
+    "q42_ann_lsh_topk" -> q42_oracle,
+    "q43_centroids" -> q43_oracle)
+}

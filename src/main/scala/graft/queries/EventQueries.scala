@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operator inventory over the `events` fixture (SURVEY.md §2.7–2.9):
+  * tumbling/sliding/session windows and per-key running state, expressed as batch
+  * queries so the DuckDB oracle can check them. The same logic runs as real
+  * Structured Streaming in `graft.streaming` (stream–batch equivalence is asserted
+  * in the ScalaTest suites, mirroring the reference's processor tests).
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) — parquet timestamp
+  * encodings differ between Spark (INT96/isAdjustedToUTC) and DuckDB, so scalar
+  * epochs keep the driver's hash comparison stable.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ------------------------------------------------------ q20 tumbling window
+  /** Jet tumbling window (`WindowDefinition.tumbling`, SlidingWindowP.java) →
+    * Spark `window()`; at scale this is a single hash-agg shuffle on
+    * (window, key).
+    */
+  val q20_tumbling_window: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  val q20_oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
+      |  event_type, count(*) AS n, sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- q21 sliding window
+  /** Jet sliding window (`WindowDefinition.sliding(size, slideBy)`) → Spark
+    * `window(ts, size, slide)`; each event lands in size/slide panes. The oracle
+    * reproduces the pane assignment by unnesting the two 5-minute panes each
+    * event belongs to.
+    */
+  val q21_sliding_window: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("pane_start"), $"event_type", $"n")
+  }
+
+  val q21_oracle: String =
+    """SELECT pane_start, event_type, count(*) AS n FROM (
+      |  SELECT epoch(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)))::BIGINT
+      |         - 300 * k AS pane_start,
+      |         event_type
+      |  FROM events, unnest([0, 1]) AS u(k))
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- q22 session window
+  /** Jet session windows (`SessionWindowDefinition`, SessionWindowP.java:83-84
+    * merging) → batch sessionization: a session break is a gap > 30 min per user.
+    * Classic gaps-and-islands — one shuffle on user_id, sort within partitions.
+    * The streaming twin uses `session_window()` (graft.streaming).
+    */
+  val q22_sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(unix_micros(min($"ts")).as("session_start_us"),
+        unix_micros(max($"ts")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum($"value").as("sum_value"))
+      .select($"user_id", $"session_id".cast("long").as("session_id"),
+        $"session_start_us", $"session_end_us", $"n_events", $"sum_value")
+  }
+
+  val q22_oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id::BIGINT AS session_id,
+      |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+      |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
+      |  count(*) AS n_events, sum(value) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------ q23 rolling aggregate
+  /** Jet `rollingAggregate` (StreamStageWithKey.java:256-292): running value per
+    * key in event order. Batch analog: a cumulative window frame — one shuffle on
+    * the key. The streaming twin is flatMapGroupsWithState (graft.streaming).
+    */
+  val q23_rolling_agg: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"event_id", $"user_id",
+        sum($"value").over(w).as("running_sum"),
+        count(lit(1)).over(w).as("running_count"))
+  }
+
+  val q23_oracle: String =
+    """SELECT event_id, user_id,
+      |  sum(value) OVER w AS running_sum,
+      |  count(*) OVER w AS running_count
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------- q24 json extract
+  /** Jet JSON support (`jet/json/JsonUtil.java`) → `get_json_object`/`from_json`.
+    * Extraction happens in the scan stage (codegen'd), no shuffle until the agg.
+    */
+  val q24_json_extract: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+  }
+
+  val q24_oracle: String =
+    """SELECT event_type, sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+      |  max(json_extract_string(props, '$.k')::INT) AS max_k, count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ----------------------------------------------------- q25 per-type profile
+  /** Distinct-count + min/max timestamps per key: the Jet `allOf` composite
+    * aggregate (AggregateOperations.java:1337) — multiple aggregates in one pass.
+    */
+  val q25_type_profile: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        unix_micros(min($"ts")).as("first_seen_us"),
+        unix_micros(max($"ts")).as("last_seen_us"),
+        avg($"value").as("avg_value"))
+  }
+
+  val q25_oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS first_seen_us,
+      |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS last_seen_us,
+      |  avg(value) AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------ q26 linear trend
+  /** Jet `linearTrend` (AggregateOperations.java:471): least-squares slope +
+    * intercept per key. Built from explicit moment sums (n, Σx, Σy, Σxy, Σxx)
+    * exactly as the Jet accumulator does — and, unlike `regr_slope` whose
+    * internal algorithm differs between engines at the last digits, the same
+    * closed-form formula runs on both sides of the oracle. x is centered on the
+    * fixture epoch (2024-01-01) to avoid catastrophic cancellation.
+    */
+  val q26_linear_trend: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("x", (unix_micros($"ts") - lit(1704067200000000L)).cast("double") / 1e6)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("sx"),
+        sum($"value").as("sy"), sum($"x" * $"value").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type",
+        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        (($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").as("intercept"))
+  }
+
+  val q26_oracle: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*)::DOUBLE AS n,
+      |    sum(x) AS sx, sum(value) AS sy, sum(x * value) AS sxy, sum(x * x) AS sxx
+      |  FROM (SELECT event_type, value,
+      |          (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)::DOUBLE / 1e6 AS x
+      |        FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q20_tumbling_window" -> q20_tumbling_window,
+    "q21_sliding_window" -> q21_sliding_window,
+    "q22_sessionize" -> q22_sessionize,
+    "q23_rolling_agg" -> q23_rolling_agg,
+    "q24_json_extract" -> q24_json_extract,
+    "q25_type_profile" -> q25_type_profile,
+    "q26_linear_trend" -> q26_linear_trend)
+
+  val oracles: Map[String, String] = Map(
+    "q20_tumbling_window" -> q20_oracle,
+    "q21_sliding_window" -> q21_oracle,
+    "q22_sessionize" -> q22_oracle,
+    "q23_rolling_agg" -> q23_oracle,
+    "q24_json_extract" -> q24_oracle,
+    "q25_type_profile" -> q25_oracle,
+    "q26_linear_trend" -> q26_oracle)
+}

@@ -12,8 +12,10 @@ object QueryRegistry {
     TpchQueries.q01_pricing_summary(spark, dir)
 
   def all: Map[String, Q] =
-    TpchQueries.entries
+    TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
+      EmbeddingQueries.entries
 
   def oracles: Map[String, String] =
-    TpchQueries.oracles
+    TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
+      EmbeddingQueries.oracles
 }

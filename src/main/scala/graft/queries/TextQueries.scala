@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions => D, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text operators over the `documents` fixture: wordcount, token
+  * statistics, quality scoring, language-ID, fingerprinting, exact + MinHash/LSH +
+  * SimHash + n-gram-Jaccard dedup. Every query is backed by a DuckDB oracle that
+  * replays the identical md5-based hashing, so the check is exact, not statistical.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Shared tokenizer SQL for the oracles (mirror of TextFunctions.tokens). */
+  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // ---------------------------------------------------------- q30 wordcount
+  /** The canonical Jet example (examples/wordcount): flatMap + groupBy + count.
+    * `explode` of a row-local split, then a single hash-agg shuffle on the word.
+    */
+  val q30_wordcount: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(T.tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q30_oracle: String =
+    s"""SELECT word, count(*) AS n FROM (
+       |  SELECT unnest($tokSql) AS word FROM documents)
+       |GROUP BY word""".stripMargin
+
+  // --------------------------------------------------------- q31 token stats
+  val q31_token_stats: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        T.wsTokenCount($"text").as("n_ws_tokens"),
+        size(T.tokenSet($"text")).as("n_distinct_tokens"),
+        length($"text").as("n_chars_actual"))
+  }
+
+  val q31_oracle: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       |  len(list_distinct($tokSql)) AS n_distinct_tokens,
+       |  length(text) AS n_chars_actual
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------- q32 quality score
+  private val enStop = T.langStopwords("en")
+
+  val q32_quality_score: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", T.qualityScore($"text", enStop).as("quality"))
+  }
+
+  val q32_oracle: String = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH toks AS (SELECT doc_id, text, $tokSql AS ts FROM documents)
+       |SELECT doc_id,
+       |  least(1.0, greatest(0.0,
+       |    0.4 * (CASE WHEN len(ts) >= 10 AND len(ts) <= 10000 THEN 1.0
+       |                WHEN len(ts) > 0 THEN 0.5 ELSE 0.0 END)
+       |    + 0.4 * least(1.0, (CASE WHEN len(ts) > 0
+       |        THEN len(list_filter(ts, x -> list_contains($stopList, x)))::DOUBLE / len(ts)
+       |        ELSE 0.0 END) * 5)
+       |    + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+       |        THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')))::DOUBLE / length(text)
+       |        ELSE 0.0 END) * 10))
+       |  )) AS quality
+       |FROM toks""".stripMargin
+  }
+
+  // ----------------------------------------------------------- q33 lang id
+  val q33_lang_id: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang".as("declared_lang"), T.langId($"text").as("predicted_lang"))
+  }
+
+  val q33_oracle: String = {
+    val structs = T.langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'hits': len(list_filter(ts, x -> list_contains($lst, x))), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, lang, $tokSql AS ts FROM documents),
+       |best AS (SELECT doc_id, lang, list_max([$structs]) AS b FROM toks)
+       |SELECT doc_id, lang AS declared_lang,
+       |  CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS predicted_lang
+       |FROM best""".stripMargin
+  }
+
+  // -------------------------------------------------------- q34 fingerprints
+  val q34_fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        T.exactFingerprint($"text").as("exact_fp"),
+        T.rollingFingerprint($"text").as("rolling_fp"))
+  }
+
+  val q34_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS ts FROM documents)
+       |SELECT doc_id,
+       |  md5(array_to_string(ts, ' ')) AS exact_fp,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, t ->
+       |    (strpos('0123456789abcdef', md5(t)[1]) - 1) * 4096
+       |    + (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256
+       |    + (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16
+       |    + (strpos('0123456789abcdef', md5(t)[4]) - 1))),
+       |    (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rolling_fp
+       |FROM toks""".stripMargin
+
+  // ------------------------------------------------------- q35 exact dedup
+  /** Exact dedup via hash-groupBy on the normalized-text fingerprint: per source,
+    * how many docs and how many distinct texts survive. At scale this is one
+    * hash agg on the md5 key — the standard exact-dedup pass.
+    */
+  val q35_dedup_exact: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("fp", T.exactFingerprint($"text"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_distinct"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dupes"))
+  }
+
+  val q35_oracle: String =
+    s"""WITH fp AS (SELECT source, md5(array_to_string($tokSql, ' ')) AS f FROM documents)
+       |SELECT source, count(*) AS n_docs, count(DISTINCT f) AS n_distinct,
+       |  count(*) - count(DISTINCT f) AS n_dupes
+       |FROM fp GROUP BY source""".stripMargin
+
+  // -------------------------------------------------- q36 minhash LSH dedup
+  /** MinHash + LSH banding near-dup detection: 12 seeded md5 min-hashes over the
+    * unigram token set, 2 bands × 6 rows; candidates sharing any band within the
+    * same `source` shard are verified with exact Jaccard ≥ 0.9. Scoping the LSH
+    * join per source keeps bucket fan-out bounded at scale (shard-local dedup);
+    * the oracle replays the exact same hashes, so the result is deterministic.
+    */
+  val q36_dedup_minhash_lsh: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9,
+        scopeCols = Seq("source"))
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
+  }
+
+  val q36_oracle: String = {
+    val sig = (0 until 12).map(i =>
+      s"list_min(list_transform(ts, t -> md5('$i:' || t)))").mkString("[", ", ", "]")
+    val bands = (0 until 2).map { b =>
+      val cat = (0 until 6).map(r => s"sig[${6 * b + r + 1}]").mkString(" || '|' || ")
+      s"md5('band$b:' || $cat)"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, source, list_distinct($tokSql) AS ts FROM documents),
+       |sigs AS (SELECT doc_id, source, ts, $sig AS sig FROM toks),
+       |banded AS (SELECT doc_id, source, ts, unnest($bands) AS band FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.ts AS ts_a, b.ts AS ts_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  len(list_intersect(ts_a, ts_b))::DOUBLE
+       |    / len(list_distinct(list_concat(ts_a, ts_b))) AS jaccard
+       |FROM cand
+       |WHERE len(list_intersect(ts_a, ts_b))::DOUBLE
+       |    / len(list_distinct(list_concat(ts_a, ts_b))) >= 0.9""".stripMargin
+  }
+
+  // ----------------------------------------------------------- q37 simhash
+  /** SimHash near-dup: 16-bit signature per doc; pairs of consecutive doc_ids
+    * compared by Hamming distance (linear, deterministic probe of the simhash
+    * machinery — full pairwise search would use LSH on signature bytes).
+    */
+  val q37_dedup_simhash: Q = (s, dir) => {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .select($"doc_id", D.simhash(T.tokenSet($"text"), bits = 16).as("simhash"))
+    val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"simhash".as("next_simhash"))
+    sh.join(nxt, Seq("doc_id"))
+      .select($"doc_id", $"simhash",
+        D.hammingDistance($"simhash", $"next_simhash").as("hamming_to_next"))
+  }
+
+  val q37_oracle: String = {
+    val votes = (0 until 16).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(ts, t ->
+         |  CASE WHEN strpos('13579bdf', md5('sh$b:' || t)[1]) > 0 THEN 1 ELSE -1 END)) > 0
+         |  THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, list_distinct($tokSql) AS ts FROM documents),
+       |sh AS (SELECT doc_id, ($votes)::BIGINT AS simhash FROM toks)
+       |SELECT a.doc_id, a.simhash, bit_count(xor(a.simhash, b.simhash))::INT AS hamming_to_next
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+  }
+
+  // ------------------------------------------------- q38 ngram jaccard pairs
+  /** n-gram (3-shingle) Jaccard between consecutive docs — exercises the shingle
+    * extraction + set-similarity path used for fuzzy dedup at k>1 granularity.
+    */
+  val q38_ngram_jaccard: Q = (s, dir) => {
+    import s.implicits._
+    val sh = t(s, dir, "documents").select($"doc_id", T.shingles($"text", 3).as("sh"))
+    val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"sh".as("sh_next"))
+    sh.join(nxt, Seq("doc_id"))
+      .select($"doc_id", D.jaccard($"sh", $"sh_next").as("trigram_jaccard"))
+  }
+
+  val q38_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS s
+       |  FROM toks)
+       |SELECT a.doc_id,
+       |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+       |    THEN len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))
+       |    ELSE 0.0 END AS trigram_jaccard
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q30_wordcount" -> q30_wordcount,
+    "q31_token_stats" -> q31_token_stats,
+    "q32_quality_score" -> q32_quality_score,
+    "q33_lang_id" -> q33_lang_id,
+    "q34_fingerprint" -> q34_fingerprint,
+    "q35_dedup_exact" -> q35_dedup_exact,
+    "q36_dedup_minhash_lsh" -> q36_dedup_minhash_lsh,
+    "q37_dedup_simhash" -> q37_dedup_simhash,
+    "q38_ngram_jaccard" -> q38_ngram_jaccard)
+
+  val oracles: Map[String, String] = Map(
+    "q30_wordcount" -> q30_oracle,
+    "q31_token_stats" -> q31_oracle,
+    "q32_quality_score" -> q32_oracle,
+    "q33_lang_id" -> q33_oracle,
+    "q34_fingerprint" -> q34_oracle,
+    "q35_dedup_exact" -> q35_oracle,
+    "q36_dedup_minhash_lsh" -> q36_oracle,
+    "q37_dedup_simhash" -> q37_oracle,
+    "q38_ngram_jaccard" -> q38_oracle)
+}
