@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The Jet aggregate-operation vocabulary (reference: aggregate/
+  * AggregateOperations.java, 1897 LoC) re-expressed as named Spark aggregate
+  * columns. A Jet `AggregateOperation` is createFn/accumulateFn/combineFn/
+  * exportFn — Spark's partial/final hash aggregation implements exactly that
+  * contract for every built-in below (SURVEY.md §2.6), with codegen and spill
+  * that the reference lacks.
+  *
+  * An `AggOp` is a bag of named aggregate columns; `allOf` composition is just
+  * concatenation — they all evaluate in one pass over the group, like Jet's
+  * `allOf` composite accumulator.
+  */
+final case class AggOp(columns: Seq[Column]) {
+  /** Jet `allOf` (AggregateOperations.java:1337): fuse with another op — both
+    * evaluate in the same aggregation pass.
+    */
+  def and(other: AggOp): AggOp = AggOp(columns ++ other.columns)
+}
+
+object AggregateOperations {
+
+  private def one(c: Column): AggOp = AggOp(Seq(c))
+
+  /** counting (AggregateOperations.java:94) */
+  def counting(as: String = "count"): AggOp = one(count(lit(1)).as(as))
+
+  /** summingLong / summingDouble (:126/:158) */
+  def summingLong(c: Column, as: String = "sum"): AggOp =
+    one(sum(c.cast("long")).as(as))
+  def summingDouble(c: Column, as: String = "sum"): AggOp =
+    one(sum(c.cast("double")).as(as))
+
+  /** averagingLong / averagingDouble (:364/:411) */
+  def averaging(c: Column, as: String = "avg"): AggOp = one(avg(c).as(as))
+
+  /** minBy / maxBy (:200/:237): argmin/argmax of `value` ordered by `by`.
+    * Pass a `struct(...)` as `by` for deterministic tie-breaks.
+    */
+  def minBy(value: Column, by: Column, as: String = "min_by"): AggOp =
+    one(min_by(value, by).as(as))
+  def maxBy(value: Column, by: Column, as: String = "max_by"): AggOp =
+    one(max_by(value, by).as(as))
+
+  /** topN / bottomN (:279/:333): greatest/least `n` values of `c`.
+    *
+    * Implementation is `slice(sort_array(collect_list(..)))` — correct for
+    * modest group sizes (the Jet accumulator is also heap-bound). For large or
+    * skewed groups prefer the shuffle-bounded window form
+    * (`BatchStage.topNPerKey`), which never materializes the whole group.
+    */
+  def topN(n: Int, c: Column, as: String = "top_n"): AggOp =
+    one(slice(reverse(sort_array(collect_list(c))), 1, n).as(as))
+  def bottomN(n: Int, c: Column, as: String = "bottom_n"): AggOp =
+    one(slice(sort_array(collect_list(c)), 1, n).as(as))
+
+  /** linearTrend (:471): least-squares slope from explicit moment sums — the
+    * exact accumulator shape of the Jet `LinTrendAccumulator`, computed in one
+    * pass as five fused aggregates.
+    */
+  def linearTrend(x: Column, y: Column, as: String = "trend"): AggOp = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x.cast("double"))
+    val sy = sum(y.cast("double"))
+    val sxy = sum(x.cast("double") * y.cast("double"))
+    val sxx = sum(x.cast("double") * x.cast("double"))
+    one(((n * sxy - sx * sy) / (n * sxx - sx * sx)).as(as))
+  }
+
+  /** concatenating (:500) */
+  def concatenating(c: Column, sep: String = "", as: String = "concat"): AggOp =
+    one(array_join(collect_list(c.cast("string")), sep).as(as))
+
+  /** mapping/filtering/flatMapping input adapters (:605/:653/:707) are
+    * pre-transforms in Spark: apply `select`/`filter`/`explode` on the stage
+    * before aggregating, or wrap the expression: `summingLong(expr)`.
+    */
+
+  /** toList / toSet (:784/:804) */
+  def toList(c: Column, as: String = "list"): AggOp = one(collect_list(c).as(as))
+  def toSet(c: Column, as: String = "set"): AggOp =
+    one(array_sort(collect_set(c)).as(as))
+
+  /** sorting (:1286): ascending list of the group's values. */
+  def sorting(c: Column, as: String = "sorted"): AggOp =
+    one(sort_array(collect_list(c)).as(as))
+
+  /** toMap (:844): key/value pairs to a map column; duplicate keys keep the
+    * greatest value deterministically (Jet's merge-fn variant with `max`):
+    * entries are sorted, then only the last entry of each key run survives.
+    */
+  def toMap(k: Column, v: Column, as: String = "map"): AggOp = {
+    val entries = array_sort(collect_list(struct(k.as("k"), v.as("v"))))
+    val deduped = filter(entries, (e, i) =>
+      coalesce(try_element_at(entries, i + lit(2)).getField("k") =!= e.getField("k"), lit(true)))
+    one(map_from_entries(deduped).as(as))
+  }
+
+  /** pickAny (:1259) */
+  def pickAny(c: Column, as: String = "any"): AggOp = one(any_value(c).as(as))
+
+  /** reducing (:1209): fold the group's values with an associative SQL
+    * expression via Spark's `reduce` over the collected array. For true
+    * constant-memory reduction use a typed `Aggregator` (see
+    * `graft.pipeline.typed.TypedAggs`).
+    */
+  def reducing(c: Column, zero: Column, merge: (Column, Column) => Column,
+               as: String = "reduced"): AggOp =
+    one(reduce(collect_list(c), zero, merge).as(as))
+
+  /** distinct count — Jet models it as aggregate-with-distinct (SQL layer). */
+  def countingDistinct(c: Column, as: String = "count_distinct"): AggOp =
+    one(count_distinct(c).as(as))
+
+  /** allOf (:1337, :1419): compose any number of ops into one pass. */
+  def allOf(ops: AggOp*): AggOp = AggOp(ops.flatMap(_.columns))
+}

@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Jet `BatchStage<T>` (reference: pipeline/BatchStage.java, GeneralStage.java)
+  * as a thin wrapper over `Dataset[T]`. Every method is a declarative Catalyst
+  * transform; Jet's planner fusion (Planner.java:118-136) happens for free in
+  * whole-stage codegen.
+  */
+final class BatchStage[T](val ds: Dataset[T]) {
+
+  private def spark = ds.sparkSession
+  def toDF: DataFrame = ds.toDF()
+
+  // ------------------------------------------------- stateless row ops (§2.3)
+
+  /** Jet `map` (GeneralStage.java:78). Typed lambda path; for columnar
+    * projections prefer `select` (stays in codegen without object round-trips).
+    */
+  def map[U: Encoder](f: T => U): BatchStage[U] = new BatchStage(ds.map(f))
+
+  /** Jet `filter` (GeneralStage.java:95). */
+  def filter(p: T => Boolean): BatchStage[T] = new BatchStage(ds.filter(p))
+
+  /** Jet `flatMap` (GeneralStage.java:116). */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): BatchStage[U] =
+    new BatchStage(ds.flatMap(f))
+
+  /** Columnar projection — the Spark-native `map` (no deserialization). */
+  def select(cols: Column*): BatchStage[Row] = new BatchStage(ds.select(cols: _*))
+
+  /** Columnar predicate — the Spark-native `filter`; pushes to the scan. */
+  def where(cond: Column): BatchStage[T] = new BatchStage(ds.filter(cond))
+
+  /** Jet `apply` (BatchStage.java:607) = `Dataset.transform`. */
+  def apply[U](f: BatchStage[T] => BatchStage[U]): BatchStage[U] = f(this)
+
+  /** Jet `peek` (GeneralStage.java:1210): passthrough observation. Uses
+    * `df.observe`-style sampling via a console print of a bounded sample —
+    * side-effect free on the plan.
+    */
+  def peek(n: Int = 5): BatchStage[T] = {
+    ds.limit(n).collect().foreach(r => println(s"[peek] $r"))
+    this
+  }
+
+  /** Jet `customTransform` (GeneralStage.java:1282): raw partition-level access. */
+  def customTransform[U: Encoder](f: Iterator[T] => Iterator[U]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions(f))
+
+  // ------------------------------------------- mapUsingService family (§2.4)
+
+  /** Jet `mapUsingService` (GeneralStage.java:305): per-partition service
+    * lifecycle (create once per partition, destroy at end) — the connection-pool
+    * pattern. The service is created lazily inside each task, never serialized.
+    */
+  def mapUsingService[S, U: Encoder](factory: ServiceFactory[S])(f: (S, T) => U): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      val svc = factory.create()
+      val out = it.map(t => f(svc, t))
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): U = out.next()
+      }
+    })
+
+  /** Jet `mapUsingServiceAsyncBatched` (GeneralStage.java:459): micro-batched
+    * service calls — natural fit for `mapPartitions` + grouped iteration.
+    */
+  def mapUsingServiceBatched[S, U: Encoder](factory: ServiceFactory[S], batchSize: Int = 128)(
+      f: (S, Seq[T]) => Seq[U]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      val svc = factory.create()
+      val out = it.grouped(batchSize).flatMap(b => f(svc, b.toSeq))
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): U = out.next()
+      }
+    })
+
+  // --------------------------------------------------------- joins (§2.5)
+
+  /** Jet `hashJoin` (GeneralStage.java:774): broadcast hash join, left-outer.
+    * The enriching side is replicated to every task — exactly Jet's
+    * `HashJoinP` replicated-map semantics, planned by Catalyst as
+    * BroadcastHashJoin.
+    */
+  def hashJoin(other: BatchStage[_], on: Column): BatchStage[Row] =
+    new BatchStage(ds.join(broadcast(other.ds), on, "left_outer"))
+
+  /** Jet `innerHashJoin` (BatchStage.java:237). */
+  def innerHashJoin(other: BatchStage[_], on: Column): BatchStage[Row] =
+    new BatchStage(ds.join(broadcast(other.ds), on, "inner"))
+
+  /** N-way hash join (Jet `hashJoinBuilder`, GeneralStage.java:864): chain of
+    * broadcast joins — Catalyst collapses them into one probe stage.
+    */
+  def hashJoinN(others: (BatchStage[_], Column)*): BatchStage[Row] =
+    new BatchStage(others.foldLeft(ds.toDF()) { case (acc, (o, c)) =>
+      acc.join(broadcast(o.ds), c, "left_outer")
+    })
+
+  /** General shuffled join for fact-to-fact cases where broadcast is wrong;
+    * Catalyst/AQE pick sort-merge vs shuffled-hash and split skew.
+    */
+  def join(other: BatchStage[_], on: Column, how: String = "inner"): BatchStage[Row] =
+    new BatchStage(ds.join(other.ds, on, how))
+
+  // ----------------------------------------------- grouping / aggregation
+
+  /** Jet `groupingKey` (GeneralStage.java→BatchStageWithKey): column-keyed
+    * grouping — the performant path (no object materialization).
+    */
+  def groupingKey(keys: Column*): BatchStageWithKey =
+    new BatchStageWithKey(ds.toDF(), keys)
+
+  /** Global (non-keyed) aggregate — Jet `BatchStage.aggregate`
+    * (AggregateTransform all-to-one): partial agg per partition + single final
+    * combine.
+    */
+  def aggregate(op: AggOp): BatchStage[Row] =
+    new BatchStage(ds.agg(op.columns.head, op.columns.tail: _*))
+
+  // ------------------------------------------------- sort/limit/set (§2.10)
+
+  /** Jet `sort` (BatchStage.java:84): global total order — range-partitioned
+    * sample sort (strictly better than Jet's single-member merge).
+    */
+  def sort(cols: Column*): BatchStage[T] = new BatchStage(ds.orderBy(cols: _*))
+
+  def limit(n: Int): BatchStage[T] = new BatchStage(ds.limit(n))
+
+  /** Jet `distinct` (BatchStage.java:221). */
+  def distinct(): BatchStage[T] = new BatchStage(ds.dropDuplicates())
+  def distinctBy(keys: String*): BatchStage[T] = new BatchStage(ds.dropDuplicates(keys))
+
+  /** Jet `merge` (BatchStage.java:234): union-all. */
+  def merge(other: BatchStage[T]): BatchStage[T] = new BatchStage(ds.union(other.ds))
+
+  /** Jet `rebalance()` / `rebalance(keyFn)` (GeneralStage.java:1031):
+    * round-robin or key-partitioned redistribution.
+    */
+  def rebalance(n: Int): BatchStage[T] = new BatchStage(ds.repartition(n))
+  def rebalance(cols: Column*): BatchStage[T] = new BatchStage(ds.repartition(cols: _*))
+
+  /** Scale-safe per-key top-N (window row_number) — the 100 TB alternative to
+    * the collect_list-based `AggregateOperations.topN`.
+    */
+  def topNPerKey(n: Int, key: Column, order: Column*): BatchStage[Row] = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    new BatchStage(ds.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  // --------------------------------------------------------------- sinks
+
+  /** Jet `writeTo(Sink)` (GeneralStage → SinkStage). */
+  def writeTo(sink: Sink): Unit = sink.write(ds.toDF())
+
+  /** Jet `Sinks.observable` (Sinks.java:1382): pull results to the caller. */
+  def observe(): Seq[Row] = ds.toDF().collect().toSeq
+}
+
+/** Jet `BatchStageWithKey` (pipeline/BatchStageWithKey.java): grouped stage. */
+final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
+
+  /** Keyed aggregate (BatchStageWithKey.aggregate): two-phase hash agg. */
+  def aggregate(op: AggOp): BatchStage[Row] =
+    new BatchStage(df.groupBy(keys: _*).agg(op.columns.head, op.columns.tail: _*))
+
+  /** Jet `aggregate2` (BatchStageWithKey.java:211): co-aggregate two keyed
+    * inputs. Shape: aggregate each input independently (small per-key results),
+    * then full-outer-join the compact aggregates — far cheaper than
+    * co-shuffling raw rows at scale.
+    */
+  def aggregate2(op1: AggOp, other: BatchStageWithKey, op2: AggOp): BatchStage[Row] = {
+    val left = aggregate(op1).toDF
+    val right = other.aggregate(op2).toDF
+    val keyNames = keys.map(_.toString)
+    new BatchStage(left.join(right, keyNames, "full_outer"))
+  }
+
+  /** Jet keyed `distinct` (BatchStageWithKey.java:66). */
+  def distinct(): BatchStage[Row] =
+    new BatchStage(df.dropDuplicates(keys.map(_.toString)))
+}

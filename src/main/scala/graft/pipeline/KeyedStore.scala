@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-memory named KV/table store — the engine's stand-in for Hazelcast's IMap /
+  * IList surface that Jet sources, sinks, and lookup joins depend on
+  * (reference: Sources.map Sources.java:172, Sinks.map Sinks.java:136,
+  * mapUsingIMap GeneralStage.java:678).
+  *
+  * Implementation: named cached DataFrames on the driver's catalog. Upsert is
+  * last-writer-wins per key, implemented as union + keep-newest (a batch MERGE).
+  * This is a correctness-first single-session stand-in: at 100 TB scale the
+  * store's role is played by a real table format (Delta/Iceberg MERGE) — the
+  * API here is the stable seam where that swap happens.
+  */
+object KeyedStore {
+
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val versionCol = "__graft_version"
+  private val versions = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def put(name: String, df: DataFrame): Unit = {
+    tables.put(name, df.cache())
+    df.createOrReplaceTempView(name)
+  }
+
+  def get(spark: SparkSession, name: String): DataFrame = {
+    val df = Option(tables.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"KeyedStore: no table '$name'"))
+    if (df.columns.contains(versionCol)) df.drop(versionCol) else df
+  }
+
+  def exists(name: String): Boolean = tables.containsKey(name)
+
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet().asScala.toSeq.sorted
+  }
+
+  /** Last-writer-wins upsert by key columns (Jet `Sinks.map` semantics: new
+    * entries replace existing keys).
+    */
+  def upsert(name: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val incoming = df.withColumn(versionCol, lit(versions.incrementAndGet()))
+    val merged = Option(tables.get(name)) match {
+      case None => incoming
+      case Some(old) =>
+        val oldV =
+          if (old.columns.contains(versionCol)) old
+          else old.withColumn(versionCol, lit(0L))
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+        oldV.unionByName(incoming)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+    }
+    // materialize before caching so the store is stable even if inputs mutate
+    val snap = merged.cache()
+    snap.count()
+    tables.put(name, snap)
+    snap.drop(versionCol).createOrReplaceTempView(name)
+  }
+
+  /** IList-style append. */
+  def append(name: String, df: DataFrame): Unit = {
+    val merged = Option(tables.get(name)).map(_.unionByName(df)).getOrElse(df)
+    val snap = merged.cache()
+    snap.count()
+    tables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+  }
+
+  def drop(name: String): Unit = Option(tables.remove(name)).foreach(_.unpersist())
+
+  def clear(): Unit = { names.foreach(drop); () }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+
+/** Batch source vocabulary (reference: pipeline/Sources.java, pipeline/file/
+  * FileSources.java). Each source is a recipe producing a Dataset; file formats
+  * map 1:1 onto Spark's readers, which bring vectorized scans + pushdown for free.
+  */
+trait BatchSource[T] { def read(spark: SparkSession): Dataset[T] }
+
+/** Unbounded source vocabulary (reference: Sources.socket/fileWatcher,
+  * TestSources.itemStream, KafkaSources) → Structured Streaming readers.
+  */
+trait StreamSource { def read(spark: SparkSession): DataFrame }
+
+object Sources {
+
+  /** Jet `TestSources.items` (pipeline/test/TestSources.java:55). */
+  def items[T: Encoder](xs: Seq[T]): BatchSource[T] = new BatchSource[T] {
+    def read(spark: SparkSession): Dataset[T] = spark.createDataset(xs)
+  }
+
+  /** Jet `Sources.list` (Sources.java:886): bounded scan of a named in-memory
+    * list — here backed by the KeyedStore catalog (see `KeyedStore`).
+    */
+  def list(name: String): BatchSource[Row] = new BatchSource[Row] {
+    def read(spark: SparkSession): Dataset[Row] = KeyedStore.get(spark, name)
+  }
+
+  /** Jet `Sources.map` (Sources.java:172): bounded scan of a named KV store,
+    * with optional predicate/projection pushdown — expressed as filter/select
+    * on the cached view, which Catalyst prunes before the scan.
+    */
+  def map(name: String): BatchSource[Row] = new BatchSource[Row] {
+    def read(spark: SparkSession): Dataset[Row] = KeyedStore.get(spark, name)
+  }
+
+  /** Unified file source (FileSources.files, pipeline/file/FileSources.java:66):
+    * format in {parquet, csv, json, text, avro, binaryFile}; options passthrough.
+    */
+  def files(path: String, format: String = "text",
+            options: Map[String, String] = Map.empty): BatchSource[Row] =
+    new BatchSource[Row] {
+      def read(spark: SparkSession): Dataset[Row] =
+        spark.read.options(options).format(format).load(path)
+    }
+
+  def parquet(path: String): BatchSource[Row] = files(path, "parquet")
+  def csv(path: String, header: Boolean = true): BatchSource[Row] =
+    files(path, "csv", Map("header" -> header.toString, "inferSchema" -> "true"))
+  def json(path: String): BatchSource[Row] = files(path, "json")
+  def text(path: String): BatchSource[Row] = files(path, "text")
+
+  /** Jet `Sources.jdbc` (Sources.java:1321) → `spark.read.jdbc` with partitioned
+    * reads. Surface-only here (no driver in the zero-egress sandbox).
+    */
+  def jdbc(url: String, table: String, props: java.util.Properties): BatchSource[Row] =
+    new BatchSource[Row] {
+      def read(spark: SparkSession): Dataset[Row] = spark.read.jdbc(url, table, props)
+    }
+
+  /** SQL `TABLE(GENERATE_SERIES(a,b))` (JetSqlOperatorTable.java:84). */
+  def generateSeries(from: Long, to: Long): BatchSource[java.lang.Long] =
+    new BatchSource[java.lang.Long] {
+      def read(spark: SparkSession): Dataset[java.lang.Long] =
+        spark.range(from, to + 1).as[java.lang.Long](
+          org.apache.spark.sql.Encoders.LONG)
+    }
+
+  // ------------------------------------------------------------- streaming
+
+  /** Jet `TestSources.itemStream(rate)` / SQL GENERATE_STREAM →
+    * `readStream.format("rate")`: (timestamp, value) rows at `eventsPerSecond`.
+    */
+  def itemStream(eventsPerSecond: Int): StreamSource = new StreamSource {
+    def read(spark: SparkSession): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", eventsPerSecond.toString).load()
+  }
+
+  /** Jet `Sources.socket` (Sources.java:950) → socket source (exact match). */
+  def socket(host: String, port: Int): StreamSource = new StreamSource {
+    def read(spark: SparkSession): DataFrame =
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port.toString).load()
+  }
+
+  /** Jet `Sources.fileWatcher` (Sources.java:1073) → file-stream source: watch a
+    * directory, stream new files' lines.
+    */
+  def fileWatcher(dir: String, format: String = "text",
+                  options: Map[String, String] = Map.empty): StreamSource =
+    new StreamSource {
+      def read(spark: SparkSession): DataFrame = {
+        val r = spark.readStream.options(options).format(format)
+        // file sources need a schema for non-self-describing formats
+        if (format == "text") r.load(dir) else r.option("inferSchema", "true").load(dir)
+      }
+    }
+
+  /** Jet `KafkaSources.kafka` (extensions/kafka) → kafka source, 1:1 surface.
+    * Requires the kafka connector jars at runtime.
+    */
+  def kafka(bootstrap: String, topics: String,
+            options: Map[String, String] = Map.empty): StreamSource =
+    new StreamSource {
+      def read(spark: SparkSession): DataFrame =
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("subscribe", topics)
+          .options(options).load()
+    }
+}

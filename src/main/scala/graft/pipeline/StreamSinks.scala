@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** A running streaming job — Jet `Job` (reference: jet/Job.java:39): the handle
+  * returned by submitting a pipeline; supports cancel and status introspection.
+  * Suspend/resume map to stop + restart-from-checkpoint (JobRegistry).
+  */
+final class JobHandle(val name: String, val query: StreamingQuery) {
+  def id: java.util.UUID = java.util.UUID.fromString(query.id.toString)
+  def isRunning: Boolean = query.isActive
+  /** Jet `Job.cancel()`. */
+  def cancel(): Unit = query.stop()
+  /** Block until more data has been processed (test helper). */
+  def processAllAvailable(): Unit = query.processAllAvailable()
+}
+
+/** Streaming sink vocabulary (reference: Sinks.java applied to StreamStage;
+  * WriteFileP rolling files → checkpointed file sinks, Sinks.observable →
+  * memory sink, Sinks.logger → console).
+  */
+trait StreamSink { def start(df: DataFrame): JobHandle }
+
+object StreamSinks {
+
+  private def nextName = s"graft_job_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Jet `Sinks.observable` (Sinks.java:1382): results visible to the client —
+    * memory sink queryable as a temp view.
+    */
+  def memory(queryName: String, outputMode: String = "append"): StreamSink =
+    new StreamSink {
+      def start(df: DataFrame): JobHandle = {
+        val q = df.writeStream.format("memory").queryName(queryName)
+          .outputMode(outputMode).start()
+        JobRegistry.register(new JobHandle(queryName, q))
+      }
+    }
+
+  /** Jet `Sinks.files` exactly-once rolling files (WriteFileP.java:495) →
+    * checkpointed file sink: Spark's file sink is exactly-once by manifest.
+    */
+  def files(path: String, checkpoint: String, format: String = "parquet"): StreamSink =
+    new StreamSink {
+      def start(df: DataFrame): JobHandle = {
+        val name = nextName
+        val q = df.writeStream.format(format)
+          .option("path", path).option("checkpointLocation", checkpoint)
+          .queryName(name).start()
+        JobRegistry.register(new JobHandle(name, q))
+      }
+    }
+
+  /** Jet `Sinks.logger`. */
+  def console(outputMode: String = "append"): StreamSink = new StreamSink {
+    def start(df: DataFrame): JobHandle = {
+      val name = nextName
+      val q = df.writeStream.format("console").outputMode(outputMode)
+        .queryName(name).start()
+      JobRegistry.register(new JobHandle(name, q))
+    }
+  }
+
+  /** Jet `SinkBuilder` / CDC `foreachBatch` MERGE sinks: arbitrary per-batch
+    * writer with exactly-once batch ids.
+    */
+  def foreachBatch(f: (DataFrame, Long) => Unit,
+                   outputMode: String = "update",
+                   trigger: Trigger = Trigger.ProcessingTime(0)): StreamSink =
+    new StreamSink {
+      def start(df: DataFrame): JobHandle = {
+        val name = nextName
+        val q = df.writeStream.outputMode(outputMode).trigger(trigger)
+          .foreachBatch(f).queryName(name).start()
+        JobRegistry.register(new JobHandle(name, q))
+      }
+    }
+
+  /** Stream upsert into the KeyedStore — Jet `Sinks.mapWithMerging`
+    * (Sinks.java:313) / CdcSinks.map: per-batch MERGE, last-writer-wins.
+    */
+  def mapSink(storeName: String, keyCols: String*): StreamSink =
+    foreachBatch((batch, _) => KeyedStore.upsert(storeName, batch, keyCols))
+}
+
+/** Named-job registry — the `CREATE JOB`/`SHOW JOBS`/`DROP JOB` surface of the
+  * reference SQL layer (SqlCreateJob.java, SURVEY §2.13) and `JetInstance.getJobs`.
+  */
+object JobRegistry {
+  private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobHandle]()
+
+  def register(h: JobHandle): JobHandle = { jobs.put(h.name, h); h }
+  def get(name: String): Option[JobHandle] = Option(jobs.get(name))
+  def list: Seq[(String, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq.map { case (n, h) => (n, h.isRunning) }.sortBy(_._1)
+  }
+  /** DROP JOB: stop and deregister. */
+  def drop(name: String): Boolean =
+    Option(jobs.remove(name)).map { h => h.cancel(); true }.getOrElse(false)
+  def stopAll(): Unit = list.foreach { case (n, _) => drop(n) }
+}

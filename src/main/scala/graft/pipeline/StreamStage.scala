@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Jet `StreamSourceStage` (reference: pipeline/StreamSourceStage.java): the
+  * stage between `readFrom(streamSource)` and timestamp assignment.
+  */
+final class StreamSourceStage(df: DataFrame) {
+
+  /** Jet `withTimestamps(tsFn, allowedLag)` (GeneralStage.java:1155, via
+    * InsertWatermarksP) → event-time column + bounded-lateness watermark:
+    * semantically `WatermarkPolicy.limitingLag` (core/WatermarkPolicy.java:72).
+    */
+  def withTimestamps(tsCol: String, allowedLag: String): StreamStage =
+    new StreamStage(df.withWatermark(tsCol, allowedLag), tsCol)
+
+  /** Jet `withNativeTimestamps(0)` — sources that carry their own event time
+    * (rate source's `timestamp`, kafka's `timestamp`).
+    */
+  def withNativeTimestamps(allowedLag: String = "0 seconds"): StreamStage = {
+    val tsCol = if (df.columns.contains("timestamp")) "timestamp" else "ts"
+    new StreamStage(df.withWatermark(tsCol, allowedLag), tsCol)
+  }
+
+  /** Jet `withoutTimestamps` — no event-time ops downstream. */
+  def withoutTimestamps(): StreamStage = new StreamStage(df, null)
+}
+
+/** Jet `StreamStage<T>` (reference: pipeline/StreamStage.java) over a streaming
+  * DataFrame with an event-time column.
+  */
+final class StreamStage(val df: DataFrame, val tsCol: String) {
+
+  // ----------------------------------------------------- stateless ops (§2.3)
+  def select(cols: Column*): StreamStage = new StreamStage(df.select(cols: _*), tsCol)
+  def where(cond: Column): StreamStage = new StreamStage(df.filter(cond), tsCol)
+  def withColumn(name: String, c: Column): StreamStage =
+    new StreamStage(df.withColumn(name, c), tsCol)
+
+  def map[U: Encoder](f: Row => U): Dataset[U] = df.map(f)
+  def flatMapCol(c: Column, as: String): StreamStage =
+    new StreamStage(df.withColumn(as, explode(c)), tsCol)
+
+  /** Jet `merge` of two streams (StreamStage.java:67). */
+  def merge(other: StreamStage): StreamStage =
+    new StreamStage(df.unionByName(other.df), tsCol)
+
+  /** Jet stream `hashJoin` (StreamStage.java:188): stream-static broadcast
+    * enrichment — each micro-batch probes the replicated dimension.
+    */
+  def hashJoin(dim: DataFrame, on: Column): StreamStage =
+    new StreamStage(df.join(broadcast(dim), on, "left_outer"), tsCol)
+
+  /** Jet `groupingKey` → keyed stream stage. */
+  def groupingKey(keys: Column*): StreamStageWithKey =
+    new StreamStageWithKey(df, tsCol, keys)
+
+  /** Non-keyed window aggregate (Jet StageWithWindow.aggregate). */
+  def window(wd: WindowDefinition): StreamStageWithKey =
+    new StreamStageWithKey(df, tsCol, Nil).window(wd)
+
+  def writeTo(sink: StreamSink): JobHandle = sink.start(df)
+}
+
+/** Jet `StreamStageWithKey` / `StageWithKeyAndWindow` (reference:
+  * pipeline/StreamStageWithKey.java, StageWithKeyAndWindow.java).
+  */
+final class StreamStageWithKey(df: DataFrame, tsCol: String, keys: Seq[Column]) {
+
+  private var windowDef: Option[WindowDefinition] = None
+
+  def window(wd: WindowDefinition): StreamStageWithKey = { windowDef = Some(wd); this }
+
+  /** Windowed (or plain keyed) aggregate. Tumbling/sliding → `window()`;
+    * session → `session_window()` (gap-merged, Jet SessionWindowP semantics).
+    * Output carries `window_start`/`window_end` like Jet's `KeyedWindowResult`.
+    */
+  def aggregate(op: AggOp): DataFrame = {
+    val groupCols: Seq[Column] = windowDef match {
+      case Some(WindowDefinition.Tumbling(size)) =>
+        window(col(tsCol), size).as("window") +: keys
+      case Some(WindowDefinition.Sliding(size, slide)) =>
+        window(col(tsCol), size, slide).as("window") +: keys
+      case Some(WindowDefinition.Session(gap)) =>
+        session_window(col(tsCol), gap).as("window") +: keys
+      case None => keys
+    }
+    val agged = df.groupBy(groupCols: _*).agg(op.columns.head, op.columns.tail: _*)
+    if (windowDef.isDefined)
+      agged.withColumn("window_start", col("window.start"))
+        .withColumn("window_end", col("window.end"))
+        .drop("window")
+    else agged
+  }
+
+  private def window(c: Column, size: String): Column =
+    org.apache.spark.sql.functions.window(c, size)
+  private def window(c: Column, size: String, slide: String): Column =
+    org.apache.spark.sql.functions.window(c, size, slide)
+}
+
+/** Typed stateful per-key streaming ops (reference: TransformStatefulP.java,
+  * StreamStageWithKey.mapStateful with TTL + evict callback, SURVEY §2.9).
+  * Spark's `flatMapGroupsWithState` is the exact mechanism: timeout = TTL,
+  * `onTimeout` = the evict callback.
+  */
+object StatefulOps {
+
+  /** Jet keyed `mapStateful(ttl, createFn, mapFn, onEvictFn)`
+    * (StreamStageWithKey.java:116). Processing-time TTL; emits mapFn output per
+    * event and onEvict output when the key's state expires.
+    */
+  def mapStateful[K, V, S, O](
+      ds: Dataset[V], keyFn: V => K, ttlMillis: Long,
+      createFn: () => S, mapFn: (K, S, V) => (S, O),
+      onEvictFn: (K, S) => Option[O] = (_: K, _: S) => None)(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[O],
+      tupleEnc: Encoder[(K, V)]): Dataset[O] = {
+
+    val timeout =
+      if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.map(v => (keyFn(v), v))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout) {
+        case (key, values, state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val out = onEvictFn(key, state.get)
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(createFn())
+            val outs = values.map { case (_, v) =>
+              val (s2, o) = mapFn(key, s, v)
+              s = s2
+              o
+            }.toList
+            state.update(s)
+            if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+            outs.iterator
+          }
+      }
+  }
+
+  /** Jet `rollingAggregate` (StreamStageWithKey.java:256): running accumulator
+    * per key, one output per input event.
+    */
+  def rollingAggregate[K, V, A, O](
+      ds: Dataset[V], keyFn: V => K,
+      zero: A, accumulate: (A, V) => A, export: (K, A) => O)(
+      implicit ke: Encoder[K], ae: Encoder[A], oe: Encoder[O],
+      tupleEnc: Encoder[(K, V)]): Dataset[O] =
+    mapStateful[K, V, A, O](ds, keyFn, ttlMillis = 0,
+      createFn = () => zero,
+      mapFn = (k, a, v) => { val a2 = accumulate(a, v); (a2, export(k, a2)) })
+}

@@ -1,0 +1,115 @@
+package graft.sql
+
+import graft.pipeline.{JobRegistry, KeyedStore, StreamSinks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL face of the engine (reference: hazelcast-jet-sql — SqlCreateMapping.java,
+  * SqlCreateJob.java, SqlShowStatement.java, SqlExtendedInsert.java; SURVEY §2.13).
+  *
+  * Design: everything that is plain query processing goes straight to
+  * `spark.sql` — Catalyst is the optimizer/executor (SURVEY §3.2: we only add
+  * the statement surface Jet bolts onto Calcite). This router handles only the
+  * Jet-specific statements:
+  *
+  *   CREATE [OR REPLACE] MAPPING name [EXTERNAL NAME path] TYPE fmt OPTIONS(...)
+  *   DROP MAPPING name
+  *   SHOW MAPPINGS | SHOW JOBS
+  *   CREATE JOB name AS <select>  → named StreamingQuery writing to a store
+  *   DROP JOB name
+  *   SINK INTO store(...) <select> / INSERT INTO
+  *
+  * Statement grammar is intentionally regex-lite: the payload query inside is
+  * always delegated to Spark's full SQL parser.
+  */
+final class GraftSql(spark: SparkSession) {
+
+  private val createMapping =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(EXTERNAL\s+)?MAPPING\s+(\w+)\s*(?:EXTERNAL\s+NAME\s+'([^']+)')?\s*TYPE\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*""".r
+  private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val showMappings = """(?is)\s*SHOW\s+MAPPINGS\s*""".r
+  private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
+  private val createJob =
+    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+  private val dropJob = """(?is)\s*DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
+  private val sinkInto = """(?is)\s*SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+
+  /** Execute a statement; queries return their DataFrame, DDL returns a small
+    * status frame (matching Jet's update-count style results).
+    */
+  def execute(statement: String): DataFrame = statement match {
+
+    case createMapping(_, _, name, extName, tpe, opts) =>
+      val options = parseOptions(Option(opts).getOrElse(""))
+      val path = Option(extName).orElse(options.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          s"mapping $name: need EXTERNAL NAME 'path' or OPTIONS('path'...)"))
+      val reader = spark.read.options(options - "path")
+      val df = tpe.toLowerCase match {
+        case "parquet" => reader.parquet(path)
+        case "csv" => reader.option("header",
+          options.getOrElse("header", "true")).option("inferSchema", "true").csv(path)
+        case "json" => reader.json(path)
+        case "text" | "lines" => reader.text(path)
+        case other => reader.format(other).load(path)
+      }
+      df.createOrReplaceTempView(name)
+      status(s"mapping $name created")
+
+    case dropMapping(name) =>
+      spark.catalog.dropTempView(name)
+      status(s"mapping $name dropped")
+
+    case showMappings() =>
+      import spark.implicits._
+      val views = spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name).sorted.toSeq
+      (views ++ KeyedStore.names).distinct.sorted.toDF("name")
+
+    case showJobs() =>
+      import spark.implicits._
+      JobRegistry.list.toDF("name", "running")
+
+    case createJob(name, store, keyCols, select) =>
+      val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val df = spark.sql(select)
+      if (df.isStreaming) {
+        val handle = StreamSinks.foreachBatch((batch, _) =>
+          KeyedStore.upsert(store, batch, keys)).start(df)
+        JobRegistry.drop(name) // replace any previous job of this name
+        JobRegistry.register(new graft.pipeline.JobHandle(name, handle.query))
+        status(s"job $name started")
+      } else {
+        KeyedStore.upsert(store, df, keys)
+        status(s"job $name completed (batch)")
+      }
+
+    case dropJob(name) =>
+      if (JobRegistry.drop(name)) status(s"job $name dropped")
+      else status(s"job $name not found")
+
+    case alterJobSuspend(name) =>
+      JobRegistry.get(name).foreach(_.cancel())
+      status(s"job $name suspended")
+
+    case sinkInto(store, keyCols, select) =>
+      val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      KeyedStore.upsert(store, spark.sql(select), keys)
+      status(s"sunk into $store")
+
+    case other => spark.sql(other)
+  }
+
+  private def parseOptions(s: String): Map[String, String] =
+    """'([^']+)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  private def status(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+}
+
+object GraftSql {
+  def apply(spark: SparkSession): GraftSql = new GraftSql(spark)
+}

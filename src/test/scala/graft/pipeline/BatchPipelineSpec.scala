@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Facade parity tests mirroring the reference suites BatchStageTest /
+  * BatchAggregateTest / SourcesTest / SinksTest (SURVEY §5.2).
+  */
+class BatchPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+  private lazy val p = Pipeline.create(spark)
+
+  test("items source + map/filter/flatMap/typed ops") {
+    val out = p.readFrom(Sources.items(1 to 10))
+      .map(_ * 2)
+      .filter(_ > 4)
+      .flatMap(x => Seq(x, x + 1))
+      .ds.collect().sorted
+    assert(out.head === 6 && out.length === 16)
+  }
+
+  test("wordcount parity (reference examples/wordcount)") {
+    val lines = Seq("the quick brown fox", "the lazy dog", "the fox")
+    val counts = p.readFrom(Sources.items(lines))
+      .select(explode(split(lower(col("value")), "\\s+")).as("word"))
+      .groupingKey(col("word"))
+      .aggregate(AggregateOperations.counting("n"))
+      .toDF.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the") === 3 && counts("fox") === 2 && counts("dog") === 1)
+  }
+
+  test("global aggregate (all-to-one) and allOf composition") {
+    val row = p.readFrom(Sources.items(1L to 100L))
+      .aggregate(AggregateOperations.allOf(
+        AggregateOperations.counting("n"),
+        AggregateOperations.summingLong(col("value"), "s"),
+        AggregateOperations.averaging(col("value"), "a")))
+      .toDF.collect().head
+    assert(row.getLong(0) === 100 && row.getLong(1) === 5050 && row.getDouble(2) === 50.5)
+  }
+
+  test("hashJoin is planned as a broadcast join") {
+    val facts = p.readFrom(Sources.parquet(s"$sf/orders.parquet"))
+    val dim = p.readFrom(Sources.parquet(s"$sf/customer.parquet"))
+    val joined = facts.innerHashJoin(dim, col("o_custkey") === col("c_custkey"))
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(joined.toDF.count() > 0)
+  }
+
+  test("hashJoinN chains broadcasts (hashJoinBuilder parity)") {
+    val li = p.readFrom(Sources.parquet(s"$sf/lineitem.parquet"))
+    val orders = p.readFrom(Sources.parquet(s"$sf/orders.parquet"))
+    val part = p.readFrom(Sources.parquet(s"$sf/part.parquet"))
+    val out = li.hashJoinN(
+      (orders, col("l_orderkey") === col("o_orderkey")),
+      (part, col("l_partkey") === col("p_partkey")))
+    assert(out.toDF.count() > 0)
+  }
+
+  test("sort + limit + distinct + merge + rebalance") {
+    val a = p.readFrom(Sources.items(Seq(3, 1, 2, 2)))
+    val b = p.readFrom(Sources.items(Seq(4, 4)))
+    val merged = a.merge(b).distinct().sort(col("value")).ds.collect()
+    assert(merged.toSeq === Seq(1, 2, 3, 4))
+    assert(a.rebalance(8).ds.rdd.getNumPartitions === 8)
+  }
+
+  test("mapUsingService: per-partition service lifecycle") {
+    val factory = ServiceFactories.service[java.text.DecimalFormat](
+      () => new java.text.DecimalFormat("000"))
+    val out = p.readFrom(Sources.items(Seq(1, 22, 333)))
+      .mapUsingService(factory)((fmt, x) => fmt.format(x.toLong))
+      .ds.collect().sorted
+    assert(out.toSeq === Seq("001", "022", "333"))
+  }
+
+  test("mapUsingServiceBatched groups inputs") {
+    val factory = ServiceFactories.service[String](() => "svc")
+    val out = p.readFrom(Sources.items(1 to 10))
+      .mapUsingServiceBatched(factory, batchSize = 3)((_, batch) => batch.map(_ + 100))
+      .ds.collect()
+    assert(out.sorted.toSeq === (101 to 110))
+  }
+
+  test("aggregate2 co-aggregation (full outer on key)") {
+    val odd = p.readFrom(Sources.items(Seq(1, 3, 5, 7))).toDF.withColumn("k", col("value") % 3)
+    val even = p.readFrom(Sources.items(Seq(2, 4, 6))).toDF.withColumn("k", col("value") % 3)
+    val out = new BatchStage(odd).groupingKey(col("k"))
+      .aggregate2(AggregateOperations.counting("n_odd"),
+        new BatchStage(even).groupingKey(col("k")),
+        AggregateOperations.counting("n_even"))
+      .toDF.collect().map(r => (r.getInt(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out.size === 3)
+  }
+
+  test("topNPerKey never materializes the group (window row_number)") {
+    val li = p.readFrom(Sources.parquet(s"$sf/lineitem.parquet"))
+    val top = li.topNPerKey(2, col("l_returnflag"),
+      col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val counts = top.toDF.groupBy("l_returnflag").count().collect()
+    assert(counts.forall(_.getLong(1) <= 2))
+  }
+
+  test("KeyedStore: put/get/upsert last-writer-wins + sinks") {
+    KeyedStore.put("kv_test", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    p.readFrom(Sources.items(Seq((2, "B"), (3, "C"))))
+      .toDF.toDF("k", "v").let { df =>
+        Sinks.map("kv_test", "k").write(df)
+      }
+    val m = KeyedStore.get(spark, "kv_test").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m === Map(1 -> "a", 2 -> "B", 3 -> "C"))
+    KeyedStore.drop("kv_test")
+  }
+
+  implicit class Let[A](a: A) { def let[B](f: A => B): B = f(a) }
+}

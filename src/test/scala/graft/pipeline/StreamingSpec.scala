@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-streaming parity tests: windows, sessions, stateful ops, merge,
+  * stream-static join — mirroring the reference's WindowAggregateTest /
+  * SessionWindowPTest / TransformStatefulPTest (SURVEY §5), with the
+  * stream–batch equivalence oracle from FIXTURES.md §3.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window aggregate over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a", 1.0),
+      (ts("2024-01-01 00:02:00"), "a", 2.0),
+      (ts("2024-01-01 00:59:00"), "b", 3.0),
+      (ts("2024-01-01 01:01:00"), "a", 4.0))
+    val stage = new StreamSourceStage(mem.toDF.toDF("ts", "k", "v"))
+      .withTimestamps("ts", "10 minutes")
+    val agged = stage.groupingKey(col("k"))
+      .window(WindowDefinition.tumbling("1 hour"))
+      .aggregate(AggregateOperations.allOf(
+        AggregateOperations.counting("n"),
+        AggregateOperations.summingDouble(col("v"), "s")))
+    val job = StreamSinks.memory("tumbling_test", "complete").start(agged)
+    job.processAllAvailable()
+    val rows = spark.table("tumbling_test")
+      .select("k", "n", "s", "window_start").collect()
+    val aHour0 = rows.find(r => r.getString(0) == "a" &&
+      r.getTimestamp(3) == ts("2024-01-01 00:00:00")).get
+    assert(aHour0.getLong(1) === 2 && aHour0.getDouble(2) === 3.0)
+    job.cancel()
+  }
+
+  test("session window merges events within gap (SessionWindowP parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:10:00"), "u1"), // same session (gap 10m < 30m)
+      (ts("2024-01-01 01:00:00"), "u1"), // new session (gap 50m)
+      (ts("2024-01-01 00:05:00"), "u2"))
+    val stage = new StreamSourceStage(mem.toDF.toDF("ts", "user"))
+      .withTimestamps("ts", "1 minute")
+    val agged = stage.groupingKey(col("user"))
+      .window(WindowDefinition.session("30 minutes"))
+      .aggregate(AggregateOperations.counting("n"))
+    val job = StreamSinks.memory("session_test", "complete").start(agged)
+    job.processAllAvailable()
+    val u1Sessions = spark.table("session_test").filter($"user" === "u1")
+      .select("n").collect().map(_.getLong(0)).sorted
+    assert(u1Sessions.toSeq === Seq(1, 2))
+    job.cancel()
+  }
+
+  test("mapStateful with rollingAggregate semantics (running sum per key)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    val rolled = StatefulOps.rollingAggregate[String, (String, Long), Long, (String, Long)](
+      mem.toDS(), _._1,
+      zero = 0L,
+      accumulate = (acc, v) => acc + v._2,
+      export = (k, acc) => (k, acc))
+    val job = StreamSinks.memory("rolling_test", "append").start(rolled.toDF())
+    job.processAllAvailable()
+    mem.addData(("a", 5L))
+    job.processAllAvailable()
+    val outs = spark.table("rolling_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // running sums per event: a→1, a→3, b→10, then a→8
+    assert(outs.count(_._1 == "a") === 3)
+    assert(outs.filter(_._1 == "a").map(_._2).max === 8L)
+    assert(outs.filter(_._1 == "b").map(_._2).toSeq === Seq(10L))
+    job.cancel()
+  }
+
+  test("merge of two streams + stream-static hashJoin enrichment") {
+    implicit val sqlCtx = spark.sqlContext
+    val m1 = MemoryStream[(Timestamp, Int)]
+    val m2 = MemoryStream[(Timestamp, Int)]
+    m1.addData((ts("2024-01-01 00:00:01"), 1))
+    m2.addData((ts("2024-01-01 00:00:02"), 2))
+    val dim = Seq((1, "one"), (2, "two")).toDF("id", "name")
+    val s1 = new StreamSourceStage(m1.toDF.toDF("ts", "id")).withTimestamps("ts", "1 second")
+    val s2 = new StreamSourceStage(m2.toDF.toDF("ts", "id")).withTimestamps("ts", "1 second")
+    val dimR = dim.withColumnRenamed("id", "dim_id")
+    val enriched = s1.merge(s2).hashJoin(dimR, col("id") === col("dim_id"))
+    val job = StreamSinks.memory("merge_test", "append").start(enriched.df)
+    job.processAllAvailable()
+    val names = spark.table("merge_test").select("name").collect().map(_.getString(0)).sorted
+    assert(names.toSeq === Seq("one", "two"))
+    job.cancel()
+  }
+
+  test("stream-batch equivalence: windowed counts on the events fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    // replay the real fixture through a MemoryStream
+    val events = Tables(spark, sf, "events")
+      .select($"ts", $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(events)
+    val stage = new StreamSourceStage(mem.toDF.toDF("ts", "event_type", "value"))
+      .withTimestamps("ts", "1 hour")
+    val agged = stage.groupingKey(col("event_type"))
+      .window(WindowDefinition.tumbling("1 hour"))
+      .aggregate(AggregateOperations.counting("n"))
+    val job = StreamSinks.memory("equiv_test", "complete").start(agged)
+    job.processAllAvailable()
+    val streamed = spark.table("equiv_test")
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables(spark, sf, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    job.cancel()
+  }
+
+  test("JobRegistry lifecycle: named jobs, SHOW JOBS, DROP JOB") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1, 2, 3)
+    val job = StreamSinks.memory("registry_probe", "append")
+      .start(mem.toDF())
+    assert(JobRegistry.list.exists { case (n, running) => n == "registry_probe" && running })
+    assert(JobRegistry.drop("registry_probe"))
+    assert(!JobRegistry.list.exists(_._1 == "registry_probe"))
+    assert(!job.isRunning)
+  }
+}

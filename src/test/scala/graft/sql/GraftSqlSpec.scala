@@ -1,0 +1,51 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.pipeline.KeyedStore
+
+/** SQL-face tests: mapping DDL, SHOW statements, SINK INTO, job registry —
+  * mirroring the reference SqlTestSupport suites (SURVEY §2.13, §5.3).
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val sql = GraftSql(spark)
+
+  test("CREATE MAPPING exposes a parquet file as a queryable table") {
+    sql.execute(s"CREATE MAPPING li_map EXTERNAL NAME '$sf/lineitem.parquet' TYPE parquet")
+    val n = sql.execute("SELECT count(*) AS n FROM li_map").collect().head.getLong(0)
+    assert(n > 1000)
+    assert(sql.execute("SHOW MAPPINGS").collect().map(_.getString(0)).contains("li_map"))
+    sql.execute("DROP MAPPING li_map")
+    assert(!sql.execute("SHOW MAPPINGS").collect().map(_.getString(0)).contains("li_map"))
+  }
+
+  test("CREATE MAPPING with OPTIONS path") {
+    sql.execute(s"CREATE OR REPLACE MAPPING ord TYPE parquet OPTIONS ('path' = '$sf/orders.parquet')")
+    val n = sql.execute("SELECT count(*) AS n FROM ord").collect().head.getLong(0)
+    assert(n > 100)
+    sql.execute("DROP MAPPING ord")
+  }
+
+  test("plain SELECT delegates to Catalyst") {
+    val out = sql.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
+    assert(out === 2)
+  }
+
+  test("SINK INTO upserts into the KeyedStore (last-writer-wins)") {
+    sql.execute(s"CREATE OR REPLACE MAPPING cust TYPE parquet OPTIONS ('path' = '$sf/customer.parquet')")
+    sql.execute("SINK INTO cust_store(c_custkey) SELECT c_custkey, c_acctbal FROM cust")
+    val n1 = KeyedStore.get(spark, "cust_store").count()
+    // second sink with modified balances must not duplicate keys
+    sql.execute("SINK INTO cust_store(c_custkey) SELECT c_custkey, c_acctbal * 2 AS c_acctbal FROM cust")
+    val store = KeyedStore.get(spark, "cust_store")
+    assert(store.count() === n1)
+    sql.execute("DROP MAPPING cust")
+    KeyedStore.drop("cust_store")
+  }
+
+  test("SHOW JOBS lists registered jobs; DROP JOB on missing job reports") {
+    val msg = sql.execute("DROP JOB nonexistent_job").collect().head.getString(0)
+    assert(msg.contains("not found"))
+    assert(sql.execute("SHOW JOBS").columns.toSeq === Seq("name", "running"))
+  }
+}
