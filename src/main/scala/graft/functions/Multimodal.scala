@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `BINARY` columns with
+  * typed metadata structs, plus batch decode/feature-extract plumbing.
+  *
+  * The container has no codec libraries, so `decodeStub` is a clearly-marked
+  * deterministic FAKE decoder — but everything around it is the real production
+  * shape: binary columns flow through parquet scans column-pruned, the decoder
+  * runs per-partition (one "model/codec handle" per task, the mapPartitions
+  * service pattern), and outputs are a typed struct per item. Swapping
+  * `decodeStub` for a JNI/FFmpeg/PIL call changes no plumbing.
+  *
+  * Scale notes: binary payloads dominate row size — `spark.sql.files.
+  * maxPartitionBytes` governs split sizing, and the decode stage is a pure map
+  * (no shuffle); feature columns should be written to a separate table keyed by
+  * content hash so re-decodes are incremental.
+  */
+object Multimodal {
+
+  /** Typed decoded-media record (the schema a real decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      content_md5: String,
+      // STUB fields: a real decoder emits true width/height/duration here
+      fake_width: Int,
+      fake_height: Int)
+
+  /** Deterministic FAKE decode of one payload — stands in for image/audio
+    * decoding (`???` in spirit): derives pseudo-dimensions from the byte length
+    * so results are reproducible in any engine.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    MediaFeatures(
+      media_id = id,
+      n_bytes = bytes.length.toLong,
+      content_md5 = md5,
+      fake_width = (bytes.length % 64) + 1,
+      fake_height = ((bytes.length * 7) % 64) + 1)
+  }
+
+  /** Batch decode: mapPartitions so a real implementation amortizes one codec/
+    * model handle per task (the Jet `mapUsingService` pattern, SURVEY §2.4).
+    * Input: (id, payload) binary rows; output: typed feature Dataset.
+    */
+  def decodeAll(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() here, once per partition
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Frame-sampling shape for video-like payloads: split a payload into fixed
+    * windows ("frames") and emit one row per sampled frame — the explode-style
+    * fan-out a video pipeline needs, bounded by `maxFrames`.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int, maxFrames: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map {
+          case (frame, i) => (id, i, frame.length, decodeStub(id, frame).content_md5)
+        }
+      }
+      .toDF(idCol, "frame_no", "frame_bytes", "frame_md5")
+  }
+}

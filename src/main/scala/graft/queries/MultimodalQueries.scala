@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column gate queries: the documents' text bytes stand in for media
+  * payloads (no codecs in the container — TESTDATA has no binary fixture), so
+  * the binary column is synthesized with `encode(text)` and pushed through the
+  * REAL decode plumbing (binary column → mapPartitions decoder → typed struct).
+  * The oracle reproduces the stub's arithmetic from octet_length/md5.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------ q45 decode via mapPartitions
+  val q45_multimodal_decode: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.decodeAll(docs, "doc_id", "payload")
+      .toDF() // media_id, n_bytes, content_md5, fake_width, fake_height
+  }
+
+  val q45_oracle: String =
+    """SELECT doc_id AS media_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  (octet_length(encode(text)) % 64 + 1)::INT AS fake_width,
+      |  ((octet_length(encode(text)) * 7) % 64 + 1)::INT AS fake_height
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------- q46 frame sampling shape
+  val q46_multimodal_frames: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.sampleFrames(docs, "doc_id", "payload", frameBytes = 64, maxFrames = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("sampled_bytes"))
+  }
+
+  val q46_oracle: String =
+    """SELECT doc_id,
+      |  least(ceil(octet_length(encode(text)) / 64.0), 4)::BIGINT AS n_frames,
+      |  least(octet_length(encode(text)), 256)::BIGINT AS sampled_bytes
+      |FROM documents""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q45_multimodal_decode" -> q45_multimodal_decode,
+    "q46_multimodal_frames" -> q46_multimodal_frames)
+
+  val oracles: Map[String, String] = Map(
+    "q45_multimodal_decode" -> q45_oracle,
+    "q46_multimodal_frames" -> q46_oracle)
+}

@@ -13,9 +13,11 @@ object QueryRegistry {
 
   def all: Map[String, Q] =
     TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
-      EmbeddingQueries.entries
+      EmbeddingQueries.entries ++ MultimodalQueries.entries ++
+      StreamingQueries.entries
 
   def oracles: Map[String, String] =
     TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      EmbeddingQueries.oracles
+      EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Correctness-gate entries that execute REAL Structured Streaming (MemoryStream
+  * replay over the events fixture, micro-batched, with watermarks and state
+  * stores) and are checked against batch SQL oracles in DuckDB — the
+  * stream–batch equivalence contract (SURVEY §5, FIXTURES.md §3).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eventTuples(s: SparkSession, dir: String): Seq[(Timestamp, Long, String, Double)] = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[(Timestamp, Long, String, Double)]
+      .collect().toSeq
+  }
+
+  // -------------------------------------------- q50 streaming tumbling window
+  /** Tumbling 1 h count+sum per event_type through a real streaming query
+    * (SlidingWindowP single-stage parity, SURVEY §2.7).
+    */
+  val q50_stream_tumbling: Q = (s, dir) => {
+    import s.implicits._
+    StreamRunner.replay(s, eventTuples(s, dir), "complete") { df =>
+      df.toDF("ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"event_type", $"n", $"sum_value")
+    }
+  }
+
+  val q50_oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
+      |  event_type, count(*) AS n, sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------- q51 streaming session window
+  /** `session_window` gap-merged sessions per user through a real streaming
+    * query (SessionWindowP merging semantics: window = [min ts, max ts + gap)).
+    */
+  val q51_stream_session: Q = (s, dir) => {
+    import s.implicits._
+    StreamRunner.replay(s, eventTuples(s, dir), "complete") { df =>
+      df.toDF("ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+        .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+          unix_micros($"w.end").as("session_end_us"), $"n_events", $"sum_value")
+    }
+  }
+
+  /** Oracle: gaps-and-islands sessions; Spark's session end = last event + gap. */
+  val q51_oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+      |  epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events, sum(value) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  // ------------------------------------- q52 streaming stateful rolling agg
+  /** `flatMapGroupsWithState` rolling aggregate (TransformStatefulP parity):
+    * the stream emits a running (count, sum) per user per event; the gate
+    * checks the FINAL state per user — order-insensitive, equals the batch
+    * per-user aggregate.
+    */
+  val q52_stream_rolling_final: Q = (s, dir) => {
+    import s.implicits._
+    val rolled = StreamRunner.replay(s, eventTuples(s, dir), "append") { df =>
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      df.toDF("ts", "user_id", "event_type", "value")
+        .as[(Timestamp, Long, String, Double)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (user, events, state) =>
+            var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+            val out = events.map { e =>
+              n += 1; sum += e._4
+              (user, n, sum)
+            }.toList
+            state.update((n, sum))
+            out.iterator
+        }.toDF("user_id", "running_n", "running_sum")
+    }
+    // final state per user = the row with the largest running_n
+    rolled.groupBy($"user_id")
+      .agg(max($"running_n").as("n_events"),
+        max_by($"running_sum", $"running_n").as("total_value"))
+  }
+
+  val q52_oracle: String =
+    """SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q50_stream_tumbling" -> q50_stream_tumbling,
+    "q51_stream_session" -> q51_stream_session,
+    "q52_stream_rolling_final" -> q52_stream_rolling_final)
+
+  val oracles: Map[String, String] = Map(
+    "q50_stream_tumbling" -> q50_oracle,
+    "q51_stream_session" -> q51_oracle,
+    "q52_stream_rolling_final" -> q52_oracle)
+}

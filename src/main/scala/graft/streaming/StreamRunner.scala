@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Deterministic replay harness: runs a finite dataset through a real
+  * Structured Streaming query (MemoryStream → transform → memory sink) and
+  * returns the final result table. This is how the driver's batch-oracle
+  * correctness gate exercises genuine streaming execution (state stores,
+  * watermarks, window merging) — the stream–batch equivalence strategy from
+  * FIXTURES.md §3, mirroring the reference's processor-level replay tests
+  * (core/test/TestSupport.java:100-130).
+  */
+object StreamRunner {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay `input` through `transform` and collect the sink table.
+    * `outputMode` should be "complete" for aggregations, "append" for
+    * stateful/flatMap ops.
+    */
+  def replay[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, input: Seq[T], outputMode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[T]
+    val name = s"graft_replay_${counter.incrementAndGet()}"
+    // feed in a few chunks so multiple micro-batches (and state updates) happen
+    val chunks = input.grouped(math.max(1, input.size / 4 + 1)).toSeq
+    chunks.headOption.foreach(c => mem.addData(c))
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      q.processAllAvailable()
+      chunks.drop(1).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+}
