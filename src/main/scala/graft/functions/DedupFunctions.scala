@@ -16,16 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  /** One MinHash value: lexicographic min of seeded md5 over the token set.
-    * md5 hex strings order uniformly, so the lexicographic min is a valid
-    * min-wise permutation sample.
-    */
-  def minhash(tokenSet: Column, seed: Int): Column =
-    array_min(transform(tokenSet, t => md5(concat(lit(s"$seed:"), t))))
+  private val P = 4294967311L // first prime > 2^32
 
-  /** Full signature of `h` MinHash values. */
+  /** Per-token (h1, h2) hash pairs for the Kirsch–Mitzenmacher MinHash
+    * construction: each token md5-hashed ONCE, split into two 32-bit halves.
+    * Materialize this as its own column (a projection boundary) so the md5 pass
+    * runs once, not once per derived signature value.
+    * (Public technique: Kirsch & Mitzenmacher, "Less Hashing, Same Performance".)
+    */
+  def tokenHashPairs(tokenSet: Column): Column =
+    transform(tokenSet, t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
+
+  /** Signature of `h` MinHash values from a precomputed `tokenHashPairs` column:
+    * sample i = min over tokens of `(h1 + i*h2) mod p` — pure arithmetic.
+    */
+  def minhashSignatureFromPairs(pairs: Column, h: Int): Column =
+    array((0 until h).map { i =>
+      array_min(transform(pairs, pr =>
+        pmod(pr.getField("h1") + lit(i.toLong) * pr.getField("h2"), lit(P))))
+    }: _*)
+
+  /** Convenience: signature straight from a token set (hashes once per call —
+    * prefer the two-step form inside multi-signature pipelines).
+    */
   def minhashSignature(tokenSet: Column, h: Int): Column =
-    array((0 until h).map(i => minhash(tokenSet, i)): _*)
+    minhashSignatureFromPairs(tokenHashPairs(tokenSet), h)
+
+  /** Single MinHash value (signature of length 1). */
+  def minhash(tokenSet: Column, seed: Int): Column =
+    element_at(minhashSignature(tokenSet, seed + 1), seed + 1)
 
   /** LSH band keys: the signature is split into bands of `rowsPerBand` hashes;
     * each band hashes to one bucket key. Docs sharing ANY band key become
@@ -37,22 +58,32 @@ object DedupFunctions {
         concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
     }: _*)
 
-  /** SimHash over the token set: for each of `bits` positions, sum +1/-1 votes
-    * from each token (vote = parity of a hex digit of the token's seeded md5);
-    * the bit is 1 when the vote sum is positive. Returned as a long.
+  /** SimHash over the token set: for each of `bits` (≤32) positions, sum +1/-1
+    * votes from each token — vote b = parity of hex digit b+1 of the token's
+    * single md5 (one hash per token, 32 independent digit parities); the bit is
+    * 1 when the vote sum is positive. Returned as a long.
     */
-  def simhash(tokenSet: Column, bits: Int = 16): Column = {
-    // Fold over tokens: per-bit vote sums, then assemble the bit vector.
+  /** Token md5s for simhash — materialize as its own column so the hash pass
+    * runs once, not once per bit.
+    */
+  def tokenHashes(tokenSet: Column): Column =
+    transform(tokenSet, t => md5(concat(lit("sh:"), t)))
+
+  /** SimHash from a precomputed `tokenHashes` column. */
+  def simhashFromHashes(hashes: Column, bits: Int = 16): Column = {
+    require(bits <= 32, "simhash draws bits from the 32 hex digits of one md5")
     val votes = (0 until bits).map { b =>
-      aggregate(tokenSet, lit(0),
-        (acc, t) => acc + when(
-          instr(lit("13579bdf"), substring(md5(concat(lit(s"sh$b:"), t)), 1, 1)) > 0,
-          1).otherwise(-1))
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          instr(lit("13579bdf"), substring(h, b + 1, 1)) > 0, 1).otherwise(-1))
     }
     votes.zipWithIndex.map { case (v, i) =>
       when(v > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  def simhash(tokenSet: Column, bits: Int = 16): Column =
+    simhashFromHashes(tokenHashes(tokenSet), bits)
 
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -79,7 +110,12 @@ object DedupFunctions {
     val rows = hashes / bands
     val sig = df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
         scopeCols.map(col)): _*)
-      .withColumn("band", explode(bandKeys(minhashSignature(col("toks"), hashes), bands, rows)))
+      .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
+      .withColumn("band",
+        explode(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+      .drop("hp")
+      // both sides of the self-join consume this — materialize once
+      .cache()
     val a = sig.select((col("id").as("id_a") +: col("toks").as("toks_a") +:
       col("band") +: scopeCols.map(col)): _*)
     val b = sig.select((col("id").as("id_b") +: col("toks").as("toks_b") +:

@@ -157,13 +157,18 @@ object TextQueries {
 
   val q36_oracle: String = {
     val sig = (0 until 12).map(i =>
-      s"list_min(list_transform(ts, t -> md5('$i:' || t)))").mkString("[", ", ", "]")
+      s"list_min(list_transform(hp, p -> (p.h1 + $i * p.h2) % 4294967311))")
+      .mkString("[", ", ", "]")
     val bands = (0 until 2).map { b =>
       val cat = (0 until 6).map(r => s"sig[${6 * b + r + 1}]").mkString(" || '|' || ")
       s"md5('band$b:' || $cat)"
     }.mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT doc_id, source, list_distinct($tokSql) AS ts FROM documents),
-       |sigs AS (SELECT doc_id, source, ts, $sig AS sig FROM toks),
+       |hashed AS (SELECT doc_id, source, ts,
+       |  list_transform(ts, t -> {'h1': ('0x' || substr(md5(t), 1, 8))::BIGINT,
+       |                           'h2': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hp
+       |  FROM toks),
+       |sigs AS (SELECT doc_id, source, ts, $sig AS sig FROM hashed),
        |banded AS (SELECT doc_id, source, ts, unnest($bands) AS band FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -186,7 +191,9 @@ object TextQueries {
   val q37_dedup_simhash: Q = (s, dir) => {
     import s.implicits._
     val sh = t(s, dir, "documents")
-      .select($"doc_id", D.simhash(T.tokenSet($"text"), bits = 16).as("simhash"))
+      .select($"doc_id", D.tokenHashes(T.tokenSet($"text")).as("hs"))
+      .select($"doc_id", D.simhashFromHashes($"hs", bits = 16).as("simhash"))
+      .cache() // consumed twice by the consecutive-id self-join
     val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"simhash".as("next_simhash"))
     sh.join(nxt, Seq("doc_id"))
       .select($"doc_id", $"simhash",
@@ -195,12 +202,13 @@ object TextQueries {
 
   val q37_oracle: String = {
     val votes = (0 until 16).map { b =>
-      s"""(CASE WHEN list_sum(list_transform(ts, t ->
-         |  CASE WHEN strpos('13579bdf', md5('sh$b:' || t)[1]) > 0 THEN 1 ELSE -1 END)) > 0
+      s"""(CASE WHEN list_sum(list_transform(hs, h ->
+         |  CASE WHEN strpos('13579bdf', h[${b + 1}]) > 0 THEN 1 ELSE -1 END)) > 0
          |  THEN ${1L << b} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, list_distinct($tokSql) AS ts FROM documents),
-       |sh AS (SELECT doc_id, ($votes)::BIGINT AS simhash FROM toks)
+       |hashed AS (SELECT doc_id, list_transform(ts, t -> md5('sh:' || t)) AS hs FROM toks),
+       |sh AS (SELECT doc_id, ($votes)::BIGINT AS simhash FROM hashed)
        |SELECT a.doc_id, a.simhash, bit_count(xor(a.simhash, b.simhash))::INT AS hamming_to_next
        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
   }
@@ -212,6 +220,7 @@ object TextQueries {
   val q38_ngram_jaccard: Q = (s, dir) => {
     import s.implicits._
     val sh = t(s, dir, "documents").select($"doc_id", T.shingles($"text", 3).as("sh"))
+      .cache() // consumed twice by the consecutive-id self-join
     val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"sh".as("sh_next"))
     sh.join(nxt, Seq("doc_id"))
       .select($"doc_id", D.jaccard($"sh", $"sh_next").as("trigram_jaccard"))

@@ -25,11 +25,18 @@ object StreamRunner {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
     val name = s"graft_replay_${counter.incrementAndGet()}"
-    // feed in a few chunks so multiple micro-batches (and state updates) happen
-    val chunks = input.grouped(math.max(1, input.size / 4 + 1)).toSeq
+    // feed in two chunks so multiple micro-batches (and state updates) happen
+    val chunks = input.grouped(math.max(1, input.size / 2 + 1)).toSeq
     chunks.headOption.foreach(c => mem.addData(c))
-    val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(outputMode).start()
+    // replay-local state partitioning: a finite replay doesn't need the full
+    // engine shuffle width; fewer state-store partitions = less per-batch
+    // overhead (the sink table is tiny either way)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try transform(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(outputMode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       chunks.drop(1).foreach { c => mem.addData(c); q.processAllAvailable() }
