@@ -118,6 +118,101 @@ object EmbeddingQueries {
        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  // --------------------------------------------- q39 embedding-cosine near-dup
+  /** Near-duplicate detection by embedding cosine: LSH-bucketed candidate pairs
+    * (same random-hyperplane bucket) scored exactly, kept above a similarity
+    * threshold. This is the 100 TB dedup shape: the self-join is keyed on the
+    * bucket — candidates per vector shrink geometrically with `planes` — instead
+    * of an all-pairs cross join. (Threshold 0.35 suits the synthetic fixture,
+    * whose max pairwise cosine is ~0.51; real near-dup pipelines use ~0.95.)
+    */
+  val q39_dedup_embedding: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims))
+    val a = emb.select($"bucket", $"vec_id".as("vec_a"), S.toDouble($"embedding").as("va"))
+    val b = emb.select($"bucket", $"vec_id".as("vec_b"), S.toDouble($"embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", S.cosine($"va", $"vb").as("cosine"))
+      .filter($"cosine" >= 0.35)
+  }
+
+  val q39_oracle: String = {
+    val bits = (0 until 4).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> embedding[i]::DOUBLE * (${planeSignsSql(j)})[i])) > 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
+  }
+
+  // ----------------------------------------------------- q44 IVF ANN top-k
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the per-label
+    * mean vector — partitions the corpus into cells; each query probes only its
+    * nearest cell and ranks candidates there by exact cosine. At 100 TB the
+    * corpus is bucketed/partitioned by cell id on disk, so a probe reads one
+    * partition instead of scanning the corpus; centroids are a tiny broadcast.
+    */
+  val q44_ann_ivf_topk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    // cells: per-label centroid, rebuilt as an ordered array
+    val centroids = emb
+      .select($"label", posexplode(S.toDouble($"embedding")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"))
+    // probe: nearest centroid per query (centroids are tiny → broadcast)
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cos_c".desc, $"label".asc)
+    val probe = queries.join(broadcast(centroids))
+      .select($"query_id", $"qv", $"label", S.cosine($"qv", $"cv").as("cos_c"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" === 1)
+      .select($"query_id", $"qv", $"label".as("probe_label"))
+    // exact rank within the probed cell only
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("cv"), $"label")
+      .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", S.cosine($"qv", $"cv").as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
+  val q44_oracle: String =
+    s"""WITH expanded AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS cv
+       |  FROM (SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos)
+       |  GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT query_id, qv, label AS probe_label FROM (
+       |    SELECT q.query_id, q.qv, c.label,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${cosSql("q.qv", "c.cv")} DESC, c.label ASC) AS rn
+       |    FROM q CROSS JOIN cent c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("p.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e JOIN probe p
+       |    ON e.label = p.probe_label AND e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------- q43 label centroids
   /** Per-label centroid (mean vector) summarized by its L2 norm — the
     * embedding-aggregation path (posexplode → per-dimension mean → recombine).
@@ -145,14 +240,18 @@ object EmbeddingQueries {
 
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
+    "q39_dedup_embedding" -> q39_dedup_embedding,
     "q40_cosine_topk" -> q40_cosine_topk,
     "q41_lsh_buckets" -> q41_lsh_buckets,
     "q42_ann_lsh_topk" -> q42_ann_lsh_topk,
-    "q43_centroids" -> q43_centroids)
+    "q43_centroids" -> q43_centroids,
+    "q44_ann_ivf_topk" -> q44_ann_ivf_topk)
 
   val oracles: Map[String, String] = Map(
+    "q39_dedup_embedding" -> q39_oracle,
     "q40_cosine_topk" -> q40_oracle,
     "q41_lsh_buckets" -> q41_oracle,
     "q42_ann_lsh_topk" -> q42_oracle,
-    "q43_centroids" -> q43_oracle)
+    "q43_centroids" -> q43_oracle,
+    "q44_ann_ivf_topk" -> q44_oracle)
 }
