@@ -1,0 +1,84 @@
+package graft.pipeline.typed
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregators — the constant-memory path for Jet aggregate
+  * operations with no Spark built-in equivalent (SURVEY.md §2.6, §7.3).
+  *
+  * A Jet `AggregateOperation`'s createFn/accumulateFn/combineFn/exportFn
+  * contract (reference: hazelcast-jet-core/src/main/java/com/hazelcast/jet/
+  * aggregate/AggregateOperation.java:87-103) maps 1:1 onto Spark
+  * `Aggregator[IN, BUF, OUT]` zero/reduce/merge/finish. Registered through
+  * `functions.udaf` these run inside Spark's two-phase hash aggregation —
+  * partial per partition, merge after shuffle — i.e. exactly Jet's
+  * accumulateByKeyP/combineByKeyP split (GroupTransform.java:111-118), with
+  * spill and codegen the reference lacks.
+  *
+  * Scale note: every buffer here is O(1) or O(n-bound) — safe on groups of any
+  * cardinality, unlike `collect_list`-based forms.
+  */
+object TypedAggs {
+
+  /** Bounded top-N accumulator (Jet `topN`, AggregateOperations.java:279):
+    * keeps only the n greatest values seen — O(n) state per group regardless of
+    * group size (Jet uses a bounded PriorityQueue; a sorted array of ≤ n
+    * doubles is equivalent and Encoder-friendly).
+    */
+  final class TopN(n: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    def zero: Seq[Double] = Vector.empty
+    def reduce(buf: Seq[Double], v: Double): Seq[Double] =
+      if (buf.size < n) (buf :+ v).sorted
+      else if (v > buf.head) (buf.tail :+ v).sorted
+      else buf
+    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      (a ++ b).sorted.takeRight(n)
+    def finish(buf: Seq[Double]): Seq[Double] = buf.reverse
+    def bufferEncoder: Encoder[Seq[Double]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    def outputEncoder: Encoder[Seq[Double]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+  }
+  def topN(n: Int): TopN = new TopN(n)
+
+  /** Least-squares slope accumulator (Jet `linearTrend`,
+    * AggregateOperations.java:471, LinTrendAccumulator): five moment sums,
+    * O(1) state, associative merge — the same accumulator shape as the
+    * reference, but running under Tungsten partial aggregation.
+    */
+  final case class LinTrendBuf(n: Long, sx: Double, sy: Double, sxy: Double, sxx: Double)
+
+  object LinearTrend extends Aggregator[(Double, Double), LinTrendBuf, Option[Double]] {
+    def zero: LinTrendBuf = LinTrendBuf(0L, 0.0, 0.0, 0.0, 0.0)
+    def reduce(b: LinTrendBuf, in: (Double, Double)): LinTrendBuf = {
+      val (x, y) = in
+      LinTrendBuf(b.n + 1, b.sx + x, b.sy + y, b.sxy + x * y, b.sxx + x * x)
+    }
+    def merge(a: LinTrendBuf, b: LinTrendBuf): LinTrendBuf =
+      LinTrendBuf(a.n + b.n, a.sx + b.sx, a.sy + b.sy, a.sxy + b.sxy, a.sxx + b.sxx)
+    def finish(b: LinTrendBuf): Option[Double] = {
+      val den = b.n * b.sxx - b.sx * b.sx
+      if (b.n == 0 || den == 0.0) None
+      else Some((b.n * b.sxy - b.sx * b.sy) / den)
+    }
+    def bufferEncoder: Encoder[LinTrendBuf] = Encoders.product[LinTrendBuf]
+    def outputEncoder: Encoder[Option[Double]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())
+  }
+
+  /** Jet `reducing(zero, combine)` (AggregateOperations.java:1209): generic
+    * associative fold with O(1) state. `combine` must be associative (and
+    * commutative across partitions — Spark does not order merges).
+    */
+  final class Reducing[T](z: T, combine: (T, T) => T)(implicit enc: Encoder[T])
+      extends Aggregator[T, T, T] {
+    def zero: T = z
+    def reduce(b: T, v: T): T = combine(b, v)
+    def merge(a: T, b: T): T = combine(a, b)
+    def finish(b: T): T = b
+    def bufferEncoder: Encoder[T] = enc
+    def outputEncoder: Encoder[T] = enc
+  }
+  def reducing[T: Encoder](zero: T)(combine: (T, T) => T): Reducing[T] =
+    new Reducing[T](zero, combine)
+}

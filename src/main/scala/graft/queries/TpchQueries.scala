@@ -349,6 +349,70 @@ object TpchQueries {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""".stripMargin
 
+  // ----------------------------------- q16 toMap / groupingBy / pickAny / reducing
+  /** Jet `toMap` + nested `groupingBy` (AggregateOperations.java:844,1026),
+    * `pickAny` (:1259) and `reducing` (:1209), driven through the Pipeline
+    * facade's keyed-aggregate path. The map is canonicalized to a sorted
+    * `status:count` string so the cross-engine compare is exact; `pickAny` is
+    * applied to a column constant within the group (the only deterministic use).
+    */
+  val q16_tomap_reduce: Q = (s, dir) => {
+    import s.implicits._
+    import graft.pipeline.{AggregateOperations => A, Pipeline}
+    val counts = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus").agg(count(lit(1)).as("n"))
+    Pipeline.create(s).wrap(counts)
+      .groupingKey($"l_returnflag")
+      .aggregate(A.allOf(
+        A.toMap($"l_linestatus", $"n", as = "status_map"),
+        A.pickAny(upper($"l_returnflag"), as = "flag_upper"),
+        A.reducing($"n", lit(0L), _ + _, as = "total")))
+      .toDF
+      .withColumn("status_counts", array_join(
+        transform(map_entries(col("status_map")),
+          e => concat_ws(":", e("key"), e("value"))), ","))
+      .drop("status_map")
+  }
+
+  val q16_oracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag,
+      |  upper(l_returnflag) AS flag_upper,
+      |  sum(n) AS total,
+      |  string_agg(l_linestatus || ':' || n, ',' ORDER BY l_linestatus) AS status_counts
+      |FROM c GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------- q17 typed Aggregator udaf path
+  /** Custom `Aggregator[IN,BUF,OUT]` via `functions.udaf` — the Jet
+    * `AggregateOperation` builder contract (AggregateOperation.java:87-103)
+    * run as Tungsten partial+final aggregation: bounded-PQ `topN` and O(1)
+    * moment-sum `linearTrend` (graft.pipeline.typed.TypedAggs), both
+    * constant-memory per group at any scale.
+    */
+  val q17_typed_topn: Q = (s, dir) => {
+    import s.implicits._
+    val top3 = udaf(graft.pipeline.typed.TypedAggs.topN(3))
+    val trend = udaf(graft.pipeline.typed.TypedAggs.LinearTrend)
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        top3($"l_extendedprice").as("top_prices"),
+        trend($"l_quantity", $"l_extendedprice").as("price_trend"))
+  }
+
+  val q17_oracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+      |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+      |    sum(l_quantity * l_extendedprice) AS sxy, sum(l_quantity * l_quantity) AS sxx,
+      |    (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top_prices
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, top_prices,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS price_trend
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
@@ -365,7 +429,9 @@ object TpchQueries {
     "q12_coaggregate" -> q12_coaggregate,
     "q13_count_distinct" -> q13_count_distinct,
     "q14_rollup" -> q14_rollup,
-    "q15_except_intersect" -> q15_except_intersect)
+    "q15_except_intersect" -> q15_except_intersect,
+    "q16_tomap_reduce" -> q16_tomap_reduce,
+    "q17_typed_topn" -> q17_typed_topn)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01_oracle,
@@ -382,5 +448,7 @@ object TpchQueries {
     "q12_coaggregate" -> q12_oracle,
     "q13_count_distinct" -> q13_oracle,
     "q14_rollup" -> q14_oracle,
-    "q15_except_intersect" -> q15_oracle)
+    "q15_except_intersect" -> q15_oracle,
+    "q16_tomap_reduce" -> q16_oracle,
+    "q17_typed_topn" -> q17_oracle)
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.pipeline.typed.TypedAggs
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Typed Aggregator laws (ScalaCheck) + the Spark udaf execution path.
+  *
+  * The laws are the `AggregateOperation` contract Jet's two-stage aggregation
+  * depends on (reference: aggregate/AggregateOperation.java:87-103 —
+  * combineFn must be associative/commutative, and accumulate-then-combine
+  * over any partitioning must equal a single-pass accumulate). Spark's
+  * partial+final hash aggregation assumes exactly the same algebra, so these
+  * properties are what make the udaf path correct under ANY shuffle layout.
+  */
+class TypedAggsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("topN: partition-split accumulate+merge == single-pass accumulate") {
+    val agg = TypedAggs.topN(5)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(-1e6, 1e6))
+      cut <- Gen.chooseNum(0, xs.size)
+    } yield (xs, cut)
+    check("topN split", Prop.forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(whole) == agg.finish(split)
+    })
+  }
+
+  test("topN: merge is commutative") {
+    val agg = TypedAggs.topN(3)
+    val bufGen = Gen.listOf(Gen.chooseNum(-1e3, 1e3)).map(_.foldLeft(agg.zero)(agg.reduce))
+    check("topN comm", Prop.forAll(bufGen, bufGen) { (a, b) =>
+      agg.finish(agg.merge(a, b)) == agg.finish(agg.merge(b, a))
+    })
+  }
+
+  test("linearTrend: moment sums merge associatively (exact: integer-valued doubles)") {
+    val agg = TypedAggs.LinearTrend
+    // integer-valued doubles -> moment sums are exact, so associativity is exact
+    val ptGen = Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toDouble),
+                        Gen.chooseNum(-1000, 1000).map(_.toDouble))
+    val bufGen = Gen.listOf(ptGen).map(_.foldLeft(agg.zero)(agg.reduce))
+    check("trend assoc", Prop.forAll(bufGen, bufGen, bufGen) { (a, b, c) =>
+      agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c))
+    })
+  }
+
+  test("reducing: split == whole for associative combine") {
+    val agg = TypedAggs.reducing(0L)(_ + _)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))
+      cut <- Gen.chooseNum(0, xs.size)
+    } yield (xs, cut)
+    check("reducing split", Prop.forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)) == whole
+    })
+  }
+
+  test("udaf path: topN + linearTrend over a repartitioned Dataset") {
+    val top3 = udaf(TypedAggs.topN(3))
+    val trend = udaf(TypedAggs.LinearTrend)
+    // y = 3x + 1 exactly -> slope must be exactly 3.0 per key
+    val df = (1 to 100).flatMap(i => Seq(("a", i.toDouble, 3.0 * i + 1), ("b", i.toDouble, 3.0 * i + 1)))
+      .toDF("k", "x", "y")
+      .repartition(7) // force multi-partition partial aggregation
+    val out = df.groupBy($"k")
+      .agg(top3($"y").as("top"), trend($"x", $"y").as("slope"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getSeq[Double](1) == Seq(301.0, 298.0, 295.0))
+    assert(out("a").getDouble(2) === 3.0)
+    assert(out("b").getDouble(2) === 3.0)
+  }
+}
