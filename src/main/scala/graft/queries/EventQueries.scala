@@ -201,6 +201,42 @@ object EventQueries {
       |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
       |FROM m""".stripMargin
 
+  // ------------------------------------------------- q27 CEP pattern match
+  /** Jet pattern matching (reference: examples/pattern-matching/, built on
+    * `mapStateful` — SURVEY §2.9): detect a `view → purchase` sequence per user
+    * within 15 minutes. Batch form: one shuffle on `user_id`, then a window
+    * `lag` over the per-user event sequence — no state larger than a row. The
+    * streaming form (identical semantics via `StatefulOps.mapStateful` with
+    * last-view state per key) is asserted in `CepStreamingSpec`.
+    */
+  val q27_pattern_match: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .filter($"event_type" === "purchase" && $"prev_type" === "view" &&
+        unix_timestamp($"ts") - unix_timestamp($"prev_ts") <= 900)
+      .select($"user_id", $"event_id".as("purchase_event"),
+        unix_timestamp($"prev_ts").as("view_epoch"),
+        unix_timestamp($"ts").as("purchase_epoch"))
+  }
+
+  val q27_oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS purchase_event,
+      |  (epoch_us(prev_ts) // 1000000) AS view_epoch,
+      |  (epoch_us(ts) // 1000000) AS purchase_epoch
+      |FROM seq
+      |WHERE event_type = 'purchase' AND prev_type = 'view'
+      |  AND (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) <= 900""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q20_tumbling_window" -> q20_tumbling_window,
@@ -209,7 +245,8 @@ object EventQueries {
     "q23_rolling_agg" -> q23_rolling_agg,
     "q24_json_extract" -> q24_json_extract,
     "q25_type_profile" -> q25_type_profile,
-    "q26_linear_trend" -> q26_linear_trend)
+    "q26_linear_trend" -> q26_linear_trend,
+    "q27_pattern_match" -> q27_pattern_match)
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20_oracle,
@@ -218,5 +255,6 @@ object EventQueries {
     "q23_rolling_agg" -> q23_oracle,
     "q24_json_extract" -> q24_oracle,
     "q25_type_profile" -> q25_oracle,
-    "q26_linear_trend" -> q26_oracle)
+    "q26_linear_trend" -> q26_oracle,
+    "q27_pattern_match" -> q27_oracle)
 }
