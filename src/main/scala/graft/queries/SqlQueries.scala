@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.pipeline.{Pipeline, Sources}
+import graft.sql.GraftSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-face gate queries (SURVEY §2.13, §3.2): the Jet-specific statement
+  * surface — mapping DDL, SINK INTO, table functions — driven end-to-end
+  * through `GraftSql.execute`, with the payload queries planned by Catalyst.
+  * The oracles run the equivalent plain SQL in DuckDB over the same parquet.
+  */
+object SqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------- q60 CREATE MAPPING + SELECT through it
+  /** `CREATE MAPPING name EXTERNAL NAME path TYPE parquet` + aggregate SELECT
+    * (reference: SqlCreateMapping.java:46, JetSqlBackend.java:268). The mapping
+    * is a catalog view over the parquet scan — filters/pruning still reach the
+    * file reader (Catalyst sees straight through the view).
+    */
+  val q60_sql_mapping: Q = (s, dir) => {
+    val sql = GraftSql(s)
+    sql.execute(
+      s"CREATE OR REPLACE MAPPING lineitem_m EXTERNAL NAME '$dir/lineitem.parquet' TYPE parquet")
+    sql.execute(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem_m
+        |WHERE l_discount > 0.05
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q60_oracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_discount > 0.05
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ----------------------------------------------- q61 GENERATE_SERIES function
+  /** SQL `TABLE(GENERATE_SERIES(a,b))` (JetSqlOperatorTable.java:84 →
+    * SeriesGeneratorTableFunction) = `spark.range` through the Pipeline facade,
+    * with filter/agg on top.
+    */
+  val q61_generate_series: Q = (s, _) => {
+    import org.apache.spark.sql.functions._
+    Pipeline.create(s).readFrom(Sources.generateSeries(1, 10000))
+      .where(col("id") % 2 === 0)
+      .toDF
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"), avg(col("id")).as("a"))
+  }
+
+  val q61_oracle: String =
+    """SELECT count(*) AS n, sum(i)::BIGINT AS s, avg(i) AS a
+      |FROM generate_series(1, 10000) t(i) WHERE i % 2 = 0""".stripMargin
+
+  // ------------------------------------------------- q62 SINK INTO + map source
+  /** `SINK INTO store(keys) SELECT ...` (SqlExtendedInsert.java) writing the
+    * KeyedStore, read back via `Sources.map` (Sources.java:172) — the IMap
+    * write→read round trip behind Jet's SQL INSERT path.
+    */
+  val q62_sql_sink_into: Q = (s, dir) => {
+    val sql = GraftSql(s)
+    sql.execute(
+      s"CREATE OR REPLACE MAPPING orders_m EXTERNAL NAME '$dir/orders.parquet' TYPE parquet")
+    sql.execute(
+      """SINK INTO order_totals(o_custkey)
+        |SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders_m GROUP BY o_custkey""".stripMargin)
+    Pipeline.create(s).readFrom(Sources.map("order_totals")).toDF
+  }
+
+  val q62_oracle: String =
+    """SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q60_sql_mapping" -> q60_sql_mapping,
+    "q61_generate_series" -> q61_generate_series,
+    "q62_sql_sink_into" -> q62_sql_sink_into)
+
+  val oracles: Map[String, String] = Map(
+    "q60_sql_mapping" -> q60_oracle,
+    "q61_generate_series" -> q61_oracle,
+    "q62_sql_sink_into" -> q62_oracle)
+}
