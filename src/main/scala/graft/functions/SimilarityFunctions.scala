@@ -25,6 +25,22 @@ object SimilarityFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize `vecCol` into `outCol`, computing the norm ONCE per row as a
+    * scalar column that the element-wise divide then references. Pair-scoring
+    * pipelines should normalize BOTH sides before the join and score with
+    * `dot` alone: norm work becomes O(rows·dims) instead of O(pairs·dims) —
+    * the difference between feasible and not at 100 TB pair counts.
+    *
+    * (Perf note, measured at sf0.1: unrolling the array ops to 64-term
+    * `element_at` expression trees to chase whole-stage codegen was 2-3×
+    * SLOWER than the compact higher-order forms — the generated methods blow
+    * past JIT/codegen size limits. Keep the folds.)
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String, dims: Int): DataFrame =
+    df.withColumn("__nrm", norm(toDouble(col(vecCol))))
+      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+      .drop("__nrm")
+
   /** Deterministic ±1 pseudo-hyperplane sign for (plane j, dim k): parity of the
     * first hex digit of md5("hp<j>:<k>"). Reproducible in any engine with md5.
     */
@@ -50,15 +66,21 @@ object SimilarityFunctions {
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, score row-locally, keep k per query via a window on the query id.
+    * Both sides are L2-normalized once per row before the cross join, so the
+    * per-pair work is a single codegen'd dot product.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qraw")),
+        "__qraw", "qv", dims).drop("__qraw"))
+    val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__craw")),
+      "__craw", "cv", dims).drop("__craw")
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

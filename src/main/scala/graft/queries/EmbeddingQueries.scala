@@ -86,15 +86,17 @@ object EmbeddingQueries {
     */
   val q42_ann_lsh_topk: Q = (s, dir) => {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
-      .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims))
+    val emb = S.withNormalized(
+      t(s, dir, "embeddings")
+        .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims)),
+      "embedding", "nv", dims)
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"), $"bucket")
-    val cands = emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("cv"), $"bucket")
+      .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
+    val cands = emb.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"bucket")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     cands.join(broadcast(queries), Seq("bucket"))
       .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", S.cosine($"qv", $"cv").as("cosine"))
+      .select($"query_id", $"neighbor_id", S.dot($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
@@ -128,13 +130,16 @@ object EmbeddingQueries {
     */
   val q39_dedup_embedding: Q = (s, dir) => {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
-      .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims))
-    val a = emb.select($"bucket", $"vec_id".as("vec_a"), S.toDouble($"embedding").as("va"))
-    val b = emb.select($"bucket", $"vec_id".as("vec_b"), S.toDouble($"embedding").as("vb"))
+    // normalize once per row BEFORE the pair join: per-pair cost is one dot
+    val emb = S.withNormalized(
+      t(s, dir, "embeddings")
+        .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims)),
+      "embedding", "nv", dims)
+    val a = emb.select($"bucket", $"vec_id".as("vec_a"), $"nv".as("va"))
+    val b = emb.select($"bucket", $"vec_id".as("vec_b"), $"nv".as("vb"))
     a.join(b, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", S.cosine($"va", $"vb").as("cosine"))
+      .select($"vec_a", $"vec_b", S.dot($"va", $"vb").as("cosine"))
       .filter($"cosine" >= 0.35)
   }
 
@@ -169,19 +174,23 @@ object EmbeddingQueries {
       .groupBy($"label", $"pos").agg(avg($"x").as("m"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
-    val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"))
-    // probe: nearest centroid per query (centroids are tiny → broadcast)
+    val queries = S.withNormalized(
+      emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding"),
+      "embedding", "qv", dims).drop("embedding")
+    // probe: nearest centroid per query (centroids are tiny → broadcast);
+    // qv is unit-length so cosine vs centroid = dot / centroid-norm
     val wProbe = Window.partitionBy($"query_id").orderBy($"cos_c".desc, $"label".asc)
     val probe = queries.join(broadcast(centroids))
-      .select($"query_id", $"qv", $"label", S.cosine($"qv", $"cv").as("cos_c"))
+      .select($"query_id", $"qv", $"label",
+        (S.dot($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" === 1)
       .select($"query_id", $"qv", $"label".as("probe_label"))
-    // exact rank within the probed cell only
+    // exact rank within the probed cell only (both sides unit-length → dot)
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("cv"), $"label")
+    S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
+        "embedding", "cv", dims)
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", S.cosine($"qv", $"cv").as("cosine"))
+      .select($"query_id", $"neighbor_id", S.dot($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
