@@ -108,6 +108,15 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def join(other: BatchStage[_], on: Column, how: String = "inner"): BatchStage[Row] =
     new BatchStage(ds.join(other.ds, on, how))
 
+  /** Jet `mapUsingIMap` lookup join (GeneralStage.java:678, keyed variant
+    * BatchStageWithKey.java:94): per-item point lookup against a named KV
+    * store. Spark-first shape: a broadcast left-outer join against the store's
+    * table — each task probes a replicated hash map, which is exactly the
+    * reference's replicated-map lookup, minus the per-item RPC.
+    */
+  def mapUsingIMap(storeName: String, on: Column): BatchStage[Row] =
+    new BatchStage(ds.join(broadcast(KeyedStore.get(spark, storeName)), on, "left_outer"))
+
   // ----------------------------------------------- grouping / aggregation
 
   /** Jet `groupingKey` (GeneralStage.java→BatchStageWithKey): column-keyed

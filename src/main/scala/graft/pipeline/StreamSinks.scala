@@ -67,12 +67,14 @@ object StreamSinks {
     */
   def foreachBatch(f: (DataFrame, Long) => Unit,
                    outputMode: String = "update",
-                   trigger: Trigger = Trigger.ProcessingTime(0)): StreamSink =
+                   trigger: Trigger = Trigger.ProcessingTime(0),
+                   checkpoint: Option[String] = None): StreamSink =
     new StreamSink {
       def start(df: DataFrame): JobHandle = {
         val name = nextName
-        val q = df.writeStream.outputMode(outputMode).trigger(trigger)
-          .foreachBatch(f).queryName(name).start()
+        val w = df.writeStream.outputMode(outputMode).trigger(trigger)
+          .foreachBatch(f).queryName(name)
+        val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
         JobRegistry.register(new JobHandle(name, q))
       }
     }

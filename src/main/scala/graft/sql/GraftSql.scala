@@ -32,6 +32,7 @@ final class GraftSql(spark: SparkSession) {
     """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
   private val dropJob = """(?is)\s*DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
+  private val alterJobResume = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+(?:RESUME|RESTART)\s*""".r
   private val sinkInto = """(?is)\s*SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
 
   /** Execute a statement; queries return their DataFrame, DDL returns a small
@@ -74,10 +75,9 @@ final class GraftSql(spark: SparkSession) {
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val df = spark.sql(select)
       if (df.isStreaming) {
-        val handle = StreamSinks.foreachBatch((batch, _) =>
-          KeyedStore.upsert(store, batch, keys)).start(df)
         JobRegistry.drop(name) // replace any previous job of this name
-        JobRegistry.register(new graft.pipeline.JobHandle(name, handle.query))
+        GraftSql.jobSpecs.put(name, GraftSql.JobSpec(store, keys, select, newCheckpoint(name)))
+        startJob(name)
         status(s"job $name started")
       } else {
         KeyedStore.upsert(store, df, keys)
@@ -85,12 +85,26 @@ final class GraftSql(spark: SparkSession) {
       }
 
     case dropJob(name) =>
+      GraftSql.jobSpecs.remove(name)
       if (JobRegistry.drop(name)) status(s"job $name dropped")
       else status(s"job $name not found")
 
+    // Jet ALTER JOB SUSPEND/RESUME (SqlAlterJob.java, Job.java:39): suspend
+    // stops the query but keeps its checkpoint; resume restarts the same
+    // statement from that checkpoint — state and source offsets continue.
     case alterJobSuspend(name) =>
       JobRegistry.get(name).foreach(_.cancel())
       status(s"job $name suspended")
+
+    case alterJobResume(name) =>
+      Option(GraftSql.jobSpecs.get(name)) match {
+        case Some(_) =>
+          JobRegistry.get(name).filter(_.isRunning) match {
+            case Some(_) => status(s"job $name already running")
+            case None => startJob(name); status(s"job $name resumed")
+          }
+        case None => status(s"job $name not found")
+      }
 
     case sinkInto(store, keyCols, select) =>
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -98,6 +112,18 @@ final class GraftSql(spark: SparkSession) {
       status(s"sunk into $store")
 
     case other => spark.sql(other)
+  }
+
+  private def newCheckpoint(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_job_${name}_").toString
+
+  /** (Re)start a registered job from its stored statement + checkpoint. */
+  private def startJob(name: String): Unit = {
+    val spec = GraftSql.jobSpecs.get(name)
+    val handle = StreamSinks.foreachBatch(
+      (batch, _) => KeyedStore.upsert(spec.store, batch, spec.keys),
+      checkpoint = Some(spec.checkpoint)).start(spark.sql(spec.select))
+    JobRegistry.register(new graft.pipeline.JobHandle(name, handle.query))
   }
 
   private def parseOptions(s: String): Map[String, String] =
@@ -112,4 +138,12 @@ final class GraftSql(spark: SparkSession) {
 
 object GraftSql {
   def apply(spark: SparkSession): GraftSql = new GraftSql(spark)
+
+  /** The statement + checkpoint behind each named job (Jet JobRepository
+    * analog) — what ALTER JOB RESUME restarts from.
+    */
+  final case class JobSpec(store: String, keys: Seq[String],
+                           select: String, checkpoint: String)
+  private[sql] val jobSpecs =
+    new java.util.concurrent.ConcurrentHashMap[String, JobSpec]()
 }

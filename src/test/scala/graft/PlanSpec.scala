@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB design rules made executable
+  * (SURVEY §4.1, build-prompt scale checklist). These tests fail if a future
+  * change silently loses predicate pushdown, column pruning, broadcast
+  * placement, or two-phase aggregation — the properties that decide whether a
+  * plan survives a 1000-executor scale-up.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan (q02)") {
+    val plan = planOf(queries.TpchQueries.q02_filter_project(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"empty pushdown in:\n$plan")
+  }
+
+  test("column pruning reaches the scan: flagship reads a subset of lineitem")  {
+    val df = queries.TpchQueries.q01_pricing_summary(spark, sf)
+    val scan = planOf(df)
+    // ReadSchema must not include the unused l_orderkey/l_partkey/l_suppkey
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("dimension joins are planned as broadcast joins (q04)") {
+    val plan = planOf(queries.TpchQueries.q04_join_broadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join in:\n$plan")
+  }
+
+  test("keyed aggregation is two-phase (partial + final HashAggregate)") {
+    val plan = planOf(queries.TpchQueries.q01_pricing_summary(spark, sf))
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate in:\n$plan")
+  }
+
+  test("typed udaf aggregation still plans two-phase (q17)") {
+    val plan = planOf(queries.TpchQueries.q17_typed_topn(spark, sf))
+    val aggs = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"expected two-phase aggregation in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    val df = queries.TpchQueries.q01_pricing_summary(spark, sf)
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = planOf(df)
+    // codegen stages render as `*(n) Operator` in the plan string
+    assert(plan.contains("*(1)"), s"no codegen spans in:\n$plan")
+  }
+
+  test("embedding pair join carries pre-normalized vectors (no per-pair norm)") {
+    val plan = queries.EmbeddingQueries.q39_dedup_embedding(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // norm (aggregate-fold then sqrt) must appear below the join (per-row),
+    // not above it (per-pair): after optimization the join's output column
+    // `cosine` must be a bare dot product with no SQRT
+    val aboveJoin = plan.linesIterator.takeWhile(!_.contains("Join")).mkString("\n")
+    assert(!aboveJoin.toLowerCase.contains("sqrt"), s"per-pair norm in:\n$aboveJoin")
+  }
+}

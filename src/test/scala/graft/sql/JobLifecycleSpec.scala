@@ -1,0 +1,42 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.pipeline.{JobRegistry, KeyedStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Job lifecycle parity (SURVEY §2.13/§2.15 — SqlCreateJob.java, SqlAlterJob
+  * .java, Job.suspend/resume): CREATE JOB starts a named checkpointed stream;
+  * SUSPEND stops it; RESUME restarts the same statement from the checkpoint so
+  * source offsets continue (no reprocessing, no loss).
+  */
+class JobLifecycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("CREATE JOB / SUSPEND / RESUME continues from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = GraftSql(spark)
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF.toDF("id", "v").createOrReplaceTempView("job_src")
+
+    mem.addData((1L, "a"), (2L, "b"))
+    sql.execute("CREATE JOB j1 AS SINK INTO job_out(id) SELECT id, v FROM job_src")
+    JobRegistry.get("j1").get.processAllAvailable()
+    assert(KeyedStore.get(spark, "job_out").count() === 2)
+
+    sql.execute("ALTER JOB j1 SUSPEND")
+    assert(!JobRegistry.get("j1").get.isRunning)
+    // rows arriving while suspended must be picked up on resume
+    mem.addData((3L, "c"))
+
+    sql.execute("ALTER JOB j1 RESUME")
+    val h = JobRegistry.get("j1").get
+    assert(h.isRunning)
+    h.processAllAvailable()
+    val out = KeyedStore.get(spark, "job_out").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    sql.execute("DROP JOB j1")
+    assert(JobRegistry.get("j1").isEmpty)
+  }
+}
