@@ -1,11 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 /** Benchmark main — runs every registered query on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Each query is forced to full materialization via a noop-format
   * write (a bare `count()` would let Catalyst prune most of the work and
   * under-report).
+  *
+  * Also measures streaming throughput (`stream_rows_per_sec`): the events
+  * fixture replayed through a real Structured Streaming windowed aggregation in
+  * 10 micro-batches — the engine-side analog of the reference's single-node
+  * events/s figures (BASELINE.md; site/website/blog/2021-03-17-billion-events-
+  * per-second.md:130-133).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,6 +25,12 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stream-only mode for iterating on the throughput harness
+    if (sys.env.contains("SPARK_GRAFT_STREAM_ONLY")) {
+      println(s"""{"stream_rows_per_sec":${streamThroughput(spark, sfDir)}}""")
+      spark.stop(); return
+    }
+
     // one warmup run of the flagship to amortize JVM/codegen startup out of q1's number
     try queries.QueryRegistry.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
@@ -27,9 +41,56 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val streamRate = try streamThroughput(spark, sfDir) catch {
+      case e: Throwable => System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); 0.0
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_rows_per_sec":$streamRate,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Events/second through a keyed tumbling-window count+sum (the NEXMark-style
+    * shape the reference benchmarks): the fixture replayed 10× through a
+    * file-stream source, one file per micro-batch — the real engine path
+    * (vectorized parquet scan → two-phase windowed agg → state store), with no
+    * driver-side row encoding in the measured loop.
+    */
+  private def streamThroughput(spark: SparkSession, sfDir: String): Double = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_streambench_").toString
+    val events = Tables(spark, sfDir, "events").select($"ts", $"event_type", $"value")
+    // 10× the fixture as 10 micro-batches of 8 files each — 8-way parallel
+    // scan within every batch (1 file per batch = a single scan task)
+    val replicated = (0 until 10).map(_ => events).reduce(_ union _)
+    replicated.repartition(80).write.parquet(s"$work/in")
+    val nRows = events.count() * 10
+
+    // the keyed-window state is small (types × hours): a handful of state-store
+    // partitions beats the batch default — per-micro-batch cost is dominated by
+    // per-partition state commits, not data volume
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // watermark bookkeeping alone doesn't need an extra empty micro-batch after
+    // every data batch — halves the number of batch commits
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q =
+      try spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "8").parquet(s"$work/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .writeStream.format("memory").queryName("bench_stream")
+        .outputMode("update").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val t0 = System.nanoTime()
+    try q.processAllAvailable() finally {
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+      q.stop()
+    }
+    nRows / ((System.nanoTime() - t0) / 1e9)
   }
 }
