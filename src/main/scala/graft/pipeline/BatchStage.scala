@@ -194,4 +194,26 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
   /** Jet keyed `distinct` (BatchStageWithKey.java:66). */
   def distinct(): BatchStage[Row] =
     new BatchStage(df.dropDuplicates(keys.map(_.toString)))
+
+  /** Skew-safe two-phase aggregation for ops WITHOUT map-side combine (exact
+    * distinct, collect-based accumulators): rows are first aggregated on
+    * (key, salt) where the salt is derived from the VALUE column — a hot key's
+    * values spread over `salts` disjoint reducers — then the per-salt partials
+    * are merged on the key alone. Deriving the salt from `saltOn` (not a random
+    * number) keeps each distinct value in exactly one slice, so
+    * distinct-within-slice sums to distinct-overall. The caller supplies both
+    * phases because merging is op-specific (count_distinct→sum, min→min, …).
+    *
+    * Combinable aggs don't need this: Spark's partial aggregation already
+    * bounds reducer input at one row per map partition per key. Jet has no
+    * answer to either case (one partition per key, GroupP.java:45). Join-side
+    * skew is AQE's job (skewJoin.enabled, on by default in GraftSession).
+    */
+  def aggregateSalted(saltOn: Column, partial: AggOp, merge: AggOp,
+                      salts: Int = 16): BatchStage[Row] = {
+    val salted = df.withColumn("__salt", pmod(hash(saltOn), lit(salts)))
+    val phase1 = salted.groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.columns.head, partial.columns.tail: _*)
+    new BatchStage(phase1.groupBy(keys: _*).agg(merge.columns.head, merge.columns.tail: _*))
+  }
 }
