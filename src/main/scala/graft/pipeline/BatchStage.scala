@@ -80,6 +80,30 @@ final class BatchStage[T](val ds: Dataset[T]) {
       }
     })
 
+  /** Jet `mapUsingServiceAsync` unordered (GeneralStage.java:354-401,
+    * AsyncTransformUsingServiceUnorderedP): up to `maxConcurrent` in-flight
+    * async calls per partition, results emitted as they land. The bounded
+    * sliding window of Futures inside the partition is exactly the reference's
+    * bounded in-flight queue; per-key ordering is NOT preserved (Jet's
+    * unordered variant).
+    */
+  def mapUsingServiceAsync[S, U: Encoder](
+      factory: ServiceFactory[S], maxConcurrent: Int = 4)(
+      f: (S, T) => scala.concurrent.Future[U]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val svc = factory.create()
+      val out = it.grouped(maxConcurrent).flatMap { batch =>
+        implicit val ec = scala.concurrent.ExecutionContext.global
+        Await.result(Future.sequence(batch.map(t => f(svc, t))), Duration.Inf)
+      }
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): U = out.next()
+      }
+    })
+
   // --------------------------------------------------------- joins (§2.5)
 
   /** Jet `hashJoin` (GeneralStage.java:774): broadcast hash join, left-outer.
@@ -189,6 +213,18 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
     val right = other.aggregate(op2).toDF
     val keyNames = keys.map(_.toString)
     new BatchStage(left.join(right, keyNames, "full_outer"))
+  }
+
+  /** Jet `aggregate3` / `aggregateBuilder` (BatchStageWithKey.java:300-391,
+    * GrAggBuilder): N-way co-aggregation — same compact-aggregates-join shape.
+    */
+  def aggregate3(op1: AggOp, s2: BatchStageWithKey, op2: AggOp,
+                 s3: BatchStageWithKey, op3: AggOp): BatchStage[Row] = {
+    val keyNames = keys.map(_.toString)
+    new BatchStage(
+      aggregate(op1).toDF
+        .join(s2.aggregate(op2).toDF, keyNames, "full_outer")
+        .join(s3.aggregate(op3).toDF, keyNames, "full_outer"))
   }
 
   /** Jet keyed `distinct` (BatchStageWithKey.java:66). */

@@ -201,6 +201,26 @@ object EventQueries {
       |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
       |FROM m""".stripMargin
 
+  // -------------------------------------------------- q28 windowed distinct
+  /** Jet windowed `distinct` (StageWithKeyAndWindow.java:71, windowed
+    * pickAny-style agg): one row per (window, user) regardless of how many
+    * events the user produced in that hour — `dropDuplicates` on the window
+    * key, a single shuffle.
+    */
+  val q28_windowed_distinct: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(window($"ts", "1 hour").as("w"), $"user_id")
+      .dropDuplicates("w", "user_id")
+      .groupBy(unix_timestamp($"w.start").as("window_start"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  val q28_oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
+      |  count(DISTINCT user_id) AS active_users
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- q27 CEP pattern match
   /** Jet pattern matching (reference: examples/pattern-matching/, built on
     * `mapStateful` — SURVEY §2.9): detect a `view → purchase` sequence per user
@@ -246,7 +266,8 @@ object EventQueries {
     "q24_json_extract" -> q24_json_extract,
     "q25_type_profile" -> q25_type_profile,
     "q26_linear_trend" -> q26_linear_trend,
-    "q27_pattern_match" -> q27_pattern_match)
+    "q27_pattern_match" -> q27_pattern_match,
+    "q28_windowed_distinct" -> q28_windowed_distinct)
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20_oracle,
@@ -256,5 +277,6 @@ object EventQueries {
     "q24_json_extract" -> q24_oracle,
     "q25_type_profile" -> q25_oracle,
     "q26_linear_trend" -> q26_oracle,
-    "q27_pattern_match" -> q27_oracle)
+    "q27_pattern_match" -> q27_oracle,
+    "q28_windowed_distinct" -> q28_oracle)
 }

@@ -95,6 +95,29 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("aggregate3 three-way co-aggregation") {
+    val s1 = p.readFrom(Sources.items(Seq(1, 2, 3, 4))).toDF.withColumn("k", col("value") % 2)
+    val s2 = p.readFrom(Sources.items(Seq(10, 20))).toDF.withColumn("k", col("value") % 2)
+    val s3 = p.readFrom(Sources.items(Seq(5))).toDF.withColumn("k", col("value") % 2)
+    val out = new BatchStage(s1).groupingKey(col("k"))
+      .aggregate3(
+        AggregateOperations.counting("n1"),
+        new BatchStage(s2).groupingKey(col("k")), AggregateOperations.counting("n2"),
+        new BatchStage(s3).groupingKey(col("k")), AggregateOperations.counting("n3"))
+      .toDF.collect().map(r => r.getInt(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(out(0) === ((2L, 2L, null)) && out(1) === ((2L, null, 1L)))
+  }
+
+  test("mapUsingServiceAsync: bounded in-flight async calls") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val factory = ServiceFactories.service[String](() => "svc")
+    val out = p.readFrom(Sources.items(1 to 20))
+      .mapUsingServiceAsync(factory, maxConcurrent = 4)((_, x) => Future(x * 2))
+      .ds.collect()
+    assert(out.sorted.toSeq === (1 to 20).map(_ * 2))
+  }
+
   test("topNPerKey never materializes the group (window row_number)") {
     val li = p.readFrom(Sources.parquet(s"$sf/lineitem.parquet"))
     val top = li.topNPerKey(2, col("l_returnflag"),
