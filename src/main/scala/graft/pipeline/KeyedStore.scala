@@ -64,6 +64,19 @@ object KeyedStore {
     snap.drop(versionCol).createOrReplaceTempView(name)
   }
 
+  /** Delete by key (CDC DELETE ops): anti-join against the key set. */
+  def delete(name: String, keysDf: DataFrame, keyCols: Seq[String]): Unit = {
+    Option(tables.get(name)).foreach { old =>
+      val remaining = old.join(
+        keysDf.select(keyCols.map(col): _*).dropDuplicates(), keyCols, "left_anti")
+      val snap = remaining.cache()
+      snap.count()
+      tables.put(name, snap)
+      val view = if (snap.columns.contains(versionCol)) snap.drop(versionCol) else snap
+      view.createOrReplaceTempView(name)
+    }
+  }
+
   /** IList-style append. */
   def append(name: String, df: DataFrame): Unit = {
     val merged = Option(tables.get(name)).map(_.unionByName(df)).getOrElse(df)

@@ -84,6 +84,28 @@ object StreamSinks {
     */
   def mapSink(storeName: String, keyCols: String*): StreamSink =
     foreachBatch((batch, _) => KeyedStore.upsert(storeName, batch, keyCols))
+
+  /** CDC apply sink — Jet `CdcSinks.map` (extensions/cdc-debezium/CdcSinks
+    * .java) consuming Debezium-style change records: `opCol` in
+    * {SYNC, INSERT, UPDATE, DELETE} (Operation.java), `seqCol` the change
+    * sequence. Per micro-batch: keep only each key's LAST change (by seq),
+    * then MERGE — deletes drop the key, everything else upserts. The op/seq
+    * columns are consumed by the merge and not stored.
+    */
+  def cdcMapSink(storeName: String, keyCols: Seq[String],
+                 opCol: String = "op", seqCol: String = "seq"): StreamSink =
+    foreachBatch { (batch, _) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+      val last = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val deletes = last.filter(upper(col(opCol)) === "DELETE")
+      val upserts = last.filter(upper(col(opCol)) =!= "DELETE")
+        .drop(opCol, seqCol)
+      if (!upserts.isEmpty) KeyedStore.upsert(storeName, upserts, keyCols)
+      if (!deletes.isEmpty) KeyedStore.delete(storeName, deletes, keyCols)
+    }
 }
 
 /** Named-job registry — the `CREATE JOB`/`SHOW JOBS`/`DROP JOB` surface of the
