@@ -144,6 +144,21 @@ object StatefulOps {
       }
   }
 
+  /** Jet global (non-keyed) `mapStateful` (GeneralStage.java:156,
+    * GlobalMapStatefulTransform — forced allToOne): one state object for the
+    * whole stream. Mirrors the reference's parallelism-1 semantics by grouping
+    * on a constant key; use ONLY for genuinely global state (sequence numbers,
+    * global thresholds) — it serializes the stream through one task by design.
+    */
+  def mapStatefulGlobal[V, S, O](
+      ds: Dataset[V], createFn: () => S, mapFn: (S, V) => (S, O))(
+      implicit se: Encoder[S], oe: Encoder[O],
+      tupleEnc: Encoder[(Int, V)]): Dataset[O] =
+    mapStateful[Int, V, S, O](ds, _ => 0, ttlMillis = 0,
+      createFn = createFn,
+      mapFn = (_, s, v) => mapFn(s, v))(
+      org.apache.spark.sql.Encoders.scalaInt, se, oe, tupleEnc)
+
   /** Jet `rollingAggregate` (StreamStageWithKey.java:256): running accumulator
     * per key, one output per input event.
     */
