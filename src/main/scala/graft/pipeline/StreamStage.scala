@@ -47,6 +47,15 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def merge(other: StreamStage): StreamStage =
     new StreamStage(df.unionByName(other.df), tsCol)
 
+  /** Streaming distinct (Jet windowed `distinct`, StageWithWindow.java:90):
+    * drops duplicates on `keys` with state bounded by the watermark — the
+    * streaming-dedup shape for exactly-once event feeds. State per key is one
+    * row and expires once the watermark passes it, so this is safe on
+    * unbounded streams (unlike an unbounded `dropDuplicates`).
+    */
+  def distinct(keys: String*): StreamStage =
+    new StreamStage(df.dropDuplicatesWithinWatermark(keys.toSeq), tsCol)
+
   /** Jet stream `hashJoin` (StreamStage.java:188): stream-static broadcast
     * enrichment — each micro-batch probes the replicated dimension.
     */

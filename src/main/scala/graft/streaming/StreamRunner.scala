@@ -3,6 +3,40 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+/** Per-query streaming metrics (reference: late-event counter
+  * `lateEventsDropped` in TransformStatefulP.java:100-106 / SlidingWindowP;
+  * SURVEY §2.8) — a `StreamingQueryListener` folding each progress event's
+  * state-operator counters into a queryable map.
+  */
+final class Metrics extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  private val late = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val rows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+    val dropped = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    late.merge(name, dropped, (a, b) => a + b)
+    rows.merge(name, e.progress.numInputRows, (a, b) => a + b)
+  }
+
+  /** Jet `lateEventsDropped` analog for a named query. */
+  def lateEventsDropped(query: String): Long = late.getOrDefault(query, 0L)
+  def inputRows(query: String): Long = rows.getOrDefault(query, 0L)
+}
+
+object Metrics {
+  /** Install a metrics listener on the session (idempotent per instance). */
+  def install(spark: SparkSession): Metrics = {
+    val m = new Metrics
+    spark.streams.addListener(m)
+    m
+  }
+}
+
 /** Deterministic replay harness: runs a finite dataset through a real
   * Structured Streaming query (MemoryStream → transform → memory sink) and
   * returns the final result table. This is how the driver's batch-oracle
