@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object DotBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("32", "dotbench")
+    val dir = "/root/testdata/sf0.1"
+    val names = Seq("q40_cosine_topk", "q42_ann_lsh_topk", "q44_ann_ivf_topk", "q39_dedup_embedding")
+    // warmup
+    names.foreach(n => SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())
+    names.foreach { n =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[dotbench] $n min=${times.min}%.2f times=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

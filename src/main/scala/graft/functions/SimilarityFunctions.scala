@@ -20,6 +20,23 @@ object SimilarityFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Native-codegen dot product (custom Catalyst Expression, see
+    * graft.functions.expr.DotProduct) — same left-to-right summation as `dot`,
+    * bit-identical results, one tight loop inside whole-stage codegen. Use in
+    * per-pair scoring hot paths.
+    */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftops.Bridge
+    Bridge.column(graft.functions.expr.DotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Hot-path dot: native codegen expression unless GRAFT_DOT_FOLD is set
+    * (A/B escape hatch for benchmarking the two forms).
+    */
+  def dotAuto(a: Column, b: Column): Column =
+    if (sys.env.contains("GRAFT_DOT_FOLD")) dot(a, b) else dotNative(a, b)
+
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
@@ -80,7 +97,7 @@ object SimilarityFunctions {
       "__craw", "cv", dims).drop("__craw")
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), dotAuto(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -96,7 +96,7 @@ object EmbeddingQueries {
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     cands.join(broadcast(queries), Seq("bucket"))
       .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", S.dot($"qv", $"cv").as("cosine"))
+      .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
@@ -139,7 +139,7 @@ object EmbeddingQueries {
     val b = emb.select($"bucket", $"vec_id".as("vec_b"), $"nv".as("vb"))
     a.join(b, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", S.dot($"va", $"vb").as("cosine"))
+      .select($"vec_a", $"vec_b", S.dotAuto($"va", $"vb").as("cosine"))
       .filter($"cosine" >= 0.35)
   }
 
@@ -182,7 +182,7 @@ object EmbeddingQueries {
     val wProbe = Window.partitionBy($"query_id").orderBy($"cos_c".desc, $"label".asc)
     val probe = queries.join(broadcast(centroids))
       .select($"query_id", $"qv", $"label",
-        (S.dot($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
+        (S.dotAuto($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" === 1)
       .select($"query_id", $"qv", $"label".as("probe_label"))
     // exact rank within the probed cell only (both sides unit-length → dot)
@@ -190,7 +190,7 @@ object EmbeddingQueries {
     S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
         "embedding", "cv", dims)
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", S.dot($"qv", $"cv").as("cosine"))
+      .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
