@@ -30,13 +30,21 @@ object DedupFunctions {
       conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
 
   /** Signature of `h` MinHash values from a precomputed `tokenHashPairs` column:
-    * sample i = min over tokens of `(h1 + i*h2) mod p` — pure arithmetic.
+    * sample i = min over tokens of `(h1 + i*h2) mod p` — native codegen
+    * expression computing all `h` samples in one pass over the tokens
+    * (graft.functions.expr.MinhashSignatures). `GRAFT_MINHASH_FOLD` switches
+    * back to the h-pass higher-order form for A/B benchmarking.
     */
   def minhashSignatureFromPairs(pairs: Column, h: Int): Column =
-    array((0 until h).map { i =>
-      array_min(transform(pairs, pr =>
-        pmod(pr.getField("h1") + lit(i.toLong) * pr.getField("h2"), lit(P))))
-    }: _*)
+    if (sys.env.contains("GRAFT_MINHASH_FOLD"))
+      array((0 until h).map { i =>
+        array_min(transform(pairs, pr =>
+          pmod(pr.getField("h1") + lit(i.toLong) * pr.getField("h2"), lit(P))))
+      }: _*)
+    else {
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.MinhashSignatures(Bridge.expression(pairs), h))
+    }
 
   /** Convenience: signature straight from a token set (hashes once per call —
     * prefer the two-step form inside multi-signature pipelines).
