@@ -28,6 +28,26 @@ object GraftSession {
       // convert in `Tables` (lossless: the fixture is whole-microsecond).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Cluster-mode tuning for the 100 TB target (applied on top of `tune`) —
+    * the knobs that matter when this engine runs on ~1000 executors instead of
+    * local[32]. Documented here as executable configuration, not prose:
+    *
+    *  - shuffle partitions sized to ~2-3× total cores, then AQE coalesces —
+    *    callers pass `totalCores`; a fixed 32 would bottleneck every shuffle;
+    *  - 128 MiB scan splits (maxPartitionBytes) keep scan tasks uniform over
+    *    ~800k parquet files at 100 TB;
+    *  - broadcast threshold raised to 64 MiB: every TPC-H-style dimension
+    *    (region/nation/customer-sample) broadcasts instead of shuffling the
+    *    fact table;
+    *  - skew-join splitting and partition coalescing are already on in `tune`.
+    */
+  def clusterTune(b: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
+    tune(b, shufflePartitions = totalCores * 3)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
   def local(cores: String = "32", appName: String = "graft"): SparkSession = {
     val spark = tune(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
