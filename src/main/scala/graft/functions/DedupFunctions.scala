@@ -103,6 +103,60 @@ object DedupFunctions {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Connected components over a pair list (near-dup clustering: every doc in
+    * a component is transitively a near-dup of the rest; the component min id
+    * is the canonical "keep" doc). Min-label propagation + pointer jumping —
+    * the label graph halves in diameter per round, so convergence is
+    * O(log diameter) shuffles, not O(diameter). Driver loop with an action per
+    * round is the standard Spark shape for iterative graph algorithms; at
+    * 100 TB swap the convergence count for an accumulator and checkpoint every
+    * few rounds to cut lineage.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // the pair list feeds every iteration: materialize it exactly once
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    p.count()
+    // small iterative state → narrow shuffles beat the batch default width
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = p.union(p.select(col("b"), col("a"))).toDF("src", "dst").cache()
+      // localCheckpoint (not cache) each round: iterative DataFrames otherwise
+      // nest their whole history in the logical plan, and any cache-lookup
+      // miss recomputes every earlier round — measured exponential blowup
+      // (2.5s → 126s/iter by round 4). Checkpointing truncates the lineage so
+      // every round costs the same. On a cluster use checkpoint() on durable
+      // storage for fault tolerance.
+      var labels = p.select(col("a").as("id")).union(p.select(col("b").as("id")))
+        .distinct().withColumn("label", col("id")).localCheckpoint(true)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val t0 = System.nanoTime()
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id2")).agg(min("label").as("nbr"))
+        val updated = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        val l2 = updated.select(col("id").as("pid"), col("label").as("plabel"))
+        val jumped = updated.join(l2, updated("label") === l2("pid"), "left")
+          .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
+          .localCheckpoint(true)
+        val changes = jumped
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = jumped
+        converged = changes == 0
+        it += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(
+          f"[cc] iter=$it changes=$changes ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      edges.unpersist(); p.unpersist()
+      labels // (id, label = component-min id)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** LSH candidate pairs: explode band keys, self-join on the bucket, dedupe.
     * `df` must carry (`idCol`, `setCol`). Returns (id_a, id_b, jaccard) with
     * id_a < id_b, filtered to `minJaccard`.

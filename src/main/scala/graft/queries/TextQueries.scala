@@ -155,7 +155,8 @@ object TextQueries {
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
   }
 
-  val q36_oracle: String = {
+  /** Shared oracle CTE chain for the MinHash-LSH pair pipeline (q36 + q47). */
+  private val lshPairsCtes: String = {
     val sig = (0 until 12).map(i =>
       s"list_min(list_transform(hp, p -> (p.h1 + $i * p.h2) % 4294967311))")
       .mkString("[", ", ", "]")
@@ -163,7 +164,7 @@ object TextQueries {
       val cat = (0 until 6).map(r => s"sig[${6 * b + r + 1}]").mkString(" || '|' || ")
       s"md5('band$b:' || $cat)"
     }.mkString("[", ", ", "]")
-    s"""WITH toks AS (SELECT doc_id, source, list_distinct($tokSql) AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, source, list_distinct($tokSql) AS ts FROM documents),
        |hashed AS (SELECT doc_id, source, ts,
        |  list_transform(ts, t -> {'h1': ('0x' || substr(md5(t), 1, 8))::BIGINT,
        |                           'h2': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hp
@@ -174,14 +175,18 @@ object TextQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.ts AS ts_a, b.ts AS ts_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  len(list_intersect(ts_a, ts_b))::DOUBLE
-       |    / len(list_distinct(list_concat(ts_a, ts_b))) AS jaccard
-       |FROM cand
-       |WHERE len(list_intersect(ts_a, ts_b))::DOUBLE
-       |    / len(list_distinct(list_concat(ts_a, ts_b))) >= 0.9""".stripMargin
+       |    ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val lshPairsSelect: String =
+    """SELECT doc_a, doc_b,
+      |  len(list_intersect(ts_a, ts_b))::DOUBLE
+      |    / len(list_distinct(list_concat(ts_a, ts_b))) AS jaccard
+      |FROM cand
+      |WHERE len(list_intersect(ts_a, ts_b))::DOUBLE
+      |    / len(list_distinct(list_concat(ts_a, ts_b))) >= 0.9""".stripMargin
+
+  val q36_oracle: String = s"WITH $lshPairsCtes\n$lshPairsSelect"
 
   // ----------------------------------------------------------- q37 simhash
   /** SimHash near-dup: 16-bit signature per doc; pairs of consecutive doc_ids
@@ -239,6 +244,37 @@ object TextQueries {
        |    ELSE 0.0 END AS trigram_jaccard
        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
 
+  // ---------------------------------------------- q47 near-dup clustering
+  /** Near-dup clusters: connected components over the MinHash-LSH pair graph
+    * (q36's pairs) — the "keep one canonical doc per duplicate cluster" op of
+    * an LLM training pipeline. Component id = min doc id in the cluster
+    * (min-label propagation + pointer jumping, O(log diameter) shuffles —
+    * DedupFunctions.connectedComponents); output is one row per cluster.
+    */
+  val q47_dedup_clusters: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    val pairs = D.candidatePairs(docs, "doc_id", "toks",
+      hashes = 12, bands = 2, minJaccard = 0.9, scopeCols = Seq("source"))
+    D.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q47_oracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |pairs AS ($lshPairsSelect),
+       |nodes AS (SELECT DISTINCT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, count(*) AS n_docs FROM labels GROUP BY cluster_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q30_wordcount" -> q30_wordcount,
@@ -249,7 +285,8 @@ object TextQueries {
     "q35_dedup_exact" -> q35_dedup_exact,
     "q36_dedup_minhash_lsh" -> q36_dedup_minhash_lsh,
     "q37_dedup_simhash" -> q37_dedup_simhash,
-    "q38_ngram_jaccard" -> q38_ngram_jaccard)
+    "q38_ngram_jaccard" -> q38_ngram_jaccard,
+    "q47_dedup_clusters" -> q47_dedup_clusters)
 
   val oracles: Map[String, String] = Map(
     "q30_wordcount" -> q30_oracle,
@@ -260,5 +297,6 @@ object TextQueries {
     "q35_dedup_exact" -> q35_oracle,
     "q36_dedup_minhash_lsh" -> q36_oracle,
     "q37_dedup_simhash" -> q37_oracle,
-    "q38_ngram_jaccard" -> q38_oracle)
+    "q38_ngram_jaccard" -> q38_oracle,
+    "q47_dedup_clusters" -> q47_oracle)
 }
