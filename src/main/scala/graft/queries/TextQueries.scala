@@ -275,6 +275,55 @@ object TextQueries {
        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
        |SELECT cluster_id, count(*) AS n_docs FROM labels GROUP BY cluster_id""".stripMargin
 
+  // ------------------------------------- q48 training-corpus preparation
+  /** The composite LLM-pipeline op: quality-filter (≥ 0.5) then exact dedup
+    * keeping the lowest doc_id per fingerprint, reporting per-source corpus
+    * stats. One quality/fingerprint projection, one window over the
+    * fingerprint, one final agg — three shuffles total at any scale.
+    */
+  val q48_training_corpus: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        T.qualityScore($"text", enStop).as("quality"),
+        T.exactFingerprint($"text").as("fp"),
+        T.wsTokenCount($"text").as("n_tokens"))
+      .filter($"quality" >= 0.5)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum($"n_tokens").as("tokens_kept"),
+        avg($"quality").as("avg_quality"))
+  }
+
+  val q48_oracle: String = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    least(1.0, greatest(0.0,
+       |      0.4 * (CASE WHEN len(ts) >= 10 AND len(ts) <= 10000 THEN 1.0
+       |                  WHEN len(ts) > 0 THEN 0.5 ELSE 0.0 END)
+       |      + 0.4 * least(1.0, (CASE WHEN len(ts) > 0
+       |          THEN len(list_filter(ts, x -> list_contains($stopList, x)))::DOUBLE / len(ts)
+       |          ELSE 0.0 END) * 5)
+       |      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+       |          THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')))::DOUBLE / length(text)
+       |          ELSE 0.0 END) * 10))
+       |    )) AS quality,
+       |    md5(array_to_string(ts, ' ')) AS fp,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+       |  FROM (SELECT doc_id, source, text, $tokSql AS ts FROM documents)),
+       |kept AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM scored WHERE quality >= 0.5)
+       |SELECT source, count(*) AS n_docs_kept, sum(n_tokens) AS tokens_kept,
+       |  avg(quality) AS avg_quality
+       |FROM kept WHERE rk = 1 GROUP BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q30_wordcount" -> q30_wordcount,
@@ -286,7 +335,8 @@ object TextQueries {
     "q36_dedup_minhash_lsh" -> q36_dedup_minhash_lsh,
     "q37_dedup_simhash" -> q37_dedup_simhash,
     "q38_ngram_jaccard" -> q38_ngram_jaccard,
-    "q47_dedup_clusters" -> q47_dedup_clusters)
+    "q47_dedup_clusters" -> q47_dedup_clusters,
+    "q48_training_corpus" -> q48_training_corpus)
 
   val oracles: Map[String, String] = Map(
     "q30_wordcount" -> q30_oracle,
@@ -298,5 +348,6 @@ object TextQueries {
     "q36_dedup_minhash_lsh" -> q36_oracle,
     "q37_dedup_simhash" -> q37_oracle,
     "q38_ngram_jaccard" -> q38_oracle,
-    "q47_dedup_clusters" -> q47_oracle)
+    "q47_dedup_clusters" -> q47_oracle,
+    "q48_training_corpus" -> q48_oracle)
 }

@@ -1,0 +1,32 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** connectedComponents correctness on known graphs (drives q47). */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupFunctions.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and isolated pair resolve to component minima") {
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),             // triangle
+      (20L, 21L)))                                    // pair
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges in O(log n) rounds (pointer jumping)") {
+    val n = 64L
+    val labels = cc((1L until n).map(i => (i, i + 1)))
+    assert(labels.size === n.toInt && labels.values.forall(_ === 1L))
+  }
+
+  test("components joined by a bridge edge merge") {
+    val labels = cc(Seq((1L, 2L), (5L, 6L), (2L, 5L)))
+    assert(labels.values.toSet === Set(1L))
+  }
+}
