@@ -324,6 +324,29 @@ object TextQueries {
        |FROM kept WHERE rk = 1 GROUP BY source""".stripMargin
   }
 
+  // --------------------------------------- q49 deterministic stratified sample
+  /** Hash-based stratified sampling — the reproducible downsampling primitive
+    * of a training pipeline: keep ~20% per source, membership decided by a
+    * content-independent md5 of the doc id, so the same doc is kept in every
+    * run on every engine (unlike `sample()`'s RNG, which no oracle can
+    * replay). Row-local: no shuffle until the report agg.
+    */
+  val q49_stratified_sample: Q = (s, dir) => {
+    import s.implicits._
+    val slot = pmod(conv(substring(md5(concat(lit("smp:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+    t(s, dir, "documents")
+      .filter(slot < 20)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"), sum(length($"text")).as("chars_sampled"))
+  }
+
+  val q49_oracle: String =
+    """SELECT source, count(*) AS n_sampled, sum(length(text)) AS chars_sampled
+      |FROM documents
+      |WHERE ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+      |GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q30_wordcount" -> q30_wordcount,
@@ -336,7 +359,8 @@ object TextQueries {
     "q37_dedup_simhash" -> q37_dedup_simhash,
     "q38_ngram_jaccard" -> q38_ngram_jaccard,
     "q47_dedup_clusters" -> q47_dedup_clusters,
-    "q48_training_corpus" -> q48_training_corpus)
+    "q48_training_corpus" -> q48_training_corpus,
+    "q49_stratified_sample" -> q49_stratified_sample)
 
   val oracles: Map[String, String] = Map(
     "q30_wordcount" -> q30_oracle,
@@ -349,5 +373,6 @@ object TextQueries {
     "q37_dedup_simhash" -> q37_oracle,
     "q38_ngram_jaccard" -> q38_oracle,
     "q47_dedup_clusters" -> q47_oracle,
-    "q48_training_corpus" -> q48_oracle)
+    "q48_training_corpus" -> q48_oracle,
+    "q49_stratified_sample" -> q49_oracle)
 }
