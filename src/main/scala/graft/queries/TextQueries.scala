@@ -347,8 +347,48 @@ object TextQueries {
       |WHERE ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
       |GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------- q29 tf-idf
+  /** The second canonical Jet example (reference: examples/tf-idf): inverted
+    * index with tf-idf weights, here reported as each document's top term.
+    * Two shuffles: term-frequency agg on (doc, term), document-frequency agg
+    * on term (broadcast back — the term dictionary is small relative to the
+    * corpus at any scale).
+    */
+  val q29_tfidf: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // tiny scalar, computed once
+    val tf = docs.select($"doc_id", explode(T.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    tf.join(broadcast(df_), "term")
+      .withColumn("tfidf", $"tf" * log(lit(nDocs.toDouble) / $"df"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"term".as("top_term"), $"tfidf".as("top_tfidf"))
+  }
+
+  val q29_oracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, term AS top_term, tfidf AS top_tfidf FROM ranked WHERE rk = 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
+    "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
     "q31_token_stats" -> q31_token_stats,
     "q32_quality_score" -> q32_quality_score,
@@ -363,6 +403,7 @@ object TextQueries {
     "q49_stratified_sample" -> q49_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q29_tfidf" -> q29_oracle,
     "q30_wordcount" -> q30_oracle,
     "q31_token_stats" -> q31_oracle,
     "q32_quality_score" -> q32_oracle,
