@@ -40,6 +40,23 @@ object TextFunctions {
       i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
   }
 
+  /** Per-token 32-bit md5 hash (long). Materialize as its own column — the
+    * shingle step reads it many times per row.
+    */
+  def tokenLongHashes(text: Column): Column =
+    transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Distinct word-trigram hashes from a precomputed `tokenLongHashes` column:
+    * trigram = h[i]·4099 + h[i+1]·31 + h[i+2] (< 2^45, exact in any engine's
+    * BIGINT). Set ops over longs are several times cheaper than over
+    * concatenated-string shingles at 100 TB pair counts; hash collisions are
+    * deterministic and engine-identical, so differential checks stay exact.
+    */
+  def shingleHashesFrom(th: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(th) - k, lit(-1))),
+      i => element_at(th, i + 1) * 4099L + element_at(th, i + 2) * 31L + element_at(th, i + 3)))
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))

@@ -224,7 +224,9 @@ object TextQueries {
     */
   val q38_ngram_jaccard: Q = (s, dir) => {
     import s.implicits._
-    val sh = t(s, dir, "documents").select($"doc_id", T.shingles($"text", 3).as("sh"))
+    val sh = t(s, dir, "documents")
+      .withColumn("th", T.tokenLongHashes($"text")) // one md5 pass per doc
+      .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
       .cache() // consumed twice by the consecutive-id self-join
     val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"sh".as("sh_next"))
     sh.join(nxt, Seq("doc_id"))
@@ -233,11 +235,14 @@ object TextQueries {
 
   val q38_oracle: String =
     s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM toks),
        |sh AS (SELECT doc_id,
-       |  list_distinct(CASE WHEN len(t) >= 3
-       |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |  list_distinct(CASE WHEN len(h) >= 3
+       |    THEN list_transform(range(1, len(h) - 1), i -> h[i] * 4099 + h[i+1] * 31 + h[i+2])
        |    ELSE [] END) AS s
-       |  FROM toks)
+       |  FROM th)
        |SELECT a.doc_id,
        |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
        |    THEN len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))
