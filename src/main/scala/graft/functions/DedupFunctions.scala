@@ -170,21 +170,27 @@ object DedupFunctions {
                      hashes: Int, bands: Int, minJaccard: Double,
                      scopeCols: Seq[String] = Nil): DataFrame = {
     val rows = hashes / bands
+    // the exact-jaccard verify compares the per-token h1 longs, not the token
+    // strings: long set-ops are several times cheaper per candidate pair
+    // (measured dominant cost), and the hashes are engine-identical so the
+    // differential check stays exact; h1 collisions perturb jaccard
+    // deterministically, which MinHash (itself approximate) tolerates
     val sig = df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
         scopeCols.map(col)): _*)
       .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
+      .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
       .withColumn("band",
         explode(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
-      .drop("hp")
+      .drop("hp", "toks")
       // both sides of the self-join consume this — materialize once
       .cache()
-    val a = sig.select((col("id").as("id_a") +: col("toks").as("toks_a") +:
+    val a = sig.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
       col("band") +: scopeCols.map(col)): _*)
-    val b = sig.select((col("id").as("id_b") +: col("toks").as("toks_b") +:
+    val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
       col("band") +: scopeCols.map(col)): _*)
     a.join(b, "band" +: scopeCols)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("jaccard") >= minJaccard)
   }

@@ -169,22 +169,23 @@ object TextQueries {
        |  list_transform(ts, t -> {'h1': ('0x' || substr(md5(t), 1, 8))::BIGINT,
        |                           'h2': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hp
        |  FROM toks),
-       |sigs AS (SELECT doc_id, source, ts, $sig AS sig FROM hashed),
-       |banded AS (SELECT doc_id, source, ts, unnest($bands) AS band FROM sigs),
+       |sigs AS (SELECT doc_id, source, hp, $sig AS sig FROM hashed),
+       |banded AS (SELECT doc_id, source, hp, unnest($bands) AS band FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.ts AS ts_a, b.ts AS ts_b
+       |    list_transform(a.hp, p -> p.h1) AS hs_a,
+       |    list_transform(b.hp, p -> p.h1) AS hs_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   private val lshPairsSelect: String =
     """SELECT doc_a, doc_b,
-      |  len(list_intersect(ts_a, ts_b))::DOUBLE
-      |    / len(list_distinct(list_concat(ts_a, ts_b))) AS jaccard
+      |  len(list_intersect(hs_a, hs_b))::DOUBLE
+      |    / len(list_distinct(list_concat(hs_a, hs_b))) AS jaccard
       |FROM cand
-      |WHERE len(list_intersect(ts_a, ts_b))::DOUBLE
-      |    / len(list_distinct(list_concat(ts_a, ts_b))) >= 0.9""".stripMargin
+      |WHERE len(list_intersect(hs_a, hs_b))::DOUBLE
+      |    / len(list_distinct(list_concat(hs_a, hs_b))) >= 0.9""".stripMargin
 
   val q36_oracle: String = s"WITH $lshPairsCtes\n$lshPairsSelect"
 
