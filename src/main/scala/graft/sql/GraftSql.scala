@@ -34,6 +34,9 @@ final class GraftSql(spark: SparkSession) {
   private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
   private val alterJobResume = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+(?:RESUME|RESTART)\s*""".r
   private val sinkInto = """(?is)\s*SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+  private val createSnapshot =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SNAPSHOT\s+(\w+)\s+FOR\s+JOB\s+(\w+)\s*""".r
+  private val dropSnapshot = """(?is)\s*DROP\s+SNAPSHOT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
 
   /** Execute a statement; queries return their DataFrame, DDL returns a small
     * status frame (matching Jet's update-count style results).
@@ -106,6 +109,28 @@ final class GraftSql(spark: SparkSession) {
         case None => status(s"job $name not found")
       }
 
+    // Jet CREATE/DROP SNAPSHOT (SqlCreateSnapshot.java, JobStateSnapshot):
+    // an exported, named copy of the job's state — here the checkpoint dir
+    // (offsets + state store), usable as the checkpoint of a future job.
+    case createSnapshot(snapName, jobName) =>
+      Option(GraftSql.jobSpecs.get(jobName)) match {
+        case Some(spec) =>
+          // quiesce so the copy is a consistent committed state
+          JobRegistry.get(jobName).filter(_.isRunning).foreach(_.cancel())
+          val dest = java.nio.file.Files.createTempDirectory(s"graft_snap_${snapName}_")
+          copyTree(java.nio.file.Paths.get(spec.checkpoint), dest)
+          GraftSql.snapshots.put(snapName, dest.toString)
+          status(s"snapshot $snapName exported from job $jobName")
+        case None => status(s"job $jobName not found")
+      }
+
+    case dropSnapshot(name) =>
+      Option(GraftSql.snapshots.remove(name)) match {
+        case Some(dir) => deleteTree(java.nio.file.Paths.get(dir))
+          status(s"snapshot $name dropped")
+        case None => status(s"snapshot $name not found")
+      }
+
     case sinkInto(store, keyCols, select) =>
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       KeyedStore.upsert(store, spark.sql(select), keys)
@@ -116,6 +141,22 @@ final class GraftSql(spark: SparkSession) {
 
   private def newCheckpoint(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_job_${name}_").toString
+
+  private def copyTree(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    Files.walk(src).forEach { p =>
+      val t = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+  }
 
   /** (Re)start a registered job from its stored statement + checkpoint. */
   private def startJob(name: String): Unit = {
@@ -146,4 +187,8 @@ object GraftSql {
                            select: String, checkpoint: String)
   private[sql] val jobSpecs =
     new java.util.concurrent.ConcurrentHashMap[String, JobSpec]()
+
+  /** name → exported checkpoint directory (Jet JobStateSnapshot registry). */
+  private[sql] val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -39,4 +39,32 @@ class JobLifecycleSpec extends SparkSpec {
     sql.execute("DROP JOB j1")
     assert(JobRegistry.get("j1").isEmpty)
   }
+
+  test("CREATE SNAPSHOT exports the checkpoint; job resumes after; DROP removes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = GraftSql(spark)
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF.toDF("id", "v").createOrReplaceTempView("snap_src")
+
+    mem.addData((1L, "a"))
+    sql.execute("CREATE JOB j2 AS SINK INTO snap_out(id) SELECT id, v FROM snap_src")
+    JobRegistry.get("j2").get.processAllAvailable()
+
+    sql.execute("CREATE SNAPSHOT s1 FOR JOB j2")
+    val snapDir = GraftSql.snapshots.get("s1")
+    assert(snapDir != null, "snapshot not registered")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(snapDir, "offsets")),
+      "snapshot missing offset log")
+    assert(!JobRegistry.get("j2").get.isRunning) // snapshot quiesced the job
+
+    // the live job resumes from its own (uncopied) checkpoint
+    mem.addData((2L, "b"))
+    sql.execute("ALTER JOB j2 RESUME")
+    JobRegistry.get("j2").get.processAllAvailable()
+    assert(KeyedStore.get(spark, "snap_out").count() === 2)
+
+    sql.execute("DROP SNAPSHOT s1")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snapDir)))
+    sql.execute("DROP JOB j2")
+  }
 }
