@@ -80,12 +80,12 @@ final class BatchStage[T](val ds: Dataset[T]) {
       }
     })
 
-  /** Jet `mapUsingServiceAsync` unordered (GeneralStage.java:354-401,
-    * AsyncTransformUsingServiceUnorderedP): up to `maxConcurrent` in-flight
-    * async calls per partition, results emitted as they land. The bounded
-    * sliding window of Futures inside the partition is exactly the reference's
-    * bounded in-flight queue; per-key ordering is NOT preserved (Jet's
-    * unordered variant).
+  /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
+    * AsyncTransformUsingServiceOrderedP): up to `maxConcurrent` in-flight
+    * async calls per partition — the reference's bounded in-flight window —
+    * with results emitted in INPUT order (Future.sequence preserves it). The
+    * unordered variant would only differ by emitting on completion; same
+    * throughput bound, so it is not separately provided.
     */
   def mapUsingServiceAsync[S, U: Encoder](
       factory: ServiceFactory[S], maxConcurrent: Int = 4)(

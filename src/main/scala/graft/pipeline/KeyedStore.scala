@@ -21,6 +21,41 @@ object KeyedStore {
   private val versionCol = "__graft_version"
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Change record: (op, version, key json, row json) — the map-journal entry
+    * shape (reference: Sources.mapJournal EventJournalMapEvent; ADDED/UPDATED
+    * collapse to UPSERT here, like Jet's default journal projection).
+    */
+  final case class Change(op: String, version: Long, key: String, value: String)
+
+  // per-store change journals: MemoryStream sources created by `journal(name)`
+  // and fed by upsert/delete (driver-side, like the store itself)
+  private val journalStreams = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]]()
+
+  private def recordChanges(name: String, df: DataFrame, keyCols: Seq[String], op: String): Unit =
+    Option(journalStreams.get(name)).foreach { ms =>
+      import org.apache.spark.sql.functions.{col, struct, to_json}
+      val v = versions.incrementAndGet()
+      val changes = df.select(
+        to_json(struct(keyCols.map(col): _*)).as("k"),
+        to_json(struct(df.columns.map(col): _*)).as("r")).collect()
+        .map(r => Change(op, v, r.getString(0), r.getString(1)))
+      if (changes.nonEmpty) ms.addData(changes.toIndexedSeq)
+    }
+
+  /** Jet `Sources.mapJournal` (Sources.java:381, StreamEventJournalP): an
+    * unbounded stream of this store's changes. Call BEFORE writing to capture
+    * from now on (START_FROM_CURRENT semantics). Returns a streaming
+    * DataFrame of (op, version, key, value) with JSON-encoded key/row.
+    */
+  def journal(spark: SparkSession, name: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = journalStreams.computeIfAbsent(name, _ =>
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change])
+    ms.toDF()
+  }
+
   def put(name: String, df: DataFrame): Unit = {
     tables.put(name, df.cache())
     df.createOrReplaceTempView(name)
@@ -62,6 +97,7 @@ object KeyedStore {
     snap.count()
     tables.put(name, snap)
     snap.drop(versionCol).createOrReplaceTempView(name)
+    recordChanges(name, df, keyCols, "UPSERT")
   }
 
   /** Delete by key (CDC DELETE ops): anti-join against the key set. */
@@ -74,6 +110,7 @@ object KeyedStore {
       tables.put(name, snap)
       val view = if (snap.columns.contains(versionCol)) snap.drop(versionCol) else snap
       view.createOrReplaceTempView(name)
+      recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
     }
   }
 
