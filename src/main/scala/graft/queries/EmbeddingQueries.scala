@@ -192,7 +192,7 @@ object EmbeddingQueries {
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
   }
 
   val q44_oracle: String =
@@ -220,7 +220,8 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3""".stripMargin
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3""".stripMargin
 
   // ------------------------------------------------------- q43 label centroids
   /** Per-label centroid (mean vector) summarized by its L2 norm — the
@@ -234,7 +235,7 @@ object EmbeddingQueries {
       .groupBy($"label", $"pos")
       .agg(avg($"x").as("m"), count(lit(1)).as("n"))
       .groupBy($"label")
-      .agg(sqrt(sum($"m" * $"m")).as("centroid_norm"), max($"n").as("n_vectors"))
+      .agg(round(sqrt(sum($"m" * $"m")), 6).as("centroid_norm"), max($"n").as("n_vectors"))
   }
 
   val q43_oracle: String =
@@ -244,7 +245,7 @@ object EmbeddingQueries {
       |  FROM embeddings),
       |means AS (
       |  SELECT label, pos, avg(x) AS m, count(*) AS n FROM expanded GROUP BY label, pos)
-      |SELECT label, sqrt(sum(m * m)) AS centroid_norm, max(n) AS n_vectors
+      |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm, max(n) AS n_vectors
       |FROM means GROUP BY label""".stripMargin
 
   // ------------------------------------------------------------- registry

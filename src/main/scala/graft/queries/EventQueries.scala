@@ -29,14 +29,14 @@ object EventQueries {
     import s.implicits._
     t(s, dir, "events")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
       .select(unix_timestamp($"w.start").as("window_start"),
         $"event_type", $"n", $"sum_value")
   }
 
   val q20_oracle: String =
     """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
-      |  event_type, count(*) AS n, sum(value) AS sum_value
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------- q21 sliding window
@@ -81,7 +81,7 @@ object EventQueries {
       .agg(unix_micros(min($"ts")).as("session_start_us"),
         unix_micros(max($"ts")).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        sum($"value").as("sum_value"))
+        round(sum($"value"), 4).as("sum_value"))
       .select($"user_id", $"session_id".cast("long").as("session_id"),
         $"session_start_us", $"session_end_us", $"n_events", $"sum_value")
   }
@@ -102,7 +102,7 @@ object EventQueries {
       |SELECT user_id, session_id::BIGINT AS session_id,
       |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
       |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
-      |  count(*) AS n_events, sum(value) AS sum_value
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
   // ------------------------------------------------------ q23 rolling aggregate
@@ -157,14 +157,14 @@ object EventQueries {
         countDistinct($"user_id").as("n_users"),
         unix_micros(min($"ts")).as("first_seen_us"),
         unix_micros(max($"ts")).as("last_seen_us"),
-        avg($"value").as("avg_value"))
+        round(avg($"value"), 6).as("avg_value"))
   }
 
   val q25_oracle: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users,
       |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS first_seen_us,
       |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS last_seen_us,
-      |  avg(value) AS avg_value
+      |  round(avg(value), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
   // ------------------------------------------------------ q26 linear trend
@@ -184,8 +184,8 @@ object EventQueries {
         sum($"value").as("sy"), sum($"x" * $"value").as("sxy"),
         sum($"x" * $"x").as("sxx"))
       .select($"event_type",
-        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
-        (($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").as("intercept"))
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 10).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 10).as("intercept"))
   }
 
   val q26_oracle: String =
@@ -197,8 +197,8 @@ object EventQueries {
       |        FROM events)
       |  GROUP BY event_type)
       |SELECT event_type,
-      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 10) AS intercept
       |FROM m""".stripMargin
 
   // -------------------------------------------------- q28 windowed distinct

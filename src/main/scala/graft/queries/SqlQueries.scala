@@ -24,14 +24,14 @@ object SqlQueries {
     sql.execute(
       s"CREATE OR REPLACE MAPPING lineitem_m EXTERNAL NAME '$dir/lineitem.parquet' TYPE parquet")
     sql.execute(
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem_m
         |WHERE l_discount > 0.05
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
   }
 
   val q60_oracle: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
       |FROM lineitem
       |WHERE l_discount > 0.05
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -64,13 +64,13 @@ object SqlQueries {
       s"CREATE OR REPLACE MAPPING orders_m EXTERNAL NAME '$dir/orders.parquet' TYPE parquet")
     sql.execute(
       """SINK INTO order_totals(o_custkey)
-        |SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        |SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
         |FROM orders_m GROUP BY o_custkey""".stripMargin)
     Pipeline.create(s).readFrom(Sources.map("order_totals")).toDF
   }
 
   val q62_oracle: String =
-    """SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+    """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   // ------------------------------------------------------------- registry

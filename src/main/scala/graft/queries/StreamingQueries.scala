@@ -33,14 +33,14 @@ object StreamingQueries {
       df.toDF("ts", "user_id", "event_type", "value")
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .select(unix_timestamp($"w.start").as("window_start"), $"event_type", $"n", $"sum_value")
     }
   }
 
   val q50_oracle: String =
     """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
-      |  event_type, count(*) AS n, sum(value) AS sum_value
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // -------------------------------------------- q51 streaming session window
@@ -53,7 +53,7 @@ object StreamingQueries {
       df.toDF("ts", "user_id", "event_type", "value")
         .withWatermark("ts", "1 hour")
         .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-        .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
         .select($"user_id", unix_micros($"w.start").as("session_start_us"),
           unix_micros($"w.end").as("session_end_us"), $"n_events", $"sum_value")
     }
@@ -76,7 +76,7 @@ object StreamingQueries {
       |SELECT user_id,
       |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
       |  epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800000000 AS session_end_us,
-      |  count(*) AS n_events, sum(value) AS sum_value
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
   // ------------------------------------- q52 streaming stateful rolling agg
@@ -107,11 +107,11 @@ object StreamingQueries {
     // final state per user = the row with the largest running_n
     rolled.groupBy($"user_id")
       .agg(max($"running_n").as("n_events"),
-        max_by($"running_sum", $"running_n").as("total_value"))
+        round(max_by($"running_sum", $"running_n"), 4).as("total_value"))
   }
 
   val q52_oracle: String =
-    """SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
       |FROM events GROUP BY user_id""".stripMargin
 
   // ------------------------------------------------------------- registry

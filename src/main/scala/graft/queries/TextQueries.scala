@@ -302,7 +302,7 @@ object TextQueries {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs_kept"),
         sum($"n_tokens").as("tokens_kept"),
-        avg($"quality").as("avg_quality"))
+        round(avg($"quality"), 6).as("avg_quality"))
   }
 
   val q48_oracle: String = {
@@ -326,7 +326,7 @@ object TextQueries {
        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
        |  FROM scored WHERE quality >= 0.5)
        |SELECT source, count(*) AS n_docs_kept, sum(n_tokens) AS tokens_kept,
-       |  avg(quality) AS avg_quality
+       |  round(avg(quality), 6) AS avg_quality
        |FROM kept WHERE rk = 1 GROUP BY source""".stripMargin
   }
 
@@ -368,9 +368,13 @@ object TextQueries {
     val tf = docs.select($"doc_id", explode(T.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // rank on the ROUNDED weight: mathematically-tied tfidf values (e.g.
+    // 2·ln(4) vs ln(16)) land on different last-ulp sides per engine, which
+    // would flip the winner; rounding makes the term tie-break decide both
+    // sides identically
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
     tf.join(broadcast(df_), "term")
-      .withColumn("tfidf", $"tf" * log(lit(nDocs.toDouble) / $"df"))
+      .withColumn("tfidf", round($"tf" * log(lit(nDocs.toDouble) / $"df"), 6))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .select($"doc_id", $"term".as("top_term"), $"tfidf".as("top_tfidf"))
@@ -384,7 +388,7 @@ object TextQueries {
        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
        |scored AS (
-       |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS tfidf
+       |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
        |  FROM tf JOIN df USING (term) CROSS JOIN n),
        |ranked AS (
        |  SELECT doc_id, term, tfidf,

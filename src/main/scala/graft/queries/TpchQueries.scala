@@ -32,25 +32,25 @@ object TpchQueries {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity").as("sum_qty"),
-        sum($"l_extendedprice").as("sum_base_price"),
-        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
-        sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
-        avg($"l_quantity").as("avg_qty"),
-        avg($"l_extendedprice").as("avg_price"),
-        avg($"l_discount").as("avg_disc"),
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 4).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
   val q01_oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_base_price,
-      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-      |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-      |  avg(l_quantity) AS avg_qty,
-      |  avg(l_extendedprice) AS avg_price,
-      |  avg(l_discount) AS avg_disc,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -85,16 +85,16 @@ object TpchQueries {
     import s.implicits._
     t(s, dir, "lineitem").agg(
       count(lit(1)).as("n_rows"),
-      sum($"l_quantity").as("total_qty"),
+      round(sum($"l_quantity"), 4).as("total_qty"),
       min($"l_extendedprice").as("min_price"),
       max($"l_extendedprice").as("max_price"),
-      avg($"l_discount").as("avg_disc"))
+      round(avg($"l_discount"), 6).as("avg_disc"))
   }
 
   val q03_oracle: String =
-    """SELECT count(*) AS n_rows, sum(l_quantity) AS total_qty,
+    """SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS total_qty,
       |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-      |  avg(l_discount) AS avg_disc
+      |  round(avg(l_discount), 6) AS avg_disc
       |FROM lineitem""".stripMargin
 
   // ------------------------------------------------- q04 broadcast hash join
@@ -108,11 +108,11 @@ object TpchQueries {
     val customer = t(s, dir, "customer")
     orders.join(broadcast(customer), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 4).as("revenue"))
   }
 
   val q04_oracle: String =
-    """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+    """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
@@ -129,13 +129,13 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
   val q05_oracle: String =
     """SELECT r_name, n_name,
-      |  sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n_lines
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -277,7 +277,7 @@ object TpchQueries {
   val q12_coaggregate: Q = (s, dir) => {
     import s.implicits._
     val ordersAgg = t(s, dir, "orders").groupBy($"o_custkey".as("custkey"))
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total_spent"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 4).as("total_spent"))
     val custAgg = t(s, dir, "customer").select($"c_custkey".as("custkey"), $"c_acctbal")
     custAgg.join(ordersAgg, Seq("custkey"), "left_outer")
       .select($"custkey",
@@ -292,7 +292,7 @@ object TpchQueries {
       |  coalesce(total_spent, 0.0) AS total_spent,
       |  c_acctbal
       |FROM customer LEFT JOIN (
-      |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_spent
       |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey""".stripMargin
 
   // ------------------------------------------------- q13 distinct-count agg
@@ -307,14 +307,14 @@ object TpchQueries {
       .agg(
         countDistinct($"l_suppkey").as("n_supp"),
         countDistinct($"l_partkey").as("n_part"),
-        sum_distinct($"l_quantity").as("sum_qty_distinct"))
+        round(sum_distinct($"l_quantity"), 4).as("sum_qty_distinct"))
   }
 
   val q13_oracle: String =
     """SELECT l_returnflag,
       |  count(DISTINCT l_suppkey) AS n_supp,
       |  count(DISTINCT l_partkey) AS n_part,
-      |  sum(DISTINCT l_quantity) AS sum_qty_distinct
+      |  round(sum(DISTINCT l_quantity), 4) AS sum_qty_distinct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // -------------------------------------------------- q14 grouping sets (superset)
@@ -325,11 +325,11 @@ object TpchQueries {
     import s.implicits._
     t(s, dir, "lineitem")
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
   }
 
   val q14_oracle: String =
-    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   // ------------------------------------------------- q15 intersect / except
@@ -399,7 +399,7 @@ object TpchQueries {
       .groupBy($"l_returnflag")
       .agg(
         top3($"l_extendedprice").as("top_prices"),
-        trend($"l_quantity", $"l_extendedprice").as("price_trend"))
+        round(trend($"l_quantity", $"l_extendedprice"), 4).as("price_trend"))
   }
 
   val q17_oracle: String =
@@ -410,7 +410,7 @@ object TpchQueries {
       |    (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top_prices
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, top_prices,
-      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS price_trend
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS price_trend
       |FROM m""".stripMargin
 
   // ------------------------------------------------------------- registry
