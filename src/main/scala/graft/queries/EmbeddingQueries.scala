@@ -33,7 +33,7 @@ object EmbeddingQueries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
     S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
-      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
   }
 
   val q40_oracle: String =
@@ -46,7 +46,8 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
 
   // --------------------------------------------------- q41 LSH bucket histogram
   /** Random-hyperplane LSH bucketing — the ANN scale path: bucket assignment is a
@@ -99,7 +100,7 @@ object EmbeddingQueries {
       .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
   }
 
   val q42_oracle: String = {
@@ -117,7 +118,8 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3""".stripMargin
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
   // --------------------------------------------- q39 embedding-cosine near-dup
@@ -141,6 +143,7 @@ object EmbeddingQueries {
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", S.dotAuto($"va", $"vb").as("cosine"))
       .filter($"cosine" >= 0.35)
+      .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
   }
 
   val q39_oracle: String = {
@@ -155,7 +158,7 @@ object EmbeddingQueries {
        |    ${cosSql("a.embedding", "b.embedding")} AS cosine
        |  FROM bucketed a JOIN bucketed b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
+       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
   }
 
   // ----------------------------------------------------- q44 IVF ANN top-k
