@@ -34,6 +34,10 @@ final class GraftSql(spark: SparkSession) {
   private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
   private val alterJobResume = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+(?:RESUME|RESTART)\s*""".r
   private val sinkInto = """(?is)\s*SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+  // INSERT INTO a KeyedStore = plain append (Jet SqlExtendedInsert: INSERT
+  // fails on key conflict for maps; append-only here — SINK INTO is the
+  // upsert form). INSERT INTO anything else falls through to spark.sql.
+  private val insertIntoStore = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT.*|VALUES.*)""".r
   private val createSnapshot =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SNAPSHOT\s+(\w+)\s+FOR\s+JOB\s+(\w+)\s*""".r
   private val dropSnapshot = """(?is)\s*DROP\s+SNAPSHOT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
@@ -135,6 +139,10 @@ final class GraftSql(spark: SparkSession) {
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       KeyedStore.upsert(store, spark.sql(select), keys)
       status(s"sunk into $store")
+
+    case insertIntoStore(store, select) if KeyedStore.exists(store) =>
+      KeyedStore.append(store, spark.sql(select))
+      status(s"inserted into $store")
 
     case other => spark.sql(other)
   }

@@ -43,6 +43,17 @@ class GraftSqlSpec extends SparkSpec {
     KeyedStore.drop("cust_store")
   }
 
+  test("INSERT INTO a store appends; INSERT INTO non-store delegates to Catalyst") {
+    import spark.implicits._
+    KeyedStore.put("ins_store", Seq((1, "a")).toDF("k", "v"))
+    sql.execute("INSERT INTO ins_store SELECT 2 AS k, 'b' AS v")
+    assert(KeyedStore.get(spark, "ins_store").count() === 2)
+    // append (not upsert): duplicate key adds a row
+    sql.execute("INSERT INTO ins_store SELECT 2 AS k, 'b2' AS v")
+    assert(KeyedStore.get(spark, "ins_store").count() === 3)
+    KeyedStore.drop("ins_store")
+  }
+
   test("SHOW JOBS lists registered jobs; DROP JOB on missing job reports") {
     val msg = sql.execute("DROP JOB nonexistent_job").collect().head.getString(0)
     assert(msg.contains("not found"))
