@@ -62,6 +62,15 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def hashJoin(dim: DataFrame, on: Column): StreamStage =
     new StreamStage(df.join(broadcast(dim), on, "left_outer"), tsCol)
 
+  /** Stream-stream join — ABSENT in the reference (SURVEY §2.5: Jet hashJoin
+    * right sides are batch-only); Spark-native superset. Both sides must carry
+    * watermarks and the condition must time-bound the match (e.g.
+    * `leftTs BETWEEN rightTs - interval AND rightTs + interval`) so join state
+    * is evictable — unbounded conditions grow state forever.
+    */
+  def joinStream(other: StreamStage, on: Column, how: String = "inner"): StreamStage =
+    new StreamStage(df.join(other.df, on, how), tsCol)
+
   /** Jet `groupingKey` → keyed stream stage. */
   def groupingKey(keys: Column*): StreamStageWithKey =
     new StreamStageWithKey(df, tsCol, keys)

@@ -102,6 +102,26 @@ class StreamingSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("stream-stream join with time-bounded condition (beyond-reference)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val s1 = new StreamSourceStage(imps.toDF.toDF("imp_ts", "ad_id")).withTimestamps("imp_ts", "10 seconds")
+    val s2 = new StreamSourceStage(clicks.toDF.toDF("click_ts", "click_ad")).withTimestamps("click_ts", "10 seconds")
+    val joined = s1.joinStream(s2,
+      col("ad_id") === col("click_ad") &&
+        col("click_ts").between(col("imp_ts"), col("imp_ts") + expr("interval 1 minute")))
+    val job = StreamSinks.memory("ssj_test", "append").start(joined.df)
+
+    imps.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+    clicks.addData((ts("2024-01-01 00:00:30"), 1L)) // within the minute -> match
+    clicks.addData((ts("2024-01-01 00:05:00"), 2L)) // too late -> no match
+    job.processAllAvailable()
+    val matched = spark.table("ssj_test").select("ad_id").collect().map(_.getLong(0)).toSeq
+    assert(matched === Seq(1L))
+    job.cancel()
+  }
+
   test("stream-batch equivalence: windowed counts on the events fixture") {
     implicit val sqlCtx = spark.sqlContext
     // replay the real fixture through a MemoryStream
