@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator the reference lacks entirely (SURVEY §2.5: "sort
+  * merge / range / as-of ... absent") and Spark has no built-in for either:
+  * for every left row, attach the LATEST right row with `rightTs <= leftTs`
+  * for the same key (backward as-of; the market-data / feature-lookup join).
+  *
+  * Composed from existing operators (the preferred extension path — no custom
+  * plan node needed): tag both sides, union, then one window pass per key in
+  * time order carrying the last-seen right values forward. Cost at any scale:
+  * ONE shuffle on the key + ONE in-partition sort — same price as a regular
+  * sort-merge join, with none of the range-explosion a naive
+  * `join(l.ts >= r.ts)` theta join would cause (that one produces O(n·m)
+  * intermediate rows before aggregation; this produces O(n+m)).
+  */
+object AsofJoin {
+
+  /** @param rightVals right columns carried to the matched left rows
+    * @param how "inner" drops unmatched left rows, "left" keeps them with nulls
+    */
+  def apply(left: DataFrame, right: DataFrame, key: String,
+            leftTs: String, rightTs: String, rightVals: Seq[String],
+            how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left", s"asof join: inner|left, got $how")
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at equal timestamps, so an exact
+    // timestamp match counts as "at or before"
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val lAligned = rightVals.foldLeft(l)((d, v) => d.withColumn(s"__r_$v", lit(null)))
+    val r = right
+      .select((col(key) +: col(rightTs).as("__ts") +:
+        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+      .withColumn("__side", lit(0))
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null)))
+
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned)((d, v) =>
+      d.withColumn(s"__m_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+
+    val matchedOnly =
+      if (how == "inner") carried.filter(col(s"__m_${rightVals.head}").isNotNull)
+      else carried
+    matchedOnly.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(v => col(s"__m_$v").as(v)): _*)
+  }
+
+  /** Range join: all (left, right) pairs with `|leftTs - rightTs| <= tolerance`
+    * per key — composed as an equi-join on (key, time bucket) with the exact
+    * range predicate applied after, so the join never degenerates to a per-key
+    * cross product: each row lands in 2 buckets, candidates are bucket-local.
+    */
+  def range(left: DataFrame, right: DataFrame, key: String,
+            leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+    // the ±tolerance window spans at most the 3 buckets around the left row's
+    val lb = left.withColumn("__b", explode(array(
+      floor(unix_timestamp(col(leftTs)) / toleranceSec) - 1,
+      floor(unix_timestamp(col(leftTs)) / toleranceSec),
+      floor(unix_timestamp(col(leftTs)) / toleranceSec) + 1)))
+    val rb = right.withColumn("__b", floor(unix_timestamp(col(rightTs)) / toleranceSec))
+    lb.join(rb, Seq(key, "__b"))
+      .filter(abs(unix_timestamp(col(leftTs)) - unix_timestamp(col(rightTs))) <= toleranceSec)
+      .drop("__b").dropDuplicates()
+  }
+}

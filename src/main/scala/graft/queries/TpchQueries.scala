@@ -413,6 +413,59 @@ object TpchQueries {
       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS price_trend
       |FROM m""".stripMargin
 
+  // ----------------------------------------------- q18 semi / anti joins
+  /** Beyond-reference semi/anti joins (SURVEY §2.5 lists them absent in Jet):
+    * customers WITH at least one 1995 order (left_semi — no row multiplication
+    * from multiple orders) and customers WITHOUT any order at all (left_anti).
+    * Both plan as broadcast/shuffled hash joins with early short-circuit.
+    */
+  val q18_semi_anti: Q = (s, dir) => {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val with1995 = cust.join(
+      orders.filter(year($"o_orderdate") === 1995), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("active_1995").as("segment"))
+    val without = cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit("no_orders").as("segment"))
+    with1995.unionByName(without)
+  }
+
+  val q18_oracle: String =
+    """SELECT c_custkey, 'active_1995' AS segment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS segment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // --------------------------------------------------------- q19 as-of join
+  /** As-of join (graft.operators.AsofJoin — absent in both the reference and
+    * Spark built-ins; the prompt's canonical custom operator): for every
+    * `purchase` event, the user's latest `view` at or before it. One shuffle
+    * on user_id + one in-partition sort — never the O(n·m) blow-up of a theta
+    * join. DuckDB validates via its native ASOF JOIN.
+    */
+  val q19_asof_join: Q = (s, dir) => {
+    import s.implicits._
+    val events = t(s, dir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_event"))
+    graft.operators.AsofJoin(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "view_ts", rightVals = Seq("view_event"))
+      .select($"user_id", $"event_id".as("purchase_event"),
+        $"view_event", unix_timestamp($"ts").as("purchase_epoch"))
+  }
+
+  val q19_oracle: String =
+    """SELECT p.user_id, p.event_id AS purchase_event, v.event_id AS view_event,
+      |  (epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000) AS purchase_epoch
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
@@ -431,6 +484,8 @@ object TpchQueries {
     "q14_rollup" -> q14_rollup,
     "q15_except_intersect" -> q15_except_intersect,
     "q16_tomap_reduce" -> q16_tomap_reduce,
+    "q18_semi_anti" -> q18_semi_anti,
+    "q19_asof_join" -> q19_asof_join,
     "q17_typed_topn" -> q17_typed_topn)
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +505,7 @@ object TpchQueries {
     "q14_rollup" -> q14_oracle,
     "q15_except_intersect" -> q15_oracle,
     "q16_tomap_reduce" -> q16_oracle,
+    "q18_semi_anti" -> q18_oracle,
+    "q19_asof_join" -> q19_oracle,
     "q17_typed_topn" -> q17_oracle)
 }
