@@ -66,6 +66,35 @@ object TypedAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch: keeps the k smallest
+    * distinct hash values in [0,1); estimate = (k-1)/kth-min once k values are
+    * held, exact count below that. O(k) state, associative/commutative merge —
+    * a mergeable cardinality sketch like HLL, but DETERMINISTIC given a
+    * deterministic hash column, so (unlike `approx_count_distinct`) it can be
+    * differentially tested bit-for-bit against another engine replaying the
+    * same hashes. (Public technique: Bar-Yossef et al., "Counting distinct
+    * elements in a data stream", RANDOM 2002.)
+    *
+    * Input is the precomputed hash (e.g. md5-derived double in [0,1)) — the
+    * hash stays in the SQL layer so the oracle can replay it.
+    */
+  final class KmvDistinct(k: Int) extends Aggregator[Double, Seq[Double], Double] {
+    def zero: Seq[Double] = Vector.empty
+    def reduce(buf: Seq[Double], h: Double): Seq[Double] =
+      if (buf.contains(h)) buf
+      else if (buf.size < k) (buf :+ h).sorted
+      else if (h < buf.last) (buf.init :+ h).sorted
+      else buf
+    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      (a ++ b).distinct.sorted.take(k)
+    def finish(buf: Seq[Double]): Double =
+      if (buf.size < k) buf.size.toDouble else (k - 1) / buf.last
+    def bufferEncoder: Encoder[Seq[Double]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  def kmvDistinct(k: Int): KmvDistinct = new KmvDistinct(k)
+
   /** Jet `reducing(zero, combine)` (AggregateOperations.java:1209): generic
     * associative fold with O(1) state. `combine` must be associative (and
     * commutative across partitions — Spark does not order merges).

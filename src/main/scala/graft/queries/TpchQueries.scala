@@ -466,6 +466,43 @@ object TpchQueries {
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
 
+  // --------------------------------------------- q63 KMV distinct sketch
+  /** Deterministic cardinality sketch (TypedAggs.KmvDistinct): estimate
+    * distinct part keys per return flag from the 64 smallest md5-hash values —
+    * O(k) state per group at any scale, mergeable like HLL, and exactly
+    * reproducible in DuckDB (same md5 → same estimate to the last bit; the
+    * built-in `approx_count_distinct` could never be differentially tested).
+    */
+  val q63_kmv_sketch: Q = (s, dir) => {
+    import s.implicits._
+    val kmv = udaf(graft.pipeline.typed.TypedAggs.kmvDistinct(64))
+    t(s, dir, "lineitem")
+      .withColumn("hv",
+        conv(substring(md5($"l_partkey".cast("string")), 1, 15), 16, 10)
+          .cast("double") / lit(1152921504606846976.0)) // 2^60
+      .groupBy($"l_returnflag")
+      .agg(round(kmv($"hv"), 4).as("est_distinct"),
+        count_distinct($"l_partkey").as("true_distinct"))
+  }
+
+  val q63_oracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT::DOUBLE
+      |      / 1152921504606846976.0 AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, hv,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  round(CASE WHEN max(n) < 64 THEN max(n)::DOUBLE
+      |        ELSE 63.0 / max(CASE WHEN rk = 64 THEN hv END) END, 4) AS est_distinct,
+      |  (SELECT count(DISTINCT l_partkey) FROM lineitem li
+      |   WHERE li.l_returnflag = r.l_returnflag) AS true_distinct
+      |FROM r GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
@@ -486,6 +523,7 @@ object TpchQueries {
     "q16_tomap_reduce" -> q16_tomap_reduce,
     "q18_semi_anti" -> q18_semi_anti,
     "q19_asof_join" -> q19_asof_join,
+    "q63_kmv_sketch" -> q63_kmv_sketch,
     "q17_typed_topn" -> q17_typed_topn)
 
   val oracles: Map[String, String] = Map(
@@ -507,5 +545,6 @@ object TpchQueries {
     "q16_tomap_reduce" -> q16_oracle,
     "q18_semi_anti" -> q18_oracle,
     "q19_asof_join" -> q19_oracle,
+    "q63_kmv_sketch" -> q63_oracle,
     "q17_typed_topn" -> q17_oracle)
 }

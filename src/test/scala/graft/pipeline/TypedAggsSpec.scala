@@ -69,6 +69,24 @@ class TypedAggsSpec extends SparkSpec {
     })
   }
 
+  test("kmvDistinct: split == whole, and estimate is near exact count") {
+    val agg = TypedAggs.kmvDistinct(64)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0.0, 1.0))
+      cut <- Gen.chooseNum(0, xs.size)
+    } yield (xs, cut)
+    check("kmv split", Prop.forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(whole) == agg.finish(split)
+    })
+    // accuracy on a real-ish cardinality: 2000 distinct deterministic hashes
+    val rnd = new scala.util.Random(7)
+    val est = agg.finish((1 to 2000).map(_ => rnd.nextDouble()).foldLeft(agg.zero)(agg.reduce))
+    assert(math.abs(est - 2000) / 2000.0 < 0.3, s"estimate $est too far from 2000")
+  }
+
   test("udaf path: topN + linearTrend over a repartitioned Dataset") {
     val top3 = udaf(TypedAggs.topN(3))
     val trend = udaf(TypedAggs.LinearTrend)
