@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen spans in:\n$plan")
   }
 
+  test("as-of join plans as union + one key shuffle, never a theta join") {
+    val df = queries.TpchQueries.q19_asof_join(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a theta join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"too many shuffles ($exchanges) in as-of plan:\n$plan")
+  }
+
   test("embedding pair join carries pre-normalized vectors (no per-pair norm)") {
     val plan = queries.EmbeddingQueries.q39_dedup_embedding(spark, sf)
       .queryExecution.optimizedPlan.toString
