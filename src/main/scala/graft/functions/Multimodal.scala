@@ -58,6 +58,31 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction over the raw payload bytes: a 16-bin byte histogram
+    * normalized by length — a REAL (not stubbed) content feature computed the
+    * way an embedding model would run (mapPartitions, one pass over the bytes,
+    * fixed-width vector out). Swapping the histogram for a model forward pass
+    * changes no plumbing; the output column is the `embeddings`-table shape
+    * (fixed-length ARRAY<DOUBLE>), ready for the similarity/dedup operators.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+                      bins: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val model = Model.load() here, once per partition
+        it.map { case (id, bytes) =>
+          val hist = new Array[Long](bins)
+          var i = 0
+          while (i < bytes.length) { hist(((bytes(i) & 0xff) * bins) / 256) += 1; i += 1 }
+          val n = math.max(1, bytes.length).toDouble
+          (id, hist.map(_ / n).toSeq)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** Frame-sampling shape for video-like payloads: split a payload into fixed
     * windows ("frames") and emit one row per sampled frame — the explode-style
     * fan-out a video pipeline needs, bounded by `maxFrames`.

@@ -46,11 +46,36 @@ object MultimodalQueries {
       |  least(octet_length(encode(text)), 256)::BIGINT AS sampled_bytes
       |FROM documents""".stripMargin
 
+  // ------------------------------------------- q64 binary feature extraction
+  /** Byte-histogram features over the payload (Multimodal.extractFeatures —
+    * the model-forward-pass plumbing with a real computed feature). Oracle:
+    * the fixture text is pure ASCII (octet_length == length holds for every
+    * row), so DuckDB reproduces byte values via codepoints.
+    */
+  val q64_multimodal_features: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.extractFeatures(docs, "doc_id", "payload")
+  }
+
+  val q64_oracle: String = {
+    val bins = (0 until 16).map { b =>
+      s"""len(list_filter(bs, x -> (x * 16) // 256 = $b))::DOUBLE / greatest(1, len(bs))"""
+    }.mkString("[", ",\n      |   ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS bs
+       |  FROM documents)
+       |SELECT doc_id, $bins AS features FROM b""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q45_multimodal_decode" -> q45_multimodal_decode,
-    "q46_multimodal_frames" -> q46_multimodal_frames)
+    "q46_multimodal_frames" -> q46_multimodal_frames,
+    "q64_multimodal_features" -> q64_multimodal_features)
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_decode" -> q45_oracle,
-    "q46_multimodal_frames" -> q46_oracle)
+    "q46_multimodal_frames" -> q46_oracle,
+    "q64_multimodal_features" -> q64_oracle)
 }
