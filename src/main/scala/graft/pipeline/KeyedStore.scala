@@ -43,16 +43,27 @@ object KeyedStore {
       if (changes.nonEmpty) ms.addData(changes.toIndexedSeq)
     }
 
-  /** Jet `Sources.mapJournal` (Sources.java:381, StreamEventJournalP): an
-    * unbounded stream of this store's changes. Call BEFORE writing to capture
-    * from now on (START_FROM_CURRENT semantics). Returns a streaming
-    * DataFrame of (op, version, key, value) with JSON-encoded key/row.
+  /** Jet `Sources.mapJournal` (Sources.java:381, StreamEventJournalP) with
+    * `JournalInitialPosition` semantics (pipeline/JournalInitialPosition.java):
+    * an unbounded stream of this store's changes as (op, version, key, value)
+    * rows with JSON-encoded key/row. START_FROM_CURRENT (default) emits only
+    * changes after subscription; `startFromOldest` first emits one SYNC record
+    * per existing entry — Jet's initial-snapshot replay.
     */
-  def journal(spark: SparkSession, name: String): DataFrame = {
+  def journal(spark: SparkSession, name: String,
+              startFromOldest: Boolean = false): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ms = journalStreams.computeIfAbsent(name, _ =>
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change])
+    if (startFromOldest && tables.containsKey(name)) {
+      import org.apache.spark.sql.functions.{col, struct, to_json}
+      val cur = get(spark, name)
+      val v = versions.incrementAndGet()
+      val sync = cur.select(to_json(struct(cur.columns.map(col): _*)).as("r")).collect()
+        .map(r => Change("SYNC", v, r.getString(0), r.getString(0)))
+      if (sync.nonEmpty) ms.addData(sync.toIndexedSeq)
+    }
     ms.toDF()
   }
 

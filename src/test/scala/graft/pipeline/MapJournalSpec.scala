@@ -29,4 +29,18 @@ class MapJournalSpec extends SparkSpec {
     job.cancel()
     KeyedStore.drop("jrnl_store")
   }
+
+  test("START_FROM_OLDEST replays current entries as SYNC before new changes") {
+    KeyedStore.drop("jrnl_old")
+    KeyedStore.put("jrnl_old", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val journal = KeyedStore.journal(spark, "jrnl_old", startFromOldest = true)
+    val job = StreamSinks.memory("jrnl_old_test", "append")
+      .start(journal.select($"op", get_json_object($"value", "$.k").as("k")))
+    job.processAllAvailable()
+    val syncs = spark.table("jrnl_old_test").filter($"op" === "SYNC")
+      .select("k").collect().map(_.getString(0)).sorted
+    assert(syncs.toSeq === Seq("1", "2"))
+    job.cancel()
+    KeyedStore.drop("jrnl_old")
+  }
 }
