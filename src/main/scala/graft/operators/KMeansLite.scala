@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over fixed-width double vectors — the learned coarse
+  * quantizer for the IVF search path (q44 uses label cells; this trains real
+  * cells). Deliberately "lite" and fully deterministic so it can be
+  * differentially tested against another engine:
+  *
+  *  - init: the k vectors with the smallest ids (no RNG);
+  *  - fixed iteration count (no convergence-threshold float compares);
+  *  - centroids rounded to 8 decimals after every recompute — cross-row avg
+  *    order differences (1-ulp) would otherwise drift the next assignment.
+  *
+  * Execution shape: centroids live on the driver (k·dims doubles — same
+  * approach as Spark MLlib KMeans) and enter the plan as literals, so each
+  * iteration is ONE distributed pass: a codegen'd argmin projection + one
+  * hash-agg shuffle for the per-dim means. Dataset size never hits the driver.
+  */
+object KMeansLite {
+
+  /** @return (assignments DataFrame (idCol, cluster), final centroids) */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, dims: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    var centroids: Array[Array[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+
+    def assignExpr = {
+      // argmin over k (distance, cid) structs; struct ordering = (d, cid) asc
+      val scored = (0 until centroids.length).map { c =>
+        val d = (0 until dims).map { i =>
+          val x = element_at(col(vecCol), i + 1).cast("double") - lit(centroids(c)(i))
+          x * x
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(c).as("cid"))
+      }
+      array_min(array(scored: _*)).getField("cid")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("__c", assignExpr)
+      val means = assigned
+        .select(col("__c"), posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("__i", "__x")))
+        .groupBy(col("__c"), col("__i")).agg(round(avg(col("__x")), 8).as("__m"))
+        .groupBy(col("__c"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          e => e("__m")).as("__cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    (vecs.withColumn("cluster", assignExpr).select(col(idCol), col("cluster")), centroids)
+  }
+}

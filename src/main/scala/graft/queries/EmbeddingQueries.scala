@@ -251,6 +251,60 @@ object EmbeddingQueries {
       |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm, max(n) AS n_vectors
       |FROM means GROUP BY label""".stripMargin
 
+  // ------------------------------------------------- q65 k-means IVF cells
+  /** Learned IVF cells: deterministic k-means (graft.operators.KMeansLite,
+    * k=8, 2 iterations, id-ordered init, centroids rounded per recompute) over
+    * the embeddings; output = cluster sizes + final centroid norms. The oracle
+    * replays the ENTIRE training — both fixed iterations unrolled as SQL
+    * layers — so the differential check covers the learning loop itself, not
+    * just a final projection.
+    */
+  val q65_kmeans_ivf: Q = (s, dir) => {
+    import s.implicits._
+    val vecs = t(s, dir, "embeddings").select($"vec_id", S.toDouble($"embedding").as("ve"))
+    val (assigned, cents) = graft.operators.KMeansLite.fit(
+      vecs, "vec_id", "ve", k = 8, dims = dims, iters = 2)
+    val norms = cents.zipWithIndex.map { case (cv, c) =>
+      // same sequential sum order as the oracle's list_sum -> bit-identical
+      val norm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      (c, BigDecimal(norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("cluster", "centroid_norm")
+    assigned.groupBy($"cluster").agg(count(lit(1)).as("n_vectors"))
+      .join(norms, Seq("cluster"), "right")
+      .select($"cluster", coalesce($"n_vectors", lit(0L)).as("n_vectors"), $"centroid_norm")
+  }
+
+  val q65_oracle: String = {
+    val k = 8
+    def distSql(ve: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
+    def assignLayer(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, ve, cid FROM (
+         |  SELECT v.vec_id, v.ve, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${distSql("v.ve", "c.cv")}, c.cid) AS rn
+         |  FROM v CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def centroidLayer(c: String, a: String, prev: String) =
+      s"""${c}m AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |  SELECT cid, i, round(avg(ve[i]), 8) AS m
+         |  FROM $a, range(1, ${dims + 1}) t(i) GROUP BY cid, i) GROUP BY cid),
+         |$c AS (SELECT cid, cv FROM ${c}m
+         |  UNION ALL SELECT cid, cv FROM $prev
+         |  WHERE cid NOT IN (SELECT cid FROM ${c}m))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS cv
+       |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
+       |${assignLayer("a1", "c0")},
+       |${centroidLayer("c1", "a1", "c0")},
+       |${assignLayer("a2", "c1")},
+       |${centroidLayer("c2", "a2", "c1")},
+       |${assignLayer("a3", "c2")}
+       |SELECT c2.cid AS cluster,
+       |  (SELECT count(*) FROM a3 WHERE a3.cid = c2.cid) AS n_vectors,
+       |  round(sqrt(list_sum(list_transform(c2.cv, x -> x*x))), 6) AS centroid_norm
+       |FROM c2""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q39_dedup_embedding" -> q39_dedup_embedding,
@@ -258,7 +312,8 @@ object EmbeddingQueries {
     "q41_lsh_buckets" -> q41_lsh_buckets,
     "q42_ann_lsh_topk" -> q42_ann_lsh_topk,
     "q43_centroids" -> q43_centroids,
-    "q44_ann_ivf_topk" -> q44_ann_ivf_topk)
+    "q44_ann_ivf_topk" -> q44_ann_ivf_topk,
+    "q65_kmeans_ivf" -> q65_kmeans_ivf)
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_embedding" -> q39_oracle,
@@ -266,5 +321,6 @@ object EmbeddingQueries {
     "q41_lsh_buckets" -> q41_oracle,
     "q42_ann_lsh_topk" -> q42_oracle,
     "q43_centroids" -> q43_oracle,
-    "q44_ann_ivf_topk" -> q44_oracle)
+    "q44_ann_ivf_topk" -> q44_oracle,
+    "q65_kmeans_ivf" -> q65_oracle)
 }
