@@ -11,7 +11,7 @@ object DotBench {
     val spark = GraftSession.local("32", "dotbench")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = Seq("q40_cosine_topk", "q42_ann_lsh_topk", "q44_ann_ivf_topk",
-      "q39_dedup_embedding", "q36_dedup_minhash_lsh", "q37_dedup_simhash", "q38_ngram_jaccard")
+      "q39_dedup_embedding", "q36_dedup_minhash_lsh", "q37_dedup_simhash", "q65_kmeans_ivf")
     names.foreach(n => SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())
     names.foreach { n =>
       val times = (1 to 3).map { _ =>

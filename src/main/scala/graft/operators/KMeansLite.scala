@@ -31,12 +31,21 @@ object KMeansLite {
       }.toArray)
 
     def assignExpr = {
-      // argmin over k (distance, cid) structs; struct ordering = (d, cid) asc
+      // argmin over k (distance, cid) structs; struct ordering = (d, cid) asc.
+      // Distance as a higher-order fold over the literal centroid array — the
+      // k·dims unrolled expression tree blows past codegen/JIT method limits
+      // (same lesson as SimilarityFunctions.withNormalized).
       val scored = (0 until centroids.length).map { c =>
-        val d = (0 until dims).map { i =>
-          val x = element_at(col(vecCol), i + 1).cast("double") - lit(centroids(c)(i))
-          x * x
-        }.reduce(_ + _)
+        val cv = array(centroids(c).map(lit): _*)
+        val d =
+          if (sys.env.contains("GRAFT_KMEANS_UNROLL"))
+            (0 until dims).map { i =>
+              val x = element_at(col(vecCol), i + 1).cast("double") - lit(centroids(c)(i))
+              x * x
+            }.reduce(_ + _)
+          else
+            aggregate(zip_with(col(vecCol), cv, (x, cc) => (x - cc) * (x - cc)),
+              lit(0.0), (acc, v) => acc + v)
         struct(d.as("d"), lit(c).as("cid"))
       }
       array_min(array(scored: _*)).getField("cid")
