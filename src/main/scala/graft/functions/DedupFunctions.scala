@@ -137,16 +137,18 @@ object DedupFunctions {
         val t0 = System.nanoTime()
         val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id2")).agg(min("label").as("nbr"))
+        // carry the previous label IN-PLAN so change detection needs no extra
+        // join: the round's only action is the count below, which materializes
+        // the lazy localCheckpoint and scans it once
         val updated = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         val l2 = updated.select(col("id").as("pid"), col("label").as("plabel"))
         val jumped = updated.join(l2, updated("label") === l2("pid"), "left")
-          .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
-          .localCheckpoint(true)
-        val changes = jumped
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = jumped
+          .select(col("id"), col("__old"), coalesce(col("plabel"), col("label")).as("label"))
+          .localCheckpoint(false)
+        val changes = jumped.filter(col("label") =!= col("__old")).count()
+        labels = jumped.select(col("id"), col("label"))
         converged = changes == 0
         it += 1
         if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(

@@ -53,9 +53,14 @@ object SimilarityFunctions {
     * SLOWER than the compact higher-order forms — the generated methods blow
     * past JIT/codegen size limits. Keep the folds.)
     */
-  def withNormalized(df: DataFrame, vecCol: String, outCol: String, dims: Int): DataFrame =
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("__nrm", norm(toDouble(col(vecCol))))
-      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+      // zero-norm guard: an all-zero vector would divide 0/0 → NaN elements,
+      // and NaN ranks above every double in Spark but not DuckDB. Emit zeros:
+      // dot products against it score 0, which is the right "no similarity".
+      .withColumn(outCol, when(col("__nrm") > 0,
+        transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+        .otherwise(transform(col(vecCol), x => lit(0.0))))
       .drop("__nrm")
 
   /** Deterministic ±1 pseudo-hyperplane sign for (plane j, dim k): parity of the
@@ -87,14 +92,13 @@ object SimilarityFunctions {
     * per-pair work is a single codegen'd dot product.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int,
-                     dims: Int = 64): DataFrame = {
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(
       withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qraw")),
-        "__qraw", "qv", dims).drop("__qraw"))
+        "__qraw", "qv").drop("__qraw"))
     val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__craw")),
-      "__craw", "cv", dims).drop("__craw")
+      "__craw", "cv").drop("__craw")
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), dotAuto(col("qv"), col("cv")).as("cosine"))

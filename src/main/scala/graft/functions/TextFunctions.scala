@@ -32,12 +32,18 @@ object TextFunctions {
     size(filter(split(lower(text), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
       t => trim(t) =!= ""))
 
-  /** Word k-grams ("shingles") of the token sequence, joined by single spaces. */
+  /** Word k-grams ("shingles") of the token sequence, joined by single spaces.
+    * Documents with fewer than k tokens yield an empty array — the guard matters:
+    * `sequence(0, size-k)` with size < k would build a descending sequence and
+    * index past the array.
+    */
   def shingles(text: Column, k: Int): Column = {
     val ts = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ts) - k, lit(-1))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+    when(size(ts) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Per-token 32-bit md5 hash (long). Materialize as its own column — the
@@ -53,9 +59,11 @@ object TextFunctions {
     * deterministic and engine-identical, so differential checks stay exact.
     */
   def shingleHashesFrom(th: Column, k: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(th) - k, lit(-1))),
-      i => element_at(th, i + 1) * 4099L + element_at(th, i + 2) * 31L + element_at(th, i + 3)))
+    when(size(th) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(th) - k),
+        i => element_at(th, i + 1) * 4099L + element_at(th, i + 2) * 31L + element_at(th, i + 3))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -64,8 +72,14 @@ object TextFunctions {
   /** Quality score in [0,1]: penalizes extreme lengths, high punctuation density
     * and low stopword density (Gopher/C4-style heuristics, public recipe).
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val ts = tokens(text)
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFrom(tokens(text), text, stopwords)
+
+  /** `qualityScore` over a PRECOMPUTED tokens column — use when the caller
+    * already materialized `tokens(text)` for other derivations (fingerprint,
+    * shingles): tokenizing is the expensive part, one regex split per row.
+    */
+  def qualityScoreFrom(ts: Column, text: Column, stopwords: Seq[String]): Column = {
     val nTok = size(ts).cast("double")
     val stopHits = size(filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double")
     val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
@@ -125,5 +139,9 @@ object TextFunctions {
     * text — whitespace/punctuation-insensitive exact dedup key.
     */
   def exactFingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(text)))
+    exactFingerprintFrom(tokens(text))
+
+  /** `exactFingerprint` over a precomputed tokens column. */
+  def exactFingerprintFrom(ts: Column): Column =
+    md5(concat_ws(" ", ts))
 }

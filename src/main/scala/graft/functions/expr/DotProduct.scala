@@ -20,10 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Summation order is left-to-right like the fold, so results are
   * bit-identical to `SimilarityFunctions.dot` (and to the DuckDB oracle's
   * `list_sum(list_transform(...))`). Null elements are not expected
-  * (embedding vectors); null arrays propagate null via `nullSafeEval`.
+  * (embedding vectors); null arrays propagate null via `nullSafeEval`, and
+  * length-mismatched arrays return NULL — the same answer the
+  * `aggregate(zip_with(...))` fold gives (zip_with pads with nulls), so the
+  * two forms never silently diverge.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // mismatched lengths yield null even over non-null inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -38,11 +44,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -51,12 +60,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

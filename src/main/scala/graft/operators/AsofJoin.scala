@@ -28,27 +28,32 @@ object AsofJoin {
     require(how == "inner" || how == "left", s"asof join: inner|left, got $how")
     val leftCols = left.columns.toSeq
     // tag: right rows sort BEFORE left rows at equal timestamps, so an exact
-    // timestamp match counts as "at or before"
-    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    val lAligned = rightVals.foldLeft(l)((d, v) => d.withColumn(s"__r_$v", lit(null)))
-    val r = right
-      .select((col(key) +: col(rightTs).as("__ts") +:
-        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+    // timestamp match counts as "at or before".
+    // All right values ride in ONE struct carried by ONE last(ignoreNulls)
+    // window: per-column carries could stitch values from DIFFERENT right rows
+    // when a carried column is legitimately NULL, and a NULL head value would
+    // misclassify a matched row as unmatched. The struct itself is never null
+    // for a real right row, so one carry is both correct and cheaper.
+    val r0 = right
+      .select(col(key), col(rightTs).as("__ts"),
+        struct(rightVals.map(v => col(v).as(v)): _*).as("__r"))
       .withColumn("__side", lit(0))
-    val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((d, c) =>
+    val rStructType = r0.schema("__r").dataType
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(r0)((d, c) =>
       d.withColumn(c, lit(null)))
 
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned)((d, v) =>
-      d.withColumn(s"__m_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
     val matchedOnly =
-      if (how == "inner") carried.filter(col(s"__m_${rightVals.head}").isNotNull)
+      if (how == "inner") carried.filter(col("__m").isNotNull)
       else carried
     matchedOnly.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(v => col(s"__m_$v").as(v)): _*)
+      .select(leftCols.map(col) ++ rightVals.map(v => col("__m").getField(v).as(v)): _*)
   }
 
   /** Range join: all (left, right) pairs with `|leftTs - rightTs| <= tolerance`

@@ -32,6 +32,11 @@ object KeyedStore {
   private val journalStreams = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]]()
 
+  // key columns last used to upsert each store, so SYNC records can emit the
+  // SAME key shape as later UPSERT/DELETE records (the journal contract: state
+  // keyed off `key` must be consistent for one entry across record types)
+  private val storeKeys = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def recordChanges(name: String, df: DataFrame, keyCols: Seq[String], op: String): Unit =
     Option(journalStreams.get(name)).foreach { ms =>
       import org.apache.spark.sql.functions.{col, struct, to_json}
@@ -60,8 +65,11 @@ object KeyedStore {
       import org.apache.spark.sql.functions.{col, struct, to_json}
       val cur = get(spark, name)
       val v = versions.incrementAndGet()
-      val sync = cur.select(to_json(struct(cur.columns.map(col): _*)).as("r")).collect()
-        .map(r => Change("SYNC", v, r.getString(0), r.getString(0)))
+      val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
+      val sync = cur.select(
+        to_json(struct(keyCols.map(col): _*)).as("k"),
+        to_json(struct(cur.columns.map(col): _*)).as("r")).collect()
+        .map(r => Change("SYNC", v, r.getString(0), r.getString(1)))
       if (sync.nonEmpty) ms.addData(sync.toIndexedSeq)
     }
     ms.toDF()
@@ -90,6 +98,7 @@ object KeyedStore {
     */
   def upsert(name: String, df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs key columns")
+    storeKeys.put(name, keyCols)
     val incoming = df.withColumn(versionCol, lit(versions.incrementAndGet()))
     val merged = Option(tables.get(name)) match {
       case None => incoming
@@ -134,7 +143,10 @@ object KeyedStore {
     snap.createOrReplaceTempView(name)
   }
 
-  def drop(name: String): Unit = Option(tables.remove(name)).foreach(_.unpersist())
+  def drop(name: String): Unit = {
+    storeKeys.remove(name)
+    Option(tables.remove(name)).foreach(_.unpersist())
+  }
 
   def clear(): Unit = { names.foreach(drop); () }
 }

@@ -80,11 +80,28 @@ object TypedAggs {
     */
   final class KmvDistinct(k: Int) extends Aggregator[Double, Seq[Double], Double] {
     def zero: Seq[Double] = Vector.empty
-    def reduce(buf: Seq[Double], h: Double): Seq[Double] =
-      if (buf.contains(h)) buf
-      else if (buf.size < k) (buf :+ h).sorted
-      else if (h < buf.last) (buf.init :+ h).sorted
-      else buf
+    // The buffer is kept SORTED ascending. Once it's full, a row whose hash is
+    // ≥ the current kth-min is rejected in O(1) — the overwhelmingly common
+    // case at high cardinality (acceptance probability k/n). Accepted values
+    // binary-search their slot; no full re-sort per row (the old
+    // `.contains` + `.sorted` form was O(k log k) on EVERY row).
+    def reduce(buf: Seq[Double], h: Double): Seq[Double] = {
+      val full = buf.size >= k
+      if (full && h >= buf.last) buf
+      else {
+        var lo = 0
+        var hi = buf.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid) < h) lo = mid + 1 else hi = mid
+        }
+        if (lo < buf.size && buf(lo) == h) buf // duplicate hash: no-op
+        else {
+          val inserted = (buf.take(lo) :+ h) ++ buf.drop(lo)
+          if (full) inserted.init else inserted
+        }
+      }
+    }
     def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
       (a ++ b).distinct.sorted.take(k)
     def finish(buf: Seq[Double]): Double =

@@ -90,7 +90,7 @@ object EmbeddingQueries {
     val emb = S.withNormalized(
       t(s, dir, "embeddings")
         .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims)),
-      "embedding", "nv", dims)
+      "embedding", "nv")
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
     val cands = emb.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"bucket")
@@ -136,7 +136,7 @@ object EmbeddingQueries {
     val emb = S.withNormalized(
       t(s, dir, "embeddings")
         .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims)),
-      "embedding", "nv", dims)
+      "embedding", "nv")
     val a = emb.select($"bucket", $"vec_id".as("vec_a"), $"nv".as("va"))
     val b = emb.select($"bucket", $"vec_id".as("vec_b"), $"nv".as("vb"))
     a.join(b, Seq("bucket"))
@@ -179,7 +179,7 @@ object EmbeddingQueries {
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
     val queries = S.withNormalized(
       emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding"),
-      "embedding", "qv", dims).drop("embedding")
+      "embedding", "qv").drop("embedding")
     // probe: nearest centroid per query (centroids are tiny → broadcast);
     // qv is unit-length so cosine vs centroid = dot / centroid-norm
     val wProbe = Window.partitionBy($"query_id").orderBy($"cos_c".desc, $"label".asc)
@@ -191,7 +191,7 @@ object EmbeddingQueries {
     // exact rank within the probed cell only (both sides unit-length → dot)
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
-        "embedding", "cv", dims)
+        "embedding", "cv")
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)

@@ -141,7 +141,7 @@ object EventQueries {
   }
 
   val q24_oracle: String =
-    """SELECT event_type, sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+    """SELECT event_type, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
       |  max(json_extract_string(props, '$.k')::INT) AS max_k, count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

@@ -55,7 +55,11 @@ object MultimodalQueries {
   val q64_multimodal_features: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // gate harness cannot hash ARRAY columns — explode the 16-bin histogram
+    // to (doc_id, bin, bin_frac) rows
     Multimodal.extractFeatures(docs, "doc_id", "payload")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "bin_frac")))
+      .withColumn("bin", col("bin").cast("long"))
   }
 
   val q64_oracle: String = {
@@ -65,8 +69,10 @@ object MultimodalQueries {
     s"""WITH b AS (
        |  SELECT doc_id,
        |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS bs
-       |  FROM documents)
-       |SELECT doc_id, $bins AS features FROM b""".stripMargin
+       |  FROM documents),
+       |f AS (SELECT doc_id, $bins AS features FROM b)
+       |SELECT doc_id, unnest(range(16)) AS bin, unnest(features) AS bin_frac
+       |FROM f""".stripMargin
   }
 
   val entries: Map[String, Q] = Map(

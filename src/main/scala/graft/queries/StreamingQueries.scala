@@ -15,27 +15,28 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def eventTuples(s: SparkSession, dir: String): Seq[(Timestamp, Long, String, Double)] = {
+  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "events")
-      .select($"ts", $"user_id", $"event_type", $"value")
-      .as[(Timestamp, Long, String, Double)]
-      .collect().toSeq
+    Tables(s, dir, "events").select($"ts", $"user_id", $"event_type", $"value")
   }
 
   // -------------------------------------------- q50 streaming tumbling window
   /** Tumbling 1 h count+sum per event_type through a real streaming query
-    * (SlidingWindowP single-stage parity, SURVEY §2.7).
+    * (SlidingWindowP single-stage parity, SURVEY §2.7). File-stream source +
+    * UPDATE mode — no driver-side rows, no complete-mode re-emission of the
+    * whole result per micro-batch; the final snapshot keeps each key's last
+    * update (the row with the largest n — the count only ever grows).
     */
   val q50_stream_tumbling: Q = (s, dir) => {
     import s.implicits._
-    StreamRunner.replay(s, eventTuples(s, dir), "complete") { df =>
-      df.toDF("ts", "user_id", "event_type", "value")
-        .withWatermark("ts", "1 hour")
+    val raw = StreamRunner.replayFiles(s, eventsDf(s, dir), "ts", "update") { df =>
+      df.withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .select(unix_timestamp($"w.start").as("window_start"), $"event_type", $"n", $"sum_value")
     }
+    raw.groupBy($"window_start", $"event_type")
+      .agg(max($"n").as("n"), max_by($"sum_value", $"n").as("sum_value"))
   }
 
   val q50_oracle: String =
@@ -49,14 +50,24 @@ object StreamingQueries {
     */
   val q51_stream_session: Q = (s, dir) => {
     import s.implicits._
-    StreamRunner.replay(s, eventTuples(s, dir), "complete") { df =>
-      df.toDF("ts", "user_id", "event_type", "value")
-        .withWatermark("ts", "1 hour")
+    val events = eventsDf(s, dir)
+    // Session windows only support APPEND mode, which emits a session once the
+    // watermark passes its end. Two far-future sentinel chunks close out the
+    // tail: the first advances the watermark past every real session end
+    // (+3 h > 1 h delay + 30 min gap), the second triggers the batch in which
+    // the now-expired sessions actually flush to the sink.
+    val maxTs = events.agg(max($"ts")).first().getTimestamp(0)
+    def sentinel(offsetSec: Long): DataFrame =
+      Seq((new Timestamp(maxTs.getTime + offsetSec * 1000L), -1L, "__sentinel", 0.0))
+        .toDF("ts", "user_id", "event_type", "value")
+    StreamRunner.replayFiles(s, events, "ts", "append",
+      tails = Seq(sentinel(3 * 3600), sentinel(3 * 3600 + 60))) { df =>
+      df.withWatermark("ts", "1 hour")
         .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
         .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
         .select($"user_id", unix_micros($"w.start").as("session_start_us"),
           unix_micros($"w.end").as("session_end_us"), $"n_events", $"sum_value")
-    }
+    }.filter($"user_id" >= 0) // the sentinel rows' own (unflushed) sessions
   }
 
   /** Oracle: gaps-and-islands sessions; Spark's session end = last event + gap. */
@@ -87,10 +98,9 @@ object StreamingQueries {
     */
   val q52_stream_rolling_final: Q = (s, dir) => {
     import s.implicits._
-    val rolled = StreamRunner.replay(s, eventTuples(s, dir), "append") { df =>
+    val rolled = StreamRunner.replayFiles(s, eventsDf(s, dir), "ts", "append") { df =>
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      df.toDF("ts", "user_id", "event_type", "value")
-        .as[(Timestamp, Long, String, Double)]
+      df.as[(Timestamp, Long, String, Double)]
         .groupByKey(_._2)
         .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -291,10 +291,16 @@ object TextQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    // One-pass projection: tokenize ONCE (the regex split is the per-row cost),
+    // derive quality + fingerprint from the shared `ts` column, and drop `text`
+    // before the fingerprint window so neither shuffle carries the payload.
+    // (Two nested selects on purpose: CollapseProject keeps the non-cheap `ts`
+    // from being inlined three times.)
     t(s, dir, "documents")
-      .select($"doc_id", $"source", $"text",
-        T.qualityScore($"text", enStop).as("quality"),
-        T.exactFingerprint($"text").as("fp"),
+      .select($"doc_id", $"source", $"text", T.tokens($"text").as("ts"))
+      .select($"doc_id", $"source",
+        T.qualityScoreFrom($"ts", $"text", enStop).as("quality"),
+        T.exactFingerprintFrom($"ts").as("fp"),
         T.wsTokenCount($"text").as("n_tokens"))
       .filter($"quality" >= 0.5)
       .withColumn("rk", row_number().over(w))
@@ -325,7 +331,7 @@ object TextQueries {
        |kept AS (
        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
        |  FROM scored WHERE quality >= 0.5)
-       |SELECT source, count(*) AS n_docs_kept, sum(n_tokens) AS tokens_kept,
+       |SELECT source, count(*) AS n_docs_kept, sum(n_tokens)::BIGINT AS tokens_kept,
        |  round(avg(quality), 6) AS avg_quality
        |FROM kept WHERE rk = 1 GROUP BY source""".stripMargin
   }
@@ -348,7 +354,7 @@ object TextQueries {
   }
 
   val q49_oracle: String =
-    """SELECT source, count(*) AS n_sampled, sum(length(text)) AS chars_sampled
+    """SELECT source, count(*) AS n_sampled, sum(length(text))::BIGINT AS chars_sampled
       |FROM documents
       |WHERE ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
       |GROUP BY source""".stripMargin

@@ -77,4 +77,61 @@ object StreamRunner {
     } finally q.stop()
     spark.table(name)
   }
+
+  /** File-stream replay: runs a finite DataFrame through a real streaming query
+    * from a PARQUET FILE SOURCE — the production ingestion shape (vectorized
+    * scan → watermark → stateful op → sink) with ZERO driver-side rows, unlike
+    * `replay` which collects the fixture into a MemoryStream.
+    *
+    * The input is split into `chunks` time-range files (repartitionByRange on
+    * `tsCol`) and each micro-batch consumes exactly one chunk, in time order —
+    * guaranteed by stamping strictly ascending modification times, which is the
+    * order FileStreamSource processes files in (`latestFirst=false`). The
+    * watermark therefore only ever moves FORWARD BETWEEN batches and no genuine
+    * row is dropped as late, which is what makes a replayed stream
+    * bit-comparable to a batch oracle. At 100 TB this same shape is the real
+    * deployment: time-partitioned landing files, one trigger per partition.
+    */
+  /** @param tails extra single-batch chunks appended AFTER the input chunks,
+    *   in order — e.g. far-future sentinel rows that advance the watermark so
+    *   append-mode queries flush their final windows deterministically (the
+    *   flush happens in the batch that FOLLOWS the watermark-advancing one,
+    *   which is why a flush needs two sentinel chunks, not one).
+    */
+  def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
+                  outputMode: String, chunks: Int = 3,
+                  tails: Seq[DataFrame] = Nil)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val name = s"graft_freplay_${counter.incrementAndGet()}"
+    val work = java.nio.file.Files.createTempDirectory("graft_freplay_").toString
+    val inDir = s"$work/in"
+    input.repartitionByRange(chunks, col(tsCol))
+      .withColumn("__chunk", spark_partition_id())
+      .write.partitionBy("__chunk").parquet(inDir)
+    tails.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$inDir/__chunk=${chunks + i}")
+    }
+    // chunk i's files get modtime base + i minutes → trigger k reads chunk k
+    val base = System.currentTimeMillis() - 6L * 3600 * 1000
+    new java.io.File(inDir).listFiles().filter(_.getName.startsWith("__chunk=")).foreach { d =>
+      val i = d.getName.stripPrefix("__chunk=").toInt
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => { f.setLastModified(base + i * 60000L); () })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      input.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__chunk", org.apache.spark.sql.types.IntegerType))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try transform(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir).drop("__chunk"))
+        .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
