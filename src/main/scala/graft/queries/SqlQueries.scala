@@ -73,14 +73,51 @@ object SqlQueries {
     """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  // --------------------------- q66 CREATE MAPPING with declared column list
+  /** Jet's full mapping DDL (SqlCreateMapping.java:46-77): an explicit column
+    * list with types and per-column EXTERNAL NAME renames. The declared list
+    * IS the scan schema — the parquet ReadSchema is pruned to exactly these
+    * columns (no inference pass), and the catalog surface is queryable through
+    * information_schema.columns (infoschema/MappingColumnsTable.java).
+    */
+  val q66_sql_mapping_schema: Q = (s, dir) => {
+    val sql = GraftSql(s)
+    sql.execute(
+      s"""CREATE OR REPLACE MAPPING lineitem_cols EXTERNAL NAME '$dir/lineitem.parquet' (
+         |  okey BIGINT EXTERNAL NAME 'l_orderkey',
+         |  qty DOUBLE EXTERNAL NAME 'l_quantity',
+         |  flag VARCHAR EXTERNAL NAME 'l_returnflag',
+         |  tax_pct DECIMAL(12,4) EXTERNAL NAME 'l_tax'
+         |) TYPE parquet""".stripMargin)
+    val agg = sql.execute(
+      """SELECT flag, count(*) AS n, round(sum(qty), 4) AS sum_qty,
+        |  round(sum(CAST(tax_pct AS DOUBLE)), 4) AS sum_tax,
+        |  count(DISTINCT okey) AS n_orders
+        |FROM lineitem_cols GROUP BY flag""".stripMargin)
+    val catalog = sql.execute(
+      """SELECT mapping_name, column_name, data_type, external_name, ordinal
+        |FROM information_schema.columns WHERE mapping_name = 'lineitem_cols'""".stripMargin)
+    // one result: the aggregate joined with the catalog's column count
+    agg.crossJoin(catalog.groupBy().count().withColumnRenamed("count", "n_mapped_cols"))
+  }
+
+  val q66_oracle: String =
+    """SELECT l_returnflag AS flag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(round(l_tax, 4)::DOUBLE), 4) AS sum_tax,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  4::BIGINT AS n_mapped_cols
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
     "q61_generate_series" -> q61_generate_series,
-    "q62_sql_sink_into" -> q62_sql_sink_into)
+    "q62_sql_sink_into" -> q62_sql_sink_into,
+    "q66_sql_mapping_schema" -> q66_sql_mapping_schema)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
     "q61_generate_series" -> q61_oracle,
-    "q62_sql_sink_into" -> q62_oracle)
+    "q62_sql_sink_into" -> q62_oracle,
+    "q66_sql_mapping_schema" -> q66_oracle)
 }

@@ -23,8 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftSql(spark: SparkSession) {
 
+  // Jet DDL (SqlCreateMapping.java:46-77): CREATE MAPPING name
+  //   [EXTERNAL NAME 'path'] [(col TYPE [EXTERNAL NAME 'ext'], ...)]
+  //   TYPE fmt [OPTIONS('k'='v',...)]
   private val createMapping =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(EXTERNAL\s+)?MAPPING\s+(\w+)\s*(?:EXTERNAL\s+NAME\s+'([^']+)')?\s*TYPE\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(EXTERNAL\s+)?MAPPING\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:EXTERNAL\s+NAME\s+'([^']+)')?\s*(?:\((.*?)\))?\s*TYPE\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*""".r
+  private val showColumns = """(?is)\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\w+)\s*""".r
   private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val showMappings = """(?is)\s*SHOW\s+MAPPINGS\s*""".r
   private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
@@ -47,26 +51,72 @@ final class GraftSql(spark: SparkSession) {
     */
   def execute(statement: String): DataFrame = statement match {
 
-    case createMapping(_, _, name, extName, tpe, opts) =>
+    case createMapping(_, _, name, extName, colList, tpe, opts) =>
       val options = parseOptions(Option(opts).getOrElse(""))
-      val path = Option(extName).orElse(options.get("path")).getOrElse(
-        throw new IllegalArgumentException(
-          s"mapping $name: need EXTERNAL NAME 'path' or OPTIONS('path'...)"))
-      val reader = spark.read.options(options - "path")
-      val df = tpe.toLowerCase match {
-        case "parquet" => reader.parquet(path)
-        case "csv" => reader.option("header",
-          options.getOrElse("header", "true")).option("inferSchema", "true").csv(path)
-        case "json" => reader.json(path)
-        case "text" | "lines" => reader.text(path)
-        case other => reader.format(other).load(path)
+      val cols = parseColumns(Option(colList).getOrElse(""))
+      val fmt = tpe.toLowerCase
+      val df = fmt match {
+        // IMap-style mapping over a KeyedStore table: keyFormat/valueFormat are
+        // accepted (Jet SqlConnector OPTION_KEY_FORMAT/OPTION_VALUE_FORMAT) —
+        // the store is columnar, so formats only validate, never deserialize
+        case "imap" | "map" =>
+          val store = Option(extName).getOrElse(name)
+          options.get("keyFormat").orElse(options.get("valueFormat")).foreach { f =>
+            require(Set("json-flat", "bigint", "varchar", "double", "boolean")(f),
+              s"mapping $name: unsupported key/value format '$f'")
+          }
+          applyColumns(KeyedStore.get(spark, store), cols, byName = true)
+        case _ =>
+          val path = Option(extName).orElse(options.get("path")).getOrElse(
+            throw new IllegalArgumentException(
+              s"mapping $name: need EXTERNAL NAME 'path' or OPTIONS('path'...)"))
+          val reader = spark.read.options(options - "path")
+          fmt match {
+            // a declared column list IS the scan schema: no inference pass
+            // (inference reads the data twice — a non-starter at scale) and
+            // the parquet ReadSchema is pruned to exactly the declared columns
+            case "csv" =>
+              val r = reader.option("header", options.getOrElse("header", "true"))
+              cols match {
+                case Nil => r.option("inferSchema", "true").csv(path)
+                case cs => applyColumns(
+                  r.schema(csvSchema(cs)).csv(path), cs, byName = false)
+              }
+            case "json" =>
+              cols match {
+                case Nil => reader.json(path)
+                case cs => applyColumns(reader.schema(jsonSchema(cs)).json(path),
+                  cs, byName = true)
+              }
+            case "parquet" => applyColumns(reader.parquet(path), cols, byName = true)
+            case "text" | "lines" => reader.text(path)
+            case other => applyColumns(reader.format(other).load(path), cols, byName = true)
+          }
       }
       df.createOrReplaceTempView(name)
+      GraftSql.mappingMeta.put(name, GraftSql.MappingMeta(
+        name, fmt, Option(extName), options,
+        if (cols.nonEmpty) cols else df.schema.fields.toSeq.map(f =>
+          GraftSql.MappingColumn(f.name, f.dataType.sql, None))))
+      refreshInfoSchema()
       status(s"mapping $name created")
 
     case dropMapping(name) =>
       spark.catalog.dropTempView(name)
+      GraftSql.mappingMeta.remove(name)
+      refreshInfoSchema()
       status(s"mapping $name dropped")
+
+    // Jet information_schema.columns (infoschema/MappingColumnsTable.java)
+    case showColumns(mapping) =>
+      import spark.implicits._
+      Option(GraftSql.mappingMeta.get(mapping)) match {
+        case Some(m) => m.columns.zipWithIndex.map { case (c, i) =>
+          (m.name, c.name, c.sqlType, c.external.getOrElse(c.name), i + 1)
+        }.toDF("mapping_name", "column_name", "data_type", "external_name", "ordinal")
+        case None => Seq.empty[(String, String, String, String, Int)]
+          .toDF("mapping_name", "column_name", "data_type", "external_name", "ordinal")
+      }
 
     case showMappings() =>
       import spark.implicits._
@@ -144,7 +194,87 @@ final class GraftSql(spark: SparkSession) {
       KeyedStore.append(store, spark.sql(select))
       status(s"inserted into $store")
 
-    case other => spark.sql(other)
+    case other =>
+      // Jet's information_schema.mappings / .columns catalog tables
+      // (infoschema/MappingsTable.java, MappingColumnsTable.java): rewrite to
+      // registry-backed temp views so arbitrary SELECTs work over them
+      val rewritten = other
+        .replaceAll("(?i)information_schema\\.mappings", "__info_mappings")
+        .replaceAll("(?i)information_schema\\.columns", "__info_columns")
+      if (rewritten != other) refreshInfoSchema()
+      spark.sql(rewritten)
+  }
+
+  /** Jet SQL type name → Spark type (SqlColumnType ↔ Catalyst). */
+  private def toSparkType(sqlType: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    sqlType.trim.toUpperCase match {
+      case "VARCHAR" | "CHAR" | "OBJECT" | "JSON" | "TIME" => StringType
+      case "REAL" => FloatType
+      case t if t.startsWith("TIMESTAMP") => TimestampType
+      case _ => DataType.fromDDL(sqlType)
+    }
+  }
+
+  /** Paren-aware split of `a DECIMAL(10,2), b INT` on top-level commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val columnDef =
+    """(?is)\s*(\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+WITH\s+TIME\s+ZONE)?)\s*(?:EXTERNAL\s+NAME\s+'([^']+)')?\s*""".r
+
+  private def parseColumns(s: String): Seq[GraftSql.MappingColumn] =
+    splitTopLevel(s).map {
+      case columnDef(name, tpe, ext) =>
+        GraftSql.MappingColumn(name, tpe.trim, Option(ext))
+      case bad => throw new IllegalArgumentException(s"bad mapping column: '$bad'")
+    }
+
+  /** csv reads positionally: the declared list IS the scan schema. */
+  private def csvSchema(cols: Seq[GraftSql.MappingColumn]) =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, toSparkType(c.sqlType))))
+
+  /** json reads by field name: schema uses the EXTERNAL names, rename after. */
+  private def jsonSchema(cols: Seq[GraftSql.MappingColumn]) =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.external.getOrElse(c.name), toSparkType(c.sqlType))))
+
+  /** Project/rename/cast a source frame to the declared column list. The
+    * projection is what makes a column-listed mapping cheap at scale: Catalyst
+    * prunes the scan's ReadSchema to exactly these columns.
+    */
+  private def applyColumns(df: DataFrame, cols: Seq[GraftSql.MappingColumn],
+                           byName: Boolean): DataFrame =
+    if (cols.isEmpty) df
+    else if (!byName) df.select(cols.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
+    else df.select(cols.map(c => org.apache.spark.sql.functions
+      .col(c.external.getOrElse(c.name)).cast(toSparkType(c.sqlType)).as(c.name)): _*)
+
+  /** Rebuild the information_schema-backing views from the mapping registry. */
+  private def refreshInfoSchema(): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val metas = GraftSql.mappingMeta.values.asScala.toSeq.sortBy(_.name)
+    metas.map(m => (m.name, m.fmt, m.external.getOrElse("")))
+      .toDF("mapping_name", "type", "external_name")
+      .createOrReplaceTempView("__info_mappings")
+    metas.flatMap(m => m.columns.zipWithIndex.map { case (c, i) =>
+      (m.name, c.name, c.sqlType, c.external.getOrElse(c.name), i + 1)
+    }).toDF("mapping_name", "column_name", "data_type", "external_name", "ordinal")
+      .createOrReplaceTempView("__info_columns")
   }
 
   private def newCheckpoint(name: String): String =
@@ -199,4 +329,13 @@ object GraftSql {
   /** name → exported checkpoint directory (Jet JobStateSnapshot registry). */
   private[sql] val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One declared mapping column: `name TYPE [EXTERNAL NAME 'ext']`. */
+  final case class MappingColumn(name: String, sqlType: String, external: Option[String])
+
+  /** Mapping catalog entry backing SHOW COLUMNS + information_schema. */
+  final case class MappingMeta(name: String, fmt: String, external: Option[String],
+                               options: Map[String, String], columns: Seq[MappingColumn])
+  private[sql] val mappingMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, MappingMeta]()
 }
