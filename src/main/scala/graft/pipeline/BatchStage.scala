@@ -37,14 +37,19 @@ final class BatchStage[T](val ds: Dataset[T]) {
   /** Jet `apply` (BatchStage.java:607) = `Dataset.transform`. */
   def apply[U](f: BatchStage[T] => BatchStage[U]): BatchStage[U] = f(this)
 
-  /** Jet `peek` (GeneralStage.java:1210): passthrough observation. Uses
-    * `df.observe`-style sampling via a console print of a bounded sample —
-    * side-effect free on the plan.
+  /** Jet `peek` (GeneralStage.java:1210): passthrough observation DURING
+    * execution — each partition logs its first `n` rows when the stage
+    * actually runs; nothing executes at pipeline-construction time and the
+    * data flows through unchanged (Jet's PeekWrappedP semantics).
     */
-  def peek(n: Int = 5): BatchStage[T] = {
-    ds.limit(n).collect().foreach(r => println(s"[peek] $r"))
-    this
-  }
+  def peek(n: Int = 5): BatchStage[T] =
+    new BatchStage(ds.mapPartitions { it =>
+      var seen = 0
+      it.map { t =>
+        if (seen < n) { println(s"[peek] $t"); seen += 1 }
+        t
+      }
+    }(ds.encoder))
 
   /** Jet `customTransform` (GeneralStage.java:1282): raw partition-level access. */
   def customTransform[U: Encoder](f: Iterator[T] => Iterator[U]): BatchStage[U] =
@@ -60,6 +65,32 @@ final class BatchStage[T](val ds: Dataset[T]) {
     new BatchStage(ds.mapPartitions { it =>
       val svc = factory.create()
       val out = it.map(t => f(svc, t))
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): U = out.next()
+      }
+    })
+
+  /** Jet `filterUsingService` (GeneralStage.java:255): keep rows the
+    * service-backed predicate accepts; same per-partition lifecycle as
+    * `mapUsingService`.
+    */
+  def filterUsingService[S](factory: ServiceFactory[S])(p: (S, T) => Boolean): BatchStage[T] =
+    new BatchStage(ds.mapPartitions { it =>
+      val svc = factory.create()
+      val out = it.filter(t => p(svc, t))
+      new Iterator[T] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): T = out.next()
+      }
+    }(ds.encoder))
+
+  /** Jet `flatMapUsingService` (GeneralStage.java:279). */
+  def flatMapUsingService[S, U: Encoder](factory: ServiceFactory[S])(
+      f: (S, T) => IterableOnce[U]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      val svc = factory.create()
+      val out = it.flatMap(t => f(svc, t))
       new Iterator[U] {
         def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
         def next(): U = out.next()
@@ -83,9 +114,8 @@ final class BatchStage[T](val ds: Dataset[T]) {
   /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
     * AsyncTransformUsingServiceOrderedP): up to `maxConcurrent` in-flight
     * async calls per partition — the reference's bounded in-flight window —
-    * with results emitted in INPUT order (Future.sequence preserves it). The
-    * unordered variant would only differ by emitting on completion; same
-    * throughput bound, so it is not separately provided.
+    * with results emitted in INPUT order (Future.sequence preserves it).
+    * For completion-order emission see `mapUsingServiceAsyncUnordered`.
     */
   def mapUsingServiceAsync[S, U: Encoder](
       factory: ServiceFactory[S], maxConcurrent: Int = 4)(
@@ -101,6 +131,52 @@ final class BatchStage[T](val ds: Dataset[T]) {
       new Iterator[U] {
         def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
         def next(): U = out.next()
+      }
+    })
+
+  /** Jet `mapUsingServiceAsync` UNORDERED (GeneralStage.java:354-401,
+    * AsyncTransformUsingServiceUnorderedP): up to `maxConcurrent` in-flight
+    * calls per partition with results emitted in COMPLETION order — one slow
+    * call never holds back the results behind it, which is the
+    * throughput-relevant form for high-variance service latencies. A new call
+    * is issued the moment any in-flight call completes (true sliding window,
+    * not the ordered variant's batch barrier).
+    */
+  def mapUsingServiceAsyncUnordered[S, U: Encoder](
+      factory: ServiceFactory[S], maxConcurrent: Int = 4)(
+      f: (S, T) => scala.concurrent.Future[U]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val svc = factory.create()
+      val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, U]]()
+      var inFlight = 0
+      // a val, not a def: local defs lift to instance methods and would drag
+      // the (non-serializable) stage into the task closure
+      val refill: () => Unit = () => while (inFlight < maxConcurrent && it.hasNext) {
+        val t = it.next()
+        inFlight += 1
+        f(svc, t).onComplete {
+          case scala.util.Success(u) => done.put(Right(u))
+          case scala.util.Failure(e) => done.put(Left(e))
+        }
+      }
+      refill()
+      new Iterator[U] {
+        def hasNext: Boolean = {
+          val h = inFlight > 0
+          if (!h) factory.destroy(svc)
+          h
+        }
+        def next(): U = {
+          val r = done.take()
+          inFlight -= 1
+          refill()
+          r match {
+            case Right(u) => u
+            case Left(e) => factory.destroy(svc); throw e
+          }
+        }
       }
     })
 
@@ -199,6 +275,12 @@ final class BatchStage[T](val ds: Dataset[T]) {
 /** Jet `BatchStageWithKey` (pipeline/BatchStageWithKey.java): grouped stage. */
 final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
 
+  /** Output names of the grouping keys, schema-derived — correct for arbitrary
+    * key EXPRESSIONS, where `Column.toString` (e.g. "upper(k)") is a rendering,
+    * not a resolvable name. Analysis-only, no job runs.
+    */
+  private val keyNames: Seq[String] = df.select(keys: _*).schema.map(_.name)
+
   /** Keyed aggregate (BatchStageWithKey.aggregate): two-phase hash agg. */
   def aggregate(op: AggOp): BatchStage[Row] =
     new BatchStage(df.groupBy(keys: _*).agg(op.columns.head, op.columns.tail: _*))
@@ -206,12 +288,14 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
   /** Jet `aggregate2` (BatchStageWithKey.java:211): co-aggregate two keyed
     * inputs. Shape: aggregate each input independently (small per-key results),
     * then full-outer-join the compact aggregates — far cheaper than
-    * co-shuffling raw rows at scale.
+    * co-shuffling raw rows at scale. The right side's key columns are renamed
+    * to this stage's key names (Jet matches on key VALUE, not name), so two
+    * stages keyed by different expressions co-aggregate correctly.
     */
   def aggregate2(op1: AggOp, other: BatchStageWithKey, op2: AggOp): BatchStage[Row] = {
     val left = aggregate(op1).toDF
-    val right = other.aggregate(op2).toDF
-    val keyNames = keys.map(_.toString)
+    val rightRaw = other.aggregate(op2).toDF
+    val right = rightRaw.toDF(keyNames ++ rightRaw.columns.drop(keyNames.size): _*)
     new BatchStage(left.join(right, keyNames, "full_outer"))
   }
 
@@ -220,16 +304,27 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
     */
   def aggregate3(op1: AggOp, s2: BatchStageWithKey, op2: AggOp,
                  s3: BatchStageWithKey, op3: AggOp): BatchStage[Row] = {
-    val keyNames = keys.map(_.toString)
+    def aligned(s: BatchStageWithKey, op: AggOp): DataFrame = {
+      val raw = s.aggregate(op).toDF
+      raw.toDF(keyNames ++ raw.columns.drop(keyNames.size): _*)
+    }
     new BatchStage(
       aggregate(op1).toDF
-        .join(s2.aggregate(op2).toDF, keyNames, "full_outer")
-        .join(s3.aggregate(op3).toDF, keyNames, "full_outer"))
+        .join(aligned(s2, op2), keyNames, "full_outer")
+        .join(aligned(s3, op3), keyNames, "full_outer"))
   }
 
-  /** Jet keyed `distinct` (BatchStageWithKey.java:66). */
-  def distinct(): BatchStage[Row] =
-    new BatchStage(df.dropDuplicates(keys.map(_.toString)))
+  /** Jet keyed `distinct` (BatchStageWithKey.java:66): one arbitrary row per
+    * key VALUE — the key expressions are materialized as hidden columns for
+    * the dedup and dropped after (correct for expression keys, not just refs).
+    */
+  def distinct(): BatchStage[Row] = {
+    val hidden = keys.indices.map(i => s"__gk$i")
+    val withKeys = hidden.zip(keys).foldLeft(df) { case (acc, (n, k)) =>
+      acc.withColumn(n, k)
+    }
+    new BatchStage(withKeys.dropDuplicates(hidden).drop(hidden: _*))
+  }
 
   /** Skew-safe two-phase aggregation for ops WITHOUT map-side combine (exact
     * distinct, collect-based accumulators): rows are first aggregated on

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,70 @@ object KeyedStore {
     recordChanges(name, df, keyCols, "UPSERT")
   }
 
+  /** Expression-based MERGE upsert — the engine behind Jet's merge-fn sinks
+    * (`Sinks.mapWithMerging` Sinks.java:313, `mapWithUpdating` Sinks.java:451,
+    * `UpdateMapP.java`): on key conflict, each value column is combined by a
+    * caller-supplied expression over (old, incoming) instead of
+    * last-writer-wins. Shape: old FULL OUTER JOIN incoming on the keys, then a
+    * per-column conditional projection — a batch MERGE whose conflict logic is
+    * a Catalyst expression, so the whole resolution runs in codegen (the Spark
+    * analog of Jet's merge lambda, and the exact statement a Delta/Iceberg
+    * `MERGE WHEN MATCHED THEN UPDATE SET` swap would take at 100 TB).
+    *
+    * `mergeFn`: value column → (old, incoming) → merged. Columns without an
+    * entry take the incoming value on conflict (LWW).
+    * `updateAlways=false` (merging): merge fns fire only when BOTH sides exist.
+    * `true` (updating): fns fire for every incoming row; an absent old entry
+    * reads as NULL columns — Jet passes `null` oldValue to updateFn.
+    * `deleteWhen(old, incoming)`: matched rows where this predicate holds are
+    * removed — Jet's "updateFn returned null removes the entry".
+    */
+  def upsertMerging(name: String, df: DataFrame, keyCols: Seq[String],
+                    mergeFn: Map[String, (Column, Column) => Column],
+                    updateAlways: Boolean = false,
+                    deleteWhen: Option[(String => Column, String => Column) => Column] = None): Unit = {
+    require(keyCols.nonEmpty, "upsertMerging needs key columns")
+    storeKeys.put(name, keyCols)
+    val spark = df.sparkSession
+    val old = Option(tables.get(name))
+      .map(t => if (t.columns.contains(versionCol)) t.drop(versionCol) else t)
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), df.schema))
+    val o = old.withColumn("__op", lit(true)).alias("__o")
+    val n = df.withColumn("__np", lit(true)).alias("__n")
+    val oc = (c: String) => col(s"__o.$c")
+    val nc = (c: String) => col(s"__n.$c")
+    // null-safe key equality: NULL keys merge like any other key value
+    val joinCond = keyCols.map(k => oc(k) <=> nc(k)).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+    val kept = deleteWhen.fold(joined)(p =>
+      joined.filter(not(nc("__np").isNotNull && coalesce(p(oc, nc), lit(false)))))
+    val valueCols = df.columns.filterNot(c => keyCols.contains(c))
+    val keySel = keyCols.map(k => coalesce(nc(k), oc(k)).as(k))
+    val valSel = valueCols.map { c =>
+      val resolved = mergeFn.get(c) match {
+        case Some(f) if updateAlways =>
+          when(nc("__np").isNotNull, f(oc(c), nc(c))).otherwise(oc(c))
+        case Some(f) =>
+          when(oc("__op").isNotNull && nc("__np").isNotNull, f(oc(c), nc(c)))
+            .when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
+        case None =>
+          when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
+      }
+      resolved.as(c)
+    }
+    val merged = kept.select(keySel ++ valSel: _*)
+      .withColumn(versionCol, lit(versions.incrementAndGet()))
+    val snap = merged.cache()
+    snap.count()
+    Option(tables.put(name, snap)).foreach(_.unpersist())
+    snap.drop(versionCol).createOrReplaceTempView(name)
+    // journal sees the post-merge values of the touched keys
+    recordChanges(name,
+      snap.drop(versionCol).join(df.select(keyCols.map(col): _*).dropDuplicates(),
+        keyCols, "left_semi"),
+      keyCols, "UPSERT")
+  }
+
   /** Delete by key (CDC DELETE ops): anti-join against the key set. */
   def delete(name: String, keysDf: DataFrame, keyCols: Seq[String]): Unit = {
     Option(tables.get(name)).foreach { old =>
@@ -134,13 +198,16 @@ object KeyedStore {
     }
   }
 
-  /** IList-style append. */
+  /** IList-style append. Journaled (op APPEND) so `Sinks.reliableTopic` readers
+    * can subscribe to the list as a stream.
+    */
   def append(name: String, df: DataFrame): Unit = {
     val merged = Option(tables.get(name)).map(_.unionByName(df)).getOrElse(df)
     val snap = merged.cache()
     snap.count()
     tables.put(name, snap)
     snap.createOrReplaceTempView(name)
+    recordChanges(name, df, df.columns.toSeq, "APPEND")
   }
 
   def drop(name: String): Unit = {

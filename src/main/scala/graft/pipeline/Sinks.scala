@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Jet service-factory (reference: pipeline/ServiceFactory.java): a recipe for a
   * non-serializable per-task resource (connection, client, model handle).
@@ -52,9 +52,79 @@ object Sinks {
     def write(df: DataFrame): Unit = KeyedStore.upsert(name, df, keyCols)
   }
 
+  /** Jet `Sinks.mapWithMerging` (Sinks.java:313-421, UpdateMapP.java): upsert
+    * where key conflicts are resolved by per-column merge expressions over
+    * (oldValue, newValue) — e.g. `Map("n" -> (_ + _))` for additive counters —
+    * instead of replacement. Absent keys insert the incoming value unchanged.
+    */
+  def mapWithMerging(name: String, keyCols: Seq[String],
+                     merge: Map[String, (Column, Column) => Column]): Sink = new Sink {
+    def write(df: DataFrame): Unit = KeyedStore.upsertMerging(name, df, keyCols, merge)
+  }
+
+  /** Jet `Sinks.mapWithUpdating` (Sinks.java:451-591): each incoming item
+    * updates its entry via updateFn(oldValue, item) — here per-column
+    * expressions over (old, incoming), applied for EVERY incoming row; an
+    * absent entry reads as NULL old columns (Jet passes null oldValue).
+    * `deleteWhen(old, incoming)` emulates "updateFn returned null": matching
+    * entries are removed.
+    */
+  def mapWithUpdating(name: String, keyCols: Seq[String],
+                      update: Map[String, (Column, Column) => Column],
+                      deleteWhen: Option[(String => Column, String => Column) => Column] = None): Sink =
+    new Sink {
+      def write(df: DataFrame): Unit =
+        KeyedStore.upsertMerging(name, df, keyCols, update,
+          updateAlways = true, deleteWhen = deleteWhen)
+    }
+
+  /** Jet `Sinks.mapWithEntryProcessor` (Sinks.java:650-731): ship a
+    * read-modify-write processor to each incoming item's entry. The Spark-first
+    * analog ships a Catalyst expression instead of a serialized processor —
+    * same data-local read-modify-write, but codegen'd and planner-visible.
+    * Incoming rows carry the key (plus any columns the expressions read);
+    * absent entries are created (Jet EP `setValue` on a missing key inserts).
+    */
+  def mapWithEntryProcessor(name: String, keyCols: Seq[String],
+                            process: Map[String, (Column, Column) => Column],
+                            deleteWhen: Option[(String => Column, String => Column) => Column] = None): Sink =
+    mapWithUpdating(name, keyCols, process, deleteWhen)
+
   /** Jet `Sinks.list` (Sinks.java:754): append to a named list. */
   def list(name: String): Sink = new Sink {
     def write(df: DataFrame): Unit = KeyedStore.append(name, df)
+  }
+
+  /** Jet `Sinks.reliableTopic` (Sinks.java:1109): publish each row to a named
+    * topic. Backed by the KeyedStore list + its change journal, so a
+    * subscriber reads the topic as a stream (`KeyedStore.journal`).
+    */
+  def reliableTopic(name: String): Sink = new Sink {
+    def write(df: DataFrame): Unit = KeyedStore.append(name, df)
+  }
+
+  /** Jet `Sinks.socket` (Sinks.java:913-941, WriteBufferedP): write each row
+    * as one line to a TCP endpoint. One connection per task (the reference's
+    * per-processor buffered writer); a single-column row sends its value,
+    * multi-column rows send comma-joined fields (Jet's default `toStringFn`).
+    */
+  def socket(host: String, port: Int): Sink = new Sink {
+    def write(df: DataFrame): Unit = {
+      // copy to locals: the task closure must not capture this (non-serializable) Sink
+      val (h, p) = (host, port)
+      df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.Socket(h, p)
+          val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)))
+          try it.foreach { r =>
+            out.println(if (r.length == 1) String.valueOf(r.get(0))
+                        else r.toSeq.map(String.valueOf).mkString(","))
+          }
+          finally { out.flush(); out.close(); sock.close() }
+        }
+      }
+    }
   }
 
   /** Jet `Sinks.jdbc` (Sinks.java:1246). */

@@ -86,17 +86,35 @@ object Sources {
   }
 
   /** Jet `Sources.fileWatcher` (Sources.java:1073) → file-stream source: watch a
-    * directory, stream new files' lines.
+    * directory, stream new files' records. Streaming file sources require an
+    * explicit schema for every format except text (inference would have to
+    * re-read arriving files — Spark refuses); pass `schema`, or as a dev-only
+    * fallback the session-wide `spark.sql.streaming.schemaInference` flag is
+    * enabled and the schema is sampled from the files present at start.
     */
   def fileWatcher(dir: String, format: String = "text",
+                  schema: Option[org.apache.spark.sql.types.StructType] = None,
                   options: Map[String, String] = Map.empty): StreamSource =
     new StreamSource {
       def read(spark: SparkSession): DataFrame = {
         val r = spark.readStream.options(options).format(format)
-        // file sources need a schema for non-self-describing formats
-        if (format == "text") r.load(dir) else r.option("inferSchema", "true").load(dir)
+        (schema, format) match {
+          case (Some(s), _) => r.schema(s).load(dir)
+          case (None, "text") => r.load(dir)
+          case (None, _) =>
+            spark.conf.set("spark.sql.streaming.schemaInference", "true")
+            r.load(dir)
+        }
       }
     }
+
+  /** Jet `Sources.jsonWatcher` (Sources.java:1030-1115): streaming JSON-lines
+    * watcher with a declared schema (the reference derives it from the target
+    * class; here it is the Spark schema directly).
+    */
+  def jsonWatcher(dir: String, schema: org.apache.spark.sql.types.StructType,
+                  options: Map[String, String] = Map.empty): StreamSource =
+    fileWatcher(dir, "json", Some(schema), options)
 
   /** Jet `KafkaSources.kafka` (extensions/kafka) → kafka source, 1:1 surface.
     * Requires the kafka connector jars at runtime.

@@ -79,11 +79,28 @@ object StreamSinks {
       }
     }
 
-  /** Stream upsert into the KeyedStore — Jet `Sinks.mapWithMerging`
-    * (Sinks.java:313) / CdcSinks.map: per-batch MERGE, last-writer-wins.
+  /** Stream upsert into the KeyedStore — Jet `Sinks.map` applied to a
+    * StreamStage: per-batch MERGE, last-writer-wins.
     */
   def mapSink(storeName: String, keyCols: String*): StreamSink =
     foreachBatch((batch, _) => KeyedStore.upsert(storeName, batch, keyCols))
+
+  /** Streaming merge-fn upsert — Jet `Sinks.mapWithMerging` (Sinks.java:313)
+    * on a StreamStage: every micro-batch MERGEs into the store with per-column
+    * conflict expressions (e.g. additive counters that survive restarts via
+    * the checkpointed source offsets).
+    */
+  def mapWithMerging(storeName: String, keyCols: Seq[String],
+                     merge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
+    foreachBatch((batch, _) => KeyedStore.upsertMerging(storeName, batch, keyCols, merge))
+
+  /** Streaming update-fn upsert — Jet `Sinks.mapWithUpdating` (Sinks.java:451)
+    * on a StreamStage.
+    */
+  def mapWithUpdating(storeName: String, keyCols: Seq[String],
+                      update: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
+    foreachBatch((batch, _) => KeyedStore.upsertMerging(storeName, batch, keyCols, update,
+      updateAlways = true))
 
   /** CDC apply sink — Jet `CdcSinks.map` (extensions/cdc-debezium/CdcSinks
     * .java) consuming Debezium-style change records: `opCol` in

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Pipeline, Sources}
+import graft.pipeline.{KeyedStore, Pipeline, Sinks, Sources}
 import graft.sql.GraftSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -108,16 +108,44 @@ object SqlQueries {
       |  4::BIGINT AS n_mapped_cols
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ------------------------------------ q67 merge-fn sink (mapWithMerging)
+  /** Jet `Sinks.mapWithMerging` (Sinks.java:313, UpdateMapP.java): two disjoint
+    * halves of orders are aggregated independently and MERGEd into one store
+    * with additive conflict expressions — the canonical distributed-counter
+    * sink. The oracle computes the same totals in one pass over all orders, so
+    * a last-writer-wins upsert (what the merge replaces) would fail the hash.
+    */
+  val q67_merge_sink: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    def totals(half: DataFrame): DataFrame = half.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    KeyedStore.drop("order_totals_merged")
+    val sink = Sinks.mapWithMerging("order_totals_merged", Seq("o_custkey"),
+      Map("n_orders" -> (_ + _), "total" -> (_ + _)))
+    sink.write(totals(orders.filter(col("o_orderkey") % 2 === 0)))
+    sink.write(totals(orders.filter(col("o_orderkey") % 2 === 1)))
+    KeyedStore.get(s, "order_totals_merged")
+      .select(col("o_custkey"), col("n_orders"), round(col("total"), 4).as("total"))
+  }
+
+  val q67_oracle: String =
+    """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
     "q61_generate_series" -> q61_generate_series,
     "q62_sql_sink_into" -> q62_sql_sink_into,
-    "q66_sql_mapping_schema" -> q66_sql_mapping_schema)
+    "q66_sql_mapping_schema" -> q66_sql_mapping_schema,
+    "q67_merge_sink" -> q67_merge_sink)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
     "q61_generate_series" -> q61_oracle,
     "q62_sql_sink_into" -> q62_oracle,
-    "q66_sql_mapping_schema" -> q66_oracle)
+    "q66_sql_mapping_schema" -> q66_oracle,
+    "q67_merge_sink" -> q67_oracle)
 }

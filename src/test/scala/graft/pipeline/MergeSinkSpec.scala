@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-fn sinks (reference: Sinks.mapWithMerging Sinks.java:313,
+  * mapWithUpdating Sinks.java:451, mapWithEntryProcessor Sinks.java:650,
+  * UpdateMapP.java): conflict resolution must be the user expression, not
+  * last-writer-wins.
+  */
+class MergeSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("mapWithMerging resolves key conflicts with the merge expression") {
+    KeyedStore.drop("merge_counts")
+    val sink = Sinks.mapWithMerging("merge_counts", Seq("k"),
+      Map("n" -> (_ + _), "last" -> ((_, n) => n)))
+    sink.write(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "n", "last"))
+    sink.write(Seq(("a", 10L, "z"), ("c", 5L, "w")).toDF("k", "n", "last"))
+    val out = KeyedStore.get(spark, "merge_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // a: merged 1+10 (LWW would give 10); b untouched; c inserted
+    assert(out.toSeq === Seq(("a", 11L, "z"), ("b", 2L, "y"), ("c", 5L, "w")))
+  }
+
+  test("mapWithUpdating sees NULL old value for absent keys and can delete") {
+    KeyedStore.drop("upd_store")
+    // update: n = coalesce(old,0) + incoming (Jet updateFn with null oldValue)
+    val sink = Sinks.mapWithUpdating("upd_store", Seq("k"),
+      Map("n" -> ((o, n) => coalesce(o, lit(0L)) + n)),
+      deleteWhen = Some((o, n) => n("n") < 0))
+    sink.write(Seq(("a", 3L), ("b", 4L)).toDF("k", "n"))
+    sink.write(Seq(("a", 7L), ("b", -1L), ("c", 1L)).toDF("k", "n"))
+    val out = KeyedStore.get(spark, "upd_store")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // a updated 3+7; b deleted (negative marker = Jet updateFn returning null);
+    // c created from NULL old
+    assert(out.toSeq === Seq(("a", 10L), ("c", 1L)))
+  }
+
+  test("mapWithEntryProcessor read-modify-writes the targeted entries") {
+    KeyedStore.drop("ep_store")
+    KeyedStore.upsert("ep_store",
+      Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("k", "balance"), Seq("k"))
+    // EP: apply a debit carried on the incoming row to the stored balance
+    val ep = Sinks.mapWithEntryProcessor("ep_store", Seq("k"),
+      Map("balance" -> ((old, incoming) => coalesce(old, lit(0L)) - incoming)))
+    ep.write(Seq(("a", 30L), ("c", 300L)).toDF("k", "balance"))
+    val out = KeyedStore.get(spark, "ep_store")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 70L), ("b", 200L), ("c", 0L)))
+  }
+
+  test("streaming mapWithMerging accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    KeyedStore.drop("stream_counts")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val h = StreamSinks.mapWithMerging("stream_counts", Seq("k"), Map("n" -> (_ + _)))
+      .start(ms.toDF().toDF("k", "n"))
+    ms.addData(("a", 1L), ("b", 2L))
+    h.processAllAvailable()
+    ms.addData(("a", 5L))
+    h.processAllAvailable()
+    h.cancel()
+    val out = KeyedStore.get(spark, "stream_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 6L), ("b", 2L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.concurrent.Future
+
+/** Service-transform variants added round 2 (reference: GeneralStage.java
+  * filterUsingService:255, flatMapUsingService:279, async-unordered:354 →
+  * AsyncTransformUsingServiceUnorderedP) plus the expression-keyed
+  * aggregate2/distinct fixes and lazy peek.
+  */
+class ServiceOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+  private lazy val p = Pipeline.create(spark)
+
+  test("filterUsingService / flatMapUsingService with per-partition lifecycle") {
+    val factory = ServiceFactories.service[Set[Int]](() => Set(2, 4, 6))
+    val kept = p.readFrom(Sources.items(1 to 8))
+      .filterUsingService(factory)((svc, x) => svc.contains(x))
+      .ds.collect().sorted
+    assert(kept.toSeq === Seq(2, 4, 6))
+    val expanded = p.readFrom(Sources.items(Seq(1, 2)))
+      .flatMapUsingService(factory)((svc, x) => svc.toSeq.sorted.map(_ * x))
+      .ds.collect().sorted
+    assert(expanded.toSeq === Seq(2, 4, 4, 6, 8, 12))
+  }
+
+  test("mapUsingServiceAsyncUnordered emits in completion order, all results present") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val factory = ServiceFactories.service[String](() => "svc")
+    // first item sleeps; unordered emission means the rest never wait on it
+    val out = p.wrap(spark.createDataset(Seq(50, 1, 2, 3)).coalesce(1))
+      .mapUsingServiceAsyncUnordered(factory, maxConcurrent = 4)((_, x) =>
+        Future { Thread.sleep(x.toLong * 4); x })
+      .ds.collect()
+    assert(out.sorted.toSeq === Seq(1, 2, 3, 50))
+    // completion order: the 200ms sleeper lands last despite being first input
+    assert(out.last === 50)
+  }
+
+  test("aggregate2/aggregate3/distinct work with EXPRESSION grouping keys") {
+    val left = p.wrap(Seq(("Ann", 1), ("ann", 2), ("bob", 3)).toDF("name", "v"))
+      .groupingKey(upper(col("name")))
+    val right = p.wrap(Seq(("ANN", 10), ("Bob", 20)).toDF("name", "w"))
+      .groupingKey(upper(col("name")))
+    val co = left.aggregate2(
+      AggregateOperations.summingLong(col("v"), "sv"),
+      right, AggregateOperations.summingLong(col("w"), "sw"))
+      .toDF.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(co.toSeq === Seq(("ANN", 3L, 10L), ("BOB", 3L, 20L)))
+
+    val d = p.wrap(Seq(("Ann", 1), ("ann", 2), ("bob", 3)).toDF("name", "v"))
+      .groupingKey(upper(col("name"))).distinct()
+      .toDF.collect()
+    assert(d.length === 2)
+    // hidden key columns are dropped from the output
+    assert(d.head.schema.fieldNames.toSeq === Seq("name", "v"))
+  }
+
+  test("peek is lazy (no job at construction) and passes rows through") {
+    val stage = p.readFrom(Sources.items(1 to 100)).peek(2)
+    // construction ran no job; the data survives the passthrough intact
+    assert(stage.ds.collect().sorted.toSeq === (1 to 100).toSeq)
+  }
+}
