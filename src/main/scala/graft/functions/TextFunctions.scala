@@ -69,6 +69,21 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
 
+  /** PII redaction for training corpora (public recipe: the C4/Dolma-style
+    * scrub pass): replace emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tokens. Pure row-local `regexp_replace` chain — codegen'd,
+    * no shuffle, linear scan at any corpus size. Patterns are RE2-safe so the
+    * DuckDB oracle replays them verbatim.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val phone = regexp_replace(email,
+      "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]")
+    regexp_replace(phone,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]")
+  }
+
   /** Quality score in [0,1]: penalizes extreme lengths, high punctuation density
     * and low stopword density (Gopher/C4-style heuristics, public recipe).
     */

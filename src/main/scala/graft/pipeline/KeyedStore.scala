@@ -21,58 +21,57 @@ object KeyedStore {
   private val versionCol = "__graft_version"
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Change record: (op, version, key json, row json) — the map-journal entry
-    * shape (reference: Sources.mapJournal EventJournalMapEvent; ADDED/UPDATED
-    * collapse to UPSERT here, like Jet's default journal projection).
-    */
-  final case class Change(op: String, version: Long, key: String, value: String)
+  // per-store change-journal directories: parquet files appended by
+  // upsert/delete (a DISTRIBUTED write — no rows pass through the driver) and
+  // consumed as a file-stream source. This is the scale-correct journal shape:
+  // at 100 TB the dir is an object-store prefix and the writers are executors.
+  private val journalDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // per-store change journals: MemoryStream sources created by `journal(name)`
-  // and fed by upsert/delete (driver-side, like the store itself)
-  private val journalStreams = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]]()
+  private val journalSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "op STRING, version BIGINT, key STRING, value STRING")
 
   // key columns last used to upsert each store, so SYNC records can emit the
   // SAME key shape as later UPSERT/DELETE records (the journal contract: state
   // keyed off `key` must be consistent for one entry across record types)
   private val storeKeys = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  private def changeFrame(df: DataFrame, keyCols: Seq[String], op: String): DataFrame = {
+    val v = versions.incrementAndGet()
+    df.select(
+      lit(op).as("op"), lit(v).as("version"),
+      to_json(struct(keyCols.map(col): _*)).as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+  }
+
   private def recordChanges(name: String, df: DataFrame, keyCols: Seq[String], op: String): Unit =
-    Option(journalStreams.get(name)).foreach { ms =>
-      import org.apache.spark.sql.functions.{col, struct, to_json}
-      val v = versions.incrementAndGet()
-      val changes = df.select(
-        to_json(struct(keyCols.map(col): _*)).as("k"),
-        to_json(struct(df.columns.map(col): _*)).as("r")).collect()
-        .map(r => Change(op, v, r.getString(0), r.getString(1)))
-      if (changes.nonEmpty) ms.addData(changes.toIndexedSeq)
+    Option(journalDirs.get(name)).foreach { dir =>
+      changeFrame(df, keyCols, op).write.mode("append").parquet(dir)
     }
 
   /** Jet `Sources.mapJournal` (Sources.java:381, StreamEventJournalP) with
     * `JournalInitialPosition` semantics (pipeline/JournalInitialPosition.java):
     * an unbounded stream of this store's changes as (op, version, key, value)
     * rows with JSON-encoded key/row. START_FROM_CURRENT (default) emits only
-    * changes after subscription; `startFromOldest` first emits one SYNC record
-    * per existing entry — Jet's initial-snapshot replay.
+    * changes after subscription — the journal dir starts empty and only
+    * accumulates from first subscription, so the file stream naturally sees
+    * nothing earlier. `startFromOldest` first writes one SYNC record per
+    * existing entry (Jet's initial-snapshot replay) — also a distributed
+    * write, so a 100 TB store snapshot never passes through the driver.
     */
   def journal(spark: SparkSession, name: String,
               startFromOldest: Boolean = false): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val ms = journalStreams.computeIfAbsent(name, _ =>
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change])
-    if (startFromOldest && tables.containsKey(name)) {
-      import org.apache.spark.sql.functions.{col, struct, to_json}
+    var created = false
+    val dir = journalDirs.computeIfAbsent(name, _ => {
+      created = true
+      java.nio.file.Files.createTempDirectory(s"graft_journal_${name}_").toString
+    })
+    if (startFromOldest && created && tables.containsKey(name)) {
       val cur = get(spark, name)
-      val v = versions.incrementAndGet()
       val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
-      val sync = cur.select(
-        to_json(struct(keyCols.map(col): _*)).as("k"),
-        to_json(struct(cur.columns.map(col): _*)).as("r")).collect()
-        .map(r => Change("SYNC", v, r.getString(0), r.getString(1)))
-      if (sync.nonEmpty) ms.addData(sync.toIndexedSeq)
+      changeFrame(cur, keyCols, "SYNC").write.mode("append").parquet(dir)
     }
-    ms.toDF()
+    spark.readStream.schema(journalSchema).parquet(dir)
   }
 
   def put(name: String, df: DataFrame): Unit = {
@@ -137,6 +136,10 @@ object KeyedStore {
     * reads as NULL columns — Jet passes `null` oldValue to updateFn.
     * `deleteWhen(old, incoming)`: matched rows where this predicate holds are
     * removed — Jet's "updateFn returned null removes the entry".
+    *
+    * Contract: the incoming frame carries at most ONE row per key (the usual
+    * MERGE source contract — Delta/Iceberg MERGE reject multi-matching source
+    * rows too). Pre-aggregate upstream when a batch can repeat keys.
     */
   def upsertMerging(name: String, df: DataFrame, keyCols: Seq[String],
                     mergeFn: Map[String, (Column, Column) => Column],
@@ -145,9 +148,16 @@ object KeyedStore {
     require(keyCols.nonEmpty, "upsertMerging needs key columns")
     storeKeys.put(name, keyCols)
     val spark = df.sparkSession
-    val old = Option(tables.get(name))
+    val existing = Option(tables.get(name))
       .map(t => if (t.columns.contains(versionCol)) t.drop(versionCol) else t)
-      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), df.schema))
+    if (existing.isEmpty && !updateAlways && deleteWhen.isEmpty) {
+      // first write with plain merging semantics: every key is absent, so the
+      // result IS the incoming frame — skip the join entirely
+      upsert(name, df, keyCols)
+      return
+    }
+    val old = existing.getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[Row](), df.schema))
     val o = old.withColumn("__op", lit(true)).alias("__o")
     val n = df.withColumn("__np", lit(true)).alias("__n")
     val oc = (c: String) => col(s"__o.$c")
@@ -212,6 +222,7 @@ object KeyedStore {
 
   def drop(name: String): Unit = {
     storeKeys.remove(name)
+    journalDirs.remove(name)
     Option(tables.remove(name)).foreach(_.unpersist())
   }
 

@@ -71,6 +71,61 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def joinStream(other: StreamStage, on: Column, how: String = "inner"): StreamStage =
     new StreamStage(df.join(other.df, on, how), tsCol)
 
+  // --------------------------------------- service transforms on streams (§2.4)
+  // Jet's GeneralStage service ops apply to StreamStage too; here they are
+  // partition-local Dataset transforms on the streaming frame (run inside each
+  // micro-batch's tasks, service created once per partition per batch).
+
+  /** Jet stream `customTransform` (GeneralStage.java:1282): raw partition
+    * access. `outSchema` declares the output row shape (streaming frames
+    * cannot infer it from a lambda).
+    */
+  def customTransform(outSchema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[Row] => Iterator[Row]): StreamStage =
+    new StreamStage(
+      df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema)).toDF(), tsCol)
+
+  /** Jet stream `mapUsingService` (GeneralStage.java:305 applied to
+    * StreamStage): per-partition service lifecycle inside each micro-batch.
+    */
+  def mapUsingService[S](factory: ServiceFactory[S],
+                         outSchema: org.apache.spark.sql.types.StructType)(
+      f: (S, Row) => Row): StreamStage =
+    customTransform(outSchema) { it =>
+      val svc = factory.create()
+      val out = it.map(r => f(svc, r))
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): Row = out.next()
+      }
+    }
+
+  /** Jet stream `filterUsingService` (GeneralStage.java:497): schema-preserving,
+    * so no declared output schema needed.
+    */
+  def filterUsingService[S](factory: ServiceFactory[S])(p: (S, Row) => Boolean): StreamStage =
+    customTransform(df.schema) { it =>
+      val svc = factory.create()
+      val out = it.filter(r => p(svc, r))
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): Row = out.next()
+      }
+    }
+
+  /** Jet stream `flatMapUsingService` (GeneralStage.java:539). */
+  def flatMapUsingService[S](factory: ServiceFactory[S],
+                             outSchema: org.apache.spark.sql.types.StructType)(
+      f: (S, Row) => IterableOnce[Row]): StreamStage =
+    customTransform(outSchema) { it =>
+      val svc = factory.create()
+      val out = it.flatMap(r => f(svc, r))
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
+        def next(): Row = out.next()
+      }
+    }
+
   /** Jet `groupingKey` → keyed stream stage. */
   def groupingKey(keys: Column*): StreamStageWithKey =
     new StreamStageWithKey(df, tsCol, keys)

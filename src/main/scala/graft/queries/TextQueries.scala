@@ -403,6 +403,79 @@ object TextQueries {
        |SELECT doc_id, term AS top_term, tfidf AS top_tfidf FROM ranked WHERE rk = 1""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------- q68 benchmark decontamination
+  /** Training-set decontamination (public recipe: the GPT-3/Llama-paper n-gram
+    * overlap scrub): flag every training document sharing at least one word
+    * n-gram with a held-out benchmark set. 100 TB shape: the benchmark
+    * shingle set is tiny (benchmarks are small by nature) → BROADCAST
+    * semi-join against it; the corpus is scanned once, exploded shingles
+    * never shuffle. Same md5 token hashes as q38, so the DuckDB oracle
+    * replays the overlap exactly.
+    */
+  val q68_decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .withColumn("th", T.tokenLongHashes($"text"))
+      .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
+    // held-out "benchmark": every 20th doc (stand-in for an eval-set table)
+    val benchShingles = sh.filter($"doc_id" % 20 === 0)
+      .select(explode($"sh").as("h")).distinct()
+    sh.filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", explode($"sh").as("h"))
+      .join(broadcast(benchShingles), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  val q68_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM toks),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(h) >= 3
+       |    THEN list_transform(range(1, len(h) - 1), i -> h[i] * 4099 + h[i+1] * 31 + h[i+2])
+       |    ELSE [] END) AS s
+       |  FROM th),
+       |bench AS (SELECT DISTINCT h FROM (
+       |  SELECT unnest(s) AS h FROM sh WHERE doc_id % 20 = 0)),
+       |train AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 20 <> 0)
+       |SELECT t.doc_id, count(*) AS n_overlap
+       |FROM train t JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id""".stripMargin
+
+  // --------------------------------------------------------- q69 PII redaction
+  /** PII scrub pass (TextFunctions.redactPii): emails/phones/IPv4 → typed
+    * placeholders. The fixture has no PII-shaped columns, so the text under
+    * test is assembled deterministically from c_custkey (same construction on
+    * both sides) — the hash compare then proves the full redacted strings
+    * match byte-for-byte. Row-local regex chain, no shuffle.
+    */
+  val q69_redact_pii: Q = (s, dir) => {
+    import s.implicits._
+    val pii = concat_ws(" ", $"c_name",
+      concat(lit("32-"), lpad(($"c_custkey" % 1000).cast("string"), 3, "0"),
+        lit("-555-"), lpad(($"c_custkey" % 10000).cast("string"), 4, "0")),
+      concat(lit("user"), $"c_custkey".cast("string"), lit("@example.com")),
+      concat(lit("10."), ($"c_custkey" % 200).cast("string"), lit(".0.1")))
+    t(s, dir, "customer")
+      .select($"c_custkey", pii.as("raw"), T.redactPii(pii).as("redacted"))
+  }
+
+  val q69_oracle: String =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    c_name || ' 32-' || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-555-' ||
+      |    lpad((c_custkey % 10000)::VARCHAR, 4, '0') || ' user' || c_custkey::VARCHAR ||
+      |    '@example.com 10.' || (c_custkey % 200)::VARCHAR || '.0.1' AS raw
+      |  FROM customer)
+      |SELECT c_custkey, raw,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM raw""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -416,7 +489,9 @@ object TextQueries {
     "q38_ngram_jaccard" -> q38_ngram_jaccard,
     "q47_dedup_clusters" -> q47_dedup_clusters,
     "q48_training_corpus" -> q48_training_corpus,
-    "q49_stratified_sample" -> q49_stratified_sample)
+    "q49_stratified_sample" -> q49_stratified_sample,
+    "q68_decontaminate" -> q68_decontaminate,
+    "q69_redact_pii" -> q69_redact_pii)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -431,5 +506,7 @@ object TextQueries {
     "q38_ngram_jaccard" -> q38_oracle,
     "q47_dedup_clusters" -> q47_oracle,
     "q48_training_corpus" -> q48_oracle,
-    "q49_stratified_sample" -> q49_oracle)
+    "q49_stratified_sample" -> q49_oracle,
+    "q68_decontaminate" -> q68_oracle,
+    "q69_redact_pii" -> q69_oracle)
 }

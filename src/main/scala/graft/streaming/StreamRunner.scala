@@ -99,7 +99,7 @@ object StreamRunner {
     *   which is why a flush needs two sentinel chunks, not one).
     */
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
-                  outputMode: String, chunks: Int = 3,
+                  outputMode: String, chunks: Int = 2,
                   tails: Seq[DataFrame] = Nil)(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
@@ -122,8 +122,11 @@ object StreamRunner {
     val schema = org.apache.spark.sql.types.StructType(
       input.schema.fields :+ org.apache.spark.sql.types.StructField(
         "__chunk", org.apache.spark.sql.types.IntegerType))
+    // 4 state-store partitions: each micro-batch pays a per-partition state
+    // commit, and a finite replay's bottleneck is that fixed cost, not data
+    // parallelism (the real engine width stays spark.sql.shuffle.partitions)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try transform(
         spark.readStream.schema(schema)

@@ -58,6 +58,24 @@ class ServiceOpsSpec extends SparkSpec {
     assert(d.head.schema.fieldNames.toSeq === Seq("name", "v"))
   }
 
+  test("stream mapUsingService / filterUsingService run inside micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    mem.addData(1, 2, 3, 4)
+    val factory = ServiceFactories.service[Int](() => 10)
+    val out = new StreamSourceStage(mem.toDF()).withoutTimestamps()
+      .filterUsingService(factory)((_, r) => r.getInt(0) % 2 == 0)
+      .mapUsingService(factory, new StructType().add("v", IntegerType))(
+        (svc, r) => Row(r.getInt(0) * svc))
+    val job = StreamSinks.memory("svc_stream_test", "append").start(out.df)
+    job.processAllAvailable()
+    val vals = spark.table("svc_stream_test").collect().map(_.getInt(0)).sorted
+    assert(vals.toSeq === Seq(20, 40))
+    job.cancel()
+  }
+
   test("peek is lazy (no job at construction) and passes rows through") {
     val stage = p.readFrom(Sources.items(1 to 100)).peek(2)
     // construction ran no job; the data survives the passthrough intact

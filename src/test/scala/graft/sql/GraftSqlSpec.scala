@@ -26,6 +26,44 @@ class GraftSqlSpec extends SparkSpec {
     sql.execute("DROP MAPPING ord")
   }
 
+  test("CREATE MAPPING with a column list prunes and renames (csv, positional)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvmap_").toString + "/data"
+    Seq((1L, "ann", 10.5), (2L, "bob", 20.0)).toDF("id", "name", "score")
+      .write.option("header", "true").csv(dir)
+    // csv reads positionally: the declared list IS the scan schema
+    sql.execute(
+      s"""CREATE OR REPLACE MAPPING people EXTERNAL NAME '$dir' (
+         |  id BIGINT, name VARCHAR, score DOUBLE
+         |) TYPE csv""".stripMargin)
+    val rows = sql.execute("SELECT id, name, score FROM people ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, "ann", 10.5), (2L, "bob", 20.0)))
+    sql.execute("DROP MAPPING people")
+  }
+
+  test("CREATE MAPPING json with declared schema + per-column EXTERNAL NAME") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonmap_").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"user_id":7,"full_name":"carol"}""" + "\n")
+    sql.execute(
+      s"""CREATE OR REPLACE MAPPING users EXTERNAL NAME '$dir' (
+         |  id BIGINT EXTERNAL NAME 'user_id',
+         |  name VARCHAR EXTERNAL NAME 'full_name'
+         |) TYPE json""".stripMargin)
+    val r = sql.execute("SELECT id, name FROM users").collect().head
+    assert((r.getLong(0), r.getString(1)) === ((7L, "carol")))
+    // catalog surface: SHOW COLUMNS + information_schema.columns
+    val cols = sql.execute("SHOW COLUMNS FROM users")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(cols.toSeq === Seq(("id", "BIGINT", "user_id"), ("name", "VARCHAR", "full_name")))
+    val info = sql.execute(
+      "SELECT column_name FROM information_schema.columns WHERE mapping_name = 'users' ORDER BY ordinal")
+      .collect().map(_.getString(0))
+    assert(info.toSeq === Seq("id", "name"))
+    sql.execute("DROP MAPPING users")
+  }
+
   test("plain SELECT delegates to Catalyst") {
     val out = sql.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(out === 2)
