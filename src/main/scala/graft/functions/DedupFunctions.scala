@@ -113,14 +113,57 @@ object DedupFunctions {
     * few rounds to cut lineage.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          smallGraphThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     // the pair list feeds every iteration: materialize it exactly once
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
-    p.count()
-    // small iterative state → narrow shuffles beat the batch default width
+    val nPairs = p.count()
+    // Small-graph fast path: when the PAIR GRAPH (not the corpus — LSH already
+    // reduced it by orders of magnitude) fits comfortably on the driver, run
+    // union-find there in one pass instead of paying O(log d) distributed
+    // rounds of per-stage scheduling overhead. This is the same tradeoff AQE
+    // makes when it collects a ≤10 MB join side to broadcast it. Above the
+    // threshold (ids are two longs/strings per edge; 2M edges ≈ 32 MB) the
+    // O(log d) pointer-jumping rounds below remain the 100 TB path.
+    if (nPairs <= smallGraphThreshold) {
+      val edgeRows = p.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // min-label union (no rank): the root is always the component's MINIMUM
+      // id, matching the distributed path's label choice bit-for-bit
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a: Number, b: Number) => a.doubleValue() < b.doubleValue()
+        case (a, b) => a.toString < b.toString
+      }
+      edgeRows.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val ids = edgeRows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        p.schema.fields(0).copy(name = "id"),
+        p.schema.fields(0).copy(name = "label")))
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      ids.foreach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+      p.unpersist()
+      return spark.createDataFrame(rows, schema)
+    }
+    // iterative-state width scales with the PAIR GRAPH, not the corpus: each
+    // round pays per-task overhead × partitions, and the graph is usually
+    // orders of magnitude smaller than the input (near-dup pairs are sparse).
+    // ~100k pairs per partition, floored at 2, capped at the session width.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val parts = math.max(2L, math.min(prevParts.toLong, nPairs / 100000L + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val edges = p.union(p.select(col("b"), col("a"))).toDF("src", "dst").cache()
       // localCheckpoint (not cache) each round: iterative DataFrames otherwise

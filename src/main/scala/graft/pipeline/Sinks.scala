@@ -52,6 +52,12 @@ object Sinks {
     def write(df: DataFrame): Unit = KeyedStore.upsert(name, df, keyCols)
   }
 
+  /** Jet `Sinks.cache` / `remoteMap` / `remoteCache` (Sinks.java:193-280):
+    * same upsert — remoteness is the store address, not an operator.
+    */
+  def cache(name: String, keyCols: String*): Sink = map(name, keyCols: _*)
+  def remoteMap(name: String, keyCols: String*): Sink = map(name, keyCols: _*)
+
   /** Jet `Sinks.mapWithMerging` (Sinks.java:313-421, UpdateMapP.java): upsert
     * where key conflicts are resolved by per-column merge expressions over
     * (oldValue, newValue) — e.g. `Map("n" -> (_ + _))` for additive counters —

@@ -35,6 +35,14 @@ object Sources {
     def read(spark: SparkSession): Dataset[Row] = KeyedStore.get(spark, name)
   }
 
+  /** Jet `Sources.cache` (Sources.java:303) / `remoteMap` / `remoteCache`
+    * (Sources.java:228,344): same columnar scan — remoteness is a deployment
+    * property (the store address), not an operator.
+    */
+  def cache(name: String): BatchSource[Row] = map(name)
+  def remoteMap(name: String): BatchSource[Row] = map(name)
+  def remoteCache(name: String): BatchSource[Row] = map(name)
+
   /** Unified file source (FileSources.files, pipeline/file/FileSources.java:66):
     * format in {parquet, csv, json, text, avro, binaryFile}; options passthrough.
     */
@@ -58,6 +66,40 @@ object Sources {
     new BatchSource[Row] {
       def read(spark: SparkSession): Dataset[Row] = spark.read.jdbc(url, table, props)
     }
+
+  /** Jet `SourceBuilder.batch` (pipeline/SourceBuilder.java:118): a custom
+    * bounded source from create/fill/destroy callbacks, distributed over
+    * `parallelism` tasks. Each task builds its own context from its index
+    * (Jet's `Processor.Context.globalProcessorIndex`), drains `fill` until it
+    * returns None, then destroys — the connection-per-task custom connector
+    * shape, running as a plain `mapPartitions` over a task-index range.
+    */
+  def build[S, T: Encoder](parallelism: Int = 1)(
+      create: Int => S)(
+      fill: S => Option[Seq[T]])(
+      destroy: S => Unit = (_: S) => ()): BatchSource[T] = new BatchSource[T] {
+    def read(spark: SparkSession): Dataset[T] = {
+      // locals: the task closure must capture the callbacks, not this source
+      val (mkCtx, fillFn, destroyFn) = (create, fill, destroy)
+      spark.range(parallelism.toLong).repartition(parallelism)
+        .mapPartitions { idxs =>
+          idxs.flatMap { idx =>
+            val ctx = mkCtx(idx.toInt)
+            var open = true
+            new Iterator[Seq[T]] {
+              private var nextBuf: Option[Seq[T]] = None
+              private def advance(): Unit =
+                if (open && nextBuf.isEmpty) {
+                  nextBuf = fillFn(ctx)
+                  if (nextBuf.isEmpty) { destroyFn(ctx); open = false }
+                }
+              def hasNext: Boolean = { advance(); nextBuf.isDefined }
+              def next(): Seq[T] = { advance(); val b = nextBuf.get; nextBuf = None; b }
+            }.flatten
+          }
+        }
+    }
+  }
 
   /** SQL `TABLE(GENERATE_SERIES(a,b))` (JetSqlOperatorTable.java:84). */
   def generateSeries(from: Long, to: Long): BatchSource[java.lang.Long] =

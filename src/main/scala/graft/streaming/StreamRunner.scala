@@ -124,16 +124,24 @@ object StreamRunner {
         "__chunk", org.apache.spark.sql.types.IntegerType))
     // 4 state-store partitions: each micro-batch pays a per-partition state
     // commit, and a finite replay's bottleneck is that fixed cost, not data
-    // parallelism (the real engine width stays spark.sql.shuffle.partitions)
+    // parallelism (the real engine width stays spark.sql.shuffle.partitions).
+    // No-data micro-batches are disabled: the replay's watermark advancement
+    // is driven entirely by data chunks (incl. sentinel tails), so the extra
+    // empty batches after each processAllAvailable only add commit overhead.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q =
       try transform(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir).drop("__chunk"))
         .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }

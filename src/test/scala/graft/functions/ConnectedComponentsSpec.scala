@@ -7,8 +7,9 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    DedupFunctions.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+  private def cc(pairs: Seq[(Long, Long)], threshold: Long = 2000000L): Map[Long, Long] =
+    DedupFunctions.connectedComponents(pairs.toDF("a", "b"), "a", "b",
+      smallGraphThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain, clique, and isolated pair resolve to component minima") {
@@ -28,5 +29,13 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("components joined by a bridge edge merge") {
     val labels = cc(Seq((1L, 2L), (5L, 6L), (2L, 5L)))
     assert(labels.values.toSet === Set(1L))
+  }
+
+  test("distributed pointer-jumping path (threshold 0) matches the union-find fast path") {
+    val graph = (1L until 40L).map(i => (i, i + 1)) ++ // long chain
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val fast = cc(graph)
+    val distributed = cc(graph, threshold = 0L)
+    assert(fast === distributed)
   }
 }

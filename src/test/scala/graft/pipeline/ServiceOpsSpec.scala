@@ -76,6 +76,15 @@ class ServiceOpsSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("SourceBuilder.batch distributes create/fill/destroy over tasks") {
+    // each of 4 task contexts emits its own 25-number range in 10-row buffers
+    val src = Sources.build[(Int, Iterator[Seq[Int]]), Int](parallelism = 4) { idx =>
+      (idx, (idx * 25 until (idx + 1) * 25).grouped(10).map(_.toSeq))
+    } { case (_, chunks) => if (chunks.hasNext) Some(chunks.next()) else None }()
+    val out = p.readFrom(src).ds.collect().sorted
+    assert(out.toSeq === (0 until 100).toSeq)
+  }
+
   test("peek is lazy (no job at construction) and passes rows through") {
     val stage = p.readFrom(Sources.items(1 to 100)).peek(2)
     // construction ran no job; the data survives the passthrough intact
