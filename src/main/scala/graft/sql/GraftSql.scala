@@ -198,11 +198,32 @@ final class GraftSql(spark: SparkSession) {
       // Jet's information_schema.mappings / .columns catalog tables
       // (infoschema/MappingsTable.java, MappingColumnsTable.java): rewrite to
       // registry-backed temp views so arbitrary SELECTs work over them
-      val rewritten = other
+      val rewritten = rewriteTableFunctions(other
         .replaceAll("(?i)information_schema\\.mappings", "__info_mappings")
-        .replaceAll("(?i)information_schema\\.columns", "__info_columns")
+        .replaceAll("(?i)information_schema\\.columns", "__info_columns"))
       if (rewritten != other) refreshInfoSchema()
       spark.sql(rewritten)
+  }
+
+  /** Jet's inline SQL table functions (JetSqlOperatorTable.java:84-120:
+    * GENERATE_SERIES, CSV_FILE/JSON_FLAT_FILE/PARQUET_FILE/AVRO_FILE) →
+    * Spark's native equivalents: `range(a, b+1)` and direct-path tables
+    * (`parquet.`/path``), so the rewritten statement is planned entirely by
+    * Catalyst — filters still push into the file scan.
+    */
+  private def rewriteTableFunctions(stmt: String): String = {
+    val series = """(?i)TABLE\s*\(\s*GENERATE_SERIES\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)""".r
+    val file =
+      """(?i)TABLE\s*\(\s*(CSV|JSON_FLAT|JSON|PARQUET|AVRO)_FILE\s*\(\s*'([^']+)'\s*\)\s*\)""".r
+    val s1 = series.replaceAllIn(stmt, m =>
+      s"(SELECT id AS v FROM range(${m.group(1)}, ${m.group(2).toLong + 1}))")
+    file.replaceAllIn(s1, m => {
+      val fmt = m.group(1).toLowerCase match {
+        case "json_flat" => "json"
+        case f => f
+      }
+      s"$fmt.`${m.group(2)}`"
+    })
   }
 
   /** Jet SQL type name → Spark type (SqlColumnType ↔ Catalyst). */

@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen spans in:\n$plan")
   }
 
+  test("decontamination joins the benchmark shingle set as a broadcast (q68)") {
+    val plan = planOf(queries.TextQueries.q68_decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-wide shuffle join in decontamination:\n$plan")
+  }
+
+  test("column-list mapping prunes the parquet ReadSchema to the declared columns (q66)") {
+    val gsql = graft.sql.GraftSql(spark)
+    gsql.execute(
+      s"""CREATE OR REPLACE MAPPING li_pruned EXTERNAL NAME '$sf/lineitem.parquet' (
+         |  okey BIGINT EXTERNAL NAME 'l_orderkey',
+         |  qty DOUBLE EXTERNAL NAME 'l_quantity'
+         |) TYPE parquet""".stripMargin)
+    val plan = planOf(gsql.execute("SELECT okey, qty FROM li_pruned"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      s"declared columns missing from scan: $readSchema")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"undeclared columns read by scan: $readSchema")
+    gsql.execute("DROP MAPPING li_pruned")
+  }
+
   test("as-of join plans as union + one key shuffle, never a theta join") {
     val df = queries.TpchQueries.q19_asof_join(spark, sf)
     df.collect()

@@ -92,6 +92,16 @@ class GraftSqlSpec extends SparkSpec {
     KeyedStore.drop("ins_store")
   }
 
+  test("inline TABLE(GENERATE_SERIES) and TABLE(PARQUET_FILE) rewrite to Catalyst plans") {
+    val sum = sql.execute(
+      "SELECT sum(v) AS s FROM TABLE(GENERATE_SERIES(1, 100))").collect().head.getLong(0)
+    assert(sum === 5050L)
+    val n = sql.execute(
+      s"SELECT count(*) AS n FROM TABLE(PARQUET_FILE('$sf/region.parquet'))")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   test("SHOW JOBS lists registered jobs; DROP JOB on missing job reports") {
     val msg = sql.execute("DROP JOB nonexistent_job").collect().head.getString(0)
     assert(msg.contains("not found"))
