@@ -476,6 +476,63 @@ object TextQueries {
       |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
       |FROM raw""".stripMargin
 
+  // ------------------------------------------------ q70 repetition detection
+  /** Within-document repetition ratio (Gopher-style quality rule, public
+    * recipe): fraction of word trigrams that are duplicates of an earlier
+    * trigram in the same document. Pure row-local arithmetic over the shared
+    * md5 token hashes — no shuffle, linear scan at any corpus size.
+    */
+  val q70_repetition: Q = (s, dir) => {
+    import s.implicits._
+    val th = T.tokenLongHashes($"text")
+    val total = greatest(size(th) - 2, lit(0))
+    val distinct = size(T.shingleHashesFrom(th, 3))
+    t(s, dir, "documents").select(
+      $"doc_id", total.as("n_trigrams"),
+      when(total > 0,
+        round(lit(1.0) - distinct.cast("double") / total.cast("double"), 4))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  val q70_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM toks)
+       |SELECT doc_id,
+       |  greatest(len(h) - 2, 0) AS n_trigrams,
+       |  CASE WHEN len(h) >= 3 THEN round(1.0 - len(list_distinct(
+       |    list_transform(range(1, len(h) - 1), i -> h[i] * 4099 + h[i+1] * 31 + h[i+2])
+       |  ))::DOUBLE / (len(h) - 2), 4) ELSE 0.0 END AS rep_ratio
+       |FROM th""".stripMargin
+
+  // ------------------------------------------- q71 domain mixing weights
+  /** Per-source sampling weights for corpus mixing (the "data mixture" step of
+    * training-set assembly, public recipe): weight each source so all sources
+    * contribute equal tokens when sampled. One hash-agg over the corpus; the
+    * tiny per-source table then joins/broadcasts wherever sampling happens.
+    */
+  val q71_mix_weights: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSource = t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(sum(size(T.tokens($"text")).cast("long")).as("src_tokens"))
+    val all = Window.partitionBy()
+    perSource.select($"source", $"src_tokens",
+      round(sum($"src_tokens").over(all).cast("double") /
+        (count(lit(1)).over(all) * $"src_tokens"), 6).as("weight"))
+  }
+
+  val q71_oracle: String =
+    s"""WITH s AS (
+       |  SELECT source, sum(len($tokSql))::BIGINT AS src_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT source, src_tokens,
+       |  round((SELECT sum(src_tokens) FROM s)::DOUBLE /
+       |        ((SELECT count(*) FROM s) * src_tokens), 6) AS weight
+       |FROM s""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -491,7 +548,9 @@ object TextQueries {
     "q48_training_corpus" -> q48_training_corpus,
     "q49_stratified_sample" -> q49_stratified_sample,
     "q68_decontaminate" -> q68_decontaminate,
-    "q69_redact_pii" -> q69_redact_pii)
+    "q69_redact_pii" -> q69_redact_pii,
+    "q70_repetition" -> q70_repetition,
+    "q71_mix_weights" -> q71_mix_weights)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -508,5 +567,7 @@ object TextQueries {
     "q48_training_corpus" -> q48_oracle,
     "q49_stratified_sample" -> q49_oracle,
     "q68_decontaminate" -> q68_oracle,
-    "q69_redact_pii" -> q69_oracle)
+    "q69_redact_pii" -> q69_oracle,
+    "q70_repetition" -> q70_oracle,
+    "q71_mix_weights" -> q71_oracle)
 }

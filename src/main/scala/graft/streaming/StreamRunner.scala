@@ -106,9 +106,16 @@ object StreamRunner {
     val name = s"graft_freplay_${counter.incrementAndGet()}"
     val work = java.nio.file.Files.createTempDirectory("graft_freplay_").toString
     val inDir = s"$work/in"
+    val debug = sys.env.contains("GRAFT_REPLAY_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = if (debug) {
+      System.err.println(f"[replay $name] $phase ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      t0 = System.nanoTime()
+    }
     input.repartitionByRange(chunks, col(tsCol))
       .withColumn("__chunk", spark_partition_id())
       .write.partitionBy("__chunk").parquet(inDir)
+    lap("write-chunks")
     tails.zipWithIndex.foreach { case (df, i) =>
       df.coalesce(1).write.parquet(s"$inDir/__chunk=${chunks + i}")
     }
@@ -142,7 +149,9 @@ object StreamRunner {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
+    lap("start")
     try q.processAllAvailable() finally q.stop()
+    lap("process-all")
     spark.table(name)
   }
 }
