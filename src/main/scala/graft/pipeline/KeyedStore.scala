@@ -167,18 +167,27 @@ object KeyedStore {
     val joined = o.join(n, joinCond, "full_outer")
     val kept = deleteWhen.fold(joined)(p =>
       joined.filter(not(nc("__np").isNotNull && coalesce(p(oc, nc), lit(false)))))
-    val valueCols = df.columns.filterNot(c => keyCols.contains(c))
+    // value columns = UNION of both sides (old's order first): a column the
+    // incoming frame doesn't carry is preserved from the store, and a column
+    // new to the store is NULL for untouched rows — columns are never
+    // silently dropped by a partial-schema write
+    val oldValueCols = old.columns.filterNot(keyCols.contains).toSeq
+    val newValueCols = df.columns.filterNot(keyCols.contains).toSeq
+    val valueCols = oldValueCols ++ newValueCols.filterNot(oldValueCols.contains)
     val keySel = keyCols.map(k => coalesce(nc(k), oc(k)).as(k))
     val valSel = valueCols.map { c =>
-      val resolved = mergeFn.get(c) match {
-        case Some(f) if updateAlways =>
-          when(nc("__np").isNotNull, f(oc(c), nc(c))).otherwise(oc(c))
-        case Some(f) =>
-          when(oc("__op").isNotNull && nc("__np").isNotNull, f(oc(c), nc(c)))
-            .when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
-        case None =>
-          when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
-      }
+      val resolved =
+        if (!newValueCols.contains(c)) oc(c)
+        else if (!oldValueCols.contains(c)) when(nc("__np").isNotNull, nc(c))
+        else mergeFn.get(c) match {
+          case Some(f) if updateAlways =>
+            when(nc("__np").isNotNull, f(oc(c), nc(c))).otherwise(oc(c))
+          case Some(f) =>
+            when(oc("__op").isNotNull && nc("__np").isNotNull, f(oc(c), nc(c)))
+              .when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
+          case None =>
+            when(nc("__np").isNotNull, nc(c)).otherwise(oc(c))
+        }
       resolved.as(c)
     }
     val merged = kept.select(keySel ++ valSel: _*)

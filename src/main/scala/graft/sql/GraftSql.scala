@@ -128,8 +128,9 @@ final class GraftSql(spark: SparkSession) {
       import spark.implicits._
       JobRegistry.list.toDF("name", "running")
 
-    case createJob(name, store, keyCols, select) =>
+    case createJob(name, store, keyCols, rawSelect) =>
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val select = rewriteTableFunctions(rawSelect)
       val df = spark.sql(select)
       if (df.isStreaming) {
         JobRegistry.drop(name) // replace any previous job of this name
@@ -187,11 +188,11 @@ final class GraftSql(spark: SparkSession) {
 
     case sinkInto(store, keyCols, select) =>
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      KeyedStore.upsert(store, spark.sql(select), keys)
+      KeyedStore.upsert(store, spark.sql(rewriteTableFunctions(select)), keys)
       status(s"sunk into $store")
 
     case insertIntoStore(store, select) if KeyedStore.exists(store) =>
-      KeyedStore.append(store, spark.sql(select))
+      KeyedStore.append(store, spark.sql(rewriteTableFunctions(select)))
       status(s"inserted into $store")
 
     case other =>

@@ -52,6 +52,19 @@ class MergeSinkSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 70L), ("b", 200L), ("c", 0L)))
   }
 
+  test("partial-schema writes preserve store-only columns") {
+    KeyedStore.drop("partial_store")
+    KeyedStore.upsert("partial_store",
+      Seq(("a", 1L, "keep"), ("b", 2L, "also")).toDF("k", "n", "extra"), Seq("k"))
+    // incoming frame lacks `extra`: the merge must not drop it
+    KeyedStore.upsertMerging("partial_store", Seq(("a", 10L)).toDF("k", "n"),
+      Seq("k"), Map("n" -> (_ + _)))
+    val out = KeyedStore.get(spark, "partial_store")
+      .select("k", "n", "extra")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 11L, "keep"), ("b", 2L, "also")))
+  }
+
   test("streaming mapWithMerging accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     KeyedStore.drop("stream_counts")
