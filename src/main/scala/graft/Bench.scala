@@ -44,10 +44,13 @@ object Bench {
     val streamRate = try streamThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); 0.0
     }
+    val statelessRate = try streamThroughputStateless(spark, sfDir) catch {
+      case e: Throwable => System.err.println(s"[bench] stateless throughput failed: ${e.getMessage}"); 0.0
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_rows_per_sec":$streamRate,"sf":"$sfDir"}""")
+      s""""stream_rows_per_sec":$streamRate,"stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -91,6 +94,30 @@ object Bench {
           s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       q.stop()
     }
+    nRows / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Stateless streaming throughput: the same file-stream replay through a
+    * row-local projection+filter (no state store, no shuffle). The gap between
+    * this and `streamThroughput` isolates the per-micro-batch STATE COMMIT
+    * cost, which is the stateful figure's bound on one box (it scales with
+    * executors, not with this machine).
+    */
+  private def streamThroughputStateless(spark: SparkSession, sfDir: String): Double = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_streambench2_").toString
+    val events = Tables(spark, sfDir, "events").select($"ts", $"event_type", $"value")
+    val replicated = (0 until 10).map(_ => events).reduce(_ union _)
+    replicated.repartition(80).write.parquet(s"$work/in")
+    val nRows = events.count() * 10
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "8").parquet(s"$work/in")
+      .filter($"value" > Double.MinValue)
+      .select($"event_type", ($"value" * 2).as("v2"))
+      .writeStream.format("noop").queryName("bench_stream_stateless")
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    try q.processAllAvailable() finally q.stop()
     nRows / ((System.nanoTime() - t0) / 1e9)
   }
 }

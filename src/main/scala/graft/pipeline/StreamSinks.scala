@@ -14,6 +14,30 @@ final class JobHandle(val name: String, val query: StreamingQuery) {
   def cancel(): Unit = query.stop()
   /** Block until more data has been processed (test helper). */
   def processAllAvailable(): Unit = query.processAllAvailable()
+
+  /** Jet `Job.getStatus()` (core/JobStatus.java): RUNNING / FAILED /
+    * COMPLETED collapse of the StreamingQuery lifecycle.
+    */
+  def status: String =
+    if (query.isActive) "RUNNING"
+    else if (query.exception.isDefined) "FAILED"
+    else "COMPLETED"
+
+  /** Jet `Job.getMetrics()` (core/metrics/JobMetrics.java): the job's key
+    * counters from the last progress event — input rows, processing rate,
+    * state rows, late-event drops.
+    */
+  def metrics: Map[String, Double] =
+    Option(query.lastProgress).map { p =>
+      Map(
+        "batchId" -> p.batchId.toDouble,
+        "numInputRows" -> p.numInputRows.toDouble,
+        "inputRowsPerSecond" -> p.inputRowsPerSecond,
+        "processedRowsPerSecond" -> p.processedRowsPerSecond,
+        "stateRows" -> p.stateOperators.map(_.numRowsTotal).sum.toDouble,
+        "lateEventsDropped" -> p.stateOperators.map(_.numRowsDroppedByWatermark).sum.toDouble)
+        .filterNot(_._2.isNaN)
+    }.getOrElse(Map.empty)
 }
 
 /** Streaming sink vocabulary (reference: Sinks.java applied to StreamStage;

@@ -156,8 +156,13 @@ class StreamingSpec extends SparkSpec {
     val job = StreamSinks.memory("registry_probe", "append")
       .start(mem.toDF())
     assert(JobRegistry.list.exists { case (n, running) => n == "registry_probe" && running })
+    assert(job.status === "RUNNING")
+    job.processAllAvailable()
+    // Jet Job.getMetrics parity: counters from the last progress event
+    assert(job.metrics.getOrElse("numInputRows", -1.0) >= 0.0)
     assert(JobRegistry.drop("registry_probe"))
     assert(!JobRegistry.list.exists(_._1 == "registry_probe"))
     assert(!job.isRunning)
+    assert(job.status === "COMPLETED")
   }
 }
