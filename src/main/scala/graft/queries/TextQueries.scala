@@ -484,14 +484,19 @@ object TextQueries {
     */
   val q70_repetition: Q = (s, dir) => {
     import s.implicits._
-    val th = T.tokenLongHashes($"text")
-    val total = greatest(size(th) - 2, lit(0))
-    val distinct = size(T.shingleHashesFrom(th, 3))
-    t(s, dir, "documents").select(
-      $"doc_id", total.as("n_trigrams"),
-      when(total > 0,
-        round(lit(1.0) - distinct.cast("double") / total.cast("double"), 4))
-        .otherwise(lit(0.0)).as("rep_ratio"))
+    // materialize the md5 hash array ONCE per row: passed as a raw expression,
+    // every one of shingleHashesFrom's ~5 internal references would inline a
+    // full per-token md5 pass (measured 58 s vs ~1 s at sf0.1). The nested
+    // select keeps CollapseProject from re-inlining the non-cheap projection.
+    val total = greatest(size($"th") - 2, lit(0))
+    val distinct = size(T.shingleHashesFrom($"th", 3))
+    t(s, dir, "documents")
+      .select($"doc_id", T.tokenLongHashes($"text").as("th"))
+      .select(
+        $"doc_id", total.as("n_trigrams"),
+        when(total > 0,
+          round(lit(1.0) - distinct.cast("double") / total.cast("double"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
   val q70_oracle: String =
