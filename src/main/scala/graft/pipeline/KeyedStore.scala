@@ -229,9 +229,26 @@ object KeyedStore {
     recordChanges(name, df, df.columns.toSeq, "APPEND")
   }
 
+  // last streaming batchId MERGEd per store: foreachBatch re-delivers the
+  // in-flight batch after a restart, and a re-applied ADDITIVE merge would
+  // double-count — recording the high-water mark makes merge sinks idempotent
+  // per batch (the exactly-once guard Jet gets from its snapshot protocol)
+  private val appliedBatch = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Returns true exactly once per (store, batchId) — callers skip re-applied
+    * micro-batches. Monotonic: a batchId at or below the high-water mark is a
+    * replay.
+    */
+  def beginBatch(name: String, batchId: Long): Boolean = {
+    val prev = appliedBatch.getOrDefault(name, -1L)
+    if (batchId <= prev) false
+    else { appliedBatch.put(name, batchId); true }
+  }
+
   def drop(name: String): Unit = {
     storeKeys.remove(name)
     journalDirs.remove(name)
+    appliedBatch.remove(name)
     Option(tables.remove(name)).foreach(_.unpersist())
   }
 

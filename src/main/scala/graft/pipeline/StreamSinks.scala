@@ -111,20 +111,24 @@ object StreamSinks {
 
   /** Streaming merge-fn upsert — Jet `Sinks.mapWithMerging` (Sinks.java:313)
     * on a StreamStage: every micro-batch MERGEs into the store with per-column
-    * conflict expressions (e.g. additive counters that survive restarts via
-    * the checkpointed source offsets).
+    * conflict expressions. Guarded by the store's batchId high-water mark:
+    * foreachBatch re-delivers the in-flight batch after a restart, and an
+    * additive merge must not double-count it (the exactly-once semantics Jet's
+    * snapshot protocol provides for merge sinks).
     */
   def mapWithMerging(storeName: String, keyCols: Seq[String],
                      merge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
-    foreachBatch((batch, _) => KeyedStore.upsertMerging(storeName, batch, keyCols, merge))
+    foreachBatch((batch, id) => if (KeyedStore.beginBatch(storeName, id))
+      KeyedStore.upsertMerging(storeName, batch, keyCols, merge))
 
   /** Streaming update-fn upsert — Jet `Sinks.mapWithUpdating` (Sinks.java:451)
-    * on a StreamStage.
+    * on a StreamStage; same replayed-batch guard as `mapWithMerging`.
     */
   def mapWithUpdating(storeName: String, keyCols: Seq[String],
                       update: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
-    foreachBatch((batch, _) => KeyedStore.upsertMerging(storeName, batch, keyCols, update,
-      updateAlways = true))
+    foreachBatch((batch, id) => if (KeyedStore.beginBatch(storeName, id))
+      KeyedStore.upsertMerging(storeName, batch, keyCols, update,
+        updateAlways = true))
 
   /** CDC apply sink — Jet `CdcSinks.map` (extensions/cdc-debezium/CdcSinks
     * .java) consuming Debezium-style change records: `opCol` in

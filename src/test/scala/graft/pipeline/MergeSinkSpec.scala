@@ -80,4 +80,18 @@ class MergeSinkSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq === Seq(("a", 6L), ("b", 2L)))
   }
+
+  test("a replayed micro-batch never double-applies an additive merge") {
+    KeyedStore.drop("replay_store")
+    // simulate foreachBatch redelivery: same batchId arrives twice (restart)
+    assert(KeyedStore.beginBatch("replay_store", 0L))
+    KeyedStore.upsertMerging("replay_store", Seq(("a", 5L)).toDF("k", "n"),
+      Seq("k"), Map("n" -> (_ + _)))
+    assert(!KeyedStore.beginBatch("replay_store", 0L)) // replay → skipped
+    assert(KeyedStore.beginBatch("replay_store", 1L))
+    KeyedStore.upsertMerging("replay_store", Seq(("a", 2L)).toDF("k", "n"),
+      Seq("k"), Map("n" -> (_ + _)))
+    val n = KeyedStore.get(spark, "replay_store").collect().head.getLong(1)
+    assert(n === 7L) // 5 + 2, not 5 + 5 + 2
+  }
 }
