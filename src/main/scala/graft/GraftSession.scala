@@ -18,6 +18,8 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native engine expressions on the SQL surface (graft_dot, graft_minhash)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       // AQE: runtime re-planning — coalesce small shuffle partitions, convert
       // sort-merge to broadcast when a side turns out small, split skewed joins.
       .config("spark.sql.adaptive.enabled", "true")

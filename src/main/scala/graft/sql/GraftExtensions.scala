@@ -1,0 +1,48 @@
+package graft.sql
+
+import graft.functions.expr.{DotProduct, MinhashSignatures}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** `SparkSessionExtensions` installer exposing the engine's native codegen
+  * expressions to the SQL surface (the SURVEY §4 extension ladder, rung (c):
+  * register through extensions rather than UDFs — these stay codegen'd and
+  * planner-visible, so they participate in whole-stage codegen, constant
+  * folding, and null-intolerance reasoning exactly like built-ins).
+  *
+  *   spark.sql("SELECT graft_dot(a.emb, b.emb) FROM ...")
+  *   spark.sql("SELECT graft_minhash(token_hashes, 12) FROM ...")
+  *
+  * Activate with `.withExtensions(new GraftExtensions)` (GraftSession does) or
+  * `spark.sql.extensions=graft.sql.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays (codegen)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hash_pairs, k) - k min-hash signature over an " +
+          "array<struct<h1:bigint,h2:bigint>> of per-token hash pairs, one pass"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_minhash(hashes, k) takes exactly 2 arguments")
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash k must be an integer literal, got $other")
+        }
+        MinhashSignatures(exprs.head, k)
+      }))
+  }
+}

@@ -102,6 +102,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("native expressions are SQL-callable via GraftExtensions") {
+    val dot = sql.execute(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot === 32.0)
+    val sig = sql.execute(
+      """SELECT graft_minhash(array(
+        |  named_struct('h1', 9L, 'h2', 1L),
+        |  named_struct('h1', 3L, 'h2', 2L)), 4) AS sig""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === 4)
+  }
+
   test("SHOW JOBS lists registered jobs; DROP JOB on missing job reports") {
     val msg = sql.execute("DROP JOB nonexistent_job").collect().head.getString(0)
     assert(msg.contains("not found"))
