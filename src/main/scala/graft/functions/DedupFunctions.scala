@@ -123,10 +123,19 @@ object DedupFunctions {
     // reduced it by orders of magnitude) fits comfortably on the driver, run
     // union-find there in one pass instead of paying O(log d) distributed
     // rounds of per-stage scheduling overhead. This is the same tradeoff AQE
-    // makes when it collects a ≤10 MB join side to broadcast it. Above the
-    // threshold (ids are two longs/strings per edge; 2M edges ≈ 32 MB) the
-    // O(log d) pointer-jumping rounds below remain the 100 TB path.
-    if (nPairs <= smallGraphThreshold) {
+    // makes when it collects a ≤10 MB join side to broadcast it. Guarded on
+    // FIXED-WIDTH id types only (two longs/edge → 2M edges ≈ 32 MB): a
+    // string-keyed graph's driver footprint is unbounded by the row count, so
+    // it always takes the distributed path. Above the threshold the O(log d)
+    // pointer-jumping rounds below remain the 100 TB path.
+    val fixedWidthIds = {
+      import org.apache.spark.sql.types._
+      p.schema.fields.forall(f => f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    }
+    if (fixedWidthIds && nPairs <= smallGraphThreshold) {
       val edgeRows = p.collect()
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {

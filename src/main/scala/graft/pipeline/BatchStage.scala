@@ -171,10 +171,15 @@ final class BatchStage[T](val ds: Dataset[T]) {
         def next(): U = {
           val r = done.take()
           inFlight -= 1
-          refill()
           r match {
-            case Right(u) => u
-            case Left(e) => factory.destroy(svc); throw e
+            case Right(u) => refill(); u
+            case Left(e) =>
+              // drain the in-flight window BEFORE destroying the service —
+              // destroying under live calls turns one failure into a cascade
+              // of use-after-close errors from the still-running futures
+              while (inFlight > 0) { done.take(); inFlight -= 1 }
+              factory.destroy(svc)
+              throw e
           }
         }
       }

@@ -21,12 +21,16 @@ object KeyedStore {
   private val versionCol = "__graft_version"
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
-  // per-store change-journal directories: parquet files appended by
-  // upsert/delete (a DISTRIBUTED write — no rows pass through the driver) and
-  // consumed as a file-stream source. This is the scale-correct journal shape:
-  // at 100 TB the dir is an object-store prefix and the writers are executors.
+  // per-store change-journal directories, ONE PER SUBSCRIBER: parquet files
+  // appended by upsert/delete (a DISTRIBUTED write — no rows pass through the
+  // driver) and consumed as a file-stream source. Each journal() call gets a
+  // private dir so START_FROM_CURRENT subscribers start empty and
+  // startFromOldest SYNC snapshots reach only their own subscriber (Jet: every
+  // journal consumer tracks its own read position). This is the scale-correct
+  // journal shape: at 100 TB the dirs are object-store prefixes and the
+  // writers are executors.
   private val journalDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.List[String]]()
 
   private val journalSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "op STRING, version BIGINT, key STRING, value STRING")
@@ -45,8 +49,11 @@ object KeyedStore {
   }
 
   private def recordChanges(name: String, df: DataFrame, keyCols: Seq[String], op: String): Unit =
-    Option(journalDirs.get(name)).foreach { dir =>
-      changeFrame(df, keyCols, op).write.mode("append").parquet(dir)
+    Option(journalDirs.get(name)).foreach { dirs =>
+      if (!dirs.isEmpty) {
+        val frame = changeFrame(df, keyCols, op)
+        dirs.forEach(dir => frame.write.mode("append").parquet(dir))
+      }
     }
 
   /** Jet `Sources.mapJournal` (Sources.java:381, StreamEventJournalP) with
@@ -61,12 +68,12 @@ object KeyedStore {
     */
   def journal(spark: SparkSession, name: String,
               startFromOldest: Boolean = false): DataFrame = {
-    var created = false
-    val dir = journalDirs.computeIfAbsent(name, _ => {
-      created = true
-      java.nio.file.Files.createTempDirectory(s"graft_journal_${name}_").toString
-    })
-    if (startFromOldest && created && tables.containsKey(name)) {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_journal_${name}_").toString
+    journalDirs.computeIfAbsent(name,
+      _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+      .add(dir)
+    if (startFromOldest && tables.containsKey(name)) {
       val cur = get(spark, name)
       val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
       changeFrame(cur, keyCols, "SYNC").write.mode("append").parquet(dir)
@@ -196,10 +203,12 @@ object KeyedStore {
     snap.count()
     Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.drop(versionCol).createOrReplaceTempView(name)
-    // journal sees the post-merge values of the touched keys
+    // journal sees the post-merge values of the touched keys; the semi join is
+    // null-safe (<=>) like the merge itself, so NULL-keyed rows journal too
+    val touched = df.select(keyCols.map(c => col(c).as(s"__t_$c")): _*).dropDuplicates()
+    val semiCond = keyCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
     recordChanges(name,
-      snap.drop(versionCol).join(df.select(keyCols.map(col): _*).dropDuplicates(),
-        keyCols, "left_semi"),
+      snap.drop(versionCol).join(touched, semiCond, "left_semi"),
       keyCols, "UPSERT")
   }
 
@@ -229,26 +238,31 @@ object KeyedStore {
     recordChanges(name, df, df.columns.toSeq, "APPEND")
   }
 
-  // last streaming batchId MERGEd per store: foreachBatch re-delivers the
-  // in-flight batch after a restart, and a re-applied ADDITIVE merge would
-  // double-count — recording the high-water mark makes merge sinks idempotent
-  // per batch (the exactly-once guard Jet gets from its snapshot protocol)
+  // last streaming batchId successfully MERGEd per (store, jobId):
+  // foreachBatch re-delivers the in-flight batch after a restart, and a
+  // re-applied ADDITIVE merge would double-count. The mark advances only
+  // AFTER the merge commits (a failed batch must be retryable), and keying by
+  // jobId keeps two queries feeding one store from clobbering each other's
+  // high-water marks (batchIds are per-query).
   private val appliedBatch = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  /** Returns true exactly once per (store, batchId) — callers skip re-applied
-    * micro-batches. Monotonic: a batchId at or below the high-water mark is a
-    * replay.
+  /** True iff this (store, job, batchId) has NOT been applied yet — a batchId
+    * at or below the job's high-water mark is a redelivery. Pure check: call
+    * `commitBatch` after the merge succeeds.
     */
-  def beginBatch(name: String, batchId: Long): Boolean = {
-    val prev = appliedBatch.getOrDefault(name, -1L)
-    if (batchId <= prev) false
-    else { appliedBatch.put(name, batchId); true }
+  def shouldApplyBatch(name: String, jobId: String, batchId: Long): Boolean =
+    batchId > appliedBatch.getOrDefault(s"$name#$jobId", -1L)
+
+  /** Record a successfully merged batch — the point of no redelivery. */
+  def commitBatch(name: String, jobId: String, batchId: Long): Unit = {
+    appliedBatch.put(s"$name#$jobId", batchId)
+    ()
   }
 
   def drop(name: String): Unit = {
     storeKeys.remove(name)
     journalDirs.remove(name)
-    appliedBatch.remove(name)
+    appliedBatch.keySet().removeIf(_.startsWith(s"$name#"))
     Option(tables.remove(name)).foreach(_.unpersist())
   }
 

@@ -121,13 +121,19 @@ object Sinks {
       df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val sock = new java.net.Socket(h, p)
-          val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)))
-          try it.foreach { r =>
-            out.println(if (r.length == 1) String.valueOf(r.get(0))
+          // BufferedWriter, NOT PrintWriter: PrintWriter swallows IOExceptions
+          // into an error flag, and a broken peer would silently drop rows —
+          // a failed write must fail the task (Jet WriteBufferedP semantics)
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            it.foreach { r =>
+              out.write(if (r.length == 1) String.valueOf(r.get(0))
                         else r.toSeq.map(String.valueOf).mkString(","))
-          }
-          finally { out.flush(); out.close(); sock.close() }
+              out.newLine()
+            }
+            out.flush()
+          } finally { out.close(); sock.close() }
         }
       }
     }

@@ -144,8 +144,16 @@ object Sources {
           case (Some(s), _) => r.schema(s).load(dir)
           case (None, "text") => r.load(dir)
           case (None, _) =>
+            // inference happens eagerly at load(): scope the session flag to
+            // this resolution and restore it, so other streaming reads in the
+            // session keep Spark's fail-fast schema requirement
+            val prev = spark.conf.getOption("spark.sql.streaming.schemaInference")
             spark.conf.set("spark.sql.streaming.schemaInference", "true")
-            r.load(dir)
+            try r.load(dir)
+            finally prev match {
+              case Some(v) => spark.conf.set("spark.sql.streaming.schemaInference", v)
+              case None => spark.conf.unset("spark.sql.streaming.schemaInference")
+            }
         }
       }
     }

@@ -111,24 +111,32 @@ object StreamSinks {
 
   /** Streaming merge-fn upsert — Jet `Sinks.mapWithMerging` (Sinks.java:313)
     * on a StreamStage: every micro-batch MERGEs into the store with per-column
-    * conflict expressions. Guarded by the store's batchId high-water mark:
-    * foreachBatch re-delivers the in-flight batch after a restart, and an
-    * additive merge must not double-count it (the exactly-once semantics Jet's
-    * snapshot protocol provides for merge sinks).
+    * conflict expressions. Guarded by a per-(store, job) batchId high-water
+    * mark: foreachBatch re-delivers the in-flight batch after a restart, and
+    * an additive merge must not double-count it (the exactly-once semantics
+    * Jet's snapshot protocol provides for merge sinks). The mark commits only
+    * AFTER the merge succeeds — a failed batch stays retryable. `jobId`
+    * identifies the writing query; pass the same id when resuming it, and
+    * distinct ids for multiple queries feeding one store.
     */
   def mapWithMerging(storeName: String, keyCols: Seq[String],
-                     merge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
-    foreachBatch((batch, id) => if (KeyedStore.beginBatch(storeName, id))
-      KeyedStore.upsertMerging(storeName, batch, keyCols, merge))
+                     merge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column],
+                     jobId: String = "default"): StreamSink =
+    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, jobId, id)) {
+      KeyedStore.upsertMerging(storeName, batch, keyCols, merge)
+      KeyedStore.commitBatch(storeName, jobId, id)
+    })
 
   /** Streaming update-fn upsert — Jet `Sinks.mapWithUpdating` (Sinks.java:451)
     * on a StreamStage; same replayed-batch guard as `mapWithMerging`.
     */
   def mapWithUpdating(storeName: String, keyCols: Seq[String],
-                      update: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column]): StreamSink =
-    foreachBatch((batch, id) => if (KeyedStore.beginBatch(storeName, id))
-      KeyedStore.upsertMerging(storeName, batch, keyCols, update,
-        updateAlways = true))
+                      update: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column],
+                      jobId: String = "default"): StreamSink =
+    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, jobId, id)) {
+      KeyedStore.upsertMerging(storeName, batch, keyCols, update, updateAlways = true)
+      KeyedStore.commitBatch(storeName, jobId, id)
+    })
 
   /** CDC apply sink — Jet `CdcSinks.map` (extensions/cdc-debezium/CdcSinks
     * .java) consuming Debezium-style change records: `opCol` in

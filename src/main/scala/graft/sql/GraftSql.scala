@@ -199,11 +199,13 @@ final class GraftSql(spark: SparkSession) {
       // Jet's information_schema.mappings / .columns catalog tables
       // (infoschema/MappingsTable.java, MappingColumnsTable.java): rewrite to
       // registry-backed temp views so arbitrary SELECTs work over them
-      val rewritten = rewriteTableFunctions(other
+      val infoRewritten = other
         .replaceAll("(?i)information_schema\\.mappings", "__info_mappings")
-        .replaceAll("(?i)information_schema\\.columns", "__info_columns"))
-      if (rewritten != other) refreshInfoSchema()
-      spark.sql(rewritten)
+        .replaceAll("(?i)information_schema\\.columns", "__info_columns")
+      // refresh only for statements that actually read the catalog views —
+      // a TABLE() rewrite alone doesn't need the rebuild
+      if (infoRewritten != other) refreshInfoSchema()
+      spark.sql(rewriteTableFunctions(infoRewritten))
   }
 
   /** Jet's inline SQL table functions (JetSqlOperatorTable.java:84-120:
@@ -223,7 +225,9 @@ final class GraftSql(spark: SparkSession) {
         case "json_flat" => "json"
         case f => f
       }
-      s"$fmt.`${m.group(2)}`"
+      // quoteReplacement: a path containing '$' or '\' must not be parsed as
+      // a matcher group reference
+      scala.util.matching.Regex.quoteReplacement(s"$fmt.`${m.group(2)}`")
     })
   }
 

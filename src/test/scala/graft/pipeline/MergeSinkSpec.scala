@@ -81,16 +81,22 @@ class MergeSinkSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 6L), ("b", 2L)))
   }
 
-  test("a replayed micro-batch never double-applies an additive merge") {
+  test("a replayed micro-batch never double-applies an additive merge; failed batches stay retryable") {
     KeyedStore.drop("replay_store")
     // simulate foreachBatch redelivery: same batchId arrives twice (restart)
-    assert(KeyedStore.beginBatch("replay_store", 0L))
+    assert(KeyedStore.shouldApplyBatch("replay_store", "j1", 0L))
     KeyedStore.upsertMerging("replay_store", Seq(("a", 5L)).toDF("k", "n"),
       Seq("k"), Map("n" -> (_ + _)))
-    assert(!KeyedStore.beginBatch("replay_store", 0L)) // replay → skipped
-    assert(KeyedStore.beginBatch("replay_store", 1L))
+    KeyedStore.commitBatch("replay_store", "j1", 0L)
+    assert(!KeyedStore.shouldApplyBatch("replay_store", "j1", 0L)) // replay → skip
+    // an uncommitted (failed) batch is re-deliverable
+    assert(KeyedStore.shouldApplyBatch("replay_store", "j1", 1L))
+    assert(KeyedStore.shouldApplyBatch("replay_store", "j1", 1L))
     KeyedStore.upsertMerging("replay_store", Seq(("a", 2L)).toDF("k", "n"),
       Seq("k"), Map("n" -> (_ + _)))
+    KeyedStore.commitBatch("replay_store", "j1", 1L)
+    // an independent job writing the same store has its own mark
+    assert(KeyedStore.shouldApplyBatch("replay_store", "j2", 0L))
     val n = KeyedStore.get(spark, "replay_store").collect().head.getLong(1)
     assert(n === 7L) // 5 + 2, not 5 + 5 + 2
   }
