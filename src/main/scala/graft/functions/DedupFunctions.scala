@@ -130,10 +130,12 @@ object DedupFunctions {
     // pointer-jumping rounds below remain the 100 TB path.
     val fixedWidthIds = {
       import org.apache.spark.sql.types._
-      p.schema.fields.forall(f => f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => true
+      // both columns must share ONE integral type: the output schema and the
+      // boxed-equality union-find both assume a single id type
+      p.schema.fields.map(_.dataType).distinct.toSeq match {
+        case Seq(LongType | IntegerType | ShortType | ByteType) => true
         case _ => false
-      })
+      }
     }
     if (fixedWidthIds && nPairs <= smallGraphThreshold) {
       val edgeRows = p.collect()

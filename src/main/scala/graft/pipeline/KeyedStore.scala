@@ -40,19 +40,22 @@ object KeyedStore {
   // keyed off `key` must be consistent for one entry across record types)
   private val storeKeys = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  private def changeFrame(df: DataFrame, keyCols: Seq[String], op: String): DataFrame = {
-    val v = versions.incrementAndGet()
+  private def changeFrame(df: DataFrame, keyCols: Seq[String], op: String,
+                          version: Long): DataFrame =
     df.select(
-      lit(op).as("op"), lit(v).as("version"),
+      lit(op).as("op"), lit(version).as("version"),
       to_json(struct(keyCols.map(col): _*)).as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
-  }
 
   private def recordChanges(name: String, df: DataFrame, keyCols: Seq[String], op: String): Unit =
     Option(journalDirs.get(name)).foreach { dirs =>
       if (!dirs.isEmpty) {
-        val frame = changeFrame(df, keyCols, op)
-        dirs.forEach(dir => frame.write.mode("append").parquet(dir))
+        val frame = changeFrame(df, keyCols, op, versions.incrementAndGet())
+        // >1 subscriber: pin the frame so every dir gets IDENTICAL rows even
+        // if the source plan is nondeterministic, and the plan runs once
+        val pinned = if (dirs.size > 1) { val c = frame.cache(); c.count(); c } else frame
+        try dirs.forEach(dir => pinned.write.mode("append").parquet(dir))
+        finally if (dirs.size > 1) { pinned.unpersist(); () }
       }
     }
 
@@ -70,13 +73,18 @@ object KeyedStore {
               startFromOldest: Boolean = false): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_journal_${name}_").toString
+    // SYNC version is allocated BEFORE the dir is registered: an upsert racing
+    // this subscription gets a HIGHER version, so a version-ordered consumer
+    // converges to the upsert's value whether the race lands it in the SYNC
+    // snapshot, as a journaled UPSERT, or both
+    val syncVersion = versions.incrementAndGet()
     journalDirs.computeIfAbsent(name,
       _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
       .add(dir)
     if (startFromOldest && tables.containsKey(name)) {
       val cur = get(spark, name)
       val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
-      changeFrame(cur, keyCols, "SYNC").write.mode("append").parquet(dir)
+      changeFrame(cur, keyCols, "SYNC", syncVersion).write.mode("append").parquet(dir)
     }
     spark.readStream.schema(journalSchema).parquet(dir)
   }
@@ -201,15 +209,18 @@ object KeyedStore {
       .withColumn(versionCol, lit(versions.incrementAndGet()))
     val snap = merged.cache()
     snap.count()
-    Option(tables.put(name, snap)).foreach(_.unpersist())
-    snap.drop(versionCol).createOrReplaceTempView(name)
-    // journal sees the post-merge values of the touched keys; the semi join is
-    // null-safe (<=>) like the merge itself, so NULL-keyed rows journal too
+    // journal BEFORE swapping the table in: if the journal write fails, the
+    // store is untouched and the caller's retry re-merges cleanly (journal
+    // may then hold a duplicate record for the failed attempt — benign for
+    // version-keyed consumers; a doubled MERGE would not be). The semi join
+    // is null-safe (<=>) like the merge itself, so NULL-keyed rows journal too.
     val touched = df.select(keyCols.map(c => col(c).as(s"__t_$c")): _*).dropDuplicates()
     val semiCond = keyCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
     recordChanges(name,
       snap.drop(versionCol).join(touched, semiCond, "left_semi"),
       keyCols, "UPSERT")
+    Option(tables.put(name, snap)).foreach(_.unpersist())
+    snap.drop(versionCol).createOrReplaceTempView(name)
   }
 
   /** Delete by key (CDC DELETE ops): anti-join against the key set. */
@@ -244,25 +255,34 @@ object KeyedStore {
   // AFTER the merge commits (a failed batch must be retryable), and keying by
   // jobId keeps two queries feeding one store from clobbering each other's
   // high-water marks (batchIds are per-query).
-  private val appliedBatch = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val appliedBatch =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 
   /** True iff this (store, job, batchId) has NOT been applied yet — a batchId
     * at or below the job's high-water mark is a redelivery. Pure check: call
-    * `commitBatch` after the merge succeeds.
+    * `commitBatch` after the merge succeeds. Keyed by the (store, job) PAIR —
+    * no delimiter encoding, so names containing any character can't collide.
     */
   def shouldApplyBatch(name: String, jobId: String, batchId: Long): Boolean =
-    batchId > appliedBatch.getOrDefault(s"$name#$jobId", -1L)
+    batchId > appliedBatch.getOrDefault((name, jobId), -1L)
 
   /** Record a successfully merged batch — the point of no redelivery. */
   def commitBatch(name: String, jobId: String, batchId: Long): Unit = {
-    appliedBatch.put(s"$name#$jobId", batchId)
+    appliedBatch.put((name, jobId), batchId)
     ()
   }
 
   def drop(name: String): Unit = {
     storeKeys.remove(name)
-    journalDirs.remove(name)
-    appliedBatch.keySet().removeIf(_.startsWith(s"$name#"))
+    Option(journalDirs.remove(name)).foreach(_.forEach { dir =>
+      // journal dirs are temp parquet trees — reclaim them with the store
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    })
+    appliedBatch.keySet().removeIf(_._1 == name)
     Option(tables.remove(name)).foreach(_.unpersist())
   }
 

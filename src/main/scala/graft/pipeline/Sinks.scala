@@ -133,7 +133,12 @@ object Sinks {
               out.newLine()
             }
             out.flush()
-          } finally { out.close(); sock.close() }
+          } finally {
+            // close() flushes and can itself throw on a dead peer: never let
+            // it mask the original write error or skip closing the socket
+            try out.close() catch { case _: java.io.IOException => () }
+            try sock.close() catch { case _: java.io.IOException => () }
+          }
         }
       }
     }

@@ -144,16 +144,13 @@ object Sources {
           case (Some(s), _) => r.schema(s).load(dir)
           case (None, "text") => r.load(dir)
           case (None, _) =>
-            // inference happens eagerly at load(): scope the session flag to
-            // this resolution and restore it, so other streaming reads in the
-            // session keep Spark's fail-fast schema requirement
-            val prev = spark.conf.getOption("spark.sql.streaming.schemaInference")
-            spark.conf.set("spark.sql.streaming.schemaInference", "true")
-            try r.load(dir)
-            finally prev match {
-              case Some(v) => spark.conf.set("spark.sql.streaming.schemaInference", v)
-              case None => spark.conf.unset("spark.sql.streaming.schemaInference")
-            }
+            // infer via a BATCH read of the files present at start and declare
+            // the result as the stream schema — no session flag is touched, so
+            // concurrent streaming reads keep Spark's fail-fast schema
+            // requirement (a scoped conf toggle would race across threads)
+            val inferred = spark.read.options(options)
+              .option("inferSchema", "true").format(format).load(dir).schema
+            r.schema(inferred).load(dir)
         }
       }
     }

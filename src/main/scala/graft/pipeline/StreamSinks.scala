@@ -116,27 +116,35 @@ object StreamSinks {
     * an additive merge must not double-count it (the exactly-once semantics
     * Jet's snapshot protocol provides for merge sinks). The mark commits only
     * AFTER the merge succeeds — a failed batch stays retryable. `jobId`
-    * identifies the writing query; pass the same id when resuming it, and
-    * distinct ids for multiple queries feeding one store.
+    * identifies the writing query across restarts: pass a stable id to make
+    * resume-from-checkpoint skip the redelivered batch. The default is a
+    * fresh id per sink instance — safe for any number of concurrent queries
+    * feeding one store (a shared default would silently drop the second
+    * query's batches), at the cost of no cross-restart dedup until a stable
+    * id is supplied.
     */
   def mapWithMerging(storeName: String, keyCols: Seq[String],
                      merge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column],
-                     jobId: String = "default"): StreamSink =
-    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, jobId, id)) {
+                     jobId: String = ""): StreamSink = {
+    val job = if (jobId.nonEmpty) jobId else nextName
+    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, job, id)) {
       KeyedStore.upsertMerging(storeName, batch, keyCols, merge)
-      KeyedStore.commitBatch(storeName, jobId, id)
+      KeyedStore.commitBatch(storeName, job, id)
     })
+  }
 
   /** Streaming update-fn upsert — Jet `Sinks.mapWithUpdating` (Sinks.java:451)
     * on a StreamStage; same replayed-batch guard as `mapWithMerging`.
     */
   def mapWithUpdating(storeName: String, keyCols: Seq[String],
                       update: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column],
-                      jobId: String = "default"): StreamSink =
-    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, jobId, id)) {
+                      jobId: String = ""): StreamSink = {
+    val job = if (jobId.nonEmpty) jobId else nextName
+    foreachBatch((batch, id) => if (KeyedStore.shouldApplyBatch(storeName, job, id)) {
       KeyedStore.upsertMerging(storeName, batch, keyCols, update, updateAlways = true)
-      KeyedStore.commitBatch(storeName, jobId, id)
+      KeyedStore.commitBatch(storeName, job, id)
     })
+  }
 
   /** CDC apply sink — Jet `CdcSinks.map` (extensions/cdc-debezium/CdcSinks
     * .java) consuming Debezium-style change records: `opCol` in
