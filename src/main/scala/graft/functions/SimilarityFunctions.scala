@@ -55,10 +55,12 @@ object SimilarityFunctions {
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("__nrm", norm(toDouble(col(vecCol))))
-      // zero-norm guard: an all-zero vector would divide 0/0 → NaN elements,
-      // and NaN ranks above every double in Spark but not DuckDB. Emit zeros:
-      // dot products against it score 0, which is the right "no similarity".
-      .withColumn(outCol, when(col("__nrm") > 0,
+      // zero/NaN-norm guard: an all-zero vector would divide 0/0 → NaN
+      // elements, and a NaN element makes the norm itself NaN — which PASSES
+      // a bare `> 0` (Spark sorts NaN above every double, DuckDB doesn't).
+      // Emit zeros for both: dot products against the vector score 0, the
+      // right "no similarity", and the differential check stays engine-exact.
+      .withColumn(outCol, when(col("__nrm") > 0 && !isnan(col("__nrm")),
         transform(col(vecCol), x => x.cast("double") / col("__nrm")))
         .otherwise(transform(col(vecCol), x => lit(0.0))))
       .drop("__nrm")

@@ -19,11 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation order is left-to-right like the fold, so results are
   * bit-identical to `SimilarityFunctions.dot` (and to the DuckDB oracle's
-  * `list_sum(list_transform(...))`). Null elements are not expected
-  * (embedding vectors); null arrays propagate null via `nullSafeEval`, and
-  * length-mismatched arrays return NULL — the same answer the
-  * `aggregate(zip_with(...))` fold gives (zip_with pads with nulls), so the
-  * two forms never silently diverge.
+  * `list_sum(list_transform(...))`). Null handling matches the fold in every
+  * case: null arrays propagate null (`nullSafeEval`), length-mismatched
+  * arrays return NULL (zip_with pads with nulls), and a NULL ELEMENT returns
+  * NULL (the fold's sum absorbs the null product). The element checks are
+  * schema-driven — when both inputs declare `containsNull=false` the loop
+  * carries no null branches at all.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,15 +42,25 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def mayHaveNullElements: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
+      val checkNulls = mayHaveNullElements
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
   }
@@ -59,6 +70,9 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayHaveNullElements)
+        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
@@ -66,9 +80,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

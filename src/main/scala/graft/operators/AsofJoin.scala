@@ -34,7 +34,15 @@ object AsofJoin {
     // when a carried column is legitimately NULL, and a NULL head value would
     // misclassify a matched row as unmatched. The struct itself is never null
     // for a real right row, so one carry is both correct and cheaper.
+    // JOIN NULL SEMANTICS: a right row with a NULL key or NULL timestamp can
+    // never legitimately match (NULL = NULL is not a join match, and no
+    // leftTs satisfies rightTs <= leftTs for NULL rightTs) — but the window
+    // formulation would carry it (null keys share a partition; a null __ts
+    // sorts first and becomes everyone's match). Filter them out up front;
+    // null-key LEFT rows then sit in a partition with no right rows and come
+    // out unmatched, exactly like a join.
     val r0 = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key), col(rightTs).as("__ts"),
         struct(rightVals.map(v => col(v).as(v)): _*).as("__r"))
       .withColumn("__side", lit(0))
@@ -45,7 +53,11 @@ object AsofJoin {
       d.withColumn(c, lit(null)))
 
     val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // xxhash64(__r) as the final sort key: two right rows tying on
+    // (ts, side) would otherwise carry a partitioning-dependent winner —
+    // value-derived tiebreak keeps the result bit-stable across runs/engines
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
@@ -63,14 +75,24 @@ object AsofJoin {
     */
   def range(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
-    // the ±tolerance window spans at most the 3 buckets around the left row's
+    require(toleranceSec > 0,
+      s"range join: toleranceSec must be > 0 (got $toleranceSec); " +
+        "use an equi-join on (key, ts) for exact-timestamp matches")
+    // right columns clashing with left names (beyond the merged key) are
+    // suffixed _r — both sides' columns survive into the output unambiguously
+    val clash = right.columns.toSet.intersect(left.columns.toSet) - key
+    val rRenamed = clash.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    val rTs = if (clash.contains(rightTs)) s"${rightTs}_r" else rightTs
+    // the ±tolerance window spans at most the 3 buckets around the left row's;
+    // a right row lands in exactly ONE bucket and the left row's three bucket
+    // ids are distinct, so no (left, right) pair can appear twice — no dedup
     val lb = left.withColumn("__b", explode(array(
       floor(unix_timestamp(col(leftTs)) / toleranceSec) - 1,
       floor(unix_timestamp(col(leftTs)) / toleranceSec),
       floor(unix_timestamp(col(leftTs)) / toleranceSec) + 1)))
-    val rb = right.withColumn("__b", floor(unix_timestamp(col(rightTs)) / toleranceSec))
+    val rb = rRenamed.withColumn("__b", floor(unix_timestamp(col(rTs)) / toleranceSec))
     lb.join(rb, Seq(key, "__b"))
-      .filter(abs(unix_timestamp(col(leftTs)) - unix_timestamp(col(rightTs))) <= toleranceSec)
-      .drop("__b").dropDuplicates()
+      .filter(abs(unix_timestamp(col(leftTs)) - unix_timestamp(col(rTs))) <= toleranceSec)
+      .drop("__b")
   }
 }

@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   *
   *  - init: the k vectors with the smallest ids (no RNG);
   *  - fixed iteration count (no convergence-threshold float compares);
-  *  - centroids rounded to 8 decimals after every recompute — cross-row avg
-  *    order differences (1-ulp) would otherwise drift the next assignment.
+  *  - centroids rounded to 8 decimals after every recompute, absorbing the
+  *    1-ulp cross-row avg order differences that would otherwise drift the
+  *    next assignment. Caveat (known, accepted): rounding is a mitigation,
+  *    not a proof — a mean landing within 1 ulp of a rounding boundary, or
+  *    coordinates ≥ ~1e8 (where 1 ulp > 1e-8), could still flip a digit
+  *    between engines. Unit-scale embedding inputs sit far from both edges;
+  *    a guaranteed-deterministic mean would need order-independent summation
+  *    (scaled-integer or sorted sums) at real cost per iteration.
   *
   * Execution shape: centroids live on the driver (k·dims doubles — same
   * approach as Spark MLlib KMeans) and enter the plan as literals, so each

@@ -57,18 +57,17 @@ object AggregateOperations {
   def bottomN(n: Int, c: Column, as: String = "bottom_n"): AggOp =
     one(slice(sort_array(collect_list(c)), 1, n).as(as))
 
-  /** linearTrend (:471): least-squares slope from explicit moment sums — the
-    * exact accumulator shape of the Jet `LinTrendAccumulator`, computed in one
-    * pass as five fused aggregates.
+  /** linearTrend (:471): least-squares slope. Computed as
+    * covar_pop(x,y)/var_pop(x) — Spark's central-moment aggregates use the
+    * numerically stable incremental (Welford/Chan) form, unlike the raw
+    * moment-sum formula `(n·Σxy − Σx·Σy)/(n·Σxx − (Σx)²)`, which cancels
+    * catastrophically when x's magnitude dwarfs its spread (e.g. raw unix
+    * timestamps spanning an hour lose ALL significant digits in the
+    * denominator). Same single pass, same two-phase plan.
     */
-  def linearTrend(x: Column, y: Column, as: String = "trend"): AggOp = {
-    val n = count(lit(1)).cast("double")
-    val sx = sum(x.cast("double"))
-    val sy = sum(y.cast("double"))
-    val sxy = sum(x.cast("double") * y.cast("double"))
-    val sxx = sum(x.cast("double") * x.cast("double"))
-    one(((n * sxy - sx * sy) / (n * sxx - sx * sx)).as(as))
-  }
+  def linearTrend(x: Column, y: Column, as: String = "trend"): AggOp =
+    one((covar_pop(x.cast("double"), y.cast("double")) /
+      var_pop(x.cast("double"))).as(as))
 
   /** concatenating (:500) */
   def concatenating(c: Column, sep: String = "", as: String = "concat"): AggOp =
@@ -91,9 +90,12 @@ object AggregateOperations {
   /** toMap (:844): key/value pairs to a map column; duplicate keys keep the
     * greatest value deterministically (Jet's merge-fn variant with `max`):
     * entries are sorted, then only the last entry of each key run survives.
+    * NULL keys are dropped (Spark map keys cannot be null — a raw
+    * map_from_entries would fail the whole job; Jet's HashMap accepts one
+    * null key, a documented divergence).
     */
   def toMap(k: Column, v: Column, as: String = "map"): AggOp = {
-    val entries = array_sort(collect_list(struct(k.as("k"), v.as("v"))))
+    val entries = array_sort(collect_list(when(k.isNotNull, struct(k.as("k"), v.as("v")))))
     val deduped = filter(entries, (e, i) =>
       coalesce(try_element_at(entries, i + lit(2)).getField("k") =!= e.getField("k"), lit(true)))
     one(map_from_entries(deduped).as(as))

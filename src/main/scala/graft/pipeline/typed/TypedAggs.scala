@@ -42,25 +42,45 @@ object TypedAggs {
   def topN(n: Int): TopN = new TopN(n)
 
   /** Least-squares slope accumulator (Jet `linearTrend`,
-    * AggregateOperations.java:471, LinTrendAccumulator): five moment sums,
-    * O(1) state, associative merge — the same accumulator shape as the
-    * reference, but running under Tungsten partial aggregation.
+    * AggregateOperations.java:471, LinTrendAccumulator): O(1) state,
+    * mergeable — but in CENTRAL-MOMENT form (n, means, M2x, Cxy; Welford
+    * update + Chan's parallel merge), not Jet's raw moment sums. The raw-sum
+    * form `(n·Σxy − Σx·Σy)/(n·Σxx − (Σx)²)` cancels catastrophically when x's
+    * magnitude dwarfs its spread (raw unix timestamps spanning an hour leave
+    * ~0 correct digits in the denominator); the central form is stable at any
+    * offset. Runs under Tungsten partial aggregation like the rest.
     */
-  final case class LinTrendBuf(n: Long, sx: Double, sy: Double, sxy: Double, sxx: Double)
+  final case class LinTrendBuf(n: Long, mx: Double, my: Double, m2x: Double, cxy: Double)
 
   object LinearTrend extends Aggregator[(Double, Double), LinTrendBuf, Option[Double]] {
     def zero: LinTrendBuf = LinTrendBuf(0L, 0.0, 0.0, 0.0, 0.0)
     def reduce(b: LinTrendBuf, in: (Double, Double)): LinTrendBuf = {
       val (x, y) = in
-      LinTrendBuf(b.n + 1, b.sx + x, b.sy + y, b.sxy + x * y, b.sxx + x * x)
+      val n = b.n + 1
+      val dx = x - b.mx
+      val mx = b.mx + dx / n
+      val dy = y - b.my
+      val my = b.my + dy / n
+      // Welford: dx uses the OLD mean, (x - mx) the new one
+      LinTrendBuf(n, mx, my, b.m2x + dx * (x - mx), b.cxy + dx * (y - my))
     }
     def merge(a: LinTrendBuf, b: LinTrendBuf): LinTrendBuf =
-      LinTrendBuf(a.n + b.n, a.sx + b.sx, a.sy + b.sy, a.sxy + b.sxy, a.sxx + b.sxx)
-    def finish(b: LinTrendBuf): Option[Double] = {
-      val den = b.n * b.sxx - b.sx * b.sx
-      if (b.n == 0 || den == 0.0) None
-      else Some((b.n * b.sxy - b.sx * b.sy) / den)
-    }
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        // Chan et al. parallel combine
+        val n = a.n + b.n
+        val dx = b.mx - a.mx
+        val dy = b.my - a.my
+        val w = a.n.toDouble * b.n / n
+        LinTrendBuf(n,
+          a.mx + dx * b.n / n,
+          a.my + dy * b.n / n,
+          a.m2x + b.m2x + dx * dx * w,
+          a.cxy + b.cxy + dx * dy * w)
+      }
+    def finish(b: LinTrendBuf): Option[Double] =
+      if (b.n == 0 || b.m2x == 0.0) None else Some(b.cxy / b.m2x)
     def bufferEncoder: Encoder[LinTrendBuf] = Encoders.product[LinTrendBuf]
     def outputEncoder: Encoder[Option[Double]] = implicitly(
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())

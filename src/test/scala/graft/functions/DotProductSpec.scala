@@ -43,4 +43,14 @@ class DotProductSpec extends SparkSpec {
       .select(SimilarityFunctions.dotNative(col("a"), col("b")).as("d"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("null ELEMENT returns null, matching the fold (no silent zero)") {
+    val df = Seq((Seq(Some(1.0), None, Some(2.0)), Seq(Some(1.0), Some(1.0), Some(1.0))))
+      .toDF("a", "b")
+    val native = df.select(SimilarityFunctions.dotNative(col("a"), col("b")).as("d"))
+      .collect().head
+    val fold = df.select(SimilarityFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(native.isNullAt(0) && fold.isNullAt(0))
+  }
 }
