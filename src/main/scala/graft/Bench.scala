@@ -35,10 +35,14 @@ object Bench {
     try queries.QueryRegistry.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streamRate = try streamThroughput(spark, sfDir) catch {
@@ -49,8 +53,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // failed queries are listed explicitly — their partial times would
+    // otherwise read as dramatic "improvements" in cross-round comparisons
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_rows_per_sec":$streamRate,"stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
+      s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
+      s""""stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -74,6 +82,7 @@ object Bench {
     // partitions beats the batch default — per-micro-batch cost is dominated by
     // per-partition state commits, not data volume
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // watermark bookkeeping alone doesn't need an extra empty micro-batch after
     // every data batch — halves the number of batch commits
@@ -86,7 +95,10 @@ object Bench {
         .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
         .writeStream.format("memory").queryName("bench_stream")
         .outputMode("update").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally {
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
@@ -94,7 +106,17 @@ object Bench {
           s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       q.stop()
     }
-    nRows / ((System.nanoTime() - t0) / 1e9)
+    val rate = nRows / ((System.nanoTime() - t0) / 1e9)
+    deleteTree(work)
+    rate
+  }
+
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
   }
 
   /** Stateless streaming throughput: the same file-stream replay through a
@@ -118,6 +140,8 @@ object Bench {
       .outputMode("append").start()
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
-    nRows / ((System.nanoTime() - t0) / 1e9)
+    val rate = nRows / ((System.nanoTime() - t0) / 1e9)
+    deleteTree(work)
+    rate
   }
 }

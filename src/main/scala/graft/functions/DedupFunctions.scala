@@ -209,6 +209,12 @@ object DedupFunctions {
           f"[cc] iter=$it changes=$changes ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       edges.unpersist(); p.unpersist()
+      // unconverged labels SPLIT real components — silently returning them
+      // would under-deduplicate with no signal; maxIter=25 covers diameters
+      // to 2^25 under pointer jumping, so hitting it means something is wrong
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "labels would split real components; raise maxIter")
       labels // (id, label = component-min id)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -244,10 +250,18 @@ object DedupFunctions {
       col("band") +: scopeCols.map(col)): _*)
     val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
       col("band") +: scopeCols.map(col)): _*)
-    a.join(b, "band" +: scopeCols)
+    val pairs = a.join(b, "band" +: scopeCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("jaccard") >= minJaccard)
+    // materialize the (small) verified pair set, then RELEASE the exploded
+    // band-signature cache — leaving it pinned for the session would leak a
+    // docs×bands table with full hash arrays per call (the pair list is
+    // orders of magnitude smaller; callers may unpersist it when done)
+    val snap = pairs.cache()
+    snap.count()
+    sig.unpersist()
+    snap
   }
 }

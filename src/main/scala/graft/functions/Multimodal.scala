@@ -53,8 +53,10 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: val codec = Codec.open() here, once per partition
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // real impl: val codec = Codec.open() here, once per partition.
+        // NULL payloads are normal in real corpora — skip them instead of
+        // letting one null row NPE the whole decode job
+        it.filter(_._2 != null).map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
 
@@ -72,7 +74,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real impl: val model = Model.load() here, once per partition
-        it.map { case (id, bytes) =>
+        it.filter(_._2 != null).map { case (id, bytes) =>
           val hist = new Array[Long](bins)
           var i = 0
           while (i < bytes.length) { hist(((bytes(i) & 0xff) * bins) / 256) += 1; i += 1 }
@@ -93,7 +95,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map {
+        if (bytes == null) Iterator.empty
+        else bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map {
           case (frame, i) => (id, i, frame.length, decodeStub(id, frame).content_md5)
         }
       }

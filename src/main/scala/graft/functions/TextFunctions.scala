@@ -78,9 +78,14 @@ object TextFunctions {
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
-    val phone = regexp_replace(email,
+    // longest phone shape first: a 2-3-3-4 number contains a 3-3-4 suffix
+    val phoneIntl = regexp_replace(email,
       "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]")
-    regexp_replace(phone,
+    val phoneParen = regexp_replace(phoneIntl,
+      "\\([0-9]{3}\\)\\s?[0-9]{3}[-.][0-9]{4}", "[PHONE]")
+    val phoneUs = regexp_replace(phoneParen,
+      "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "[PHONE]")
+    regexp_replace(phoneUs,
       "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]")
   }
 
@@ -116,7 +121,11 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
     "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "que"),
-    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+    // pinyin romanizations chosen NOT to collide with the Romance lists
+    // ("de"/"le" are also Spanish/French stopwords — a Spanish text heavy in
+    // "de" must not score as Chinese); es/fr still share genuine cognates
+    // (la, en, un, que), where the deterministic tie-break applies
+    "zh" -> Seq("bu", "shi", "dou", "wo", "ni", "ta", "men", "zai", "you", "hen"))
 
   /** Language-ID: hit-count each language's stopword list over the token bag;
     * argmax with lexicographic tie-break ("und" = undetermined when no hits).

@@ -64,11 +64,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def mapUsingService[S, U: Encoder](factory: ServiceFactory[S])(f: (S, T) => U): BatchStage[U] =
     new BatchStage(ds.mapPartitions { it =>
       val svc = factory.create()
-      val out = it.map(t => f(svc, t))
-      new Iterator[U] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): U = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.map(t => f(svc, t)))
     })
 
   /** Jet `filterUsingService` (GeneralStage.java:255): keep rows the
@@ -78,11 +74,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def filterUsingService[S](factory: ServiceFactory[S])(p: (S, T) => Boolean): BatchStage[T] =
     new BatchStage(ds.mapPartitions { it =>
       val svc = factory.create()
-      val out = it.filter(t => p(svc, t))
-      new Iterator[T] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): T = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.filter(t => p(svc, t)))
     }(ds.encoder))
 
   /** Jet `flatMapUsingService` (GeneralStage.java:279). */
@@ -90,11 +82,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
       f: (S, T) => IterableOnce[U]): BatchStage[U] =
     new BatchStage(ds.mapPartitions { it =>
       val svc = factory.create()
-      val out = it.flatMap(t => f(svc, t))
-      new Iterator[U] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): U = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.flatMap(t => f(svc, t)))
     })
 
   /** Jet `mapUsingServiceAsyncBatched` (GeneralStage.java:459): micro-batched
@@ -104,11 +92,8 @@ final class BatchStage[T](val ds: Dataset[T]) {
       f: (S, Seq[T]) => Seq[U]): BatchStage[U] =
     new BatchStage(ds.mapPartitions { it =>
       val svc = factory.create()
-      val out = it.grouped(batchSize).flatMap(b => f(svc, b.toSeq))
-      new Iterator[U] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): U = out.next()
-      }
+      ServiceFactories.closing(factory, svc,
+        it.grouped(batchSize).flatMap(b => f(svc, b.toSeq)))
     })
 
   /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
@@ -124,14 +109,11 @@ final class BatchStage[T](val ds: Dataset[T]) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val svc = factory.create()
-      val out = it.grouped(maxConcurrent).flatMap { batch =>
-        implicit val ec = scala.concurrent.ExecutionContext.global
-        Await.result(Future.sequence(batch.map(t => f(svc, t))), Duration.Inf)
-      }
-      new Iterator[U] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): U = out.next()
-      }
+      ServiceFactories.closing(factory, svc,
+        it.grouped(maxConcurrent).flatMap { batch =>
+          implicit val ec = scala.concurrent.ExecutionContext.global
+          Await.result(Future.sequence(batch.map(t => f(svc, t))), Duration.Inf)
+        })
     })
 
   /** Jet `mapUsingServiceAsync` UNORDERED (GeneralStage.java:354-401,
@@ -162,10 +144,17 @@ final class BatchStage[T](val ds: Dataset[T]) {
         }
       }
       refill()
+      var destroyed = false
+      // val, not def: a local def lifts to an instance method and would drag
+      // the non-serializable stage into the task closure
+      val destroyOnce: () => Unit =
+        () => if (!destroyed) { destroyed = true; factory.destroy(svc) }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
       new Iterator[U] {
         def hasNext: Boolean = {
           val h = inFlight > 0
-          if (!h) factory.destroy(svc)
+          if (!h) destroyOnce()
           h
         }
         def next(): U = {
@@ -178,7 +167,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
               // destroying under live calls turns one failure into a cascade
               // of use-after-close errors from the still-running futures
               while (inFlight > 0) { done.take(); inFlight -= 1 }
-              factory.destroy(svc)
+              destroyOnce()
               throw e
           }
         }

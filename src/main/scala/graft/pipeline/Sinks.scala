@@ -18,6 +18,25 @@ object ServiceFactories {
     */
   def service[S](create: () => S, destroy: S => Unit = (_: S) => ()): ServiceFactory[S] =
     ServiceFactory(create, destroy)
+
+  /** Wrap a partition's output iterator with the service teardown contract:
+    * destroy runs EXACTLY ONCE, on exhaustion OR task completion — a consumer
+    * that re-checks hasNext after false must not double-close the handle, and
+    * a downstream `limit` that never drains the iterator must not leak it
+    * (the task-completion listener covers early exit).
+    */
+  private[pipeline] def closing[S, U](factory: ServiceFactory[S], svc: S,
+                                      out: Iterator[U]): Iterator[U] = {
+    var destroyed = false
+    def destroyOnce(): Unit =
+      if (!destroyed) { destroyed = true; factory.destroy(svc) }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
+    new Iterator[U] {
+      def hasNext: Boolean = { val h = out.hasNext; if (!h) destroyOnce(); h }
+      def next(): U = out.next()
+    }
+  }
 }
 
 /** Batch sink vocabulary (reference: pipeline/Sinks.java). */

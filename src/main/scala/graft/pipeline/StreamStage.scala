@@ -93,11 +93,7 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
       f: (S, Row) => Row): StreamStage =
     customTransform(outSchema) { it =>
       val svc = factory.create()
-      val out = it.map(r => f(svc, r))
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): Row = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.map(r => f(svc, r)))
     }
 
   /** Jet stream `filterUsingService` (GeneralStage.java:497): schema-preserving,
@@ -106,11 +102,7 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def filterUsingService[S](factory: ServiceFactory[S])(p: (S, Row) => Boolean): StreamStage =
     customTransform(df.schema) { it =>
       val svc = factory.create()
-      val out = it.filter(r => p(svc, r))
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): Row = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.filter(r => p(svc, r)))
     }
 
   /** Jet stream `flatMapUsingService` (GeneralStage.java:539). */
@@ -119,11 +111,7 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
       f: (S, Row) => IterableOnce[Row]): StreamStage =
     customTransform(outSchema) { it =>
       val svc = factory.create()
-      val out = it.flatMap(r => f(svc, r))
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) factory.destroy(svc); h }
-        def next(): Row = out.next()
-      }
+      ServiceFactories.closing(factory, svc, it.flatMap(r => f(svc, r)))
     }
 
   /** Jet `groupingKey` → keyed stream stage. */

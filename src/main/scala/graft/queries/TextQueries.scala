@@ -470,9 +470,11 @@ object TextQueries {
       |    '@example.com 10.' || (c_custkey % 200)::VARCHAR || '.0.1' AS raw
       |  FROM customer)
       |SELECT c_custkey, raw,
-      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
       |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '\([0-9]{3}\)\s?[0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g'),
+      |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
       |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
       |FROM raw""".stripMargin
 

@@ -152,6 +152,11 @@ object StreamRunner {
     lap("start")
     try q.processAllAvailable() finally q.stop()
     lap("process-all")
+    // the memory sink holds the result rows; the staged input files are done —
+    // delete them so repeated gate/bench rounds don't fill the temp volume
+    java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     spark.table(name)
   }
 }
