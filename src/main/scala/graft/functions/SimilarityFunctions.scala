@@ -104,8 +104,12 @@ object SimilarityFunctions {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), dotAuto(col("qv"), col("cv")).as("cosine"))
+    // rank on the score QUANTIZED to 9 decimals (full precision stays in the
+    // output): near-tied cosines computed with different arithmetic orders on
+    // different engines/runs would otherwise flip integer ranks that no
+    // output rounding can absorb; the id tiebreak then decides reproducibly
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

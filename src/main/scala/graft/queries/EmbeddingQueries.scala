@@ -44,7 +44,7 @@ object EmbeddingQueries {
        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 5""".stripMargin
@@ -94,7 +94,10 @@ object EmbeddingQueries {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
     val cands = emb.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"bucket")
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    // rank on the 9-decimal-quantized score: integer ranks must not depend
+    // on last-ulp arithmetic-order differences between engines
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"cosine", 9).desc, $"neighbor_id".asc)
     cands.join(broadcast(queries), Seq("bucket"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
@@ -116,7 +119,7 @@ object EmbeddingQueries {
        |  FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3""".stripMargin
@@ -142,7 +145,9 @@ object EmbeddingQueries {
     a.join(b, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", S.dotAuto($"va", $"vb").as("cosine"))
-      .filter($"cosine" >= 0.35)
+      // threshold on the ROUNDED score: pair inclusion is a binary decision
+      // output rounding can't repair if the raw cosine straddles the cut
+      .filter(round($"cosine", 6) >= 0.35)
       .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
   }
 
@@ -158,7 +163,8 @@ object EmbeddingQueries {
        |    ${cosSql("a.embedding", "b.embedding")} AS cosine
        |  FROM bucketed a JOIN bucketed b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
+       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs
+       |WHERE round(cosine, 6) >= 0.35""".stripMargin
   }
 
   // ----------------------------------------------------- q44 IVF ANN top-k
@@ -182,14 +188,17 @@ object EmbeddingQueries {
       "embedding", "qv").drop("embedding")
     // probe: nearest centroid per query (centroids are tiny → broadcast);
     // qv is unit-length so cosine vs centroid = dot / centroid-norm
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cos_c".desc, $"label".asc)
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy(round($"cos_c", 9).desc, $"label".asc)
     val probe = queries.join(broadcast(centroids))
       .select($"query_id", $"qv", $"label",
         (S.dotAuto($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" === 1)
       .select($"query_id", $"qv", $"label".as("probe_label"))
-    // exact rank within the probed cell only (both sides unit-length → dot)
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    // exact rank within the probed cell only (both sides unit-length → dot);
+    // quantized ordering like q40/q42
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"cosine", 9).desc, $"neighbor_id".asc)
     S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
         "embedding", "cv")
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
@@ -212,7 +221,7 @@ object EmbeddingQueries {
        |  SELECT query_id, qv, label AS probe_label FROM (
        |    SELECT q.query_id, q.qv, c.label,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |        ${cosSql("q.qv", "c.cv")} DESC, c.label ASC) AS rn
+       |        round(${cosSql("q.qv", "c.cv")}, 9) DESC, c.label ASC) AS rn
        |    FROM q CROSS JOIN cent c) WHERE rn = 1),
        |scored AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
@@ -221,7 +230,7 @@ object EmbeddingQueries {
        |    ON e.label = p.probe_label AND e.vec_id <> p.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3""".stripMargin

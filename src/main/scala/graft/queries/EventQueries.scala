@@ -116,13 +116,17 @@ object EventQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .select($"event_id", $"user_id",
-        sum($"value").over(w).as("running_sum"),
+        // rounded like every other cross-engine float aggregate: prefix sums
+        // accumulate in different orders (sequential vs segment-tree) and an
+        // unrounded double per OUTPUT ROW is maximum exposure to last-ulp
+        // drift at a 6-significant-digit canon boundary
+        round(sum($"value").over(w), 4).as("running_sum"),
         count(lit(1)).over(w).as("running_count"))
   }
 
   val q23_oracle: String =
     """SELECT event_id, user_id,
-      |  sum(value) OVER w AS running_sum,
+      |  round(sum(value) OVER w, 4) AS running_sum,
       |  count(*) OVER w AS running_count
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -210,6 +214,9 @@ object EventQueries {
   val q28_windowed_distinct: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
+      // NULL user_ids excluded to match count(DISTINCT user_id), which skips
+      // nulls — count(*) over the deduped rows would count a null as a user
+      .filter($"user_id".isNotNull)
       .select(window($"ts", "1 hour").as("w"), $"user_id")
       .dropDuplicates("w", "user_id")
       .groupBy(unix_timestamp($"w.start").as("window_start"))

@@ -23,13 +23,16 @@ object MultimodalQueries {
       .toDF() // media_id, n_bytes, content_md5, fake_width, fake_height
   }
 
+  // oracles mirror the engine's skip-undecodable semantics: NULL payloads
+  // are dropped by the decode stages (one null row must not NPE a 100 TB
+  // decode job), and a zero-byte payload yields zero frames in q46
   val q45_oracle: String =
     """SELECT doc_id AS media_id,
       |  octet_length(encode(text)) AS n_bytes,
       |  md5(text) AS content_md5,
       |  (octet_length(encode(text)) % 64 + 1)::INT AS fake_width,
       |  ((octet_length(encode(text)) * 7) % 64 + 1)::INT AS fake_height
-      |FROM documents""".stripMargin
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   // -------------------------------------------------- q46 frame sampling shape
   val q46_multimodal_frames: Q = (s, dir) => {
@@ -44,7 +47,8 @@ object MultimodalQueries {
     """SELECT doc_id,
       |  least(ceil(octet_length(encode(text)) / 64.0), 4)::BIGINT AS n_frames,
       |  least(octet_length(encode(text)), 256)::BIGINT AS sampled_bytes
-      |FROM documents""".stripMargin
+      |FROM documents
+      |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0""".stripMargin
 
   // ------------------------------------------- q64 binary feature extraction
   /** Byte-histogram features over the payload (Multimodal.extractFeatures —

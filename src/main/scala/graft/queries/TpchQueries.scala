@@ -405,15 +405,18 @@ object TpchQueries {
       .select($"l_returnflag", explode($"top_prices").as("top_price"), $"price_trend")
   }
 
+  // oracle slope via regr_slope: DuckDB's regression aggregate is the same
+  // central-moment (Welford-family) algorithm as TypedAggs.LinearTrend — the
+  // raw moment-sum closed form would diverge from the engine at the last
+  // digits on large groups (the q26 same-formula-both-sides principle,
+  // honored here by matching ALGORITHM family instead)
   val q17_oracle: String =
     """WITH m AS (
-      |  SELECT l_returnflag, count(*)::DOUBLE AS n,
-      |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
-      |    sum(l_quantity * l_extendedprice) AS sxy, sum(l_quantity * l_quantity) AS sxx,
+      |  SELECT l_returnflag,
+      |    round(regr_slope(l_extendedprice, l_quantity), 4) AS price_trend,
       |    (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top_prices
       |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, unnest(top_prices) AS top_price,
-      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS price_trend
+      |SELECT l_returnflag, unnest(top_prices) AS top_price, price_trend
       |FROM m""".stripMargin
 
   // ----------------------------------------------- q18 semi / anti joins
@@ -454,8 +457,12 @@ object TpchQueries {
     val events = t(s, dir, "events")
     val purchases = events.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id")
+    // one view per (user, ts), keeping the max event id: DuckDB's ASOF JOIN
+    // picks an ARBITRARY right row on timestamp ties while the engine breaks
+    // ties deterministically — dedup on BOTH sides removes the ambiguity
     val views = events.filter($"event_type" === "view")
-      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_event"))
+      .groupBy($"user_id", $"ts".as("view_ts"))
+      .agg(max($"event_id").as("view_event"))
     graft.operators.AsofJoin(purchases, views, key = "user_id",
         leftTs = "ts", rightTs = "view_ts", rightVals = Seq("view_event"))
       .select($"user_id", $"event_id".as("purchase_event"),
@@ -466,7 +473,8 @@ object TpchQueries {
     """SELECT p.user_id, p.event_id AS purchase_event, v.event_id AS view_event,
       |  (epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000) AS purchase_epoch
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+      |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
 
   // --------------------------------------------- q63 KMV distinct sketch

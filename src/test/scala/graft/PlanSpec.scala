@@ -78,7 +78,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("as-of join plans as union + one key shuffle, never a theta join") {
-    val df = queries.TpchQueries.q19_asof_join(spark, sf)
+    // assert on the BARE operator (q19 adds a legitimate pre-dedup shuffle of
+    // the right side on top): the as-of itself must stay union + one window
+    // shuffle on the key, never a range/theta join
+    import org.apache.spark.sql.functions.col
+    val events = Tables(spark, sf, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_event"))
+    val df = operators.AsofJoin(purchases, views, "user_id", "ts", "view_ts", Seq("view_event"))
     df.collect()
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
