@@ -22,7 +22,10 @@ object TextFunctions {
 
   /** Whitespace token count — the "wc -w" notion of tokens. */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= ""))
+    // explicit class, not \s: Java \s includes vertical tab \x0B, RE2 (the
+    // DuckDB oracle's regex engine) does not — the explicit class means both
+    // engines split identically on any input
+    size(filter(split(text, "[ \\t\\n\\f\\r]+"), t => t =!= ""))
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * non-alphanumeric non-space characters each count as one token — a cheap,
@@ -163,9 +166,12 @@ object TextFunctions {
     * text — whitespace/punctuation-insensitive exact dedup key.
     */
   def exactFingerprint(text: Column): Column =
-    exactFingerprintFrom(tokens(text))
+    // NULL text -> NULL fingerprint (concat_ws would silently yield md5('')
+    // while any SQL oracle's md5(NULL) is NULL — the join/count semantics of
+    // a missing document must match a missing fingerprint)
+    when(text.isNotNull, exactFingerprintFrom(tokens(text)))
 
   /** `exactFingerprint` over a precomputed tokens column. */
   def exactFingerprintFrom(ts: Column): Column =
-    md5(concat_ws(" ", ts))
+    when(ts.isNotNull, md5(concat_ws(" ", ts)))
 }

@@ -39,10 +39,9 @@ object StreamingQueries {
       .agg(max($"n").as("n"), max_by($"sum_value", $"n").as("sum_value"))
   }
 
-  val q50_oracle: String =
-    """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
-      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+  // the batch q20 and the streamed q50 compute the SAME aggregate — one
+  // oracle definition, so the stream-batch equivalence pair cannot drift
+  val q50_oracle: String = EventQueries.q20_oracle
 
   // -------------------------------------------- q51 streaming session window
   /** `session_window` gap-merged sessions per user through a real streaming
@@ -67,7 +66,10 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
         .select($"user_id", unix_micros($"w.start").as("session_start_us"),
           unix_micros($"w.end").as("session_end_us"), $"n_events", $"sum_value")
-    }.filter($"user_id" >= 0) // the sentinel rows' own (unflushed) sessions
+      // drop exactly the sentinel sessions (user_id = -1) with a NULL-SAFE
+      // comparison: the previous `user_id >= 0` evaluated NULL for a
+      // NULL-user session and silently dropped it, while the oracle keeps it
+    }.filter(!($"user_id" <=> lit(-1L)))
   }
 
   /** Oracle: gaps-and-islands sessions; Spark's session end = last event + gap. */
@@ -100,7 +102,10 @@ object StreamingQueries {
     import s.implicits._
     val rolled = StreamRunner.replayFiles(s, eventsDf(s, dir), "ts", "append") { df =>
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      df.as[(Timestamp, Long, String, Double)]
+      // the primitive-tuple decoder aborts the stream on a NULL field; filter
+      // nulls explicitly (the oracle carries the same predicate)
+      df.filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+        .as[(Timestamp, Long, String, Double)]
         .groupByKey(_._2)
         .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -122,7 +127,9 @@ object StreamingQueries {
 
   val q52_oracle: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
-      |FROM events GROUP BY user_id""".stripMargin
+      |FROM events
+      |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |GROUP BY user_id""".stripMargin
 
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(

@@ -47,7 +47,7 @@ object TextQueries {
 
   val q31_oracle: String =
     s"""SELECT doc_id,
-       |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       |  len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS n_ws_tokens,
        |  len(list_distinct($tokSql)) AS n_distinct_tokens,
        |  length(text) AS n_chars_actual
        |FROM documents""".stripMargin
@@ -61,11 +61,13 @@ object TextQueries {
       .select($"doc_id", T.qualityScore($"text", enStop).as("quality"))
   }
 
-  val q32_oracle: String = {
+  /** Shared quality-score SQL over a `ts` tokens list + `text` column — the
+    * mirror of TextFunctions.qualityScoreFrom, defined ONCE so the q32 and
+    * q48 oracles can never drift apart on just one of them.
+    */
+  private val qualityExprSql: String = {
     val stopList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH toks AS (SELECT doc_id, text, $tokSql AS ts FROM documents)
-       |SELECT doc_id,
-       |  least(1.0, greatest(0.0,
+    s"""least(1.0, greatest(0.0,
        |    0.4 * (CASE WHEN len(ts) >= 10 AND len(ts) <= 10000 THEN 1.0
        |                WHEN len(ts) > 0 THEN 0.5 ELSE 0.0 END)
        |    + 0.4 * least(1.0, (CASE WHEN len(ts) > 0
@@ -74,9 +76,14 @@ object TextQueries {
        |    + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
        |        THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')))::DOUBLE / length(text)
        |        ELSE 0.0 END) * 10))
-       |  )) AS quality
-       |FROM toks""".stripMargin
+       |  ))""".stripMargin
   }
+
+  val q32_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, text, $tokSql AS ts FROM documents)
+       |SELECT doc_id,
+       |  $qualityExprSql AS quality
+       |FROM toks""".stripMargin
 
   // ----------------------------------------------------------- q33 lang id
   val q33_lang_id: Q = (s, dir) => {
@@ -201,9 +208,13 @@ object TextQueries {
       .select($"doc_id", D.simhashFromHashes($"hs", bits = 16).as("simhash"))
       .cache() // consumed twice by the consecutive-id self-join
     val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"simhash".as("next_simhash"))
-    sh.join(nxt, Seq("doc_id"))
+    val out = sh.join(nxt, Seq("doc_id"))
       .select($"doc_id", $"simhash",
         D.hammingDistance($"simhash", $"next_simhash").as("hamming_to_next"))
+      .cache()
+    out.count() // materialize the small result, then release the per-doc cache
+    sh.unpersist()
+    out
   }
 
   val q37_oracle: String = {
@@ -230,8 +241,12 @@ object TextQueries {
       .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
       .cache() // consumed twice by the consecutive-id self-join
     val nxt = sh.select(($"doc_id" - 1).as("doc_id"), $"sh".as("sh_next"))
-    sh.join(nxt, Seq("doc_id"))
+    val out = sh.join(nxt, Seq("doc_id"))
       .select($"doc_id", D.jaccard($"sh", $"sh_next").as("trigram_jaccard"))
+      .cache()
+    out.count() // materialize the small result, then release the per-doc cache
+    sh.unpersist()
+    out
   }
 
   val q38_oracle: String =
@@ -312,21 +327,11 @@ object TextQueries {
   }
 
   val q48_oracle: String = {
-    val stopList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH scored AS (
        |  SELECT doc_id, source,
-       |    least(1.0, greatest(0.0,
-       |      0.4 * (CASE WHEN len(ts) >= 10 AND len(ts) <= 10000 THEN 1.0
-       |                  WHEN len(ts) > 0 THEN 0.5 ELSE 0.0 END)
-       |      + 0.4 * least(1.0, (CASE WHEN len(ts) > 0
-       |          THEN len(list_filter(ts, x -> list_contains($stopList, x)))::DOUBLE / len(ts)
-       |          ELSE 0.0 END) * 5)
-       |      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
-       |          THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')))::DOUBLE / length(text)
-       |          ELSE 0.0 END) * 10))
-       |    )) AS quality,
+       |    $qualityExprSql AS quality,
        |    md5(array_to_string(ts, ' ')) AS fp,
-       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+       |    len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS n_tokens
        |  FROM (SELECT doc_id, source, text, $tokSql AS ts FROM documents)),
        |kept AS (
        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk

@@ -124,7 +124,12 @@ object StreamRunner {
     new java.io.File(inDir).listFiles().filter(_.getName.startsWith("__chunk=")).foreach { d =>
       val i = d.getName.stripPrefix("__chunk=").toInt
       d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => { f.setLastModified(base + i * 60000L); () })
+        .foreach { f =>
+          // the whole stream-vs-batch equivalence rests on these mtimes
+          // ordering the chunks — fail fast if the filesystem refuses
+          require(f.setLastModified(base + i * 60000L),
+            s"cannot stamp chunk mtime on $f; file-stream replay order undefined")
+        }
     }
     val schema = org.apache.spark.sql.types.StructType(
       input.schema.fields :+ org.apache.spark.sql.types.StructField(
