@@ -35,8 +35,13 @@ object Bench {
     try queries.QueryRegistry.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // comma-separated name-prefix filter for local iteration (full run if unset)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filter.forall(_.exists(n.startsWith))
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -45,10 +50,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val streamRate = try streamThroughput(spark, sfDir) catch {
+    val streamRate = if (filter.isDefined) 0.0 else try streamThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); 0.0
     }
-    val statelessRate = try streamThroughputStateless(spark, sfDir) catch {
+    val statelessRate = if (filter.isDefined) 0.0 else try streamThroughputStateless(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stateless throughput failed: ${e.getMessage}"); 0.0
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -241,8 +241,13 @@ object DedupFunctions {
         scopeCols.map(col)): _*)
       .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
       .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
+      // explode_outer + null filter: a plain explode lets
+      // InferFiltersFromGenerate push a `size(bandKeys(minhash(hp))) > 0`
+      // filter below the hp projection, inlining a second full md5 pass per
+      // row (see TextQueries q30/q68 for the pattern and measurements)
       .withColumn("band",
-        explode(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+        explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+      .filter(col("band").isNotNull)
       .drop("hp", "toks")
       // both sides of the self-join consume this — materialize once
       .cache()

@@ -24,8 +24,16 @@ object TextQueries {
     */
   val q30_wordcount: Q = (s, dir) => {
     import s.implicits._
+    // explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    // explode into a pushed-down `size(arr) > 0` filter with the generator
+    // input INLINED — the tokenizer would run twice per row (and for nested
+    // expensive arrays like q68's shingles, O(n²) times). The rule skips
+    // outer generates; the null row an empty array produces is dropped by
+    // the explicit filter on the generated column, which cannot be pushed
+    // below the Generate.
     t(s, dir, "documents")
-      .select(explode(T.tokens($"text")).as("word"))
+      .select(explode_outer(T.tokens($"text")).as("word"))
+      .filter($"word".isNotNull)
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
   }
@@ -376,7 +384,10 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val nDocs = docs.count() // tiny scalar, computed once
-    val tf = docs.select($"doc_id", explode(T.tokens($"text")).as("term"))
+    // explode_outer + null filter: keeps the tokenizer out of a
+    // generate-inferred pushed filter (see q30)
+    val tf = docs.select($"doc_id", explode_outer(T.tokens($"text")).as("term"))
+      .filter($"term".isNotNull)
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
     // rank on the ROUNDED weight: mathematically-tied tfidf values (e.g.
@@ -422,11 +433,19 @@ object TextQueries {
     val sh = t(s, dir, "documents")
       .withColumn("th", T.tokenLongHashes($"text"))
       .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
+    // explode_outer everywhere here, not explode: InferFiltersFromGenerate +
+    // predicate pushdown would inline the whole shingle expression (with th's
+    // md5-of-every-token transform repeated per element_at reference) into a
+    // below-Project filter — measured 100 s instead of ~2 s at sf0.1, O(tokens²)
+    // md5 work per doc. The outer generate infers no filter; the explicit
+    // isNotNull on the GENERATED column stays above the Generate.
     // held-out "benchmark": every 20th doc (stand-in for an eval-set table)
     val benchShingles = sh.filter($"doc_id" % 20 === 0)
-      .select(explode($"sh").as("h")).distinct()
+      .select(explode_outer($"sh").as("h"))
+      .filter($"h".isNotNull).distinct()
     sh.filter($"doc_id" % 20 =!= 0)
-      .select($"doc_id", explode($"sh").as("h"))
+      .select($"doc_id", explode_outer($"sh").as("h"))
+      .filter($"h".isNotNull)
       .join(broadcast(benchShingles), Seq("h"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_overlap"))
