@@ -116,8 +116,12 @@ object DedupFunctions {
                           maxIter: Int = 25,
                           smallGraphThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
-    // the pair list feeds every iteration: materialize it exactly once
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    // the pair list feeds every iteration: materialize it exactly once.
+    // Edges with a NULL endpoint carry no connectivity information — dropped
+    // up front (the fast path's primitive arrays can't hold them; the
+    // distributed path's joins would emit orphan null-label rows)
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull).cache()
     val nPairs = p.count()
     // Small-graph fast path: when the PAIR GRAPH (not the corpus — LSH already
     // reduced it by orders of magnitude) fits comfortably on the driver, run
@@ -138,33 +142,58 @@ object DedupFunctions {
       }
     }
     if (fixedWidthIds && nPairs <= smallGraphThreshold) {
-      val edgeRows = p.collect()
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      import spark.implicits._
+      // primitive collect: Tuple2 is @specialized on Long, so the edge list is
+      // ~32 B/edge (vs ~100+ B for boxed GenericRows) — the 2M-edge default
+      // tops out near 64 MB transient plus 24 B/node for the sorted-id +
+      // parent arrays below, a bounded fraction of any practical driver heap
+      val edgeArr = p.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      // index-compressed union-find over primitive arrays: sorted distinct ids
+      // + Int parent pointers, no boxing anywhere
+      val all = new Array[Long](edgeArr.length * 2)
+      var w = 0
+      edgeArr.foreach { case (a, b) => all(w) = a; all(w + 1) = b; w += 2 }
+      java.util.Arrays.sort(all)
+      var n = 0
+      var r = 0
+      while (r < all.length) {
+        if (n == 0 || all(n - 1) != all(r)) { all(n) = all(r); n += 1 }
+        r += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, n)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var root = x
+        while (parent(root) != root) root = parent(root)
         var c = x // path compression
-        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
+        while (parent(c) != root) { val nx = parent(c); parent(c) = root; c = nx }
+        root
       }
-      // min-label union (no rank): the root is always the component's MINIMUM
-      // id, matching the distributed path's label choice bit-for-bit
-      def lt(x: Any, y: Any): Boolean = (x, y) match {
-        case (a: Long, b: Long) => a < b
-        case (a: Int, b: Int) => a < b
-        case (a: Number, b: Number) => a.doubleValue() < b.doubleValue()
-        case (a, b) => a.toString < b.toString
+      // ids are sorted ascending, so a smaller INDEX is a smaller id: rooting
+      // at min(ra, rb) keeps every root the component-MINIMUM id — the same
+      // label the distributed min-label path converges to
+      edgeArr.foreach { case (a, b) =>
+        val ra = find(java.util.Arrays.binarySearch(ids, a))
+        val rb = find(java.util.Arrays.binarySearch(ids, b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      edgeRows.foreach { r =>
-        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
-        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      import org.apache.spark.sql.types._
+      val fromLong: Long => Any = p.schema.fields(0).dataType match {
+        case IntegerType => l => l.toInt
+        case ShortType => l => l.toShort
+        case ByteType => l => l.toByte
+        case _ => l => l
       }
-      val ids = edgeRows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
-      val schema = org.apache.spark.sql.types.StructType(Seq(
+      val schema = StructType(Seq(
         p.schema.fields(0).copy(name = "id"),
         p.schema.fields(0).copy(name = "label")))
-      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
-      ids.foreach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList(n)
+      var m = 0
+      while (m < n) {
+        rows.add(org.apache.spark.sql.Row(fromLong(ids(m)), fromLong(ids(find(m)))))
+        m += 1
+      }
       p.unpersist()
       return spark.createDataFrame(rows, schema)
     }

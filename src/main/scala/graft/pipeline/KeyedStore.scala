@@ -129,9 +129,10 @@ object KeyedStore {
     // materialize before caching so the store is stable even if inputs mutate
     val snap = merged.cache()
     snap.count()
+    // journal-before-swap (same invariant as upsertMerging/delete/append)
+    recordChanges(name, df, keyCols, "UPSERT")
     tables.put(name, snap)
     snap.drop(versionCol).createOrReplaceTempView(name)
-    recordChanges(name, df, keyCols, "UPSERT")
   }
 
   /** Expression-based MERGE upsert — the engine behind Jet's merge-fn sinks
@@ -216,6 +217,17 @@ object KeyedStore {
     // is null-safe (<=>) like the merge itself, so NULL-keyed rows journal too.
     val touched = df.select(keyCols.map(c => col(c).as(s"__t_$c")): _*).dropDuplicates()
     val semiCond = keyCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    // deleteWhen removals journal as DELETE records (mirroring delete()):
+    // the left_semi UPSERT join below only covers keys that SURVIVED the
+    // merge, so without this a subscriber mirroring the store would keep the
+    // removed entry forever. Only matched rows (the key existed in the store)
+    // delete anything; suppressed incoming-only rows never had an entry.
+    deleteWhen.foreach { p =>
+      val deleted = joined
+        .filter(oc("__op").isNotNull && nc("__np").isNotNull && coalesce(p(oc, nc), lit(false)))
+        .select(keyCols.map(k => oc(k).as(k)): _*)
+      recordChanges(name, deleted, keyCols, "DELETE")
+    }
     recordChanges(name,
       snap.drop(versionCol).join(touched, semiCond, "left_semi"),
       keyCols, "UPSERT")
@@ -230,10 +242,12 @@ object KeyedStore {
         keysDf.select(keyCols.map(col): _*).dropDuplicates(), keyCols, "left_anti")
       val snap = remaining.cache()
       snap.count()
+      // journal BEFORE the swap (upsertMerging's invariant): a failed journal
+      // write leaves the store untouched so a caller retry is clean
+      recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
       tables.put(name, snap)
       val view = if (snap.columns.contains(versionCol)) snap.drop(versionCol) else snap
       view.createOrReplaceTempView(name)
-      recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
     }
   }
 
@@ -244,9 +258,11 @@ object KeyedStore {
     val merged = Option(tables.get(name)).map(_.unionByName(df)).getOrElse(df)
     val snap = merged.cache()
     snap.count()
+    // journal-before-swap, as in upsertMerging/delete: a journal failure must
+    // not leave the store updated with subscribers never seeing the APPEND
+    recordChanges(name, df, df.columns.toSeq, "APPEND")
     tables.put(name, snap)
     snap.createOrReplaceTempView(name)
-    recordChanges(name, df, df.columns.toSeq, "APPEND")
   }
 
   // last streaming batchId successfully MERGEd per (store, jobId):

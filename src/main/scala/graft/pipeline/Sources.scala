@@ -86,12 +86,20 @@ object Sources {
           idxs.flatMap { idx =>
             val ctx = mkCtx(idx.toInt)
             var open = true
+            // destroy exactly once, even when the partition iterator is never
+            // drained (downstream limit/take, task failure): the completion
+            // listener fires at task end regardless — the same lifecycle seam
+            // ServiceFactories-backed stages use
+            val destroyOnce: () => Unit =
+              () => if (open) { open = false; destroyFn(ctx) }
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
             new Iterator[Seq[T]] {
               private var nextBuf: Option[Seq[T]] = None
               private def advance(): Unit =
                 if (open && nextBuf.isEmpty) {
                   nextBuf = fillFn(ctx)
-                  if (nextBuf.isEmpty) { destroyFn(ctx); open = false }
+                  if (nextBuf.isEmpty) destroyOnce()
                 }
               def hasNext: Boolean = { advance(); nextBuf.isDefined }
               def next(): Seq[T] = { advance(); val b = nextBuf.get; nextBuf = None; b }
@@ -129,10 +137,12 @@ object Sources {
 
   /** Jet `Sources.fileWatcher` (Sources.java:1073) → file-stream source: watch a
     * directory, stream new files' records. Streaming file sources require an
-    * explicit schema for every format except text (inference would have to
-    * re-read arriving files — Spark refuses); pass `schema`, or as a dev-only
-    * fallback the session-wide `spark.sql.streaming.schemaInference` flag is
-    * enabled and the schema is sampled from the files present at start.
+    * explicit schema for every format except text; pass `schema`. As a dev-only
+    * fallback, when no schema is given the files present at start are sampled
+    * via one batch read and the result declared as the stream schema (no
+    * session flag is touched). That fallback needs at least one file present —
+    * the typical production deployment (watch an empty dir, files arrive
+    * later) must pass `schema` explicitly, and gets a clear error otherwise.
     */
   def fileWatcher(dir: String, format: String = "text",
                   schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -148,8 +158,16 @@ object Sources {
             // the result as the stream schema — no session flag is touched, so
             // concurrent streaming reads keep Spark's fail-fast schema
             // requirement (a scoped conf toggle would race across threads)
-            val inferred = spark.read.options(options)
-              .option("inferSchema", "true").format(format).load(dir).schema
+            val inferred =
+              try spark.read.options(options)
+                .option("inferSchema", "true").format(format).load(dir).schema
+              catch {
+                case e: org.apache.spark.sql.AnalysisException =>
+                  throw new IllegalArgumentException(
+                    s"fileWatcher($dir, $format): no schema given and none could be " +
+                      "inferred (is the directory empty?). Watching a directory that " +
+                      "fills later requires an explicit `schema` parameter.", e)
+              }
             r.schema(inferred).load(dir)
         }
       }

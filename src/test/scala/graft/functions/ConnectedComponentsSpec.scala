@@ -38,4 +38,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     val distributed = cc(graph, threshold = 0L)
     assert(fast === distributed)
   }
+
+  test("edges with a null endpoint are dropped, not NPE'd, on both paths") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, 2L), Row(null, 3L), Row(4L, null), Row(2L, 5L))
+    val pairs = spark.createDataFrame(rows, schema)
+    Seq(2000000L, 0L).foreach { threshold =>
+      val labels = DedupFunctions.connectedComponents(pairs, "a", "b",
+        smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // only the non-null edges contribute: {1,2,5} one component; 3 and 4
+      // appear in no surviving edge, so they are absent entirely
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    }
+  }
+
+  test("fast path preserves non-long integral id types") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    val pairs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7, 3), Row(3, 9)), schema)
+    val out = DedupFunctions.connectedComponents(pairs, "a", "b")
+    assert(out.schema.fields.map(_.dataType).toSeq === Seq(IntegerType, IntegerType))
+    val labels = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(labels === Map(3 -> 3, 7 -> 3, 9 -> 3))
+  }
 }

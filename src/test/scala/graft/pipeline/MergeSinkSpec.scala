@@ -65,6 +65,30 @@ class MergeSinkSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 11L, "keep"), ("b", 2L, "also")))
   }
 
+  test("deleteWhen removals journal a DELETE record, not silence") {
+    import org.apache.spark.sql.functions.get_json_object
+    KeyedStore.drop("delwhen_jrnl")
+    KeyedStore.upsert("delwhen_jrnl", Seq(("a", 3L), ("b", 4L)).toDF("k", "n"), Seq("k"))
+    val journal = KeyedStore.journal(spark, "delwhen_jrnl")
+    val job = StreamSinks.memory("delwhen_jrnl_test", "append")
+      .start(journal.select($"op", get_json_object($"key", "$.k").as("k")))
+    // b's incoming row trips deleteWhen → the store drops b AND the journal
+    // must carry a DELETE for it (a mirror via mapWithUpdating would
+    // otherwise keep the stale entry forever)
+    KeyedStore.upsertMerging("delwhen_jrnl",
+      Seq(("a", 7L), ("b", -1L)).toDF("k", "n"), Seq("k"),
+      Map("n" -> ((o, n) => coalesce(o, lit(0L)) + n)),
+      updateAlways = true,
+      deleteWhen = Some((_, n) => n("n") < 0))
+    job.processAllAvailable()
+    val events = spark.table("delwhen_jrnl_test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(events.filter(_._1 == "DELETE").map(_._2) === Seq("b"))
+    assert(events.filter(_._1 == "UPSERT").map(_._2).contains("a"))
+    job.cancel()
+    KeyedStore.drop("delwhen_jrnl")
+  }
+
   test("streaming mapWithMerging accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     KeyedStore.drop("stream_counts")

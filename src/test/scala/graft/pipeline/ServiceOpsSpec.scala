@@ -85,9 +85,35 @@ class ServiceOpsSpec extends SparkSpec {
     assert(out.toSeq === (0 until 100).toSeq)
   }
 
+  test("SourceBuilder destroys every created context even when the partition is not drained") {
+    SourceBuilderProbe.created.set(0)
+    SourceBuilderProbe.destroyed.set(0)
+    val src = Sources.build[Iterator[Seq[Int]], Int](parallelism = 2) { idx =>
+      SourceBuilderProbe.created.incrementAndGet()
+      ((idx * 50) until ((idx + 1) * 50)).grouped(10).map(_.toSeq)
+    } { it => if (it.hasNext) Some(it.next()) else None } { _ =>
+      SourceBuilderProbe.destroyed.incrementAndGet(); ()
+    }
+    // limit stops consuming before any partition iterator is drained — the
+    // task-completion listener must still run destroy once per created context
+    assert(p.readFrom(src).ds.limit(3).collect().length === 3)
+    assert(SourceBuilderProbe.created.get() >= 1)
+    assert(SourceBuilderProbe.destroyed.get() === SourceBuilderProbe.created.get())
+  }
+
   test("peek is lazy (no job at construction) and passes rows through") {
     val stage = p.readFrom(Sources.items(1 to 100)).peek(2)
     // construction ran no job; the data survives the passthrough intact
     assert(stage.ds.collect().sorted.toSeq === (1 to 100).toSeq)
   }
+}
+
+/** Static probe for SourceBuilder lifecycle assertions: an object's fields are
+  * resolved through the classloader, so executor threads in local mode mutate
+  * the SAME counters the test thread reads (a captured field would be
+  * serialized into the closure and mutations lost).
+  */
+object SourceBuilderProbe {
+  val created = new java.util.concurrent.atomic.AtomicInteger(0)
+  val destroyed = new java.util.concurrent.atomic.AtomicInteger(0)
 }

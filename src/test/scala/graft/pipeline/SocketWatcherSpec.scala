@@ -76,6 +76,14 @@ class SocketWatcherSpec extends SparkSpec {
     }
   }
 
+  test("fileWatcher on an empty dir without a schema fails with a clear error") {
+    val dir = Files.createTempDirectory("graft_watch_empty_").toString
+    val e = intercept[IllegalArgumentException] {
+      Sources.fileWatcher(dir, "json").read(spark)
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("assertOrdered / assertAnyOrder / assertContains vocabulary") {
     val p = Pipeline.create(spark)
     p.wrap(Seq(1, 2, 3).toDF("v").orderBy("v"))
