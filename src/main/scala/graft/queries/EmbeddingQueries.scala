@@ -314,6 +314,66 @@ object EmbeddingQueries {
        |FROM c2""".stripMargin
   }
 
+  // ------------------------------------------------- q74 ANN recall audit
+  /** ANN quality evaluation: recall@3 of the LSH-bucketed search (q42's
+    * path) against the exact brute-force ranking, per query — the
+    * "measure, don't guess" loop for tuning planes/probes, as a first-class
+    * operator. Exact side = broadcast query set + map-side scoring + window
+    * top-k (q40's shape); the recall join is per-(query, neighbor), so the
+    * audit costs one corpus scan regardless of corpus size — run it on a
+    * sampled query set at 100 TB.
+    */
+  val q74_ann_recall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id")
+    val approx = q42_ann_lsh_topk(s, dir).select($"query_id", $"neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
+          .as("recall_at_3"))
+  }
+
+  val q74_oracle: String = {
+    val bits = (0 until 4).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> embedding[i]::DOUBLE * (${planeSignsSql(j)})[i])) > 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
+       |approx_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+       |    FROM approx_scored) WHERE rank <= 3),
+       |exact_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+       |    FROM exact_scored) WHERE rank <= 3),
+       |hit AS (
+       |  SELECT e.query_id, count(*) AS n_hit
+       |  FROM exact e JOIN approx a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT e.query_id,
+       |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall_at_3
+       |FROM exact e LEFT JOIN hit h ON e.query_id = h.query_id
+       |GROUP BY e.query_id, h.n_hit""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q39_dedup_embedding" -> q39_dedup_embedding,
@@ -322,7 +382,8 @@ object EmbeddingQueries {
     "q42_ann_lsh_topk" -> q42_ann_lsh_topk,
     "q43_centroids" -> q43_centroids,
     "q44_ann_ivf_topk" -> q44_ann_ivf_topk,
-    "q65_kmeans_ivf" -> q65_kmeans_ivf)
+    "q65_kmeans_ivf" -> q65_kmeans_ivf,
+    "q74_ann_recall" -> q74_ann_recall)
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_embedding" -> q39_oracle,
@@ -331,5 +392,6 @@ object EmbeddingQueries {
     "q42_ann_lsh_topk" -> q42_oracle,
     "q43_centroids" -> q43_oracle,
     "q44_ann_ivf_topk" -> q44_oracle,
-    "q65_kmeans_ivf" -> q65_oracle)
+    "q65_kmeans_ivf" -> q65_oracle,
+    "q74_ann_recall" -> q74_oracle)
 }

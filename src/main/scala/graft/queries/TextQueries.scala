@@ -564,6 +564,84 @@ object TextQueries {
        |        ((SELECT count(*) FROM s) * src_tokens), 6) AS weight
        |FROM s""".stripMargin
 
+  // ------------------------------------------------ q72 sequence packing
+  /** Sequence packing (the last step of LLM training-batch prep, public
+    * recipe: concatenate documents in order, chunk at a fixed context
+    * length). pack_id = which context window a doc's FIRST token lands in
+    * under per-source in-order concatenation; output = per-pack document and
+    * token counts (the pack manifest a loader would read). One window
+    * shuffle partitioned by source + one hash-agg — the running sum never
+    * leaves its source partition, so the op scales with sources × docs; if
+    * one source dominates at 100 TB, salt it into sub-sources first (the
+    * packing is order-preserving within each salt).
+    */
+  val q72_pack_sequences: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ctxLen = 2048
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", T.wsTokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("pack_id", floor($"start_tok" / ctxLen).cast("long"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+  }
+
+  val q72_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |  len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> ''))::BIGINT AS n_tokens
+       |  FROM documents),
+       |cum AS (SELECT source, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+       |  FROM toks)
+       |SELECT source, floor(start_tok / 2048)::BIGINT AS pack_id,
+       |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
+       |FROM cum GROUP BY source, pack_id""".stripMargin
+
+  // --------------------------------------------- q73 dedup keep-best copy
+  /** Dedup with a KEEP-BEST policy (public pipeline recipe: when several
+    * near-copies of a document exist, keep the highest-QUALITY copy, not the
+    * first-seen one — q48 keeps min doc_id). The group key is a PREFIX
+    * fingerprint (md5 of the first 5 tokens — the "same-lede" heuristic used
+    * for boilerplate/mirror collapse). Ranking is on the ROUNDED quality: the
+    * keep/drop decision is binary and must not hinge on last-ulp float
+    * differences between engines; ties break on doc_id. Output = the kept
+    * copy of every collided fingerprint plus how many copies it beat. Same
+    * tokenize-once / drop-text-before-shuffle shape as q48: three shuffles
+    * at any scale.
+    */
+  val q73_dedup_keep_best: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"fp").orderBy($"quality".desc, $"doc_id".asc)
+    val wc = Window.partitionBy($"fp")
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", $"text", T.tokens($"text").as("ts"))
+      .select($"doc_id", $"source",
+        round(T.qualityScoreFrom($"ts", $"text", enStop), 6).as("quality"),
+        md5(concat_ws(" ", slice($"ts", 1, 5))).as("fp"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(wc))
+      .filter($"rk" === 1 && $"n_copies" > 1)
+      .select($"doc_id", $"source", $"quality", $"n_copies")
+  }
+
+  val q73_oracle: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, round($qualityExprSql, 6) AS quality,
+       |    md5(array_to_string(ts[1:5], ' ')) AS fp
+       |  FROM (SELECT doc_id, source, text, $tokSql AS ts FROM documents)),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY fp) AS n_copies
+       |  FROM scored)
+       |SELECT doc_id, source, quality, n_copies
+       |FROM ranked WHERE rk = 1 AND n_copies > 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -581,7 +659,9 @@ object TextQueries {
     "q68_decontaminate" -> q68_decontaminate,
     "q69_redact_pii" -> q69_redact_pii,
     "q70_repetition" -> q70_repetition,
-    "q71_mix_weights" -> q71_mix_weights)
+    "q71_mix_weights" -> q71_mix_weights,
+    "q72_pack_sequences" -> q72_pack_sequences,
+    "q73_dedup_keep_best" -> q73_dedup_keep_best)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -600,5 +680,7 @@ object TextQueries {
     "q68_decontaminate" -> q68_oracle,
     "q69_redact_pii" -> q69_oracle,
     "q70_repetition" -> q70_oracle,
-    "q71_mix_weights" -> q71_oracle)
+    "q71_mix_weights" -> q71_oracle,
+    "q72_pack_sequences" -> q72_oracle,
+    "q73_dedup_keep_best" -> q73_oracle)
 }
