@@ -96,6 +96,46 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many shuffles ($exchanges) in as-of plan:\n$plan")
   }
 
+  test("expensive generator inputs never leak into Filter conditions (generate-inlining guard)") {
+    // InferFiltersFromGenerate + pushdown can inline a generator's input
+    // expression into a below-Project filter; with the md5-token-hash shingle
+    // pipeline that inlining is O(tokens²) per row (measured: q68 100 s
+    // instead of 1 s at sf0.1). The explode_outer + null-filter pattern keeps
+    // it out — this asserts the property on every affected query so a future
+    // refactor (or optimizer change) can't silently reintroduce it: md5/conv
+    // work may appear in Project/Generate/HashAggregate nodes, NEVER in a
+    // Filter condition.
+    Seq(
+      "q29" -> queries.TextQueries.q29_tfidf(spark, sf),
+      "q30" -> queries.TextQueries.q30_wordcount(spark, sf),
+      "q68" -> queries.TextQueries.q68_decontaminate(spark, sf)
+    ).foreach { case (name, df) =>
+      val filterLines = planOf(df).linesIterator
+        .filter(l => l.trim.startsWith("Condition") || l.contains("Filter ("))
+        .mkString("\n")
+      // the tokenizer split and the md5 hash are the two expensive stages;
+      // neither may be (re)computed inside a filter predicate
+      assert(!filterLines.contains("md5(") && !filterLines.contains("split(lower("),
+        s"$name: tokenizer/md5 inlined into a Filter condition:\n$filterLines")
+    }
+  }
+
+  test("sequence packing drops text before the window shuffle (q72)") {
+    val df = queries.TextQueries.q72_pack_sequences(spark, sf)
+    df.collect() // let AQE finalize
+    // every Exchange must move (source, doc_id, n_tokens)-shaped rows only;
+    // carrying the text payload through the running-sum shuffle would move
+    // the whole corpus twice. FormattedMode prints per-node Input/Output
+    // column lists — the tree string doesn't.
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchangeBlocks = formatted.split("\n\n").filter(b =>
+      b.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchangeBlocks.nonEmpty, s"no Exchange node found in:\n$formatted")
+    exchangeBlocks.foreach(b =>
+      assert(!b.contains("text#"), s"text column shuffled in:\n$b"))
+  }
+
   test("embedding pair join carries pre-normalized vectors (no per-pair norm)") {
     val plan = queries.EmbeddingQueries.q39_dedup_embedding(spark, sf)
       .queryExecution.optimizedPlan.toString
