@@ -21,6 +21,18 @@ object KeyedStore {
   private val versionCol = "__graft_version"
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // per-store mutation lock: journal-before-swap means there is a window where
+  // the journal already carries an UPSERT but `tables` still holds the old
+  // frame — a journal(startFromOldest) subscription landing inside that window
+  // would SYNC the STALE state at a HIGHER version and a version-ordered
+  // consumer would converge to it. Store mutations and journal subscription
+  // both run on the driver, so a coarse per-name lock closes the window at no
+  // distributed cost (the locked section launches Spark jobs, it doesn't
+  // serialize executor work beyond what the store swap already implies).
+  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def locked[A](name: String)(body: => A): A =
+    storeLocks.computeIfAbsent(name, _ => new Object).synchronized(body)
+
   // per-store change-journal directories, ONE PER SUBSCRIBER: parquet files
   // appended by upsert/delete (a DISTRIBUTED write — no rows pass through the
   // driver) and consumed as a file-stream source. Each journal() call gets a
@@ -73,24 +85,29 @@ object KeyedStore {
               startFromOldest: Boolean = false): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_journal_${name}_").toString
-    // SYNC version is allocated BEFORE the dir is registered: an upsert racing
-    // this subscription gets a HIGHER version, so a version-ordered consumer
-    // converges to the upsert's value whether the race lands it in the SYNC
-    // snapshot, as a journaled UPSERT, or both
-    val syncVersion = versions.incrementAndGet()
-    journalDirs.computeIfAbsent(name,
-      _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
-      .add(dir)
-    if (startFromOldest && tables.containsKey(name)) {
-      val cur = get(spark, name)
-      val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
-      changeFrame(cur, keyCols, "SYNC", syncVersion).write.mode("append").parquet(dir)
+    // the whole subscription (version allocation + dir registration + SYNC
+    // snapshot) runs under the store's mutation lock: a mutation can therefore
+    // never be mid-journal-before-swap while we snapshot — the SYNC sees
+    // either the fully-swapped new state or the old state with our dir
+    // registered BEFORE the mutation journals (so the change reaches us too)
+    locked(name) {
+      val syncVersion = versions.incrementAndGet()
+      journalDirs.computeIfAbsent(name,
+        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+        .add(dir)
+      if (startFromOldest && tables.containsKey(name)) {
+        val cur = get(spark, name)
+        val keyCols = Option(storeKeys.get(name)).getOrElse(cur.columns.toSeq)
+        changeFrame(cur, keyCols, "SYNC", syncVersion).write.mode("append").parquet(dir)
+      }
     }
     spark.readStream.schema(journalSchema).parquet(dir)
   }
 
-  def put(name: String, df: DataFrame): Unit = {
-    tables.put(name, df.cache())
+  def put(name: String, df: DataFrame): Unit = locked(name) {
+    // unpersist the replaced snapshot: a long-running caller re-putting a name
+    // would otherwise pin one dead cached table per call
+    Option(tables.put(name, df.cache())).foreach(old => if (old ne df) old.unpersist())
     df.createOrReplaceTempView(name)
   }
 
@@ -110,7 +127,7 @@ object KeyedStore {
   /** Last-writer-wins upsert by key columns (Jet `Sinks.map` semantics: new
     * entries replace existing keys).
     */
-  def upsert(name: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+  def upsert(name: String, df: DataFrame, keyCols: Seq[String]): Unit = locked(name) {
     require(keyCols.nonEmpty, "upsert needs key columns")
     storeKeys.put(name, keyCols)
     val incoming = df.withColumn(versionCol, lit(versions.incrementAndGet()))
@@ -131,7 +148,7 @@ object KeyedStore {
     snap.count()
     // journal-before-swap (same invariant as upsertMerging/delete/append)
     recordChanges(name, df, keyCols, "UPSERT")
-    tables.put(name, snap)
+    Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.drop(versionCol).createOrReplaceTempView(name)
   }
 
@@ -160,7 +177,7 @@ object KeyedStore {
   def upsertMerging(name: String, df: DataFrame, keyCols: Seq[String],
                     mergeFn: Map[String, (Column, Column) => Column],
                     updateAlways: Boolean = false,
-                    deleteWhen: Option[(String => Column, String => Column) => Column] = None): Unit = {
+                    deleteWhen: Option[(String => Column, String => Column) => Column] = None): Unit = locked(name) {
     require(keyCols.nonEmpty, "upsertMerging needs key columns")
     storeKeys.put(name, keyCols)
     val spark = df.sparkSession
@@ -220,12 +237,16 @@ object KeyedStore {
     // deleteWhen removals journal as DELETE records (mirroring delete()):
     // the left_semi UPSERT join below only covers keys that SURVIVED the
     // merge, so without this a subscriber mirroring the store would keep the
-    // removed entry forever. Only matched rows (the key existed in the store)
-    // delete anything; suppressed incoming-only rows never had an entry.
-    deleteWhen.foreach { p =>
-      val deleted = joined
-        .filter(oc("__op").isNotNull && nc("__np").isNotNull && coalesce(p(oc, nc), lit(false)))
-        .select(keyCols.map(k => oc(k).as(k)): _*)
+    // removed entry forever. The deleted key set = old keys no longer present
+    // in the merged snapshot — derived from the two CACHED frames (old, snap)
+    // with a null-safe anti join, so the full-outer merge join is never
+    // re-executed for journaling.
+    deleteWhen.foreach { _ =>
+      val snapKeys = snap
+        .select(keyCols.map(c => col(c).as(s"__s_$c")): _*).dropDuplicates()
+      val antiCond = keyCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+      val deleted = old.select(keyCols.map(col): _*).dropDuplicates()
+        .join(snapKeys, antiCond, "left_anti")
       recordChanges(name, deleted, keyCols, "DELETE")
     }
     recordChanges(name,
@@ -236,7 +257,7 @@ object KeyedStore {
   }
 
   /** Delete by key (CDC DELETE ops): anti-join against the key set. */
-  def delete(name: String, keysDf: DataFrame, keyCols: Seq[String]): Unit = {
+  def delete(name: String, keysDf: DataFrame, keyCols: Seq[String]): Unit = locked(name) {
     Option(tables.get(name)).foreach { old =>
       val remaining = old.join(
         keysDf.select(keyCols.map(col): _*).dropDuplicates(), keyCols, "left_anti")
@@ -245,7 +266,7 @@ object KeyedStore {
       // journal BEFORE the swap (upsertMerging's invariant): a failed journal
       // write leaves the store untouched so a caller retry is clean
       recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
-      tables.put(name, snap)
+      Option(tables.put(name, snap)).foreach(_.unpersist())
       val view = if (snap.columns.contains(versionCol)) snap.drop(versionCol) else snap
       view.createOrReplaceTempView(name)
     }
@@ -254,14 +275,14 @@ object KeyedStore {
   /** IList-style append. Journaled (op APPEND) so `Sinks.reliableTopic` readers
     * can subscribe to the list as a stream.
     */
-  def append(name: String, df: DataFrame): Unit = {
+  def append(name: String, df: DataFrame): Unit = locked(name) {
     val merged = Option(tables.get(name)).map(_.unionByName(df)).getOrElse(df)
     val snap = merged.cache()
     snap.count()
     // journal-before-swap, as in upsertMerging/delete: a journal failure must
     // not leave the store updated with subscribers never seeing the APPEND
     recordChanges(name, df, df.columns.toSeq, "APPEND")
-    tables.put(name, snap)
+    Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.createOrReplaceTempView(name)
   }
 
@@ -288,7 +309,7 @@ object KeyedStore {
     ()
   }
 
-  def drop(name: String): Unit = {
+  def drop(name: String): Unit = locked(name) {
     storeKeys.remove(name)
     Option(journalDirs.remove(name)).foreach(_.forEach { dir =>
       // journal dirs are temp parquet trees — reclaim them with the store
