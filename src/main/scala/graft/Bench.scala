@@ -34,11 +34,35 @@ object Bench {
     // one warmup run of the flagship to amortize JVM/codegen startup out of q1's number
     try queries.QueryRegistry.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // ... and one tiny streaming query: the FIRST streaming query in a run
+    // otherwise pays ~2 s of state-store/streaming-infra class init (measured
+    // via reversed-order runs: whichever of q50/q52 runs first inflates 2×)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(java.sql.Timestamp, Double)]
+      ms.addData(Seq((new java.sql.Timestamp(0L), 1.0)))
+      val wq = ms.toDF().toDF("ts", "v").withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour")).agg(sum($"v"))
+        .writeStream.format("memory").queryName("bench_warmup_stream")
+        .outputMode("update").start()
+      wq.processAllAvailable(); wq.stop()
+    } catch { case _: Throwable => }
 
     // comma-separated name-prefix filter for local iteration (full run if unset)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+    val base = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(_.exists(n.startsWith))
+    }
+    // SPARK_GRAFT_BENCH_ORDER=reverse|seed:<n> reorders the run — the
+    // neighborhood-effect probe: a per-query time that moves with its position
+    // is harness noise (GC/cache pressure from predecessors), not a plan change
+    val order = sys.env.get("SPARK_GRAFT_BENCH_ORDER")
+    val selected = order match {
+      case Some("reverse") => base.reverse
+      case Some(s) if s.startsWith("seed:") =>
+        new scala.util.Random(s.stripPrefix("seed:").toLong).shuffle(base)
+      case _ => base
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
@@ -48,7 +72,15 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: drop the store state + cached tables
+      // this query left behind and collect its garbage OUTSIDE the timed
+      // window, so a heavy query can't tax its successors' numbers (the
+      // q66–q68 → q69–q71 neighborhood regression in BENCH_r03)
+      pipeline.KeyedStore.clear()
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val streamRate = if (filter.isDefined) 0.0 else try streamThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); 0.0
@@ -61,7 +93,11 @@ object Bench {
     // failed queries are listed explicitly — their partial times would
     // otherwise read as dramatic "improvements" in cross-round comparisons
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // a filtered or reordered dev run must be distinguishable from a full run:
+    // zero throughput under a filter is an artifact, not a regression
+    val marker = filter.map(f => s""""filter":"${f.mkString(",")}",""").getOrElse("") +
+      order.map(o => s""""order":"$o",""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
       s""""stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
     spark.stop()

@@ -105,10 +105,16 @@ object KeyedStore {
   }
 
   def put(name: String, df: DataFrame): Unit = locked(name) {
+    // materialize BEFORE unpersisting the old snapshot (the same
+    // snapshot-stability invariant as upsert/delete/append): a lazily-cached
+    // frame whose lineage reads mutable input could otherwise change contents
+    // when first materialized
+    val snap = df.cache()
+    snap.count()
     // unpersist the replaced snapshot: a long-running caller re-putting a name
     // would otherwise pin one dead cached table per call
-    Option(tables.put(name, df.cache())).foreach(old => if (old ne df) old.unpersist())
-    df.createOrReplaceTempView(name)
+    Option(tables.put(name, snap)).foreach(old => if (old ne snap) old.unpersist())
+    snap.createOrReplaceTempView(name)
   }
 
   def get(spark: SparkSession, name: String): DataFrame = {
@@ -146,11 +152,20 @@ object KeyedStore {
     // materialize before caching so the store is stable even if inputs mutate
     val snap = merged.cache()
     snap.count()
-    // journal-before-swap (same invariant as upsertMerging/delete/append)
-    recordChanges(name, df, keyCols, "UPSERT")
+    // journal-before-swap (same invariant as upsertMerging/delete/append); a
+    // failed journal write leaves the store untouched — release the orphaned
+    // snapshot so retries don't pin one dead cached table per attempt
+    journalOrRelease(snap) { recordChanges(name, df, keyCols, "UPSERT") }
     Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.drop(versionCol).createOrReplaceTempView(name)
   }
+
+  /** Run a journal write; on failure unpersist the not-yet-swapped snapshot
+    * before rethrowing (ADVICE r3: a throwing journal otherwise pins one dead
+    * cached table per failed/retried mutation).
+    */
+  private def journalOrRelease(snap: DataFrame)(write: => Unit): Unit =
+    try write catch { case e: Throwable => snap.unpersist(); throw e }
 
   /** Expression-based MERGE upsert — the engine behind Jet's merge-fn sinks
     * (`Sinks.mapWithMerging` Sinks.java:313, `mapWithUpdating` Sinks.java:451,
@@ -241,17 +256,19 @@ object KeyedStore {
     // in the merged snapshot — derived from the two CACHED frames (old, snap)
     // with a null-safe anti join, so the full-outer merge join is never
     // re-executed for journaling.
-    deleteWhen.foreach { _ =>
-      val snapKeys = snap
-        .select(keyCols.map(c => col(c).as(s"__s_$c")): _*).dropDuplicates()
-      val antiCond = keyCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
-      val deleted = old.select(keyCols.map(col): _*).dropDuplicates()
-        .join(snapKeys, antiCond, "left_anti")
-      recordChanges(name, deleted, keyCols, "DELETE")
+    journalOrRelease(snap) {
+      deleteWhen.foreach { _ =>
+        val snapKeys = snap
+          .select(keyCols.map(c => col(c).as(s"__s_$c")): _*).dropDuplicates()
+        val antiCond = keyCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+        val deleted = old.select(keyCols.map(col): _*).dropDuplicates()
+          .join(snapKeys, antiCond, "left_anti")
+        recordChanges(name, deleted, keyCols, "DELETE")
+      }
+      recordChanges(name,
+        snap.drop(versionCol).join(touched, semiCond, "left_semi"),
+        keyCols, "UPSERT")
     }
-    recordChanges(name,
-      snap.drop(versionCol).join(touched, semiCond, "left_semi"),
-      keyCols, "UPSERT")
     Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.drop(versionCol).createOrReplaceTempView(name)
   }
@@ -265,7 +282,9 @@ object KeyedStore {
       snap.count()
       // journal BEFORE the swap (upsertMerging's invariant): a failed journal
       // write leaves the store untouched so a caller retry is clean
-      recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
+      journalOrRelease(snap) {
+        recordChanges(name, keysDf.select(keyCols.map(col): _*), keyCols, "DELETE")
+      }
       Option(tables.put(name, snap)).foreach(_.unpersist())
       val view = if (snap.columns.contains(versionCol)) snap.drop(versionCol) else snap
       view.createOrReplaceTempView(name)
@@ -281,7 +300,7 @@ object KeyedStore {
     snap.count()
     // journal-before-swap, as in upsertMerging/delete: a journal failure must
     // not leave the store updated with subscribers never seeing the APPEND
-    recordChanges(name, df, df.columns.toSeq, "APPEND")
+    journalOrRelease(snap) { recordChanges(name, df, df.columns.toSeq, "APPEND") }
     Option(tables.put(name, snap)).foreach(_.unpersist())
     snap.createOrReplaceTempView(name)
   }

@@ -55,12 +55,14 @@ object StreamingQueries {
     // tail: the first advances the watermark past every real session end
     // (+3 h > 1 h delay + 30 min gap), the second triggers the batch in which
     // the now-expired sessions actually flush to the sink.
-    val maxTs = events.agg(max($"ts")).first().getTimestamp(0)
-    def sentinel(offsetSec: Long): DataFrame =
+    // sentinels are placed relative to max(ts), which the replay harness
+    // derives from its own written chunks — no second scan of the source here
+    def sentinel(maxTs: Timestamp, offsetSec: Long): DataFrame =
       Seq((new Timestamp(maxTs.getTime + offsetSec * 1000L), -1L, "__sentinel", 0.0))
         .toDF("ts", "user_id", "event_type", "value")
     StreamRunner.replayFiles(s, events, "ts", "append",
-      tails = Seq(sentinel(3 * 3600), sentinel(3 * 3600 + 60))) { df =>
+      tails = Some(maxTs =>
+        Seq(sentinel(maxTs, 3 * 3600), sentinel(maxTs, 3 * 3600 + 60)))) { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
         .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))

@@ -96,11 +96,14 @@ object StreamRunner {
     *   in order — e.g. far-future sentinel rows that advance the watermark so
     *   append-mode queries flush their final windows deterministically (the
     *   flush happens in the batch that FOLLOWS the watermark-advancing one,
-    *   which is why a flush needs two sentinel chunks, not one).
+    *   which is why a flush needs two sentinel chunks, not one). The function
+    *   receives the MAX event time, computed here from the already-written
+    *   chunk files (a ts-only pruned scan of the temp dir) so callers never
+    *   pay a second full-source action just to place their sentinels.
     */
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
                   outputMode: String, chunks: Int = 2,
-                  tails: Seq[DataFrame] = Nil)(
+                  tails: Option[java.sql.Timestamp => Seq[DataFrame]] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val name = s"graft_freplay_${counter.incrementAndGet()}"
@@ -116,7 +119,15 @@ object StreamRunner {
       .withColumn("__chunk", spark_partition_id())
       .write.partitionBy("__chunk").parquet(inDir)
     lap("write-chunks")
-    tails.zipWithIndex.foreach { case (df, i) =>
+    // sentinel placement needs max(ts); the chunk files are already written and
+    // range-partitioned ascending, so the LAST chunk alone carries the maximum
+    // — a ts-only columnar scan of one chunk dir, not a rescan of the source
+    val tailFrames = tails.fold(Seq.empty[DataFrame]) { mk =>
+      val lastChunk = spark.read.parquet(s"$inDir/__chunk=${chunks - 1}")
+        .agg(org.apache.spark.sql.functions.max(col(tsCol))).first()
+      mk(lastChunk.getTimestamp(0))
+    }
+    tailFrames.zipWithIndex.foreach { case (df, i) =>
       df.coalesce(1).write.parquet(s"$inDir/__chunk=${chunks + i}")
     }
     // chunk i's files get modtime base + i minutes → trigger k reads chunk k

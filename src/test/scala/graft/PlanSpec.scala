@@ -105,18 +105,32 @@ class PlanSpec extends SparkSpec {
     // refactor (or optimizer change) can't silently reintroduce it: md5/conv
     // work may appear in Project/Generate/HashAggregate nodes, NEVER in a
     // Filter condition.
+    // derive the needles from the ACTUAL tokenizer/hash expressions, so a
+    // tokenizer refactor can't silently detach this guard from what it
+    // protects (ADVICE r3): every non-structural function call the expensive
+    // chain uses is banned from filter predicates in these plans
+    import org.apache.spark.sql.functions.col
+    val expensiveSql = Seq(
+      functions.TextFunctions.tokens(col("text")).toString,
+      functions.TextFunctions.tokenLongHashes(col("text")).toString).mkString(" ")
+    val structural = Set( // cheap/structural calls that legitimately appear in predicates
+      "filter(", "size(", "lambdafunction(", "namedlambdavariable(", "cast(")
+    val needles = """[a-z_][a-z_0-9]*\(""".r
+      .findAllIn(expensiveSql.toLowerCase).toSet -- structural
+    assert(needles.exists(n => n == "split(" || n == "md5("),
+      s"needle derivation broke — tokenizer sql: $expensiveSql")
     Seq(
       "q29" -> queries.TextQueries.q29_tfidf(spark, sf),
       "q30" -> queries.TextQueries.q30_wordcount(spark, sf),
       "q68" -> queries.TextQueries.q68_decontaminate(spark, sf)
     ).foreach { case (name, df) =>
-      val filterLines = planOf(df).linesIterator
+      val plan = planOf(df)
+      val filterLines = plan.linesIterator
         .filter(l => l.trim.startsWith("Condition") || l.contains("Filter ("))
         .mkString("\n")
-      // the tokenizer split and the md5 hash are the two expensive stages;
-      // neither may be (re)computed inside a filter predicate
-      assert(!filterLines.contains("md5(") && !filterLines.contains("split(lower("),
-        s"$name: tokenizer/md5 inlined into a Filter condition:\n$filterLines")
+      needles.foreach(n =>
+        assert(!filterLines.toLowerCase.contains(n),
+          s"$name: tokenizer/hash call '$n' inlined into a Filter condition:\n$filterLines"))
     }
   }
 
