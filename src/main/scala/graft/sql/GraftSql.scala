@@ -209,16 +209,32 @@ final class GraftSql(spark: SparkSession) {
   }
 
   /** Jet's inline SQL table functions (JetSqlOperatorTable.java:84-120:
-    * GENERATE_SERIES, CSV_FILE/JSON_FLAT_FILE/PARQUET_FILE/AVRO_FILE) →
-    * Spark's native equivalents: `range(a, b+1)` and direct-path tables
-    * (`parquet.`/path``), so the rewritten statement is planned entirely by
-    * Catalyst — filters still push into the file scan.
+    * GENERATE_SERIES, GENERATE_STREAM, CSV_FILE/JSON_FLAT_FILE/PARQUET_FILE/
+    * AVRO_FILE) → Spark's native equivalents: `range(a, b+1)`, a rate-source
+    * temp view, and direct-path tables (`parquet.`/path``), so the rewritten
+    * statement is planned entirely by Catalyst — filters still push into the
+    * file scan.
     */
   private def rewriteTableFunctions(stmt: String): String = {
     val series = """(?i)TABLE\s*\(\s*GENERATE_SERIES\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)""".r
+    val stream = """(?i)TABLE\s*\(\s*GENERATE_STREAM\s*\(\s*(\d+)\s*\)\s*\)""".r
     val file =
       """(?i)TABLE\s*\(\s*(CSV|JSON_FLAT|JSON|PARQUET|AVRO)_FILE\s*\(\s*'([^']+)'\s*\)\s*\)""".r
-    val s1 = series.replaceAllIn(stmt, m =>
+    val s0 = stream.replaceAllIn(stmt, m => {
+      // Jet GENERATE_STREAM(n) (StreamGeneratorTableFunction.java): an
+      // unbounded sequence v = 0,1,2,… emitted at n rows/second. Spark's rate
+      // source IS that stream; SQL can't spell readStream, so the source is
+      // registered as a one-off temp view and the statement references it —
+      // everything downstream (the SELECT, the job sink) stays pure SQL.
+      val rate = m.group(1).toLong
+      require(rate > 0, s"GENERATE_STREAM rate must be positive, got $rate")
+      val view = s"__graft_stream_${GraftSql.streamIds.incrementAndGet()}"
+      spark.readStream.format("rate").option("rowsPerSecond", rate)
+        .load().select(org.apache.spark.sql.functions.col("value").as("v"))
+        .createOrReplaceTempView(view)
+      view
+    })
+    val s1 = series.replaceAllIn(s0, m =>
       s"(SELECT id AS v FROM range(${m.group(1)}, ${m.group(2).toLong + 1}))")
     file.replaceAllIn(s1, m => {
       val fmt = m.group(1).toLowerCase match {
@@ -331,6 +347,33 @@ final class GraftSql(spark: SparkSession) {
     JobRegistry.register(new graft.pipeline.JobHandle(name, handle.query))
   }
 
+  /** Jet's streaming SELECT: a client runs `SELECT * FROM <stream>` and pulls
+    * rows forever (reference JetQueryResultProducer.java,
+    * RootResultConsumerSink.java — the infinite cursor backing
+    * `SqlResult.iterator()`). Spark shape: the statement runs as a real
+    * Structured Streaming query into a memory sink; the returned cursor
+    * incrementally drains that sink table. Batch statements work too (one
+    * final batch), so a client can use `cursor` uniformly like Jet's
+    * `sql.execute(...)`.
+    *
+    * The cursor is a CLIENT endpoint — rows intentionally reach the driver,
+    * exactly like Jet's SqlResult (and our `observe()`); engine-side work
+    * stays distributed up to the sink.
+    */
+  def cursor(statement: String, outputMode: String = "append"): GraftSql.StreamCursor = {
+    val df = spark.sql(rewriteTableFunctions(statement))
+    if (!df.isStreaming) {
+      val name = s"__graft_cursor_${GraftSql.streamIds.incrementAndGet()}"
+      df.createOrReplaceTempView(name)
+      new GraftSql.StreamCursor(spark, None, name)
+    } else {
+      val name = s"__graft_cursor_${GraftSql.streamIds.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      new GraftSql.StreamCursor(spark, Some(q), name)
+    }
+  }
+
   private def parseOptions(s: String): Map[String, String] =
     """'([^']+)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2)).toMap
@@ -355,6 +398,51 @@ object GraftSql {
   /** name → exported checkpoint directory (Jet JobStateSnapshot registry). */
   private[sql] val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sql] val streamIds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Incremental result cursor over a (possibly infinite) SQL statement —
+    * Jet's `SqlResult` iterator semantics (JetQueryResultProducer.java): rows
+    * arrive as the stream produces them; `fetch` blocks until new rows exist
+    * or the timeout lapses; `close` stops the underlying streaming query.
+    */
+  final class StreamCursor private[sql](
+      spark: SparkSession,
+      query: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      table: String) extends AutoCloseable {
+
+    private var consumed = 0
+
+    def isStreaming: Boolean = query.isDefined
+
+    /** Rows produced beyond what earlier `fetch` calls returned. Blocks (poll
+      * loop) until at least one new row arrives or `timeoutMs` lapses — a
+      * lapsed timeout returns empty, it does NOT mean the stream ended.
+      */
+    def fetch(timeoutMs: Long = 30000): Seq[org.apache.spark.sql.Row] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (true) {
+        val rows = spark.table(table).collect()
+        if (rows.length > consumed) {
+          val out = rows.drop(consumed).toSeq
+          consumed = rows.length
+          return out
+        }
+        if (System.nanoTime() > deadline || query.forall(!_.isActive)) return Seq.empty
+        Thread.sleep(50)
+      }
+      Seq.empty // unreachable
+    }
+
+    /** Total rows returned so far. */
+    def rowsFetched: Int = consumed
+
+    override def close(): Unit = {
+      query.foreach(_.stop())
+      spark.catalog.dropTempView(table)
+      ()
+    }
+  }
 
   /** One declared mapping column: `name TYPE [EXTERNAL NAME 'ext']`. */
   final case class MappingColumn(name: String, sqlType: String, external: Option[String])

@@ -120,4 +120,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(msg.contains("not found"))
     assert(sql.execute("SHOW JOBS").columns.toSeq === Seq("name", "running"))
   }
+
+  test("inline TABLE(GENERATE_STREAM) rewrites to an unbounded rate stream") {
+    // Jet: SELECT * FROM TABLE(GENERATE_STREAM(100)) is an infinite stream of
+    // v = 0,1,2,… at 100 rows/s (StreamGeneratorTableFunction.java)
+    val df = sql.execute("SELECT v, v * 2 AS v2 FROM TABLE(GENERATE_STREAM(100))")
+    assert(df.isStreaming, "GENERATE_STREAM must produce a streaming relation")
+    assert(df.columns.toSeq === Seq("v", "v2"))
+  }
+
+  test("streaming SELECT cursor drains ≥2 incremental batches (Jet SqlResult iterator)") {
+    val cur = sql.cursor("SELECT v FROM TABLE(GENERATE_STREAM(200)) WHERE v % 2 = 0")
+    try {
+      assert(cur.isStreaming)
+      val first = cur.fetch(timeoutMs = 30000)
+      assert(first.nonEmpty, "first incremental batch never arrived")
+      val second = cur.fetch(timeoutMs = 30000)
+      assert(second.nonEmpty, "second incremental batch never arrived")
+      // rows are the filtered stream values, no overlap between fetches
+      val all = (first ++ second).map(_.getLong(0))
+      assert(all.forall(_ % 2 == 0))
+      assert(all.distinct.length === all.length, "cursor re-delivered rows")
+      assert(cur.rowsFetched === all.length)
+    } finally cur.close()
+  }
+
+  test("cursor over a batch statement returns one final batch then drains empty") {
+    val cur = sql.cursor("SELECT v FROM TABLE(GENERATE_SERIES(1, 5))")
+    try {
+      assert(!cur.isStreaming)
+      val rows = cur.fetch(timeoutMs = 5000)
+      assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(cur.fetch(timeoutMs = 200).isEmpty)
+    } finally cur.close()
+  }
 }

@@ -67,4 +67,28 @@ class JobLifecycleSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snapDir)))
     sql.execute("DROP JOB j2")
   }
+
+  test("CREATE JOB over TABLE(GENERATE_STREAM) runs end-to-end; DROP JOB stops it") {
+    // the canonical Jet demo statement (StreamGeneratorTableFunction.java):
+    // an unbounded rate stream sunk into a store as a named job
+    val sql = GraftSql(spark)
+    sql.execute(
+      "CREATE JOB gen_job AS SINK INTO gen_out(v) SELECT v FROM TABLE(GENERATE_STREAM(100))")
+    val h = JobRegistry.get("gen_job").get
+    assert(h.isRunning)
+    val jobs = sql.execute("SHOW JOBS").collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(jobs.contains(("gen_job", true)))
+    // rows keep arriving: wait until the store holds data from ≥2 micro-batches
+    val deadline = System.currentTimeMillis() + 30000
+    var n = 0L
+    while (n < 20 && System.currentTimeMillis() < deadline) {
+      h.processAllAvailable()
+      n = if (KeyedStore.exists("gen_out")) KeyedStore.get(spark, "gen_out").count() else 0L
+    }
+    assert(n >= 20, s"rate-stream job only produced $n rows")
+    sql.execute("DROP JOB gen_job")
+    assert(JobRegistry.get("gen_job").isEmpty)
+    assert(!h.isRunning)
+    KeyedStore.drop("gen_out")
+  }
 }
