@@ -252,14 +252,23 @@ object DedupFunctions {
     * `df` must carry (`idCol`, `setCol`). Returns (id_a, id_b, jaccard) with
     * id_a < id_b, filtered to `minJaccard`.
     *
-    * Skew note: a degenerate bucket (e.g. empty-token docs) would explode the
-    * join; candidates within one bucket are capped by construction because the
-    * band key includes the full band signature, and the final exact-jaccard
-    * filter keeps the output tight.
+    * Skew bomb, defused: a degenerate bucket — empty-token docs, boilerplate,
+    * a template repeated millions of times — makes the self-join quadratic in
+    * the bucket size. Any bucket larger than `maxBucket` therefore switches
+    * from all-pairs to a CHAIN: its members are ranked by id and only
+    * rank-adjacent pairs are emitted (n−1 pairs instead of n(n−1)/2). Docs
+    * that genuinely belong together stay together — the chain keeps every
+    * member of the bucket in ONE connected component for the clustering
+    * consumers (q47), and truly-identical docs collide in EVERY band, so the
+    * keep-min-id dedup verdict is unchanged. What the cap trades away is only
+    * some within-mega-bucket pair LISTING completeness — the scale-correct
+    * trade, bounded at O(n·bands) for any input. Set
+    * GRAFT_LSH_DEBUG=1 to log how many buckets chained.
     */
   def candidatePairs(df: DataFrame, idCol: String, setCol: String,
                      hashes: Int, bands: Int, minJaccard: Double,
-                     scopeCols: Seq[String] = Nil): DataFrame = {
+                     scopeCols: Seq[String] = Nil,
+                     maxBucket: Int = 10000): DataFrame = {
     val rows = hashes / bands
     // the exact-jaccard verify compares the per-token h1 longs, not the token
     // strings: long set-ops are several times cheaper per candidate pair
@@ -280,12 +289,55 @@ object DedupFunctions {
       .drop("hp", "toks")
       // both sides of the self-join consume this — materialize once
       .cache()
-    val a = sig.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
-      col("band") +: scopeCols.map(col)): _*)
-    val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
-      col("band") +: scopeCols.map(col)): _*)
-    val pairs = a.join(b, "band" +: scopeCols)
-      .filter(col("id_a") < col("id_b"))
+    // mega-bucket detection: an aggregate over the cached sig (map-side
+    // combine → a few rows per bucket key), NOT a window — the healthy path
+    // must not pay a full sort for a guard that almost never fires. The
+    // driver-side emptiness probe is one tiny action on an aggregated frame
+    // (same pattern as connectedComponents' size guard).
+    val bucketKey = ("band" +: scopeCols).map(col)
+    val hot = sig.groupBy(bucketKey: _*).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(bucketKey: _*)
+      .cache()
+    val hotBuckets = hot.count()
+    if (sys.env.contains("GRAFT_LSH_DEBUG"))
+      System.err.println(s"[lsh] buckets over maxBucket=$maxBucket (chained): $hotBuckets")
+    val pairsRaw = if (hotBuckets == 0) {
+      // the common case: exactly the unguarded all-pairs plan
+      val a = sig.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
+        col("band") +: scopeCols.map(col)): _*)
+      val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
+        col("band") +: scopeCols.map(col)): _*)
+      a.join(b, "band" +: scopeCols)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
+    } else {
+      // split on the (tiny, broadcastable) hot-bucket key set
+      val hotB = broadcast(hot)
+      val joinKeys = "band" +: scopeCols
+      val small = sig.join(hotB, joinKeys, "left_anti")
+      val a = small.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
+        col("band") +: scopeCols.map(col)): _*)
+      val b = small.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
+        col("band") +: scopeCols.map(col)): _*)
+      val allPairs = a.join(b, joinKeys)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
+      // oversized buckets: rank by id, then equi-join rank → rank+1 (exactly
+      // one partner per row) — linear fan-out, bucket stays one component
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(bucketKey: _*).orderBy(col("id"))
+      val big = sig.join(hotB, joinKeys, "left_semi")
+        .withColumn("__rk", row_number().over(w))
+      val ca = big.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
+        col("band") +: (col("__rk") + 1).as("__nrk") +: scopeCols.map(col)): _*)
+      val cb = big.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
+        col("band") +: col("__rk").as("__nrk") +: scopeCols.map(col)): _*)
+      val chainPairs = ca.join(cb, "band" +: "__nrk" +: scopeCols)
+        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
+      allPairs.unionByName(chainPairs)
+    }
+    val pairs = pairsRaw
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("jaccard") >= minJaccard)
@@ -295,6 +347,7 @@ object DedupFunctions {
     // orders of magnitude smaller; callers may unpersist it when done)
     val snap = pairs.cache()
     snap.count()
+    hot.unpersist()
     sig.unpersist()
     snap
   }

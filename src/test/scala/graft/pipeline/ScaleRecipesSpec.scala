@@ -57,4 +57,32 @@ class ScaleRecipesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("LSH mega-bucket chains instead of exploding quadratically") {
+    import graft.functions.DedupFunctions
+    // 1000 docs with IDENTICAL token sets — every band hashes them into the
+    // same bucket, the quadratic path would emit ~499,500 pairs per band
+    val docs = (1L to 1000L).map(i => (i, Seq("the", "same", "boilerplate", "text")))
+      .toDF("doc_id", "toks")
+    val pairs = DedupFunctions.candidatePairs(
+      docs, "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9,
+      maxBucket = 100)
+    val n = pairs.count()
+    // chained: exactly n−1 rank-adjacent pairs (identical docs ⇒ jaccard 1.0)
+    assert(n === 999L, s"expected bounded chain fan-out, got $n pairs")
+    // the chain keeps the whole bucket in ONE component for clustering
+    val labels = DedupFunctions.connectedComponents(
+      pairs.select($"id_a", $"id_b"), "id_a", "id_b")
+    assert(labels.select("label").distinct().count() === 1L)
+    pairs.unpersist()
+
+    // below the cap the all-pairs path is untouched: 5 identical docs,
+    // maxBucket default ⇒ full 5·4/2 = 10 pairs
+    val small = (1L to 5L).map(i => (i, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "toks")
+    val fullPairs = DedupFunctions.candidatePairs(
+      small, "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9)
+    assert(fullPairs.count() === 10L)
+    fullPairs.unpersist()
+  }
 }
