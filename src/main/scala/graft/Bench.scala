@@ -25,9 +25,18 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stream-only mode for iterating on the throughput harness
+    // stream-only mode for iterating on the throughput harness: A/B both
+    // state-store providers back to back on the same fixture (warmup first so
+    // neither side pays the one-time stream-infra class-init tax)
     if (sys.env.contains("SPARK_GRAFT_STREAM_ONLY")) {
-      println(s"""{"stream_rows_per_sec":${streamThroughput(spark, sfDir)}}""")
+      streamWarmup(spark)
+      val (first, second) =
+        if (sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("rocksfirst")) (true, false)
+        else (false, true)
+      val a = streamThroughput(spark, sfDir, rocksdb = first)
+      val b = streamThroughput(spark, sfDir, rocksdb = second)
+      val (hdfs, rocks) = if (first) (b, a) else (a, b)
+      println(s"""{"stream_rows_per_sec_hdfs":$hdfs,"stream_rows_per_sec_rocksdb":$rocks}""")
       spark.stop(); return
     }
 
@@ -37,17 +46,7 @@ object Bench {
     // ... and one tiny streaming query: the FIRST streaming query in a run
     // otherwise pays ~2 s of state-store/streaming-infra class init (measured
     // via reversed-order runs: whichever of q50/q52 runs first inflates 2×)
-    try {
-      import spark.implicits._
-      implicit val sqlCtx = spark.sqlContext
-      val ms = MemoryStream[(java.sql.Timestamp, Double)]
-      ms.addData(Seq((new java.sql.Timestamp(0L), 1.0)))
-      val wq = ms.toDF().toDF("ts", "v").withWatermark("ts", "1 hour")
-        .groupBy(window($"ts", "1 hour")).agg(sum($"v"))
-        .writeStream.format("memory").queryName("bench_warmup_stream")
-        .outputMode("update").start()
-      wq.processAllAvailable(); wq.stop()
-    } catch { case _: Throwable => }
+    streamWarmup(spark)
 
     // comma-separated name-prefix filter for local iteration (full run if unset)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
@@ -85,6 +84,13 @@ object Bench {
     val streamRate = if (filter.isDefined) 0.0 else try streamThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); 0.0
     }
+    // the same workload on RocksDB + changelog checkpointing: the large-state
+    // provider A/B'd against the in-memory default every round (BASELINE.md
+    // records the conclusion; this keeps the artifact carrying both numbers)
+    val streamRateRocks = if (filter.isDefined) 0.0 else
+      try streamThroughput(spark, sfDir, rocksdb = true) catch {
+        case e: Throwable => System.err.println(s"[bench] rocksdb throughput failed: ${e.getMessage}"); 0.0
+      }
     val statelessRate = if (filter.isDefined) 0.0 else try streamThroughputStateless(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] stateless throughput failed: ${e.getMessage}"); 0.0
     }
@@ -99,6 +105,7 @@ object Bench {
       order.map(o => s""""order":"$o",""").getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
+      s""""stream_rows_per_sec_rocksdb":$streamRateRocks,""" +
       s""""stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -109,7 +116,21 @@ object Bench {
     * (vectorized parquet scan → two-phase windowed agg → state store), with no
     * driver-side row encoding in the measured loop.
     */
-  private def streamThroughput(spark: SparkSession, sfDir: String): Double = {
+  private def streamWarmup(spark: SparkSession): Unit =
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(java.sql.Timestamp, Double)]
+      ms.addData(Seq((new java.sql.Timestamp(0L), 1.0)))
+      val wq = ms.toDF().toDF("ts", "v").withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour")).agg(sum($"v"))
+        .writeStream.format("memory").queryName("bench_warmup_stream")
+        .outputMode("update").start()
+      wq.processAllAvailable(); wq.stop()
+    } catch { case _: Throwable => }
+
+  private def streamThroughput(spark: SparkSession, sfDir: String,
+                               rocksdb: Boolean = false): Double = {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_streambench_").toString
     val events = Tables(spark, sfDir, "events").select($"ts", $"event_type", $"value")
@@ -124,10 +145,21 @@ object Bench {
     // per-partition state commits, not data volume
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     // watermark bookkeeping alone doesn't need an extra empty micro-batch after
     // every data batch — halves the number of batch commits
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    if (rocksdb) {
+      // RocksDB state store + changelog checkpointing: per-commit cost becomes
+      // an append of the batch's delta instead of a full-snapshot upload
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(changelogKey, "true")
+    }
     val q =
       try spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "8").parquet(s"$work/in")
@@ -139,6 +171,10 @@ object Bench {
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        if (rocksdb) prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
       }
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally {

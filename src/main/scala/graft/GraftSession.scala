@@ -43,6 +43,23 @@ object GraftSession {
     *    fact table;
     *  - skew-join splitting and partition coalescing are already on in `tune`.
     */
+  /** RocksDB state store + changelog checkpointing — the large-state streaming
+    * configuration. The default (HDFS-backed in-memory map) keeps every state
+    * partition on-heap and uploads a full snapshot per commit: fastest when
+    * keyed state fits in executor memory (measured A/B in BASELINE.md — the
+    * two tie on this box's small-state workload). Switch to RocksDB when state
+    * outgrows the heap (billions of keys: large session windows, long-TTL
+    * mapStateful, stream-stream joins at 100 TB): state lives off-heap/on-disk
+    * and changelog checkpointing turns the per-commit upload into an append of
+    * the batch's delta instead of a full snapshot.
+    */
+  def rocksdbStateStore(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // bound native memory: one shared block cache across all loaded stores
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+
   def clusterTune(b: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
     tune(b, shufflePartitions = totalCores * 3)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
