@@ -168,13 +168,16 @@ object EmbeddingQueries {
   }
 
   // ----------------------------------------------------- q44 IVF ANN top-k
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the per-label
-    * mean vector — partitions the corpus into cells; each query probes only its
-    * nearest cell and ranks candidates there by exact cosine. At 100 TB the
-    * corpus is bucketed/partitioned by cell id on disk, so a probe reads one
-    * partition instead of scanning the corpus; centroids are a tiny broadcast.
+  /** IVF (inverted-file) ANN core, shared by q44 (probes=1) and q75 (probes=2):
+    * a deterministic coarse quantizer — the per-label mean vector — partitions
+    * the corpus into cells; each query probes its `probes` nearest cells and
+    * ranks candidates there by exact cosine. At 100 TB the corpus is
+    * bucketed/partitioned by cell id on disk, so a probe reads `probes`
+    * partitions instead of scanning the corpus; centroids are a tiny broadcast.
+    * Multi-probe is the standard recall lever (probe the next-nearest cells to
+    * catch neighbors that fell across a cell boundary) at linear extra cost.
     */
-  val q44_ann_ivf_topk: Q = (s, dir) => {
+  private def ivfTopK(s: SparkSession, dir: String, probes: Int): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     // cells: per-label centroid, rebuilt as an ordered array
@@ -186,17 +189,18 @@ object EmbeddingQueries {
     val queries = S.withNormalized(
       emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding"),
       "embedding", "qv").drop("embedding")
-    // probe: nearest centroid per query (centroids are tiny → broadcast);
-    // qv is unit-length so cosine vs centroid = dot / centroid-norm
+    // probe: `probes` nearest centroids per query (centroids are tiny →
+    // broadcast); qv is unit-length so cosine vs centroid = dot / centroid-norm
     val wProbe = Window.partitionBy($"query_id")
       .orderBy(round($"cos_c", 9).desc, $"label".asc)
     val probe = queries.join(broadcast(centroids))
       .select($"query_id", $"qv", $"label",
         (S.dotAuto($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" === 1)
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= probes)
       .select($"query_id", $"qv", $"label".as("probe_label"))
-    // exact rank within the probed cell only (both sides unit-length → dot);
-    // quantized ordering like q40/q42
+    // exact rank within the probed cells only (both sides unit-length → dot);
+    // cells are disjoint so the union of probes needs no dedup; quantized
+    // ordering like q40/q42
     val w = Window.partitionBy($"query_id")
       .orderBy(round($"cosine", 9).desc, $"neighbor_id".asc)
     S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
@@ -207,7 +211,12 @@ object EmbeddingQueries {
       .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
   }
 
-  val q44_oracle: String =
+  val q44_ann_ivf_topk: Q = (s, dir) => ivfTopK(s, dir, probes = 1)
+
+  /** Multi-probe IVF: same index, two nearest cells per query. */
+  val q75_ann_ivf_multiprobe: Q = (s, dir) => ivfTopK(s, dir, probes = 2)
+
+  private def ivfOracle(probes: Int): String =
     s"""WITH expanded AS (
        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
        |    unnest(embedding)::DOUBLE AS x
@@ -222,7 +231,7 @@ object EmbeddingQueries {
        |    SELECT q.query_id, q.qv, c.label,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
        |        round(${cosSql("q.qv", "c.cv")}, 9) DESC, c.label ASC) AS rn
-       |    FROM q CROSS JOIN cent c) WHERE rn = 1),
+       |    FROM q CROSS JOIN cent c) WHERE rn <= $probes),
        |scored AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
        |    ${cosSql("p.qv", "e.embedding")} AS cosine
@@ -234,6 +243,9 @@ object EmbeddingQueries {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3""".stripMargin
+
+  val q44_oracle: String = ivfOracle(1)
+  val q75_oracle: String = ivfOracle(2)
 
   // ------------------------------------------------------- q43 label centroids
   /** Per-label centroid (mean vector) summarized by its L2 norm — the
@@ -315,13 +327,16 @@ object EmbeddingQueries {
   }
 
   // ------------------------------------------------- q74 ANN recall audit
-  /** ANN quality evaluation: recall@3 of the LSH-bucketed search (q42's
-    * path) against the exact brute-force ranking, per query — the
-    * "measure, don't guess" loop for tuning planes/probes, as a first-class
-    * operator. Exact side = broadcast query set + map-side scoring + window
-    * top-k (q40's shape); the recall join is per-(query, neighbor), so the
-    * audit costs one corpus scan regardless of corpus size — run it on a
-    * sampled query set at 100 TB.
+  /** ANN quality evaluation: recall@3 of every approximate search path (LSH
+    * buckets, IVF single-probe, IVF multi-probe) against the exact brute-force
+    * ranking, per query and method — the "measure, don't guess" loop for
+    * tuning planes/probes, as a first-class operator. Exact side = broadcast
+    * query set + map-side scoring + window top-k (q40's shape); the recall
+    * join is per-(query, neighbor), so the audit costs one corpus scan per
+    * method regardless of corpus size — run it on a sampled query set at
+    * 100 TB. Reading the output: ivf_p2 ≥ ivf_p1 by construction (probing a
+    * second cell only adds candidates) — the gap is what the second probe
+    * buys; lsh vs ivf compares index families at equal audit cost.
     */
   val q74_ann_recall: Q = (s, dir) => {
     import s.implicits._
@@ -329,14 +344,18 @@ object EmbeddingQueries {
     val queries = emb.filter($"vec_id" < 5)
     val exact = S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
       .select($"query_id", $"neighbor_id")
-    val approx = q42_ann_lsh_topk(s, dir).select($"query_id", $"neighbor_id")
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select($"query_id",
-        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
-          .as("recall_at_3"))
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id", lit(method).as("method"),
+          round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
+            .as("recall_at_3"))
+    }
+    recallOf(q42_ann_lsh_topk(s, dir).select($"query_id", $"neighbor_id"), "lsh")
+      .unionByName(recallOf(ivfTopK(s, dir, 1).select($"query_id", $"neighbor_id"), "ivf_p1"))
+      .unionByName(recallOf(ivfTopK(s, dir, 2).select($"query_id", $"neighbor_id"), "ivf_p2"))
   }
 
   val q74_oracle: String = {
@@ -345,33 +364,60 @@ object EmbeddingQueries {
          |  i -> embedding[i]::DOUBLE * (${planeSignsSql(j)})[i])) > 0
          |  THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+    // top-3 neighbor set from a (query_id, neighbor_id, cosine) CTE
+    def top3(scored: String): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+         |    FROM $scored) WHERE rank <= 3""".stripMargin
+    // per-query recall of an approx neighbor set against `exact`
+    def recall(approx: String, method: String): String =
+      s"""SELECT e.query_id, '$method' AS method,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall_at_3
+         |FROM exact e LEFT JOIN (
+         |  SELECT e2.query_id, count(*) AS n_hit
+         |  FROM exact e2 JOIN $approx a
+         |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id
+         |  GROUP BY e2.query_id) h ON e.query_id = h.query_id
+         |GROUP BY e.query_id, h.n_hit""".stripMargin
     s"""WITH bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
-       |approx_scored AS (
-       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
-       |  FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-       |approx AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
-       |    FROM approx_scored) WHERE rank <= 3),
        |exact_scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-       |exact AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
-       |    FROM exact_scored) WHERE rank <= 3),
-       |hit AS (
-       |  SELECT e.query_id, count(*) AS n_hit
-       |  FROM exact e JOIN approx a
-       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-       |  GROUP BY e.query_id)
-       |SELECT e.query_id,
-       |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall_at_3
-       |FROM exact e LEFT JOIN hit h ON e.query_id = h.query_id
-       |GROUP BY e.query_id, h.n_hit""".stripMargin
+       |exact AS (${top3("exact_scored")}),
+       |lsh_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+       |lsh AS (${top3("lsh_scored")}),
+       |expanded AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS cv
+       |  FROM (SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos)
+       |  GROUP BY label),
+       |probe AS (
+       |  SELECT q.query_id, q.qv, c.label,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      round(${cosSql("q.qv", "c.cv")}, 9) DESC, c.label ASC) AS rn
+       |  FROM q CROSS JOIN cent c),
+       |ivf1_scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id, ${cosSql("p.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e JOIN (SELECT * FROM probe WHERE rn <= 1) p
+       |    ON e.label = p.label AND e.vec_id <> p.query_id),
+       |ivf1 AS (${top3("ivf1_scored")}),
+       |ivf2_scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id, ${cosSql("p.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e JOIN (SELECT * FROM probe WHERE rn <= 2) p
+       |    ON e.label = p.label AND e.vec_id <> p.query_id),
+       |ivf2 AS (${top3("ivf2_scored")})
+       |${recall("lsh", "lsh")}
+       |UNION ALL
+       |${recall("ivf1", "ivf_p1")}
+       |UNION ALL
+       |${recall("ivf2", "ivf_p2")}""".stripMargin
   }
 
   // ------------------------------------------------------------- registry
@@ -383,7 +429,8 @@ object EmbeddingQueries {
     "q43_centroids" -> q43_centroids,
     "q44_ann_ivf_topk" -> q44_ann_ivf_topk,
     "q65_kmeans_ivf" -> q65_kmeans_ivf,
-    "q74_ann_recall" -> q74_ann_recall)
+    "q74_ann_recall" -> q74_ann_recall,
+    "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe)
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_embedding" -> q39_oracle,
@@ -393,5 +440,6 @@ object EmbeddingQueries {
     "q43_centroids" -> q43_oracle,
     "q44_ann_ivf_topk" -> q44_oracle,
     "q65_kmeans_ivf" -> q65_oracle,
-    "q74_ann_recall" -> q74_oracle)
+    "q74_ann_recall" -> q74_oracle,
+    "q75_ann_ivf_multiprobe" -> q75_oracle)
 }

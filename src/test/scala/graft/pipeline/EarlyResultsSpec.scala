@@ -48,4 +48,48 @@ class EarlyResultsSpec extends SparkSpec {
     assert(all.toSeq === Seq((1L, 1.0), (2L, 3.0)))
     job.cancel()
   }
+
+  test("timer-driven early results: >=2 wall-clock partials, then the final, in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+
+    // 1-hour tumbling window on key, 800 ms early-results period
+    val out = EarlyWindowOps.tumblingEarly[String, (Timestamp, String, Double),
+        (Long, Double), (String, Long, Boolean, Long, Double)](
+      mem.toDF.toDF("ts", "k", "v").withWatermark("ts", "10 minutes")
+        .as[(Timestamp, String, Double)],
+      tsFn = _._1, keyFn = _._2,
+      windowMillis = 3600L * 1000, earlyPeriodMillis = 800,
+      zero = (0L, 0.0),
+      acc = (a, v) => (a._1 + 1, a._2 + v._3),
+      export = (k, ws, _, early, a) => (k, ws, early, a._1, a._2))
+
+    val job = out.toDF.toDF("k", "window_start", "is_early", "n", "s")
+      .writeStream.format("memory").queryName("early_timer_test")
+      .outputMode("append").start()
+
+    // with a ProcessingTimeTimeout pending the engine schedules continuous
+    // no-data micro-batches to fire timers — poll the sink, never
+    // processAllAvailable (see StatefulTtlSpec)
+    def rows = spark.table("early_timer_test")
+      .filter($"k" === "a").select($"is_early", $"n", $"s").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2))).toSeq
+    def eventually(ms: Long = 30000)(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis + ms
+      while (!cond && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(cond, s"condition not met within ${ms}ms; rows=$rows")
+    }
+
+    mem.addData((ts("2024-01-01 00:05:00"), "a", 1.0)) // opens window (a, 00:00)
+    eventually() { rows.contains((true, 1L, 1.0)) }    // timer-paced partial, n=1
+    mem.addData((ts("2024-01-01 00:20:00"), "a", 2.0)) // same window, more data
+    eventually() { rows.contains((true, 2L, 3.0)) }    // fresher partial, n=2
+    // watermark past 01:00 (10 min lag) → next timer tick closes the window
+    mem.addData((ts("2024-01-01 02:30:00"), "pad", 0.0))
+    eventually() { rows.exists(!_._1) }
+    val (early, fin) = rows.partition(_._1)
+    assert(early.size >= 2, s"expected >=2 partial emissions, got: $rows")
+    assert(fin === Seq((false, 2L, 3.0)))              // exactly one final, full aggregate
+    job.stop()
+  }
 }
