@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend harness: the 100× story needs at least one measured 10× point.
+  *
+  * Generates a `factor`× replica of an sf dir (default: sf0.1 → "sf1", 6M
+  * lineitem) with keys shifted so join/window/dedup cardinalities scale the
+  * way real data growth would — NOT naive row duplication, which would turn
+  * every duplicated doc/vector into a pathological near-duplicate cluster and
+  * measure the fixture, not the engine:
+  *   - fact keys (orderkey, event_id, doc_id, vec_id) offset per copy;
+  *   - events shifted forward 370 days per copy (new windows, not denser ones);
+  *   - document tokens suffixed per copy (new shingles → cross-copy docs are
+  *     NOT near-duplicates; per-copy dup rate stays the fixture's);
+  *   - embeddings rotated per copy (decorrelates vectors, preserves norms);
+  *   - dimensions (region…part) kept fixed, as dimensions are.
+  *
+  * Then times headline queries at 1× and `factor`× and prints per-query growth
+  * (flagging anything super-linear beyond 1.5× the data growth), plus the
+  * q39 planes recipe A/B: fixed 4 planes (quadratic bucket fan-out) vs
+  * 4+log2(factor) planes (the documented scale recipe).
+  *
+  * Usage: runMain graft.ScaleTrend [srcDir] [outDir] [factor]
+  */
+object ScaleTrend {
+
+  private val trendQueries = Seq(
+    "q01_pricing_summary", "q05_join_multiway", "q07_sort_limit",
+    "q18_semi_anti", "q20_tumbling_window", "q22_sessionize",
+    "q29_tfidf", "q36_dedup_minhash_lsh", "q38_ngram_jaccard",
+    "q41_lsh_buckets", "q47_dedup_clusters", "q48_training_corpus",
+    "q65_kmeans_ivf", "q72_pack_sequences")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[32]").appName("graft-scaletrend"),
+      shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, src, out, factor)
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      pipeline.KeyedStore.clear(); spark.catalog.clearCache(); System.gc()
+      dt
+    }
+
+    val reg = queries.QueryRegistry.all
+    // one warmup to amortize JVM/codegen startup
+    time(reg("q01_pricing_summary"), src)
+
+    println(f"| query | t_1x (s) | t_${factor}x (s) | growth |")
+    println("|---|---|---|---|")
+    val rows = trendQueries.map { name =>
+      val t1 = time(reg(name), src)
+      val tN = time(reg(name), out)
+      val g = tN / t1
+      val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
+      println(f"| $name | $t1%.2f | $tN%.2f | ${g}%.1f×$flag |")
+      (name, t1, tN)
+    }
+
+    // the q39 planes recipe: fixed planes vs planes grown with the corpus
+    val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
+    val fixed1 = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), src)
+    val fixedN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), out)
+    val grownN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4 + extraPlanes), out)
+    println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
+    println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
+
+    val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_trend","factor":$factor,"queries":$qs,""" +
+      s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
+    spark.stop()
+  }
+
+  /** Build the scaled replica once; a marker file makes reruns reuse it. */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    import spark.implicits._
+    val marker = new java.io.File(s"$out/_GENERATED_$factor")
+    if (marker.exists()) return
+    def t(n: String) = Tables(spark, src, n)
+    def write(df: DataFrame, n: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    // dimensions stay fixed
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(n => write(t(n), n, 1))
+
+    def replicated(n: String)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(t(n), i)).reduce(_ unionByName _)
+
+    val maxOrder = t("orders").agg(max($"o_orderkey")).head.getLong(0) + 1
+    write(replicated("lineitem")((df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * maxOrder))), "lineitem", 32)
+    write(replicated("orders")((df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * maxOrder))), "orders", 16)
+
+    val maxEvent = t("events").agg(max($"event_id")).head.getLong(0) + 1
+    write(replicated("events")((df, i) =>
+      df.withColumn("event_id", $"event_id" + lit(i * maxEvent))
+        .withColumn("ts", $"ts" + expr(s"INTERVAL ${i * 370} DAYS"))), "events", 16)
+
+    val maxDoc = t("documents").agg(max($"doc_id")).head.getLong(0) + 1
+    write(replicated("documents")((df, i) =>
+      if (i == 0) df
+      else df.withColumn("doc_id", $"doc_id" + lit(i * maxDoc))
+        // per-copy token suffix: every shingle changes, so copies are new
+        // documents to the dedup operators, not a wall of synthetic near-dups
+        .withColumn("text", concat_ws(" ",
+          transform(split($"text", "\\s+"), tok => concat(tok, lit(s"q$i")))))
+        .withColumn("n_chars", length($"text"))), "documents", 8)
+
+    val maxVec = t("embeddings").agg(max($"vec_id")).head.getLong(0) + 1
+    val dims = 64
+    write(replicated("embeddings")((df, i) => {
+      val r = (i * 7) % dims
+      val rotated =
+        if (r == 0) $"embedding"
+        else concat(slice($"embedding", r + 1, dims - r), slice($"embedding", 1, r))
+      df.withColumn("vec_id", $"vec_id" + lit(i * maxVec))
+        .withColumn("embedding", rotated)
+    }), "embeddings", 8)
+
+    marker.createNewFile()
+    ()
+  }
+}

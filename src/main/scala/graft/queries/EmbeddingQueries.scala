@@ -133,12 +133,20 @@ object EmbeddingQueries {
     * of an all-pairs cross join. (Threshold 0.35 suits the synthetic fixture,
     * whose max pairwise cosine is ~0.51; real near-dup pipelines use ~0.95.)
     */
-  val q39_dedup_embedding: Q = (s, dir) => {
+  val q39_dedup_embedding: Q = (s, dir) => dedupEmbedding(s, dir, planes = 4)
+
+  /** q39 core with the bucket count exposed: `planes` MUST grow with corpus
+    * size (buckets = 2^planes; candidate pairs per bucket are quadratic in
+    * bucket membership, so fixed planes at 10× the data = ~100× the pairs).
+    * The ScaleTrend harness measures exactly this recipe: +log2(growth)
+    * planes keeps the pair fan-out — and the query time — near-linear.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String, planes: Int): DataFrame = {
     import s.implicits._
     // normalize once per row BEFORE the pair join: per-pair cost is one dot
     val emb = S.withNormalized(
       t(s, dir, "embeddings")
-        .withColumn("bucket", S.lshBucket($"embedding", planes = 4, dims = dims)),
+        .withColumn("bucket", S.lshBucket($"embedding", planes = planes, dims = dims)),
       "embedding", "nv")
     val a = emb.select($"bucket", $"vec_id".as("vec_a"), $"nv".as("va"))
     val b = emb.select($"bucket", $"vec_id".as("vec_b"), $"nv".as("vb"))
