@@ -61,6 +61,23 @@ object EventQueries {
       |  FROM events, unnest([0, 1]) AS u(k))
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------- q76 pane-based sliding window
+  /** The same sliding aggregation as q21, computed two-stage through frame
+    * partials (graft.operators.SlidingPanes — the reference's
+    * accumulateByFrameP/combineToSlidingWindowP architecture and its answer
+    * to `deductFn`): events reduce once into slide-sized panes, panes fan out
+    * to windows. Identical results to q21 by construction — the oracle is the
+    * same SQL — with size/slide× less data into the shuffle at scale.
+    */
+  val q76_sliding_panes: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.SlidingPanes
+    SlidingPanes.slidingAgg(t(s, dir, "events"), "ts", "10 minutes", "5 minutes",
+        keys = Seq($"event_type"),
+        aggs = Seq(SlidingPanes.PaneAgg(count(lit(1)), sum(_), "n")))
+      .select(unix_timestamp($"window_start").as("pane_start"), $"event_type", $"n")
+  }
+
   // ------------------------------------------------------- q22 session window
   /** Jet session windows (`SessionWindowDefinition`, SessionWindowP.java:83-84
     * merging) → batch sessionization: a session break is a gap > 30 min per user.
@@ -274,7 +291,8 @@ object EventQueries {
     "q25_type_profile" -> q25_type_profile,
     "q26_linear_trend" -> q26_linear_trend,
     "q27_pattern_match" -> q27_pattern_match,
-    "q28_windowed_distinct" -> q28_windowed_distinct)
+    "q28_windowed_distinct" -> q28_windowed_distinct,
+    "q76_sliding_panes" -> q76_sliding_panes)
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20_oracle,
@@ -285,5 +303,6 @@ object EventQueries {
     "q25_type_profile" -> q25_oracle,
     "q26_linear_trend" -> q26_oracle,
     "q27_pattern_match" -> q27_oracle,
-    "q28_windowed_distinct" -> q28_oracle)
+    "q28_windowed_distinct" -> q28_oracle,
+    "q76_sliding_panes" -> q21_oracle)
 }
