@@ -59,12 +59,41 @@ object Sources {
   def json(path: String): BatchSource[Row] = files(path, "json")
   def text(path: String): BatchSource[Row] = files(path, "text")
 
-  /** Jet `Sources.jdbc` (Sources.java:1321) → `spark.read.jdbc` with partitioned
-    * reads. Surface-only here (no driver in the zero-egress sandbox).
+  /** Jet `Sources.jdbc` (Sources.java:1321) → `spark.read.jdbc`. Tested against
+    * embedded Derby (JdbcSpec); any DriverManager-visible driver works.
     */
   def jdbc(url: String, table: String, props: java.util.Properties): BatchSource[Row] =
     new BatchSource[Row] {
       def read(spark: SparkSession): Dataset[Row] = spark.read.jdbc(url, table, props)
+    }
+
+  /** Jet `Sources.jdbc` parallel form (Sources.java:1285: the `newConnectionFn`
+    * + `(parallelism, index)` range-splitting contract) → Spark's partitioned
+    * JDBC scan: `numPartitions` concurrent connections, each reading one
+    * `[lower, upper)` stride of `partitionColumn`. This is the shape that
+    * matters at scale — a single-connection read of a big table serializes the
+    * whole extract through one task.
+    */
+  def jdbc(url: String, table: String, props: java.util.Properties,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int): BatchSource[Row] =
+    new BatchSource[Row] {
+      def read(spark: SparkSession): Dataset[Row] =
+        spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+          numPartitions, props)
+    }
+
+  /** Jet `Sources.jdbc(url, query, outputFn)` (Sources.java:1321) — arbitrary
+    * SQL pushed to the database, result streamed back as rows.
+    */
+  def jdbcQuery(url: String, query: String, props: java.util.Properties): BatchSource[Row] =
+    new BatchSource[Row] {
+      def read(spark: SparkSession): Dataset[Row] = {
+        val reader = spark.read.format("jdbc")
+          .option("url", url).option("query", query)
+        props.stringPropertyNames().forEach(k => reader.option(k, props.getProperty(k)))
+        reader.load()
+      }
     }
 
   /** Jet `SourceBuilder.batch` (pipeline/SourceBuilder.java:118): a custom
