@@ -3,6 +3,8 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+import scala.jdk.CollectionConverters._
+
 /** CDC apply parity (reference: extensions/cdc-debezium — CdcSinks.map,
   * Operation.java SYNC/INSERT/UPDATE/DELETE): a stream of change records
   * MERGEd into the KeyedStore per micro-batch, last change per key wins,
@@ -38,5 +40,57 @@ class CdcSpec extends SparkSpec {
 
     job.cancel()
     KeyedStore.drop("cdc_store")
+  }
+
+  private val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+
+  test("debezium envelope parses op codes, before/after selection, sequence") {
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"source":{"ts_ms":10,"lsn":100},"op":"r","ts_ms":11}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"source":{"ts_ms":20,"lsn":200},"op":"c","ts_ms":21}""",
+      """{"before":{"id":2,"v":"b"},"after":{"id":2,"v":"b2"},"source":{"ts_ms":30,"lsn":300},"op":"u","ts_ms":31}""",
+      """{"before":{"id":1,"v":"a"},"after":null,"source":{"ts_ms":40,"lsn":400},"op":"d","ts_ms":41}""")
+    val parsed = Cdc.parseDebezium(lines.toDF("value"), valueSchema)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(parsed === Seq(
+      ("SYNC", 100L, 1L, "a"), ("INSERT", 200L, 2L, "b"),
+      ("UPDATE", 300L, 2L, "b2"), ("DELETE", 400L, 1L, "a")))
+  }
+
+  test("payload-wrapped envelope (schemas enabled) parses identically") {
+    val line =
+      """{"schema":{},"payload":{"before":null,"after":{"id":7,"v":"x"},"source":{"ts_ms":5,"lsn":50},"op":"c","ts_ms":6}}"""
+    val parsed = Cdc.parseDebezium(Seq(line).toDF("value"), valueSchema,
+      payloadWrapped = true).as[(String, Long, Long, String)].collect()
+    assert(parsed.toSeq === Seq(("INSERT", 50L, 7L, "x")))
+  }
+
+  test("debezium file stream end-to-end: watch -> parse -> MERGE into store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toFile
+    KeyedStore.drop("cdc_dbz")
+    val changes = Cdc.debeziumFileStream(spark, dir.getAbsolutePath, valueSchema)
+    val job = StreamSinks.cdcMapSink("cdc_dbz", keyCols = Seq("id")).start(changes)
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "0.json").toPath, Seq(
+        """{"before":null,"after":{"id":1,"v":"a"},"source":{"ts_ms":10,"lsn":1},"op":"r","ts_ms":10}""",
+        """{"before":null,"after":{"id":2,"v":"b"},"source":{"ts_ms":20,"lsn":2},"op":"c","ts_ms":20}"""
+      ).asJava)
+      job.processAllAvailable()
+      assert(KeyedStore.get(spark, "cdc_dbz").as[(Long, String)].collect().toMap
+        === Map(1L -> "a", 2L -> "b"))
+
+      java.nio.file.Files.write(new java.io.File(dir, "1.json").toPath, Seq(
+        """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"A"},"source":{"ts_ms":30,"lsn":3},"op":"u","ts_ms":30}""",
+        """{"before":{"id":2,"v":"b"},"after":null,"source":{"ts_ms":40,"lsn":4},"op":"d","ts_ms":40}"""
+      ).asJava)
+      job.processAllAvailable()
+      assert(KeyedStore.get(spark, "cdc_dbz").as[(Long, String)].collect().toMap
+        === Map(1L -> "A"))
+    } finally {
+      job.cancel()
+      KeyedStore.drop("cdc_dbz")
+    }
   }
 }
