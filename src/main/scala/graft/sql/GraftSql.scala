@@ -32,8 +32,11 @@ final class GraftSql(spark: SparkSession) {
   private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val showMappings = """(?is)\s*SHOW\s+MAPPINGS\s*""".r
   private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
+  // Jet CREATE JOB [OPTIONS(...)] AS ... (SqlCreateJob.java:140-186): options
+  // carry JobConfig — processingGuarantee, snapshotIntervalMillis,
+  // initialSnapshotName, autoScaling, metricsEnabled.
   private val createJob =
-    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+    """(?is)\s*CREATE\s+JOB\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
   private val dropJob = """(?is)\s*DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
   private val alterJobResume = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+(?:RESUME|RESTART)\s*""".r
@@ -128,13 +131,32 @@ final class GraftSql(spark: SparkSession) {
       import spark.implicits._
       JobRegistry.list.toDF("name", "running")
 
-    case createJob(name, store, keyCols, rawSelect) =>
+    case createJob(name, optStr, store, keyCols, rawSelect) =>
+      val opts = parseOptions(Option(optStr).getOrElse(""))
+      // Jet rejects unknown job options (SqlCreateJob.java:183-184). The
+      // accepted set is JobConfig's: guarantee/interval/snapshot are wired;
+      // autoScaling + metrics toggles are Spark-automatic (AQE/listener bus).
+      val known = Set("processingGuarantee", "snapshotIntervalMillis",
+        "initialSnapshotName", "autoScaling", "splitBrainProtectionEnabled",
+        "metricsEnabled", "storeMetricsAfterJobCompletion", "suspendOnFailure")
+      opts.keys.find(!known.contains(_)).foreach(k =>
+        throw new IllegalArgumentException(s"Unknown job option: $k"))
       val keys = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val select = rewriteTableFunctions(rawSelect)
       val df = spark.sql(select)
       if (df.isStreaming) {
         JobRegistry.drop(name) // replace any previous job of this name
-        GraftSql.jobSpecs.put(name, GraftSql.JobSpec(store, keys, select, newCheckpoint(name)))
+        val ckpt = newCheckpoint(name)
+        // JobConfig.setInitialSnapshotName: seed the new job's checkpoint from
+        // an exported snapshot — state and source offsets continue from the
+        // snapshot point instead of a cold start
+        opts.get("initialSnapshotName").foreach { snap =>
+          val src = Option(GraftSql.snapshots.get(snap)).getOrElse(
+            throw new IllegalArgumentException(s"snapshot $snap not found"))
+          copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(ckpt))
+        }
+        val triggerMs = opts.get("snapshotIntervalMillis").map(_.toLong)
+        GraftSql.jobSpecs.put(name, GraftSql.JobSpec(store, keys, select, ckpt, triggerMs))
         startJob(name)
         status(s"job $name started")
       } else {
@@ -341,9 +363,15 @@ final class GraftSql(spark: SparkSession) {
   /** (Re)start a registered job from its stored statement + checkpoint. */
   private def startJob(name: String): Unit = {
     val spec = GraftSql.jobSpecs.get(name)
+    // snapshotIntervalMillis → micro-batch trigger: Spark's checkpoint commits
+    // ARE the snapshots, so their cadence is the trigger cadence
+    val trigger = spec.triggerMs
+      .map(ms => org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms))
+      .getOrElse(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     val handle = StreamSinks.foreachBatch(
       (batch, _) => KeyedStore.upsert(spec.store, batch, spec.keys),
-      checkpoint = Some(spec.checkpoint)).start(spark.sql(spec.select))
+      checkpoint = Some(spec.checkpoint), trigger = trigger)
+      .start(spark.sql(spec.select))
     JobRegistry.register(new graft.pipeline.JobHandle(name, handle.query))
   }
 
@@ -391,7 +419,8 @@ object GraftSql {
     * analog) — what ALTER JOB RESUME restarts from.
     */
   final case class JobSpec(store: String, keys: Seq[String],
-                           select: String, checkpoint: String)
+                           select: String, checkpoint: String,
+                           triggerMs: Option[Long] = None)
   private[sql] val jobSpecs =
     new java.util.concurrent.ConcurrentHashMap[String, JobSpec]()
 

@@ -68,6 +68,54 @@ class JobLifecycleSpec extends SparkSpec {
     sql.execute("DROP JOB j2")
   }
 
+  test("CREATE JOB OPTIONS initialSnapshotName starts a NEW job from exported state") {
+    // Jet JobConfig.setInitialSnapshotName (JobConfig.java, SqlCreateJob
+    // .java:180): a fresh job seeded with an exported snapshot's state +
+    // offsets — it must NOT reprocess rows the snapshot already covers.
+    implicit val sqlCtx = spark.sqlContext
+    val sql = GraftSql(spark)
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF.toDF("id", "v").createOrReplaceTempView("init_src")
+
+    mem.addData((1L, "a"), (2L, "b"))
+    sql.execute("CREATE JOB j3 AS SINK INTO init_out(id) SELECT id, v FROM init_src")
+    JobRegistry.get("j3").get.processAllAvailable()
+    sql.execute("CREATE SNAPSHOT s2 FOR JOB j3") // quiesces j3
+    sql.execute("DROP JOB j3")
+
+    // wipe the store: if the new job cold-started it would re-emit ids 1,2
+    KeyedStore.drop("init_out")
+    mem.addData((3L, "c"))
+    sql.execute("CREATE JOB j4 OPTIONS ('initialSnapshotName'='s2') " +
+      "AS SINK INTO init_out(id) SELECT id, v FROM init_src")
+    JobRegistry.get("j4").get.processAllAvailable()
+    val out = KeyedStore.get(spark, "init_out").as[(Long, String)].collect().toMap
+    assert(out === Map(3L -> "c"),
+      s"expected only post-snapshot rows, got $out — snapshot offsets not honored")
+
+    sql.execute("DROP JOB j4")
+    sql.execute("DROP SNAPSHOT s2")
+    KeyedStore.drop("init_out")
+  }
+
+  test("CREATE JOB rejects unknown options; accepts the JobConfig set") {
+    val sql = GraftSql(spark)
+    val err = intercept[IllegalArgumentException] {
+      sql.execute("CREATE JOB jx OPTIONS ('bogusOption'='1') " +
+        "AS SINK INTO x_out(v) SELECT v FROM TABLE(GENERATE_STREAM(10))")
+    }
+    assert(err.getMessage.contains("bogusOption"))
+    // snapshotIntervalMillis → trigger cadence; processingGuarantee accepted
+    sql.execute("CREATE JOB jy OPTIONS ('processingGuarantee'='exactlyOnce', " +
+      "'snapshotIntervalMillis'='50') AS SINK INTO y_out(v) " +
+      "SELECT v FROM TABLE(GENERATE_STREAM(100))")
+    val h = JobRegistry.get("jy").get
+    assert(h.isRunning)
+    assert(GraftSql.jobSpecs.get("jy").triggerMs === Some(50L))
+    sql.execute("DROP JOB jy")
+    KeyedStore.drop("y_out")
+  }
+
   test("CREATE JOB over TABLE(GENERATE_STREAM) runs end-to-end; DROP JOB stops it") {
     // the canonical Jet demo statement (StreamGeneratorTableFunction.java):
     // an unbounded rate stream sunk into a store as a named job
