@@ -202,6 +202,31 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def join(other: BatchStage[_], on: Column, how: String = "inner"): BatchStage[Row] =
     new BatchStage(ds.join(other.ds, on, how))
 
+  /** Salted equi-join for skewed fact-to-fact joins where broadcast is
+    * impossible and AQE's skew split doesn't apply (e.g. shuffled-hash path,
+    * or a hot key so extreme one task would still own it). Beyond the
+    * reference (Jet has no skew handling; its partitioned edges hash raw
+    * keys — core/Edge.java:659-709). Mechanism: this (big, skewed) side gets
+    * a deterministic per-row salt in [0, salts); `other` is replicated
+    * `salts`× via explode; the join keys become (keys..., salt), so a hot
+    * key's rows spread across `salts` reducers instead of one. Cost:
+    * `other` is scanned once but shuffled `salts`× — use when |other| ≪
+    * |this|'s hot-key volume. Result is bit-identical to the plain join.
+    */
+  def saltedJoin(other: BatchStage[_], keys: Seq[String], salts: Int,
+                 how: String = "inner"): BatchStage[Row] = {
+    require(salts > 1, "saltedJoin needs salts > 1")
+    val left = ds.toDF()
+    // deterministic salt: stable across retries (rand() is not), spreads a
+    // hot key's rows by the hash of the WHOLE row
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val replicated = other.ds.toDF()
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val out = salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+    new BatchStage(out)
+  }
+
   /** Jet `mapUsingIMap` lookup join (GeneralStage.java:678, keyed variant
     * BatchStageWithKey.java:94): per-item point lookup against a named KV
     * store. Spark-first shape: a broadcast left-outer join against the store's

@@ -350,8 +350,12 @@ object EmbeddingQueries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
+    // the exact reference ranking feeds every method's recall twice (hit
+    // semi-join + per-query denominator): materialize it once — it's
+    // |queries|·k rows, never corpus-sized — instead of re-running the
+    // brute-force corpus scan six times
     val exact = S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id", $"neighbor_id").cache()
     def recallOf(approx: DataFrame, method: String): DataFrame = {
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))

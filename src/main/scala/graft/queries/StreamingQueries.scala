@@ -133,14 +133,61 @@ object StreamingQueries {
       |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
       |GROUP BY user_id""".stripMargin
 
+  // ------------------------------------- q77 stream-stream time-bounded join
+  /** Stream-stream inner join with a time-bound (view → purchase within 2 h,
+    * same user) through a REAL streaming self-join: both sides are watermarked
+    * branches of the same file-stream, Spark buffers each side's state and
+    * evicts it once the watermark passes the bound (StreamingSymmetricHashJoin)
+    * — the funnel/attribution query every event pipeline runs. Beyond the
+    * reference: Jet 4.x has no stream-stream join (its SQL rejects it); this is
+    * the Spark-native answer, oracle-checked against the batch join.
+    * Scale shape: state per side is bounded by (watermark + bound) time span,
+    * keyed on user — no unbounded buffering, no cross product.
+    */
+  val q77_stream_join: Q = (s, dir) => {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
+    StreamRunner.replayFiles(s, events, "ts", "append") { df =>
+      val wm = df.withWatermark("ts", "1 hour")
+      val views = wm.filter($"event_type" === "view")
+        .select($"ts".as("view_ts"), $"event_id".as("view_id"),
+          $"user_id", $"value".as("view_value"))
+      val buys = wm.filter($"event_type" === "purchase")
+        .select($"ts".as("buy_ts"), $"event_id".as("buy_id"),
+          $"user_id".as("buyer_id"), $"value".as("buy_value"))
+      views.join(buys,
+        $"user_id" === $"buyer_id" &&
+          $"buy_ts" >= $"view_ts" &&
+          $"buy_ts" <= $"view_ts" + expr("INTERVAL 2 HOURS"))
+        .select($"user_id", $"view_id", $"buy_id",
+          unix_micros($"view_ts").as("view_ts_us"),
+          unix_micros($"buy_ts").as("buy_ts_us"),
+          round($"view_value", 4).as("view_value"),
+          round($"buy_value", 4).as("buy_value"))
+    }
+  }
+
+  val q77_oracle: String =
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS buy_ts_us,
+      |  round(a.value, 4) AS view_value, round(b.value, 4) AS buy_value
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+      |WHERE a.event_type = 'view' AND b.event_type = 'purchase'""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q50_stream_tumbling" -> q50_stream_tumbling,
     "q51_stream_session" -> q51_stream_session,
-    "q52_stream_rolling_final" -> q52_stream_rolling_final)
+    "q52_stream_rolling_final" -> q52_stream_rolling_final,
+    "q77_stream_join" -> q77_stream_join)
 
   val oracles: Map[String, String] = Map(
     "q50_stream_tumbling" -> q50_oracle,
     "q51_stream_session" -> q51_oracle,
-    "q52_stream_rolling_final" -> q52_oracle)
+    "q52_stream_rolling_final" -> q52_oracle,
+    "q77_stream_join" -> q77_oracle)
 }

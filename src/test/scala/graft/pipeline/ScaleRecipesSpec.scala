@@ -33,6 +33,27 @@ class ScaleRecipesSpec extends SparkSpec {
     assert(salted("hot") === 997L && salted("cold") === 10L)
   }
 
+  test("salted join equals the plain join and shuffles on (key, salt)") {
+    // skewed fact: one hot key with 5k rows; modest right side (not broadcast)
+    val facts = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "fv")
+    val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"d$i") }.toDF("k", "dv")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = facts.join(dim, Seq("k"), "inner")
+        .collect().map(_.toSeq).toSet
+      val saltedStage = new BatchStage(facts)
+        .saltedJoin(new BatchStage(dim), Seq("k"), salts = 8)
+      assert(saltedStage.toDF.collect().map(_.toSeq).toSet === plain)
+      // the exchange must hash on the salt too — that's the skew spread
+      val plan = saltedStage.toDF.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt column not in the shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "rv")
