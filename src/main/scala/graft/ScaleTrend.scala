@@ -31,7 +31,9 @@ object ScaleTrend {
     "q18_semi_anti", "q20_tumbling_window", "q22_sessionize",
     "q29_tfidf", "q36_dedup_minhash_lsh", "q38_ngram_jaccard",
     "q41_lsh_buckets", "q47_dedup_clusters", "q48_training_corpus",
-    "q65_kmeans_ivf", "q72_pack_sequences")
+    "q65_kmeans_ivf", "q72_pack_sequences",
+    "q74_ann_recall", "q76_sliding_panes", "q77_stream_join",
+    "q78_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -642,6 +642,61 @@ object TextQueries {
        |SELECT doc_id, source, quality, n_copies
        |FROM ranked WHERE rk = 1 AND n_copies > 1""".stripMargin
 
+  // ------------------------------------- q78 cross-doc boilerplate n-grams
+  /** Corpus-level boilerplate detection (the MassiveText/RefinedWeb recipe:
+    * n-grams shared by many documents are template/boilerplate text, and a
+    * document dominated by them is low-value): per-doc fraction of distinct
+    * word-trigrams whose DOCUMENT frequency is ≥1% of the corpus. Distinct
+    * from q70 (within-doc repetition) and q68 (overlap vs a held-out set) —
+    * this one's signal is cross-document.
+    * Scale shape: one tokenize pass, explode to (doc, trigram-hash) longs,
+    * one count shuffle keyed on the hash, one semi-join back, one per-doc
+    * count — all linear; the hot set is tiny by construction (it's the ≥1%
+    * tail) so AQE broadcasts the semi-join at any corpus size.
+    */
+  val q78_boilerplate: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val thresh = math.ceil(0.01 * docs.count()).toLong
+    // two-level select: materialize the md5 token hashes once per row (the
+    // q70 generate-inlining lesson) before the multi-reference shingle expr
+    val sh = docs
+      .select($"doc_id", T.tokenLongHashes($"text").as("th"))
+      .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
+    val ex = sh.select($"doc_id", explode_outer($"sh").as("h"))
+      .filter($"h".isNotNull)
+    val hot = ex.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= thresh).select($"h")
+    val nb = ex.join(hot, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+    sh.select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+      .join(nb, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+        round(coalesce($"n_boiler", lit(0L)).cast("double") /
+          when($"n_shingles" > 0, $"n_shingles"), 6).as("boiler_frac"))
+  }
+
+  val q78_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM toks),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(h) >= 3
+       |    THEN list_transform(range(1, len(h) - 1), i -> h[i] * 4099 + h[i+1] * 31 + h[i+2])
+       |    ELSE [] END) AS s
+       |  FROM th),
+       |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+       |hot AS (SELECT h FROM (SELECT h, count(*) AS nd FROM ex GROUP BY h)
+       |  WHERE nd >= (SELECT ceil(0.01 * count(*)) FROM documents)),
+       |nb AS (SELECT doc_id, count(*) AS n_boiler FROM ex JOIN hot USING (h)
+       |  GROUP BY doc_id)
+       |SELECT sh.doc_id, len(sh.s) AS n_shingles,
+       |  coalesce(nb.n_boiler, 0) AS n_boiler,
+       |  round(coalesce(nb.n_boiler, 0)::DOUBLE / nullif(len(sh.s), 0), 6) AS boiler_frac
+       |FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -661,7 +716,8 @@ object TextQueries {
     "q70_repetition" -> q70_repetition,
     "q71_mix_weights" -> q71_mix_weights,
     "q72_pack_sequences" -> q72_pack_sequences,
-    "q73_dedup_keep_best" -> q73_dedup_keep_best)
+    "q73_dedup_keep_best" -> q73_dedup_keep_best,
+    "q78_boilerplate" -> q78_boilerplate)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -682,5 +738,6 @@ object TextQueries {
     "q70_repetition" -> q70_oracle,
     "q71_mix_weights" -> q71_oracle,
     "q72_pack_sequences" -> q72_oracle,
-    "q73_dedup_keep_best" -> q73_oracle)
+    "q73_dedup_keep_best" -> q73_oracle,
+    "q78_boilerplate" -> q78_oracle)
 }
