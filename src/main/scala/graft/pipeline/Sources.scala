@@ -59,6 +59,26 @@ object Sources {
   def json(path: String): BatchSource[Row] = files(path, "json")
   def text(path: String): BatchSource[Row] = files(path, "text")
 
+  /** Jet `HadoopSources.inputFormat` (extensions/hadoop/.../HadoopSources
+    * .java:82): read any Hadoop `InputFormat` with a (key, value) projection.
+    * Spark carries the full Hadoop client, so this is the real thing — splits
+    * become partitions, locality preserved — not a format-string passthrough.
+    * The projection runs per record before the rows reach the DataFrame
+    * (Jet's `projectionFn`), so only projected data is ever shuffled.
+    */
+  def hadoopInputFormat[K, V, T: Encoder: scala.reflect.ClassTag](
+      path: String,
+      inputFormat: Class[_ <: org.apache.hadoop.mapreduce.InputFormat[K, V]],
+      keyClass: Class[K], valueClass: Class[V])(
+      projection: (K, V) => T): BatchSource[T] = new BatchSource[T] {
+    def read(spark: SparkSession): Dataset[T] = {
+      val proj = projection
+      spark.createDataset(
+        spark.sparkContext.newAPIHadoopFile(path, inputFormat, keyClass, valueClass)
+          .map { case (k, v) => proj(k, v) })
+    }
+  }
+
   /** Jet `Sources.jdbc` (Sources.java:1321) → `spark.read.jdbc`. Tested against
     * embedded Derby (JdbcSpec); any DriverManager-visible driver works.
     */

@@ -30,7 +30,7 @@ final class GraftSql(spark: SparkSession) {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(EXTERNAL\s+)?MAPPING\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:EXTERNAL\s+NAME\s+'([^']+)')?\s*(?:\((.*?)\))?\s*TYPE\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*""".r
   private val showColumns = """(?is)\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\w+)\s*""".r
   private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
-  private val showMappings = """(?is)\s*SHOW\s+MAPPINGS\s*""".r
+  private val showMappings = """(?is)\s*SHOW\s+(?:EXTERNAL\s+)?MAPPINGS\s*""".r
   private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
   // Jet CREATE JOB [OPTIONS(...)] AS ... (SqlCreateJob.java:140-186): options
   // carry JobConfig — processingGuarantee, snapshotIntervalMillis,

@@ -17,6 +17,25 @@ class FileFormatsSpec extends SparkSpec {
 
   private val data = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", -1.0))
 
+  test("hadoop InputFormat source with per-record projection") {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val dir = s"$tmp/h"
+    // plain line files — read back through the REAL Hadoop InputFormat path
+    // (splits → partitions), projecting (byteOffset, line) like Jet's
+    // projectionFn. Writables are reused per record: the projection must copy
+    // out, which `.toString`/`.get` do.
+    data.map { case (id, name, x) => s"$id,$name,$x" }.toDF("value")
+      .coalesce(1).write.text(dir)
+    val src = Sources.hadoopInputFormat(
+      dir, classOf[TextInputFormat], classOf[LongWritable], classOf[Text]) {
+      (off, line) => (off.get(), line.toString)
+    }
+    val back = p.readFrom(src).ds.collect().toMap
+    assert(back.values.toSet === data.map { case (i, n, x) => s"$i,$n,$x" }.toSet)
+    assert(back.keys.min === 0L, "first record offset should be 0")
+  }
+
   test("parquet round trip") {
     val dir = s"$tmp/p"
     p.wrap(data.toDF("id", "name", "x")).writeTo(Sinks.files(dir, "parquet"))
