@@ -148,6 +148,7 @@ object Bench {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
+    val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     // watermark bookkeeping alone doesn't need an extra empty micro-batch after
@@ -171,9 +172,17 @@ object Bench {
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        if (rocksdb) prevProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
+        if (rocksdb) {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+          // restore the changelog flag too — leaking it would silently alter
+          // every later provider run in the same session
+          prevChangelog match {
+            case Some(c) => spark.conf.set(changelogKey, c)
+            case None => spark.conf.unset(changelogKey)
+          }
         }
       }
     val t0 = System.nanoTime()

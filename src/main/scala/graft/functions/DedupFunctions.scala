@@ -256,14 +256,22 @@ object DedupFunctions {
     * a template repeated millions of times — makes the self-join quadratic in
     * the bucket size. Any bucket larger than `maxBucket` therefore switches
     * from all-pairs to a CHAIN: its members are ranked by id and only
-    * rank-adjacent pairs are emitted (n−1 pairs instead of n(n−1)/2). Docs
-    * that genuinely belong together stay together — the chain keeps every
-    * member of the bucket in ONE connected component for the clustering
-    * consumers (q47), and truly-identical docs collide in EVERY band, so the
-    * keep-min-id dedup verdict is unchanged. What the cap trades away is only
-    * some within-mega-bucket pair LISTING completeness — the scale-correct
-    * trade, bounded at O(n·bands) for any input. Set
-    * GRAFT_LSH_DEBUG=1 to log how many buckets chained.
+    * rank-adjacent pairs are emitted (n−1 pairs instead of n(n−1)/2).
+    *
+    * The trade, stated precisely: chain pairs still pass the `minJaccard`
+    * verify, so the bucket stays one component only WHERE rank-adjacent
+    * members are actually ≥ minJaccard similar. For the cap's target cases —
+    * identical/near-identical template floods — adjacent members are
+    * near-identical and the component holds. But a mega-bucket whose members
+    * interleave two dissimilar populations (adjacent pairs under threshold,
+    * distant pairs over) CAN split into sub-components the all-pairs plan
+    * would have connected — under-listing, and for q47 under-merging, on
+    * that bucket. That is the deliberate scale trade (bounded O(n·bands)
+    * work on any input, vs a quadratic stall); raise `maxBucket` or
+    * pre-scope with `scopeCols` if a workload legitimately mixes populations
+    * inside one band bucket. Truly-identical docs collide in EVERY band, so
+    * the keep-min-id dedup verdict for exact floods is unchanged either way.
+    * Set GRAFT_LSH_DEBUG=1 to log how many buckets chained.
     */
   def candidatePairs(df: DataFrame, idCol: String, setCol: String,
                      hashes: Int, bands: Int, minJaccard: Double,

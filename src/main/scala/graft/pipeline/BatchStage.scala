@@ -216,6 +216,14 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def saltedJoin(other: BatchStage[_], keys: Seq[String], salts: Int,
                  how: String = "inner"): BatchStage[Row] = {
     require(salts > 1, "saltedJoin needs salts > 1")
+    // right/full outer are NOT salt-safe: an unmatched `other` key exists as
+    // `salts` replicas, so the outer side would emit `salts` null-extended
+    // rows where the plain join emits one
+    val saltSafe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(saltSafe.contains(how.toLowerCase.replace(" ", "")),
+      s"saltedJoin: '$how' would duplicate unmatched right-side rows; " +
+        "use the plain join (AQE skew handling) for right/full outer")
     val left = ds.toDF()
     // deterministic salt: stable across retries (rand() is not), spreads a
     // hot key's rows by the hash of the WHOLE row

@@ -38,7 +38,7 @@ object EarlyWindowOps {
       windowMillis: Long, earlyPeriodMillis: Long,
       zero: A, acc: (A, V) => A,
       export: (K, Long, Long, Boolean, A) => O)(
-      implicit ke: Encoder[(K, Long)], ae: Encoder[A], oe: Encoder[O]): Dataset[O] = {
+      implicit ke: Encoder[(K, Long)], ae: Encoder[(A, Long)], oe: Encoder[O]): Dataset[O] = {
 
     // key computed inside groupByKey (AppendColumns keeps the input schema, so
     // the event-time watermark survives; a typed .map first would strip it)
@@ -46,29 +46,56 @@ object EarlyWindowOps {
         val t = tsFn(v).getTime
         (keyFn(v), t - Math.floorMod(t, windowMillis))
       }
-      .flatMapGroupsWithState[A, O](
+      // state = (accumulator, wall-clock deadline of the next early emission).
+      // The deadline must live IN the state: Spark clears the group's timeout
+      // on every invocation, so a key receiving data each micro-batch would
+      // otherwise re-arm a full period per batch and never fire (starving
+      // exactly the busy keys early results exist for)
+      .flatMapGroupsWithState[(A, Long), O](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case ((key, winStart), values, state) =>
           val winEnd = winStart + windowMillis
           if (state.hasTimedOut) {
             // timer tick: the early-results clock. Final iff the watermark
             // has passed the window end; else a partial, and re-arm.
-            val a = state.get
+            val (a, _) = state.get
             if (state.getCurrentWatermarkMs() >= winEnd) {
               state.remove()
               Iterator.single(export(key, winStart, winEnd, false, a))
             } else {
+              state.update((a, System.currentTimeMillis() + earlyPeriodMillis))
               state.setTimeoutDuration(earlyPeriodMillis)
               Iterator.single(export(key, winStart, winEnd, true, a))
             }
-          } else {
-            // data: fold into the accumulator, no emission (results are
-            // timer-paced, matching SlidingWindowP's early-result tick)
-            var a = state.getOption.getOrElse(zero)
-            values.foreach(v => a = acc(a, v))
-            state.update(a)
-            state.setTimeoutDuration(earlyPeriodMillis)
+          } else if (state.getOption.isEmpty && state.getCurrentWatermarkMs() >= winEnd) {
+            // late data for a window the watermark already closed: under
+            // ProcessingTimeTimeout Spark does NOT filter watermark-late rows
+            // (it only does for EventTimeTimeout), so without this guard a
+            // late event would re-create the released state from `zero` and
+            // the next tick would emit a second, partial "final" row
             Iterator.empty
+          } else {
+            // data: fold into the accumulator. Emission is deadline-paced,
+            // and the deadline must be checked HERE too: Spark only delivers
+            // hasTimedOut calls to keys with NO data in the batch, so a busy
+            // key that sees data every micro-batch would never get a timer
+            // tick at all — the data path honors the same wall clock
+            // (SlidingWindowP's early-result tick is likewise independent of
+            // whether data kept arriving).
+            var (a, nextEmit) = state.getOption.getOrElse((zero, 0L))
+            values.foreach(v => a = acc(a, v))
+            val now = System.currentTimeMillis()
+            if (nextEmit == 0L) nextEmit = now + earlyPeriodMillis
+            val out =
+              if (now >= nextEmit) {
+                nextEmit = now + earlyPeriodMillis
+                Iterator.single(export(key, winStart, winEnd, true, a))
+              } else Iterator.empty
+            state.update((a, nextEmit))
+            // timer covers the idle case; arm with the REMAINING time to the
+            // stored deadline, not a fresh full period
+            state.setTimeoutDuration(math.max(1L, nextEmit - now))
+            out
           }
       }
   }

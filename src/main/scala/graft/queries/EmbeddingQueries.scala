@@ -353,9 +353,11 @@ object EmbeddingQueries {
     // the exact reference ranking feeds every method's recall twice (hit
     // semi-join + per-query denominator): materialize it once — it's
     // |queries|·k rows, never corpus-sized — instead of re-running the
-    // brute-force corpus scan six times
+    // brute-force corpus scan six times. localCheckpoint, not cache: the
+    // blocks are released when the frame is GC'd, so repeated audit calls in
+    // a long-lived session don't pin one dead cached table each
     val exact = S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
-      .select($"query_id", $"neighbor_id").cache()
+      .select($"query_id", $"neighbor_id").localCheckpoint(true)
     def recallOf(approx: DataFrame, method: String): DataFrame = {
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))

@@ -36,7 +36,7 @@ final class GraftSql(spark: SparkSession) {
   // carry JobConfig — processingGuarantee, snapshotIntervalMillis,
   // initialSnapshotName, autoScaling, metricsEnabled.
   private val createJob =
-    """(?is)\s*CREATE\s+JOB\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
+    """(?is)\s*CREATE\s+JOB\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?AS\s+SINK\s+INTO\s+(\w+)\s*\(([^)]*)\)\s+(.*)""".r
   private val dropJob = """(?is)\s*DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val alterJobSuspend = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+SUSPEND\s*""".r
   private val alterJobResume = """(?is)\s*ALTER\s+JOB\s+(\w+)\s+(?:RESUME|RESTART)\s*""".r
@@ -131,7 +131,12 @@ final class GraftSql(spark: SparkSession) {
       import spark.implicits._
       JobRegistry.list.toDF("name", "running")
 
-    case createJob(name, optStr, store, keyCols, rawSelect) =>
+    case createJob(ifNotExists, name, optStr, store, keyCols, rawSelect) =>
+      // Jet semantics (SqlCreateJob.ifNotExists): an existing job of the same
+      // name makes IF NOT EXISTS a no-op — it must NOT silently replace the
+      // running job and discard its checkpoint
+      if (ifNotExists != null && GraftSql.jobSpecs.containsKey(name))
+        return status(s"job $name already exists")
       val opts = parseOptions(Option(optStr).getOrElse(""))
       // Jet rejects unknown job options (SqlCreateJob.java:183-184). The
       // accepted set is JobConfig's: guarantee/interval/snapshot are wired;
@@ -250,7 +255,10 @@ final class GraftSql(spark: SparkSession) {
       // everything downstream (the SELECT, the job sink) stays pure SQL.
       val rate = m.group(1).toLong
       require(rate > 0, s"GENERATE_STREAM rate must be positive, got $rate")
-      val view = s"__graft_stream_${GraftSql.streamIds.incrementAndGet()}"
+      // deterministic per-rate view name: re-parsing the same statement (job
+      // restarts, retries, validation failures) reuses one view instead of
+      // leaking a fresh catalog entry per parse
+      val view = s"__graft_stream_rate_$rate"
       spark.readStream.format("rate").option("rowsPerSecond", rate)
         .load().select(org.apache.spark.sql.functions.col("value").as("v"))
         .createOrReplaceTempView(view)
@@ -398,7 +406,7 @@ final class GraftSql(spark: SparkSession) {
       val name = s"__graft_cursor_${GraftSql.streamIds.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(outputMode).start()
-      new GraftSql.StreamCursor(spark, Some(q), name)
+      new GraftSql.StreamCursor(spark, Some(q), name, outputMode)
     }
   }
 
@@ -438,22 +446,37 @@ object GraftSql {
   final class StreamCursor private[sql](
       spark: SparkSession,
       query: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      table: String) extends AutoCloseable {
+      table: String,
+      outputMode: String = "append") extends AutoCloseable {
 
     private var consumed = 0
+    private var lastSnapshot: Seq[org.apache.spark.sql.Row] = null
 
     def isStreaming: Boolean = query.isDefined
 
     /** Rows produced beyond what earlier `fetch` calls returned. Blocks (poll
       * loop) until at least one new row arrives or `timeoutMs` lapses — a
       * lapsed timeout returns empty, it does NOT mean the stream ended.
+      *
+      * In append/update mode the memory sink only ever appends, so "new" is a
+      * count-based tail. In COMPLETE mode the sink rewrites the whole table
+      * every batch — there a count-based tail would drop changed rows (stable
+      * count) or mix delivered and new rows, so `fetch` returns the full
+      * fresh snapshot whenever it differs from the last one delivered.
       */
     def fetch(timeoutMs: Long = 30000): Seq[org.apache.spark.sql.Row] = {
+      val complete = outputMode.equalsIgnoreCase("complete")
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (true) {
-        val rows = spark.table(table).collect()
-        if (rows.length > consumed) {
-          val out = rows.drop(consumed).toSeq
+        val rows = spark.table(table).collect().toSeq
+        if (complete) {
+          if (rows.nonEmpty && rows != lastSnapshot) {
+            lastSnapshot = rows
+            consumed += rows.length
+            return rows
+          }
+        } else if (rows.length > consumed) {
+          val out = rows.drop(consumed)
           consumed = rows.length
           return out
         }

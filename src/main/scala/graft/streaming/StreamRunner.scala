@@ -123,7 +123,15 @@ object StreamRunner {
     // range-partitioned ascending, so the LAST chunk alone carries the maximum
     // — a ts-only columnar scan of one chunk dir, not a rescan of the source
     val tailFrames = tails.fold(Seq.empty[DataFrame]) { mk =>
-      val lastChunk = spark.read.parquet(s"$inDir/__chunk=${chunks - 1}")
+      // repartitionByRange can emit FEWER than `chunks` partitions (tiny or
+      // low-cardinality inputs), and empty partitions write no dir — read the
+      // highest-index chunk dir that actually exists, not index chunks-1
+      val lastDir = new java.io.File(inDir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("__chunk="))
+        .maxByOption(_.getName.stripPrefix("__chunk=").toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"replayFiles: no chunk dirs written under $inDir (empty input?)"))
+      val lastChunk = spark.read.parquet(lastDir.getAbsolutePath)
         .agg(org.apache.spark.sql.functions.max(col(tsCol))).first()
       mk(lastChunk.getTimestamp(0))
     }

@@ -90,6 +90,56 @@ class EarlyResultsSpec extends SparkSpec {
     val (early, fin) = rows.partition(_._1)
     assert(early.size >= 2, s"expected >=2 partial emissions, got: $rows")
     assert(fin === Seq((false, 2L, 3.0)))              // exactly one final, full aggregate
+
+    // late data for the closed window must NOT resurrect state: without the
+    // guard, ProcessingTimeTimeout does not filter watermark-late rows, the
+    // state would be re-created from zero and a second (wrong, partial)
+    // final row would follow
+    mem.addData((ts("2024-01-01 00:40:00"), "a", 99.0)) // late: window closed
+    Thread.sleep(2500) // give the timer clock >1 period to (wrongly) fire
+    val after = rows
+    assert(after.count(!_._1) === 1, s"duplicate final after late event: $after")
+    assert(!after.contains((true, 1L, 99.0)), s"late event re-opened state: $after")
+    job.stop()
+  }
+
+  test("busy key still gets wall-clock partials while data arrives every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+
+    val out = EarlyWindowOps.tumblingEarly[String, (Timestamp, String, Double),
+        Long, (String, Boolean, Long)](
+      mem.toDF.toDF("ts", "k", "v").withWatermark("ts", "10 minutes")
+        .as[(Timestamp, String, Double)],
+      tsFn = _._1, keyFn = _._2,
+      windowMillis = 3600L * 1000, earlyPeriodMillis = 700,
+      zero = 0L, acc = (a, _) => a + 1,
+      export = (k, _, _, early, a) => (k, early, a))
+
+    val job = out.toDF.toDF("k", "is_early", "n")
+      .writeStream.format("memory").queryName("early_busy_test")
+      .outputMode("append").start()
+
+    def earlies = spark.table("early_busy_test")
+      .filter($"k" === "b" && $"is_early").count()
+
+    // feed the SAME key faster than the early period for ~6 s: the deadline
+    // lives in state, so re-arming on each data batch must preserve it —
+    // the buggy re-arm (full period per invocation) would emit ZERO partials
+    // while data keeps arriving. No processAllAvailable here: with a
+    // ProcessingTimeTimeout pending the engine runs continuous no-data
+    // batches and that call can block (see the note in the previous test) —
+    // the engine consumes on its own cadence while we keep feeding.
+    val deadline = System.currentTimeMillis() + 6000
+    var minute = 0
+    while (System.currentTimeMillis() < deadline) {
+      mem.addData((ts(f"2024-01-01 00:${minute % 50 + 1}%02d:00"), "b", 1.0))
+      minute += 1
+      Thread.sleep(150)
+    }
+    val seen = earlies // measured while data was still being fed
+    assert(seen >= 2,
+      s"only $seen wall-clock partials during 6s of continuous data (period=700ms)")
     job.stop()
   }
 }

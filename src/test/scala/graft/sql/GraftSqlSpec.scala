@@ -145,6 +145,22 @@ class GraftSqlSpec extends SparkSpec {
     } finally cur.close()
   }
 
+  test("cursor in complete mode delivers fresh full snapshots, not stale tails") {
+    // a streaming aggregate: the memory sink REWRITES the whole table per
+    // batch in complete mode — a count-based tail would return empty forever
+    // once the row count stabilizes (here: always exactly 1 row)
+    val cur = sql.cursor(
+      "SELECT count(*) AS n FROM TABLE(GENERATE_STREAM(100))", "complete")
+    try {
+      val first = cur.fetch(timeoutMs = 30000)
+      assert(first.nonEmpty, "first snapshot never arrived")
+      val n1 = first.head.getLong(0)
+      val second = cur.fetch(timeoutMs = 30000)
+      assert(second.nonEmpty, "updated snapshot never delivered (stale-tail bug)")
+      assert(second.head.getLong(0) > n1, "second snapshot did not grow")
+    } finally cur.close()
+  }
+
   test("cursor over a batch statement returns one final batch then drains empty") {
     val cur = sql.cursor("SELECT v FROM TABLE(GENERATE_SERIES(1, 5))")
     try {

@@ -98,6 +98,25 @@ class JobLifecycleSpec extends SparkSpec {
     KeyedStore.drop("init_out")
   }
 
+  test("CREATE JOB IF NOT EXISTS is a no-op on an existing job (keeps checkpoint)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = GraftSql(spark)
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF.toDF("id", "v").createOrReplaceTempView("ine_src")
+    mem.addData((1L, "a"))
+    sql.execute("CREATE JOB j5 AS SINK INTO ine_out(id) SELECT id, v FROM ine_src")
+    val ckpt = GraftSql.jobSpecs.get("j5").checkpoint
+    val handle = JobRegistry.get("j5").get
+    val msg = sql.execute(
+      "CREATE JOB IF NOT EXISTS j5 AS SINK INTO ine_out(id) SELECT id, v FROM ine_src")
+      .collect().head.getString(0)
+    assert(msg.contains("already exists"))
+    assert(GraftSql.jobSpecs.get("j5").checkpoint === ckpt, "checkpoint was replaced")
+    assert(JobRegistry.get("j5").get eq handle, "running job was replaced")
+    sql.execute("DROP JOB j5")
+    KeyedStore.drop("ine_out")
+  }
+
   test("CREATE JOB rejects unknown options; accepts the JobConfig set") {
     val sql = GraftSql(spark)
     val err = intercept[IllegalArgumentException] {
