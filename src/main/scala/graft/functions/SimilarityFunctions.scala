@@ -88,6 +88,22 @@ object SimilarityFunctions {
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** The bucket-count scale recipe, as code (measured in BASELINE.md "q39
+    * bucket-count recipe"): LSH candidate pairs are quadratic in expected
+    * bucket OCCUPANCY, so the plane count must grow with the corpus to keep
+    * occupancy — and therefore pair fan-out — constant. Each plane halves
+    * expected occupancy: planes(n) = basePlanes + ceil(log2(n / baseCorpus)).
+    * At 10× data, +4 planes ≈ the measured 1.38 s vs 2.37 s fixed-planes gap;
+    * the same arithmetic sizes minhash band buckets and IVF cell counts.
+    */
+  def planesForCorpus(corpusSize: Long, baseCorpus: Long, basePlanes: Int): Int = {
+    require(corpusSize > 0 && baseCorpus > 0 && basePlanes > 0,
+      "planesForCorpus needs positive sizes")
+    val growth = corpusSize.toDouble / baseCorpus
+    if (growth <= 1.0) basePlanes
+    else basePlanes + math.ceil(math.log(growth) / math.log(2)).toInt
+  }
+
   /** Exact brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, score row-locally, keep k per query via a window on the query id.
     * Both sides are L2-normalized once per row before the cross join, so the
