@@ -33,7 +33,7 @@ object ScaleTrend {
     "q41_lsh_buckets", "q47_dedup_clusters", "q48_training_corpus",
     "q65_kmeans_ivf", "q72_pack_sequences",
     "q74_ann_recall", "q76_sliding_panes", "q77_stream_join",
-    "q78_boilerplate")
+    "q78_boilerplate", "q79_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

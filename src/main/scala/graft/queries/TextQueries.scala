@@ -697,6 +697,81 @@ object TextQueries {
        |  round(coalesce(nb.n_boiler, 0)::DOUBLE / nullif(len(sh.s), 0), 6) AS boiler_frac
        |FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id""".stripMargin
 
+  // --------------------------------------- q79 repeated-passage spans (ExactSubstr)
+  /** Verbatim repeated-passage detection — the W-gram relaxation of the
+    * suffix-array ExactSubstr dedup from "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022): any window of W consecutive
+    * tokens that occurs ≥2 times anywhere in the corpus (other docs OR the
+    * same doc) is a duplicated passage; overlapping duplicated windows merge
+    * into maximal spans, the unit a dedup pass would actually cut. Distinct
+    * from q78 (distinct-shingle document frequency → boilerplate fraction):
+    * this is positional, multiplicity-counting, and emits mergeable spans.
+    *
+    * Scale shape: one tokenize pass (text dropped immediately), windows are
+    * linear in token count (positional transform over the hash array — the
+    * suffix array of the paper is replaced by a hash-groupBy, which is the
+    * shuffle-native equivalent), one count shuffle keyed on the window hash,
+    * one semi-join back (the duplicated-hash set is small → AQE broadcasts),
+    * one per-doc sort window for the island merge. No all-pairs anywhere.
+    * Window hash = positional polynomial over 32-bit token hashes with
+    * coefficients < 2^20, so every term < 2^52 and the 8-term sum < 2^56 —
+    * exact in both engines' BIGINT, no overflow wrap to diverge on.
+    */
+  val q79_repeated_spans: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val W = 8
+    val coef = Seq(1L, 31L, 131L, 4099L, 16381L, 65537L, 262139L, 524287L)
+    // two-level select: materialize token hashes before the window transform
+    // references them W times (the q70 generate-inlining lesson)
+    val th = t(s, dir, "documents")
+      .select($"doc_id", T.tokenLongHashes($"text").as("h"))
+      .filter(size($"h") >= W)
+    val wins = th.select($"doc_id",
+      transform(sequence(lit(0), size($"h") - W),
+        i => coef.zipWithIndex.map { case (c, j) =>
+          element_at($"h", i + j + 1) * c
+        }.reduce(_ + _)).as("ws"))
+    val ex = wins
+      .select($"doc_id", posexplode_outer($"ws").as(Seq("pos", "wh")))
+      .filter($"wh".isNotNull)
+    val dup = ex.groupBy($"wh").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"wh")
+    val dp = ex.join(dup, Seq("wh"), "left_semi")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val brk = when($"pos" - lag($"pos", 1).over(byDoc) <= W, lit(0L))
+      .otherwise(lit(1L))
+    dp.withColumn("g", sum(brk).over(byDoc))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"pos").cast("long").as("span_start"),
+        (max($"pos") + W).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("g")
+  }
+
+  val q79_oracle: String = {
+    val W = 8
+    val coef = Seq(1L, 31L, 131L, 4099L, 16381L, 65537L, 262139L, 524287L)
+    val poly = coef.zipWithIndex
+      .map { case (c, j) => s"h[i+$j]*$c" }.mkString(" + ")
+    s"""WITH th AS (SELECT doc_id,
+       |  list_transform($tokSql, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM documents),
+       |wh AS (SELECT doc_id, i - 1 AS pos, $poly AS wh
+       |  FROM th, LATERAL (SELECT unnest(range(1, len(h) - $W + 2)) AS i)
+       |  WHERE len(h) >= $W),
+       |dup AS (SELECT wh FROM wh GROUP BY wh HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (wh)),
+       |isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
+       |    THEN 0 ELSE 1 END AS brk FROM dp),
+       |grp AS (SELECT doc_id, pos,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $W AS span_end,
+       |  count(*) AS n_windows
+       |FROM grp GROUP BY doc_id, g""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -717,7 +792,8 @@ object TextQueries {
     "q71_mix_weights" -> q71_mix_weights,
     "q72_pack_sequences" -> q72_pack_sequences,
     "q73_dedup_keep_best" -> q73_dedup_keep_best,
-    "q78_boilerplate" -> q78_boilerplate)
+    "q78_boilerplate" -> q78_boilerplate,
+    "q79_repeated_spans" -> q79_repeated_spans)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -739,5 +815,6 @@ object TextQueries {
     "q71_mix_weights" -> q71_oracle,
     "q72_pack_sequences" -> q72_oracle,
     "q73_dedup_keep_best" -> q73_oracle,
-    "q78_boilerplate" -> q78_oracle)
+    "q78_boilerplate" -> q78_oracle,
+    "q79_repeated_spans" -> q79_oracle)
 }

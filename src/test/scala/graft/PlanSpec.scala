@@ -61,6 +61,19 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide shuffle join in decontamination:\n$plan")
   }
 
+  test("repeated-span detection never plans an all-pairs join and drops text early (q79)") {
+    val df = queries.TextQueries.q79_repeated_spans(spark, sf)
+    df.collect() // AQE finalizes join strategies only on execution
+    val plan = planOf(df)
+    // the suffix-array relaxation must stay hash-keyed: a cartesian/theta join
+    // here means the window-hash groupBy degraded to all-pairs
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in repeated-span plan:\n$plan")
+    // the raw text column must not cross any exchange — only doc_id + hashes
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text column shuffled in:\n$exchanges")
+  }
+
   test("column-list mapping prunes the parquet ReadSchema to the declared columns (q66)") {
     val gsql = graft.sql.GraftSql(spark)
     gsql.execute(
