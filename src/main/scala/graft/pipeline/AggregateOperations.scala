@@ -25,6 +25,47 @@ object AggregateOperations {
 
   private def one(c: Column): AggOp = AggOp(Seq(c))
 
+  /** Rewrite every aggregate function inside `op` to accumulate only rows
+    * matching `cond` (SQL `FILTER (WHERE cond)` on the AggregateExpression).
+    * This is what lets two co-aggregated inputs share one windowed hash
+    * aggregation in `StreamStageWithKey.aggregate2`: each op sees only its
+    * side's rows, exactly like Jet's per-input accumulate functions on a
+    * two-input vertex (AggregateOperation2, accumulateFn0/accumulateFn1).
+    * Composed expressions (e.g. `round(sum(x), 4)`) are handled by
+    * transforming the tree — every AggregateExpression node gets the filter;
+    * an existing filter is AND-combined.
+    */
+  def sideFiltered(op: AggOp, cond: Column): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    import org.apache.spark.sql.graftops.Bridge
+
+    // a pre-analysis function call is aggregate iff the registry resolves its
+    // name to an AggregateFunction class (covers the whole AggOp vocabulary;
+    // scalar wrappers like round(sum(x), 4) are correctly left untouched)
+    def isAggName(parts: Seq[String]): Boolean = parts.lastOption.exists { n =>
+      FunctionRegistry.builtin.lookupFunction(FunctionIdentifier(n.toLowerCase)).exists { info =>
+        try classOf[AggregateFunction].isAssignableFrom(Class.forName(info.getClassName))
+        catch { case _: Throwable => false }
+      }
+    }
+    val condExpr = Bridge.catalystExpression(cond)
+    def and(existing: Option[Expression]): Option[Expression] =
+      Some(existing.fold(condExpr)(f => CAnd(f, condExpr)))
+    op.columns.map { c =>
+      val rewritten = Bridge.catalystExpression(c).transform {
+        // typed udaf path (Aggregator columns are already AggregateExpressions)
+        case ae: AggregateExpression => ae.copy(filter = and(ae.filter))
+        // functions._ path: still unresolved by name at this point
+        case f: UnresolvedFunction if isAggName(f.nameParts) =>
+          f.copy(filter = and(f.filter))
+      }
+      Bridge.column(rewritten)
+    }
+  }
+
   /** counting (AggregateOperations.java:94) */
   def counting(as: String = "count"): AggOp = one(count(lit(1)).as(as))
 

@@ -128,7 +128,10 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
 /** Jet `StreamStageWithKey` / `StageWithKeyAndWindow` (reference:
   * pipeline/StreamStageWithKey.java, StageWithKeyAndWindow.java).
   */
-final class StreamStageWithKey(df: DataFrame, tsCol: String, keys: Seq[Column]) {
+final class StreamStageWithKey(
+    private[pipeline] val df: DataFrame,
+    private[pipeline] val tsCol: String,
+    private[pipeline] val keys: Seq[Column]) {
 
   private var windowDef: Option[WindowDefinition] = None
 
@@ -160,6 +163,72 @@ final class StreamStageWithKey(df: DataFrame, tsCol: String, keys: Seq[Column]) 
     org.apache.spark.sql.functions.window(c, size)
   private def window(c: Column, size: String, slide: String): Column =
     org.apache.spark.sql.functions.window(c, size, slide)
+
+  /** Jet `StageWithKeyAndWindow.aggregate2` (StageWithKeyAndWindow.java:136):
+    * co-aggregate TWO keyed streams in the SAME window — one result row per
+    * (window, key) carrying both sides' aggregates, with Jet's outer
+    * semantics (a key present on only one side still emits; the other side's
+    * count is 0 / sum is null).
+    *
+    * Spark-first shape — Jet runs a single co-aggregating vertex receiving
+    * both inputs; the analog is NOT a join of two windowed aggregates (two
+    * shuffles + stream-stream join state) but a tag-union into ONE windowed
+    * hash aggregation whose aggregate expressions are conditioned on the side
+    * tag (`FILTER (WHERE __side = i)` on every aggregate). One shuffle,
+    * two-phase agg, and the union preserves each input's watermark (Spark
+    * takes the min across inputs — the same coalescing Jet's
+    * WatermarkCoalescer applies to a two-input vertex).
+    *
+    * Column namespace: both sides' data columns are visible to both ops by
+    * name (columns missing on a side are null-padded), so each op references
+    * its own input's columns exactly as in Jet; the side filter guarantees an
+    * op never accumulates the other side's rows. Keys are aligned by
+    * POSITION (Jet pairs groupingKey fns the same way) and take this side's
+    * key names in the output.
+    */
+  def aggregate2(op0: AggOp, other: StreamStageWithKey, op1: AggOp): DataFrame = {
+    require(keys.size == other.keys.size,
+      s"aggregate2 key arity mismatch: ${keys.size} vs ${other.keys.size}")
+    val side = "__graft_side"
+    val ts = "__graft_ts"
+    val outKeys = keys.zipWithIndex.map { case (k, i) =>
+      org.apache.spark.sql.graftops.Bridge.namedAs(k).getOrElse(s"key$i")
+    }
+    // union of both sides' data columns; a column absent on one side is
+    // null-padded there (typed from the side that has it)
+    def colsOf(d: DataFrame) = d.schema.fields.map(f => f.name -> f.dataType)
+    val allCols = (colsOf(df) ++ colsOf(other.df)).distinctBy(_._1)
+      .filterNot { case (n, _) => outKeys.contains(n) }
+    def shape(d: DataFrame, dTs: String, dKeys: Seq[Column], tag: Int): DataFrame = {
+      val have = d.columns.toSet
+      val dataCols = allCols.map { case (n, t) =>
+        if (have.contains(n)) col(n) else lit(null).cast(t).as(n)
+      }
+      val keyCols = dKeys.zip(outKeys).map { case (k, n) => k.as(n) }
+      // .as on the ts column preserves its event-time watermark metadata, so
+      // the downstream stateful aggregation still sees both watermarks
+      d.select((keyCols :+ col(dTs).as(ts) :+ lit(tag).as(side)) ++ dataCols: _*)
+    }
+    val unioned = shape(df, tsCol, keys, 0)
+      .unionByName(shape(other.df, other.tsCol, other.keys, 1))
+    val groupCols: Seq[Column] = windowDef match {
+      case Some(WindowDefinition.Tumbling(size)) =>
+        window(col(ts), size).as("window") +: outKeys.map(col)
+      case Some(WindowDefinition.Sliding(size, slide)) =>
+        window(col(ts), size, slide).as("window") +: outKeys.map(col)
+      case Some(WindowDefinition.Session(gap)) =>
+        session_window(col(ts), gap).as("window") +: outKeys.map(col)
+      case None => outKeys.map(col)
+    }
+    val aggCols = AggregateOperations.sideFiltered(op0, col(side) === 0) ++
+      AggregateOperations.sideFiltered(op1, col(side) === 1)
+    val agged = unioned.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    if (windowDef.isDefined)
+      agged.withColumn("window_start", col("window.start"))
+        .withColumn("window_end", col("window.end"))
+        .drop("window")
+    else agged
+  }
 }
 
 /** Typed stateful per-key streaming ops (reference: TransformStatefulP.java,

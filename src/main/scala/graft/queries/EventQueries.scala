@@ -281,6 +281,45 @@ object EventQueries {
       |WHERE event_type = 'purchase' AND prev_type = 'view'
       |  AND (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) <= 900""".stripMargin
 
+  // --------------------------------------------- q80 windowed co-aggregation
+  /** Jet `StageWithKeyAndWindow.aggregate2` (StageWithKeyAndWindow.java:136):
+    * two keyed streams co-aggregated in the same tumbling window — view/click
+    * traffic (count) against purchase revenue (count + sum) per user bucket.
+    * Runs through the pipeline API's `aggregate2`, whose Spark shape is a
+    * tag-union into ONE windowed hash agg with side-filtered aggregates (one
+    * shuffle — see StreamStage.scala), not a join of two aggregations.
+    * Outer semantics match Jet: a (window, bucket) with only one side present
+    * still emits, the absent side counting 0 / summing null.
+    */
+  val q80_windowed_coagg: Q = (s, dir) => {
+    import s.implicits._
+    import graft.pipeline.{AggregateOperations => A, StreamStage, WindowDefinition}
+    val ev = t(s, dir, "events")
+    val traffic = new StreamStage(
+      ev.filter($"event_type".isin("view", "click")), "ts")
+      .groupingKey(($"user_id" % 100).as("bucket"))
+    val purchases = new StreamStage(
+      ev.filter($"event_type" === "purchase"), "ts")
+      .groupingKey(($"user_id" % 100).as("bucket"))
+    traffic.window(WindowDefinition.Tumbling("1 hour"))
+      .aggregate2(
+        A.counting("n_views"),
+        purchases,
+        A.counting("n_purchases").and(A.summingDouble($"value", "sum_purchase_raw")))
+      .select(unix_timestamp($"window_start").as("window_start"), $"bucket",
+        $"n_views", $"n_purchases", round($"sum_purchase_raw", 4).as("sum_purchase"))
+  }
+
+  val q80_oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
+      |  user_id % 100 AS bucket,
+      |  count(*) FILTER (WHERE event_type IN ('view', 'click')) AS n_views,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS sum_purchase
+      |FROM events
+      |WHERE event_type IN ('view', 'click', 'purchase')
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q20_tumbling_window" -> q20_tumbling_window,
@@ -292,7 +331,8 @@ object EventQueries {
     "q26_linear_trend" -> q26_linear_trend,
     "q27_pattern_match" -> q27_pattern_match,
     "q28_windowed_distinct" -> q28_windowed_distinct,
-    "q76_sliding_panes" -> q76_sliding_panes)
+    "q76_sliding_panes" -> q76_sliding_panes,
+    "q80_windowed_coagg" -> q80_windowed_coagg)
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20_oracle,
@@ -304,5 +344,6 @@ object EventQueries {
     "q26_linear_trend" -> q26_oracle,
     "q27_pattern_match" -> q27_oracle,
     "q28_windowed_distinct" -> q28_oracle,
-    "q76_sliding_panes" -> q21_oracle)
+    "q76_sliding_panes" -> q21_oracle,
+    "q80_windowed_coagg" -> q80_oracle)
 }

@@ -12,4 +12,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The user-visible name a column would take in a projection, when it is
+    * statically known (an `.as(...)` alias or a plain attribute reference) —
+    * before analysis, straight off the column node. None for computed columns.
+    */
+  def namedAs(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.Alias => a.name.lastOption
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts.lastOption
+    case _ => None
+  }
+
+  /** Eagerly convert a Column to its catalyst expression TREE.
+    * `ExpressionUtils.expression` wraps the column node lazily (the node is
+    * only converted during analysis), so `.transform` rewrites see a single
+    * opaque leaf; this forces the conversion so callers can restructure the
+    * tree (e.g. attach aggregate FILTERs) before analysis.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -102,6 +102,40 @@ class StreamingSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("windowed co-aggregation of two keyed streams (aggregate2, one shuffle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val s0 = new StreamSourceStage(views.toDF.toDF("ts", "user"))
+      .withTimestamps("ts", "1 minute")
+      .groupingKey(col("user").as("u"))
+      .window(WindowDefinition.Tumbling("1 minute"))
+    val s1 = new StreamSourceStage(buys.toDF.toDF("bts", "buyer", "amount"))
+      .withTimestamps("bts", "1 minute")
+      .groupingKey(col("buyer").as("u"))
+    val coagg = s0.aggregate2(
+      AggregateOperations.counting("n_views"),
+      s1,
+      AggregateOperations.counting("n_buys")
+        .and(AggregateOperations.summingDouble(col("amount"), "spend")))
+    // complete mode: the memory table is replaced each batch, so the assert
+    // reads final values rather than the per-batch update history
+    val job = StreamSinks.memory("coagg_test", "complete").start(coagg)
+
+    views.addData((ts("2024-01-01 00:00:01"), 1L), (ts("2024-01-01 00:00:02"), 1L),
+      (ts("2024-01-01 00:00:03"), 2L))
+    buys.addData((ts("2024-01-01 00:00:10"), 1L, 5.0))
+    job.processAllAvailable()
+    val rows = spark.table("coagg_test")
+      .select("u", "n_views", "n_buys", "spend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1)
+    // user 1: both sides in the window; user 2: views only — outer semantics,
+    // absent side counts 0 and sums null
+    assert(rows.toSeq === Seq((1L, 2L, 1L, 5.0), (2L, 1L, 0L, -1.0)))
+    job.cancel()
+  }
+
   test("stream-stream join with time-bounded condition (beyond-reference)") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
