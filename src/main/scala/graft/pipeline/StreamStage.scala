@@ -186,31 +186,50 @@ final class StreamStageWithKey(
     * POSITION (Jet pairs groupingKey fns the same way) and take this side's
     * key names in the output.
     */
-  def aggregate2(op0: AggOp, other: StreamStageWithKey, op1: AggOp): DataFrame = {
-    require(keys.size == other.keys.size,
-      s"aggregate2 key arity mismatch: ${keys.size} vs ${other.keys.size}")
+  def aggregate2(op0: AggOp, other: StreamStageWithKey, op1: AggOp): DataFrame =
+    coAggregate(op0, Seq(other -> op1))
+
+  /** Jet `StageWithKeyAndWindow.aggregate3` / `WindowGroupAggregateBuilder`
+    * (StageWithKeyAndWindow.java:194, WindowGroupAggregateBuilder.java): the
+    * N-input generalization — same single tag-union windowed hash agg.
+    */
+  def aggregate3(op0: AggOp, s1: StreamStageWithKey, op1: AggOp,
+                 s2: StreamStageWithKey, op2: AggOp): DataFrame =
+    coAggregate(op0, Seq(s1 -> op1, s2 -> op2))
+
+  /** N-way windowed co-aggregation (the `WindowGroupAggregateBuilder` form):
+    * every input is shaped to (keys, event-time, side tag, union-of-columns)
+    * and unioned; each op's aggregates accumulate only its side's rows via
+    * `FILTER (WHERE side = i)`. One shuffle regardless of input count.
+    */
+  def coAggregate(op0: AggOp, others: Seq[(StreamStageWithKey, AggOp)]): DataFrame = {
+    others.zipWithIndex.foreach { case ((s, _), i) =>
+      require(s.keys.size == keys.size,
+        s"co-aggregate key arity mismatch at input ${i + 1}: ${s.keys.size} vs ${keys.size}")
+    }
     val side = "__graft_side"
     val ts = "__graft_ts"
     val outKeys = keys.zipWithIndex.map { case (k, i) =>
       org.apache.spark.sql.graftops.Bridge.namedAs(k).getOrElse(s"key$i")
     }
-    // union of both sides' data columns; a column absent on one side is
-    // null-padded there (typed from the side that has it)
+    val sides: Seq[(StreamStageWithKey, AggOp)] = (this, op0) +: others
+    // union of all sides' data columns; a column absent on a side is
+    // null-padded there (typed from the first side that has it)
     def colsOf(d: DataFrame) = d.schema.fields.map(f => f.name -> f.dataType)
-    val allCols = (colsOf(df) ++ colsOf(other.df)).distinctBy(_._1)
+    val allCols = sides.flatMap(s => colsOf(s._1.df)).distinctBy(_._1)
       .filterNot { case (n, _) => outKeys.contains(n) }
-    def shape(d: DataFrame, dTs: String, dKeys: Seq[Column], tag: Int): DataFrame = {
-      val have = d.columns.toSet
+    def shape(s: StreamStageWithKey, tag: Int): DataFrame = {
+      val have = s.df.columns.toSet
       val dataCols = allCols.map { case (n, t) =>
         if (have.contains(n)) col(n) else lit(null).cast(t).as(n)
       }
-      val keyCols = dKeys.zip(outKeys).map { case (k, n) => k.as(n) }
+      val keyCols = s.keys.zip(outKeys).map { case (k, n) => k.as(n) }
       // .as on the ts column preserves its event-time watermark metadata, so
-      // the downstream stateful aggregation still sees both watermarks
-      d.select((keyCols :+ col(dTs).as(ts) :+ lit(tag).as(side)) ++ dataCols: _*)
+      // the downstream stateful aggregation still sees every input's watermark
+      s.df.select((keyCols :+ col(s.tsCol).as(ts) :+ lit(tag).as(side)) ++ dataCols: _*)
     }
-    val unioned = shape(df, tsCol, keys, 0)
-      .unionByName(shape(other.df, other.tsCol, other.keys, 1))
+    val unioned = sides.zipWithIndex.map { case ((s, _), i) => shape(s, i) }
+      .reduce(_ unionByName _)
     val groupCols: Seq[Column] = windowDef match {
       case Some(WindowDefinition.Tumbling(size)) =>
         window(col(ts), size).as("window") +: outKeys.map(col)
@@ -220,8 +239,9 @@ final class StreamStageWithKey(
         session_window(col(ts), gap).as("window") +: outKeys.map(col)
       case None => outKeys.map(col)
     }
-    val aggCols = AggregateOperations.sideFiltered(op0, col(side) === 0) ++
-      AggregateOperations.sideFiltered(op1, col(side) === 1)
+    val aggCols = sides.zipWithIndex.flatMap { case ((_, op), i) =>
+      AggregateOperations.sideFiltered(op, col(side) === i)
+    }
     val agged = unioned.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
     if (windowDef.isDefined)
       agged.withColumn("window_start", col("window.start"))

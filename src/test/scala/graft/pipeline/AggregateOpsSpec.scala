@@ -31,6 +31,21 @@ class AggregateOpsSpec extends SparkSpec {
     assert(a.getLong(5) === 2 && a.getLong(6) === 1) // argmin by y=0.5 → x=2
   }
 
+  test("sideFiltered conditions built-in AND typed-udaf aggregates (aggregate2 seam)") {
+    val df = Seq((0, 5.0), (0, 3.0), (1, 9.0)).toDF("side", "v")
+    val top2 = udaf(graft.pipeline.typed.TypedAggs.topN(2))
+    val cols = AggregateOperations.sideFiltered(
+      AggOp(Seq(
+        count(lit(1)).as("n"),
+        round(sum($"v"), 2).as("sv"), // scalar wrapper must stay outside the filter
+        top2($"v").as("top"))),
+      $"side" === 0)
+    val r = df.agg(cols.head, cols.tail: _*).collect()(0)
+    assert(r.getLong(0) === 2L)        // side-1 row not counted
+    assert(r.getDouble(1) === 8.0)     // 5 + 3, not 17
+    assert(r.getSeq[Double](2) === Seq(5.0, 3.0)) // 9.0 excluded from the typed agg
+  }
+
   test("topN / bottomN / sorting / toList / toSet / concatenating / toMap / pickAny") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("a", 1)).toDF("k", "x")
     val row = new BatchStage(df).groupingKey(col("k"))

@@ -136,6 +136,33 @@ class StreamingSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("three-way windowed co-aggregation (aggregate3 / WindowGroupAggregateBuilder)") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, Long)]
+    val b = MemoryStream[(Timestamp, Long)]
+    val c = MemoryStream[(Timestamp, Long, Double)]
+    def keyed(df: org.apache.spark.sql.DataFrame, tsName: String, keyCol: String) =
+      new StreamSourceStage(df).withTimestamps(tsName, "1 minute")
+        .groupingKey(col(keyCol).as("u"))
+    val s0 = keyed(a.toDF.toDF("ts", "user"), "ts", "user")
+      .window(WindowDefinition.Tumbling("1 minute"))
+    val s1 = keyed(b.toDF.toDF("bts", "visitor"), "bts", "visitor")
+    val s2 = keyed(c.toDF.toDF("cts", "payer", "amt"), "cts", "payer")
+    val coagg = s0.aggregate3(
+      AggregateOperations.counting("n_a"),
+      s1, AggregateOperations.counting("n_b"),
+      s2, AggregateOperations.summingDouble(col("amt"), "paid"))
+    val job = StreamSinks.memory("coagg3_test", "complete").start(coagg)
+    a.addData((ts("2024-01-01 00:00:01"), 7L))
+    b.addData((ts("2024-01-01 00:00:02"), 7L), (ts("2024-01-01 00:00:03"), 7L))
+    c.addData((ts("2024-01-01 00:00:04"), 7L, 2.5))
+    job.processAllAvailable()
+    val rows = spark.table("coagg3_test").select("u", "n_a", "n_b", "paid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((7L, 1L, 2L, 2.5)))
+    job.cancel()
+  }
+
   test("stream-stream join with time-bounded condition (beyond-reference)") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
