@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * Instrument: Spark's rate source generates rows at a requested rows/second;
   * the pipeline is the same NEXMark-style keyed tumbling window count+sum the
   * BENCH throughput harness uses. A rate R is SUSTAINED if, over the probe
-  * window (after a settle period), the query processes ≥95% of R rows/s and
-  * the final backlog is under one trigger's worth of rows — i.e. the engine
-  * is keeping up, not falling progressively behind.
+  * window (after a settle period), the query commits ≥95% of R rows/s —
+  * under saturation committed-rows-per-wall-second IS engine throughput, so
+  * a query that cannot keep up fails the criterion within one window.
   *
   * Search: geometric ladder (doubling) from 1M rows/s until a rate fails,
   * then one bisection step — prints one JSON line with the stateful and
