@@ -74,6 +74,21 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text"), s"text column shuffled in:\n$exchanges")
   }
 
+  test("windowed co-aggregation is ONE shuffle, not an aggregate-join (q80)") {
+    val df = queries.EventQueries.q80_windowed_coagg(spark, sf)
+    df.collect() // AQE finalizes the shuffle stages only on execution
+    // an adaptive plan prints Final AND Initial sections — count only the final
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the tag-union shape must produce a single exchange feeding a two-phase
+    // hash agg; a join of two windowed aggregations would show >=2 exchanges
+    // plus a join node
+    val exchanges = plan.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle in co-agg plan, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"co-aggregation planned as a join:\n$plan")
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"co-agg lost two-phase aggregation:\n$plan")
+  }
+
   test("column-list mapping prunes the parquet ReadSchema to the declared columns (q66)") {
     val gsql = graft.sql.GraftSql(spark)
     gsql.execute(
