@@ -295,6 +295,22 @@ final class BatchStage[T](val ds: Dataset[T]) {
   /** Jet `writeTo(Sink)` (GeneralStage → SinkStage). */
   def writeTo(sink: Sink): Unit = sink.write(ds.toDF())
 
+  /** Jet DAG fan-out: one stage feeding MULTIPLE sinks in a single job
+    * (Pipeline.java — the planner executes the shared prefix once and edges
+    * fan out to every sink vertex). Spark actions are per-sink, so the
+    * faithful analog pins the stage across the writes: the lineage above
+    * (scan + transforms) materializes once into the block store, every sink
+    * reads those partitions, and the cache is released afterwards — without
+    * this, N `.writeTo` calls rescan the source N times.
+    */
+  def fanOut(sinks: Sink*): Unit = {
+    require(sinks.nonEmpty, "fanOut needs at least one sink")
+    val df = ds.toDF()
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sinks.foreach(_.write(df))
+    finally { df.unpersist(); () }
+  }
+
   /** Jet `Sinks.observable` (Sinks.java:1382): pull results to the caller. */
   def observe(): Seq[Row] = ds.toDF().collect().toSeq
 }

@@ -109,6 +109,23 @@ object StreamSinks {
   def mapSink(storeName: String, keyCols: String*): StreamSink =
     foreachBatch((batch, _) => KeyedStore.upsert(storeName, batch, keyCols))
 
+  /** Jet DAG fan-out on a stream: one streaming stage feeding MULTIPLE sink
+    * writers from a SINGLE query (Jet reads the source once and fans edges to
+    * every sink vertex). Starting one StreamSink per writer would re-read the
+    * source per sink; this keeps one micro-batch execution and pins each
+    * batch while every writer consumes it — the standard Spark multi-sink
+    * recipe. Guarantees follow foreachBatch: per-batch atomicity per writer,
+    * replayed batch ids on restart (writers should be idempotent).
+    */
+  def fanOut(writers: ((DataFrame, Long) => Unit)*): StreamSink = {
+    require(writers.nonEmpty, "fanOut needs at least one writer")
+    foreachBatch { (batch, id) =>
+      batch.persist()
+      try writers.foreach(_(batch, id))
+      finally { batch.unpersist(); () }
+    }
+  }
+
   /** Streaming merge-fn upsert — Jet `Sinks.mapWithMerging` (Sinks.java:313)
     * on a StreamStage: every micro-batch MERGEs into the store with per-column
     * conflict expressions. Guarded by a per-(store, job) batchId high-water

@@ -20,6 +20,36 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out.head === 6 && out.length === 16)
   }
 
+  test("fanOut: one stage, two sinks, the shared prefix runs ONCE (DAG fan-out)") {
+    val evals = spark.sparkContext.longAccumulator("fanout_evals")
+    val stage = p.readFrom(Sources.items(1 to 100))
+      .map { x => evals.add(1); x * 2 }
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sink(): Sink = new Sink {
+      def write(df: org.apache.spark.sql.DataFrame): Unit =
+        got += df.count()
+    }
+    stage.fanOut(sink(), sink())
+    assert(got.toSeq === Seq(100L, 100L), "both sinks saw every row")
+    // without the persist pin, two sinks would re-run the map => 200 evals
+    assert(evals.value === 100L,
+      s"shared prefix evaluated ${evals.value} times, expected once per row")
+  }
+
+  test("streaming fanOut: one query feeds two writers per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val job = StreamSinks.fanOut(
+      (b, _) => { seen.merge("a", b.count(), java.lang.Long.sum(_, _)); () },
+      (b, _) => { seen.merge("b", b.count(), java.lang.Long.sum(_, _)); () }
+    ).start(mem.toDF())
+    mem.addData(1, 2, 3)
+    job.processAllAvailable()
+    assert(seen.get("a") === 3L && seen.get("b") === 3L)
+    job.cancel()
+  }
+
   test("wordcount parity (reference examples/wordcount)") {
     val lines = Seq("the quick brown fox", "the lazy dog", "the fox")
     val counts = p.readFrom(Sources.items(lines))
