@@ -198,16 +198,8 @@ object Bench {
       q.stop()
     }
     val rate = nRows / ((System.nanoTime() - t0) / 1e9)
-    deleteTree(work)
+    pipeline.TempFiles.deleteTree(work)
     rate
-  }
-
-  private def deleteTree(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
   }
 
   /** Stateless streaming throughput: the same file-stream replay through a
@@ -232,7 +224,7 @@ object Bench {
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
     val rate = nRows / ((System.nanoTime() - t0) / 1e9)
-    deleteTree(work)
+    pipeline.TempFiles.deleteTree(work)
     rate
   }
 }

@@ -53,7 +53,10 @@ object MaxRate {
       .start()
     try {
       Thread.sleep(SettleSec * 1000L)
-      val fromBatch = Option(q.lastProgress).map(_.batchId).getOrElse(0L)
+      // -1, not 0: if no batch completed during the settle (first batch slower
+      // than SettleSec at high rates), batch 0's rows belong to the measured
+      // window — excluding them undercounts and fails a sustainable rate
+      val fromBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       Thread.sleep(MeasureSec * 1000L)
       val progress = q.recentProgress.filter(_.batchId > fromBatch)
       if (progress.isEmpty) None
@@ -75,19 +78,23 @@ object MaxRate {
     spark.sparkContext.setLogLevel("WARN")
 
     def ceilingFor(stateful: Boolean): (Long, Double) = {
+      val ceiling = 512000000L // generator guard: don't probe beyond this
       var rate = 1000000L
       var lastOk = 0L
       var lastMeasured = 0.0
-      var failed = false
-      while (!failed) {
+      var sawFailure = false
+      var done = false
+      while (!done) {
         probe(spark, rate, stateful) match {
           case Some(m) => lastOk = rate; lastMeasured = m; rate *= 2
-          case None => failed = true
+          case None => sawFailure = true; done = true
         }
-        if (rate > 512000000L) failed = true // generator ceiling guard
+        if (rate > ceiling) done = true
       }
-      // one bisection step between last sustained and first failed rate
-      if (lastOk > 0) {
+      // one bisection step between last sustained and first FAILED rate —
+      // only meaningful when the ladder actually failed (a guard-capped exit
+      // has no failed rate above lastOk to bisect toward)
+      if (lastOk > 0 && sawFailure) {
         val mid = lastOk + (lastOk / 2)
         probe(spark, mid, stateful).foreach { m => lastOk = mid; lastMeasured = m }
       }

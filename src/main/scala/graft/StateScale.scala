@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * behind GraftSession.rocksdbStateStore's guidance ("switch to RocksDB when
   * keyed state outgrows the heap"). BASELINE.md's round-4 A/B showed a tie at
   * the BENCH workload's few-hundred-key state; this main repeats the identical
-  * replay at ~2M distinct keys, where the HDFS-backed provider must serialize
-  * a full 2M-row snapshot per commit while RocksDB + changelog checkpointing
+  * replay at 2M distinct keys, where the HDFS-backed provider must serialize
+  * the full state snapshot per commit while RocksDB + changelog checkpointing
   * appends only the batch's delta.
   *
-  * Workload: N rows pre-written as parquet, replayed through a file stream in
-  * ~10 micro-batches into a keyed tumbling-window count+sum (same shape as
+  * Workload: N rows pre-written as parquet (once per cardinality, shared by
+  * both provider runs), replayed through a file stream in ~10 micro-batches
+  * into a keyed tumbling-window count+sum (same shape as
   * Bench.streamThroughput), noop sink, update mode. Reported rate is
   * rows / wall-seconds for the whole replay; state rows from the final
   * progress event confirm the cardinality actually materialized.
@@ -27,13 +28,17 @@ object StateScale {
 
     val results = for {
       cardinality <- Seq(200L, 2000000L)
+      input = writeInput(spark, cardinality)
       rocksdb <- Seq(false, true)
-    } yield {
-      val (rate, stateRows) = measure(spark, cardinality, rocksdb)
-      val label = s"${if (rocksdb) "rocksdb" else "hdfs"}_${cardinality}"
-      System.err.println(s"[statescale] $label -> ${rate.toLong} rows/s, state=$stateRows")
-      label -> (rate, stateRows)
-    }
+    } yield
+      try {
+        val (rate, stateRows) = measure(spark, input, rocksdb)
+        val label = s"${if (rocksdb) "rocksdb" else "hdfs"}_$cardinality"
+        System.err.println(s"[statescale] $label -> ${rate.toLong} rows/s, state=$stateRows")
+        label -> (rate, stateRows)
+      } finally {
+        if (rocksdb) pipeline.TempFiles.deleteTree(input) // second run of the pair
+      }
     val json = results.map { case (l, (r, s)) =>
       s""""rate_$l":${r.toLong},"state_rows_$l":$s"""
     }.mkString(",")
@@ -41,19 +46,28 @@ object StateScale {
     spark.stop()
   }
 
-  private def measure(spark: SparkSession, cardinality: Long, rocksdb: Boolean): (Double, Long) = {
+  private val NRows = 4000000L
+  // hour-ALIGNED base epoch (review finding: an unaligned base straddles two
+  // tumbling windows and doubles the intended state cardinality)
+  private val BaseEpoch = 1699999200L
+
+  /** Write the replay input once; both provider runs of a cardinality share it.
+    * Keys cycle 0..cardinality inside ONE window hour: state rows ==
+    * cardinality exactly, and the shuffled file order stays inside the 1 h
+    * watermark lag so no rows are dropped as late (state size, not late-data
+    * policy, is the variable under test).
+    */
+  private def writeInput(spark: SparkSession, cardinality: Long): String = {
     val work = java.nio.file.Files.createTempDirectory("graft_statescale_").toString
-    val nRows = 4000000L
-    // keys cycle 0..cardinality inside ONE window hour: state rows ==
-    // cardinality exactly, and the shuffled file order stays inside the 1 h
-    // watermark lag so no rows are dropped as late (state size, not
-    // late-data policy, is the variable under test)
-    spark.range(nRows).select(
+    spark.range(NRows).select(
       (col("id") % cardinality).as("k"),
-      timestamp_seconds(lit(1700000000L) + (col("id") % 3600L)).as("ts"),
+      timestamp_seconds(lit(BaseEpoch) + (col("id") % 3600L)).as("ts"),
       (col("id") % 100L).cast("double").as("v"))
       .repartition(80).write.parquet(s"$work/in")
+    work
+  }
 
+  private def measure(spark: SparkSession, work: String, rocksdb: Boolean): (Double, Long) = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
@@ -65,6 +79,7 @@ object StateScale {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set(changelogKey, "true")
     }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_statescale_ckpt_").toString
     val q =
       try spark.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -74,7 +89,7 @@ object StateScale {
         .groupBy(window(col("ts"), "1 hour"), col("k"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
         .writeStream.format("noop").outputMode("update")
-        .option("checkpointLocation", s"$work/ckpt").start()
+        .option("checkpointLocation", ckpt).start()
       finally {
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         if (rocksdb) {
@@ -85,17 +100,11 @@ object StateScale {
     val t0 = System.nanoTime()
     val stateRows =
       try { q.processAllAvailable(); Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L) }
-      finally q.stop()
-    val rate = nRows / ((System.nanoTime() - t0) / 1e9)
-    deleteTree(work)
+      finally {
+        q.stop()
+        pipeline.TempFiles.deleteTree(ckpt)
+      }
+    val rate = NRows / ((System.nanoTime() - t0) / 1e9)
     (rate, stateRows)
-  }
-
-  private def deleteTree(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
   }
 }

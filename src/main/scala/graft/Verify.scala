@@ -26,11 +26,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // delete any PREVIOUS run's output for this query: a stale parquet
         // would make the differential check silently validate old results
-        val stale = java.nio.file.Paths.get(s"$outDir/$name")
-        if (java.nio.file.Files.exists(stale))
-          java.nio.file.Files.walk(stale)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        pipeline.TempFiles.deleteTree(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -332,11 +332,7 @@ object KeyedStore {
     storeKeys.remove(name)
     Option(journalDirs.remove(name)).foreach(_.forEach { dir =>
       // journal dirs are temp parquet trees — reclaim them with the store
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      TempFiles.deleteTree(dir)
     })
     appliedBatch.keySet().removeIf(_._1 == name)
     Option(tables.remove(name)).foreach(_.unpersist())

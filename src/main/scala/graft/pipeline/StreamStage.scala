@@ -216,7 +216,27 @@ final class StreamStageWithKey(
     // union of all sides' data columns; a column absent on a side is
     // null-padded there (typed from the first side that has it)
     def colsOf(d: DataFrame) = d.schema.fields.map(f => f.name -> f.dataType)
-    val allCols = sides.flatMap(s => colsOf(s._1.df)).distinctBy(_._1)
+    val byName = sides.flatMap(s => colsOf(s._1.df)).groupBy(_._1)
+    // fail loudly on ambiguous namespaces instead of letting unionByName
+    // coerce or a key alias shadow a data column (review finding):
+    byName.foreach { case (n, ts) =>
+      require(ts.map(_._2).distinct.size == 1,
+        s"co-aggregate column '$n' has conflicting types across inputs " +
+          s"(${ts.map(_._2.simpleString).distinct.mkString(", ")}) — rename or cast one side")
+    }
+    // a data column named like an output key is only legal when it IS that
+    // side's key (plain-column grouping); otherwise the key alias would
+    // silently shadow a genuine data column in the shared namespace
+    outKeys.zipWithIndex.foreach { case (n, i) =>
+      sides.foreach { case (s, _) =>
+        val keyIsThatColumn =
+          org.apache.spark.sql.graftops.Bridge.plainColumnName(s.keys(i)).contains(n)
+        require(!s.df.columns.contains(n) || keyIsThatColumn,
+          s"co-aggregate input data column '$n' collides with output key name '$n' " +
+            "but is not that input's grouping key — rename the data column or the key alias")
+      }
+    }
+    val allCols = byName.map(_._2.head).toSeq
       .filterNot { case (n, _) => outKeys.contains(n) }
     def shape(s: StreamStageWithKey, tag: Int): DataFrame = {
       val have = s.df.columns.toSet

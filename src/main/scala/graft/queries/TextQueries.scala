@@ -732,6 +732,11 @@ object TextQueries {
         i => coef.zipWithIndex.map { case (c, j) =>
           element_at($"h", i + j + 1) * c
         }.reduce(_ + _)).as("ws"))
+    // _outer + null filter, NOT plain posexplode: InferFiltersFromGenerate
+    // would push an inferred size/notNull filter with the whole window-hash
+    // transform INLINED below the Project (the q68/q70 pathology); the rule
+    // skips outer generates, and the null filter on the generated column
+    // restores plain-explode semantics without touching the generator input
     val ex = wins
       .select($"doc_id", posexplode_outer($"ws").as(Seq("pos", "wh")))
       .filter($"wh".isNotNull)

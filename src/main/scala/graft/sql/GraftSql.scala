@@ -208,7 +208,7 @@ final class GraftSql(spark: SparkSession) {
 
     case dropSnapshot(name) =>
       Option(GraftSql.snapshots.remove(name)) match {
-        case Some(dir) => deleteTree(java.nio.file.Paths.get(dir))
+        case Some(dir) => graft.pipeline.TempFiles.deleteTree(java.nio.file.Paths.get(dir))
           status(s"snapshot $name dropped")
         case None => status(s"snapshot $name not found")
       }
@@ -359,13 +359,6 @@ final class GraftSql(spark: SparkSession) {
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
     }
-  }
-
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import java.nio.file._
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
   }
 
   /** (Re)start a registered job from its stored statement + checkpoint. */

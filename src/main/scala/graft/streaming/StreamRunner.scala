@@ -178,9 +178,7 @@ object StreamRunner {
     lap("process-all")
     // the memory sink holds the result rows; the staged input files are done —
     // delete them so repeated gate/bench rounds don't fill the temp volume
-    java.nio.file.Files.walk(java.nio.file.Paths.get(work))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    graft.pipeline.TempFiles.deleteTree(work)
     spark.table(name)
   }
 }

@@ -23,6 +23,14 @@ object Bridge {
     case _ => None
   }
 
+  /** Some(name) only when the column IS a bare attribute reference (no alias,
+    * no computation) — i.e. it reads exactly the named input column.
+    */
+  def plainColumnName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts.lastOption
+    case _ => None
+  }
+
   /** Eagerly convert a Column to its catalyst expression TREE.
     * `ExpressionUtils.expression` wraps the column node lazily (the node is
     * only converted during analysis), so `.transform` rewrites see a single
