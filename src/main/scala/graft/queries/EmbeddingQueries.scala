@@ -303,7 +303,13 @@ object EmbeddingQueries {
       .select($"cluster", coalesce($"n_vectors", lit(0L)).as("n_vectors"), $"centroid_norm")
   }
 
-  val q65_oracle: String = {
+  /** The KMeansLite training replayed as unrolled SQL layers (k=8, 2
+    * iterations, id-ordered init, per-recompute rounding) — the WITH-prefix
+    * ends at `a3` (final assignment: vec_id, ve, cid) and `c2` (final
+    * centroids). Shared by the q65 and q81 oracles so the two can never
+    * drift apart on the training arithmetic.
+    */
+  private val kmeansPrefixSql: String = {
     val k = 8
     def distSql(ve: String, cv: String) =
       s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
@@ -327,12 +333,15 @@ object EmbeddingQueries {
        |${centroidLayer("c1", "a1", "c0")},
        |${assignLayer("a2", "c1")},
        |${centroidLayer("c2", "a2", "c1")},
-       |${assignLayer("a3", "c2")}
+       |${assignLayer("a3", "c2")}""".stripMargin
+  }
+
+  val q65_oracle: String =
+    s"""$kmeansPrefixSql
        |SELECT c2.cid AS cluster,
        |  (SELECT count(*) FROM a3 WHERE a3.cid = c2.cid) AS n_vectors,
        |  round(sqrt(list_sum(list_transform(c2.cv, x -> x*x))), 6) AS centroid_norm
        |FROM c2""".stripMargin
-  }
 
   // ------------------------------------------------- q74 ANN recall audit
   /** ANN quality evaluation: recall@3 of every approximate search path (LSH
@@ -434,6 +443,50 @@ object EmbeddingQueries {
        |${recall("ivf2", "ivf_p2")}""".stripMargin
   }
 
+  // ---------------------------------- q81 semantic dedup (SemDeDup recipe)
+  /** Cluster-scoped semantic dedup — the SemDeDup recipe ("SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication", Abbas
+    * et al., 2023, public): k-means cells bound the candidate space, exact
+    * pairwise cosine WITHIN each cell, keep one representative per duplicate
+    * group (lowest vec_id here — a deterministic stand-in for the paper's
+    * centroid-distance tie-break), emit the removal manifest. Distinct from
+    * q39 (LSH-bucket candidates, pair list out): candidates come from the
+    * LEARNED cells and the output is the dedup decision.
+    *
+    * Scale shape: assignment is a row-local argmin over broadcast centroids
+    * (KMeansLite); the pair join is keyed on the cluster id — never
+    * all-pairs. The cluster count is the scale lever: grow k with the corpus
+    * (the paper uses 50k clusters for LAION) exactly like IVF cells /
+    * planesForCorpus, keeping per-cell populations — and the quadratic
+    * within-cell term — bounded.
+    */
+  val q81_semantic_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val vecs = emb.select($"vec_id", S.toDouble($"embedding").as("ve"))
+    val (assigned, _) = graft.operators.KMeansLite.fit(
+      vecs, "vec_id", "ve", k = 8, dims = dims, iters = 2)
+    // normalize once per row before the pair join (q39's recipe): per-pair
+    // cost is one native dot product
+    val nv = S.withNormalized(emb.select($"vec_id", $"embedding"), "embedding", "nv")
+      .join(assigned, Seq("vec_id"))
+      .select($"cluster", $"vec_id", $"nv")
+    val keep = nv.select($"cluster", $"vec_id".as("vid_keep"), $"nv".as("nv_keep"))
+    nv.join(keep, Seq("cluster"))
+      .filter($"vid_keep" < $"vec_id")
+      .filter(round(S.dotAuto($"nv", $"nv_keep"), 6) >= 0.35)
+      .groupBy($"cluster", $"vec_id")
+      .agg(count(lit(1)).as("n_dup_partners"), min($"vid_keep").as("kept_vec_id"))
+  }
+
+  val q81_oracle: String =
+    s"""$kmeansPrefixSql
+       |SELECT x.cid AS cluster, x.vec_id,
+       |  count(*) AS n_dup_partners, min(y.vec_id) AS kept_vec_id
+       |FROM a3 x JOIN a3 y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |WHERE round(${cosSql("x.ve", "y.ve")}, 6) >= 0.35
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q39_dedup_embedding" -> q39_dedup_embedding,
@@ -444,7 +497,8 @@ object EmbeddingQueries {
     "q44_ann_ivf_topk" -> q44_ann_ivf_topk,
     "q65_kmeans_ivf" -> q65_kmeans_ivf,
     "q74_ann_recall" -> q74_ann_recall,
-    "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe)
+    "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe,
+    "q81_semantic_dedup" -> q81_semantic_dedup)
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_embedding" -> q39_oracle,
@@ -455,5 +509,6 @@ object EmbeddingQueries {
     "q44_ann_ivf_topk" -> q44_oracle,
     "q65_kmeans_ivf" -> q65_oracle,
     "q74_ann_recall" -> q74_oracle,
-    "q75_ann_ivf_multiprobe" -> q75_oracle)
+    "q75_ann_ivf_multiprobe" -> q75_oracle,
+    "q81_semantic_dedup" -> q81_oracle)
 }
