@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Micro-batch latency profile — the honest counterpart to `graft.MaxRate`
   * for the reference's OTHER headline number: Jet publishes p99.99 < 10 ms at
@@ -31,17 +30,10 @@ object Latency {
       SparkSession.builder().master("local[32]").appName("graft-latency"),
       shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    val src = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate.toString)
-      .option("numPartitions", "8").load()
-    val q = src.select($"timestamp".as("ts"),
-        ($"value" % 100).cast("string").as("event_type"),
-        ($"value" % 1000).cast("double").as("value"))
-      .withWatermark("ts", "10 seconds")
-      .groupBy(window($"ts", "5 seconds"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    // the SAME pipeline MaxRate's ceiling was measured on (RateWorkloads) —
+    // the latency profile and the rate ladder calibrate one workload
+    val q = RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
       .writeStream.format("noop").outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .start()

@@ -32,21 +32,10 @@ object MaxRate {
     * sustained, else None.
     */
   private def probe(spark: SparkSession, rate: Long, stateful: Boolean): Option[Double] = {
-    import spark.implicits._
-    val src = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate.toString)
-      .option("numPartitions", "8")
-      .load() // schema: timestamp, value
-    val shaped = src.select($"timestamp".as("ts"),
-      ($"value" % 100).cast("string").as("event_type"),
-      ($"value" % 1000).cast("double").as("value"))
+    val shaped = RateWorkloads.shaped(spark, rate)
     val out =
-      if (stateful)
-        shaped.withWatermark("ts", "10 seconds")
-          .groupBy(window($"ts", "5 seconds"), $"event_type")
-          .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
-      else
-        shaped.filter($"value" >= 0).select($"event_type", ($"value" * 2).as("v2"))
+      if (stateful) RateWorkloads.statefulAgg(shaped)
+      else RateWorkloads.statelessMap(shaped)
     val q = out.writeStream.format("noop")
       .outputMode(if (stateful) "update" else "append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
@@ -62,7 +51,13 @@ object MaxRate {
       if (progress.isEmpty) None
       else {
         val rows = progress.map(_.numInputRows).sum
-        val processedPerSec = rows / MeasureSec.toDouble
+        // when no batch closed inside the settle, the counted batches reach
+        // back to stream START and include settle-time generation — divide by
+        // the full elapsed span so catch-up backlog can never inflate the
+        // verdict (it can only make it conservative)
+        val span = if (fromBatch == -1L) (SettleSec + MeasureSec).toDouble
+                   else MeasureSec.toDouble
+        val processedPerSec = rows / span
         // sustained = kept up with ≥95% of the requested rate over the window
         if (processedPerSec >= 0.95 * rate) Some(processedPerSec) else None
       }

@@ -26,19 +26,20 @@ object StateScale {
       shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = for {
-      cardinality <- Seq(200L, 2000000L)
-      input = writeInput(spark, cardinality)
-      rocksdb <- Seq(false, true)
-    } yield
-      try {
+    // explicit flatMap, not a mid-binding for-comprehension: the input for a
+    // cardinality is written right before its pair of runs and removed right
+    // after (a `input = ...` binding would eagerly write BOTH 4M-row inputs
+    // before the first measurement — double the temp disk and a polluted
+    // page cache under the "cold" first run)
+    val results = Seq(200L, 2000000L).flatMap { cardinality =>
+      val input = writeInput(spark, cardinality)
+      try Seq(false, true).map { rocksdb =>
         val (rate, stateRows) = measure(spark, input, rocksdb)
         val label = s"${if (rocksdb) "rocksdb" else "hdfs"}_$cardinality"
         System.err.println(s"[statescale] $label -> ${rate.toLong} rows/s, state=$stateRows")
         label -> (rate, stateRows)
-      } finally {
-        if (rocksdb) pipeline.TempFiles.deleteTree(input) // second run of the pair
-      }
+      } finally pipeline.TempFiles.deleteTree(input)
+    }
     val json = results.map { case (l, (r, s)) =>
       s""""rate_$l":${r.toLong},"state_rows_$l":$s"""
     }.mkString(",")

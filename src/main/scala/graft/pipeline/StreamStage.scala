@@ -218,8 +218,10 @@ final class StreamStageWithKey(
     def colsOf(d: DataFrame) = d.schema.fields.map(f => f.name -> f.dataType)
     val byName = sides.flatMap(s => colsOf(s._1.df)).groupBy(_._1)
     // fail loudly on ambiguous namespaces instead of letting unionByName
-    // coerce or a key alias shadow a data column (review finding):
-    byName.foreach { case (n, ts) =>
+    // coerce or a key alias shadow a data column (review finding). Columns
+    // named like an output key never enter the shared data namespace (they
+    // are replaced by the aliased key), so only the rest needs type agreement
+    byName.filterNot(outKeys contains _._1).foreach { case (n, ts) =>
       require(ts.map(_._2).distinct.size == 1,
         s"co-aggregate column '$n' has conflicting types across inputs " +
           s"(${ts.map(_._2.simpleString).distinct.mkString(", ")}) — rename or cast one side")

@@ -23,11 +23,18 @@ object Bridge {
     case _ => None
   }
 
-  /** Some(name) only when the column IS a bare attribute reference (no alias,
-    * no computation) — i.e. it reads exactly the named input column.
+  /** Some(name) only when the column reads exactly the named input column —
+    * a bare attribute reference, or an identity alias of one
+    * (`col("k").as("k")`). Computed or renaming columns return None.
     */
   def plainColumnName(c: Column): Option[String] = c.node match {
     case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts.lastOption
+    case a: org.apache.spark.sql.internal.Alias =>
+      (a.name.lastOption, a.child) match {
+        case (Some(n), u: org.apache.spark.sql.internal.UnresolvedAttribute)
+            if u.nameParts.lastOption.contains(n) => Some(n)
+        case _ => None
+      }
     case _ => None
   }
 
