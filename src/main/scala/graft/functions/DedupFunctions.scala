@@ -359,4 +359,41 @@ object DedupFunctions {
     sig.unpersist()
     snap
   }
+
+  /** Cross-corpus near-dup: MinHash/LSH-banded join of a NEW document batch
+    * against an EXISTING reference corpus — the "dedup tonight's crawl against
+    * the whole training set" pass, where a self-join over new ∪ existing would
+    * re-pay the full corpus every night. Returns (id_new, id_ref, jaccard)
+    * for pairs with exact-verified Jaccard ≥ `minJaccard`.
+    *
+    * Scale shape: both sides band on (band key) exactly like `candidatePairs`,
+    * so the join is bucket-local, never all-pairs; the reference side's banded
+    * signatures are a pure function of the corpus — persist (or pre-write)
+    * them once and amortize across batches. Degenerate-bucket skew on the
+    * reference side is bounded the same way as `candidatePairs`' chain guard:
+    * pre-cap with that entry point if the corpus carries boilerplate buckets.
+    */
+  def crossCorpusPairs(newDf: DataFrame, refDf: DataFrame, idCol: String,
+                       setCol: String, hashes: Int, bands: Int,
+                       minJaccard: Double): DataFrame = {
+    val rows = hashes / bands
+    def banded(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(setCol).as("toks"))
+        .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
+        .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
+        // explode_outer + null filter: see candidatePairs (generate-inlining)
+        .withColumn("band",
+          explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+        .filter(col("band").isNotNull)
+        .select(col("id"), col("hs"), col("band"))
+    val a = banded(newDf).select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
+    val b = banded(refDf).select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
+    a.join(b, "band")
+      .select(col("id_new"), col("id_ref"),
+        jaccard(col("hs_new"), col("hs_ref")).as("jaccard"))
+      // a pair can collide in several bands; jaccard is a pure function of the
+      // pair, so dropDuplicates keeps a deterministic value
+      .dropDuplicates("id_new", "id_ref")
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

@@ -20,6 +20,19 @@ object TextFunctions {
   /** Distinct token set (for Jaccard / MinHash style dedup). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Sentence segmentation: split after sentence-ending punctuation followed by
+    * whitespace, trim, drop empties. Deliberately regex-only (replace the
+    * boundary with an unused control char, then split on it) so the DuckDB
+    * oracle — whose RE2 engine has no lookbehind — can replay it verbatim.
+    * Row-local, stays in codegen.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, "([.!?])[ \\t\\n\\f\\r]+", "$1\u0001"), "\u0001"),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Whitespace token count — the "wc -w" notion of tokens. */
   def wsTokenCount(text: Column): Column =
     // explicit class, not \s: Java \s includes vertical tab \x0B, RE2 (the

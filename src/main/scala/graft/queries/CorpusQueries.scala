@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions => D, TextFunctions => T}
+import graft.operators.HeavyHitters
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators over the `documents` fixture, round-4 extension
+  * batch: sentence-level dedup (the C4 recipe), exact heavy hitters with a
+  * sketch-class candidate pass, unigram-LM quality scoring (perplexity proxy),
+  * Unicode NFC text cleaning (native codegen expression), and cross-corpus
+  * near-dup (dedup a new batch against an existing corpus). Every entry is
+  * DuckDB-oracle-checked and exact.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def tokSql = TextQueries.tokSql
+
+  /** Mirror of TextFunctions.sentences for the oracles: replace each
+    * sentence-boundary (terminator + whitespace) with an unused control char,
+    * split on it, trim, drop empties — RE2-safe (no lookbehind).
+    */
+  private val sentSql =
+    """list_filter(list_transform(
+      |  string_split(regexp_replace(text, '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'), chr(1)),
+      |  s -> trim(s)), s -> s <> '')""".stripMargin
+
+  // ---------------------------------------------------- q82 sentence dedup
+  /** C4-style sentence-level dedup: segment every document, keep only the
+    * FIRST occurrence (by doc_id, then position) of each distinct sentence
+    * corpus-wide, and report per-document retained/removed counts.
+    *
+    * Scale shape: the shuffle key is md5(sentence) — 32 bytes regardless of
+    * sentence length — and the per-key work is a row_number over the copies of
+    * ONE sentence. A pathological boilerplate sentence concentrates its copies
+    * on one key; AQE skew-split handles the sort, and the downstream agg is
+    * map-side partial either way. (The min-struct + join-back alternative
+    * trades one more shuffle for no per-key sort; at the gate scale the window
+    * plan is strictly better.)
+    */
+  val q82_sentence_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val sents = t(s, dir, "documents")
+      .select($"doc_id", posexplode_outer(T.sentences($"text")).as(Seq("pos", "sent")))
+      .filter($"sent".isNotNull)
+      .select($"doc_id", $"pos", md5($"sent").as("sk"))
+    val w = Window.partitionBy($"sk").orderBy($"doc_id", $"pos")
+    sents.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rn" =!= 1, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  val q82_oracle: String =
+    s"""WITH sents AS (SELECT doc_id, $sentSql AS ss FROM documents),
+       |s AS (SELECT doc_id, ss[i] AS sent, i AS pos
+       |      FROM sents, unnest(generate_series(1, len(ss))) u(i)),
+       |r AS (SELECT doc_id,
+       |        row_number() OVER (PARTITION BY md5(sent) ORDER BY doc_id, pos) AS rn
+       |      FROM s)
+       |SELECT doc_id, count(*) AS n_sents,
+       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       |  sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS n_removed
+       |FROM r GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- q83 heavy hitters
+  /** Exact top-20 corpus tokens via the HeavyHitters candidate pass (local
+    * top-m + miss bound, exact-count candidates only, certified against the
+    * bound) — sketch-class shuffle volume, provably exact output.
+    */
+  val q83_heavy_hitters: Q = (s, dir) => {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode_outer(T.tokens($"text")).as("tok"))
+      .filter($"tok".isNotNull)
+      .as[String]
+    HeavyHitters.topK(toks, k = 20, localM = 512)
+      .withColumnRenamed("tok", "token")
+  }
+
+  val q83_oracle: String =
+    s"""WITH tok AS (SELECT unnest($tokSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+       |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ q84 unigram log-prob
+  /** Perplexity-proxy quality scoring: train a unigram LM on the corpus itself
+    * (token counts / total), score each document by its mean token
+    * log-probability. The standard cheap "is this text language-like" filter
+    * (a document of rare/garbage tokens scores far below prose).
+    *
+    * Determinism contract with the oracle: per-token log-probs are rounded to
+    * 6 dp, then summed by an ORDERED left fold over the document's token
+    * positions on BOTH engines — float addition is order-sensitive, so the
+    * fold order is pinned rather than left to aggregation order.
+    *
+    * Scale shape: vocab = one map-side-partial agg; total derives from vocab
+    * (no extra corpus scan); the token→vocab join shuffles by token (or
+    * broadcasts when the vocab fits); the per-doc fold is one agg on doc_id.
+    */
+  val q84_unigram_logprob: Q = (s, dir) => {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
+      .filter($"tok".isNotNull)
+    val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").cast("double").as("total"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log($"cnt" / $"total"), 6))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"lp"))).as("lps"))
+      .select($"doc_id", size($"lps").as("n_tokens"),
+        round(
+          aggregate(transform($"lps", x => x.getField("lp")), lit(0.0), (a, b) => a + b)
+            / size($"lps"), 6).as("logprob"))
+  }
+
+  val q84_oracle: String =
+    s"""WITH tokl AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |tok AS (SELECT doc_id, ts[i] AS tok, i AS pos
+       |        FROM tokl, unnest(generate_series(1, len(ts))) u(i)),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+       |lp AS (SELECT t.doc_id, t.pos, round(ln(v.cnt / tot.total), 6) AS lp
+       |       FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot),
+       |agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+       |SELECT doc_id, len(lps) AS n_tokens,
+       |  round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps), 6) AS logprob
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------- q85 NFC clean
+  /** Unicode-clean pass: NFC-normalize (native `graft_nfc` codegen
+    * expression), strip control characters to spaces, collapse space runs,
+    * trim — the first stage of every text-ingest pipeline, fingerprinted so
+    * the differential check covers the exact output bytes. Pure row-local
+    * projection: no shuffle at any scale.
+    */
+  val q85_nfc_clean: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftops.Bridge
+    def nfc(c: Column): Column =
+      Bridge.column(graft.functions.expr.NfcNormalize(Bridge.expression(c)))
+    val clean = trim(regexp_replace(
+      regexp_replace(nfc($"text"), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    t(s, dir, "documents")
+      .select($"doc_id", length(clean).as("n_chars_clean"), md5(clean).as("clean_fp"))
+  }
+
+  val q85_oracle: String =
+    """WITH c AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      |  FROM documents)
+      |SELECT doc_id, length(clean) AS n_chars_clean, md5(clean) AS clean_fp
+      |FROM c""".stripMargin
+
+  // --------------------------------------------- q86 cross-corpus near-dup
+  /** Dedup a NEW document batch against an EXISTING corpus (the nightly-crawl
+    * case): sources src10+ are "new", src0–src9 are the reference corpus; a
+    * banded MinHash join (never all-pairs) surfaces new docs whose exact
+    * token-hash Jaccard against some reference doc is ≥ 0.9.
+    */
+  val q86_cross_corpus_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    val half = substring($"source", 4, 10).cast("int")
+    val newDocs = docs.filter(half >= 10)
+    val refDocs = docs.filter(half < 10)
+    D.crossCorpusPairs(newDocs, refDocs, "doc_id", "toks",
+        hashes = 12, bands = 2, minJaccard = 0.9)
+      .select($"id_new", $"id_ref", $"jaccard")
+  }
+
+  val q86_oracle: String =
+    s"""WITH ${TextQueries.lshSigCtes},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref,
+       |    list_transform(n.hp, p -> p.h1) AS hs_n,
+       |    list_transform(r.hp, p -> p.h1) AS hs_r
+       |  FROM banded n JOIN banded r
+       |    ON n.band = r.band
+       |   AND CAST(substr(n.source, 4) AS INT) >= 10
+       |   AND CAST(substr(r.source, 4) AS INT) < 10)
+       |SELECT id_new, id_ref,
+       |  len(list_intersect(hs_n, hs_r))::DOUBLE
+       |    / len(list_distinct(list_concat(hs_n, hs_r))) AS jaccard
+       |FROM cand
+       |WHERE len(list_intersect(hs_n, hs_r))::DOUBLE
+       |    / len(list_distinct(list_concat(hs_n, hs_r))) >= 0.9""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q82_sentence_dedup" -> q82_sentence_dedup,
+    "q83_heavy_hitters" -> q83_heavy_hitters,
+    "q84_unigram_logprob" -> q84_unigram_logprob,
+    "q85_nfc_clean" -> q85_nfc_clean,
+    "q86_cross_corpus_dedup" -> q86_cross_corpus_dedup)
+
+  val oracles: Map[String, String] = Map(
+    "q82_sentence_dedup" -> q82_oracle,
+    "q83_heavy_hitters" -> q83_oracle,
+    "q84_unigram_logprob" -> q84_oracle,
+    "q85_nfc_clean" -> q85_oracle,
+    "q86_cross_corpus_dedup" -> q86_oracle)
+}

@@ -14,10 +14,10 @@ object QueryRegistry {
   def all: Map[String, Q] =
     TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
       EmbeddingQueries.entries ++ MultimodalQueries.entries ++
-      StreamingQueries.entries ++ SqlQueries.entries
+      StreamingQueries.entries ++ SqlQueries.entries ++ CorpusQueries.entries
 
   def oracles: Map[String, String] =
     TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++
-      StreamingQueries.oracles ++ SqlQueries.oracles
+      StreamingQueries.oracles ++ SqlQueries.oracles ++ CorpusQueries.oracles
 }

@@ -178,16 +178,48 @@ object StreamingQueries {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
       |WHERE a.event_type = 'view' AND b.event_type = 'purchase'""".stripMargin
 
+  // ------------------------------------------------- q87 streaming dedup
+  /** Streaming exact dedup (Jet `distinct` on an unbounded stream): a real
+    * streaming `dropDuplicates` on (user_id, event_type) — state keyed on the
+    * pair, each first-seen row emitted exactly once in append mode — then a
+    * batch rollup of unique users per event type, checked against DuckDB's
+    * COUNT(DISTINCT).
+    *
+    * Scale shape: dedup state is one (tiny) entry per DISTINCT key, not per
+    * event — bounded by key cardinality. For unbounded key spaces the
+    * watermarked variant (`dropDuplicatesWithinWatermark`, spec'd in
+    * StreamDistinctSpec) caps state by time instead; the gate uses the exact
+    * variant because the oracle is global distinctness.
+    */
+  val q87_stream_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val events = Tables(s, dir, "events").select($"ts", $"user_id", $"event_type")
+    val firsts = StreamRunner.replayFiles(s, events, "ts", "append") { df =>
+      // DuckDB's COUNT(DISTINCT user_id) ignores NULL users — mirror that
+      df.filter($"user_id".isNotNull && $"event_type".isNotNull)
+        .dropDuplicates("user_id", "event_type")
+    }
+    firsts.groupBy($"event_type").agg(count(lit(1)).as("n_unique_users"))
+  }
+
+  val q87_oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+      |FROM events
+      |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q50_stream_tumbling" -> q50_stream_tumbling,
     "q51_stream_session" -> q51_stream_session,
     "q52_stream_rolling_final" -> q52_stream_rolling_final,
-    "q77_stream_join" -> q77_stream_join)
+    "q77_stream_join" -> q77_stream_join,
+    "q87_stream_dedup" -> q87_stream_dedup)
 
   val oracles: Map[String, String] = Map(
     "q50_stream_tumbling" -> q50_oracle,
     "q51_stream_session" -> q51_oracle,
     "q52_stream_rolling_final" -> q52_oracle,
-    "q77_stream_join" -> q77_oracle)
+    "q77_stream_join" -> q77_oracle,
+    "q87_stream_dedup" -> q87_oracle)
 }

@@ -16,7 +16,7 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   /** Shared tokenizer SQL for the oracles (mirror of TextFunctions.tokens). */
-  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private[queries] val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   // ---------------------------------------------------------- q30 wordcount
   /** The canonical Jet example (examples/wordcount): flatMap + groupBy + count.
@@ -170,8 +170,10 @@ object TextQueries {
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
   }
 
-  /** Shared oracle CTE chain for the MinHash-LSH pair pipeline (q36 + q47). */
-  private val lshPairsCtes: String = {
+  /** Shared oracle CTEs building banded MinHash signatures (q36 + q47 + the
+    * cross-corpus q86, which swaps in its own candidate join).
+    */
+  private[queries] val lshSigCtes: String = {
     val sig = (0 until 12).map(i =>
       s"list_min(list_transform(hp, p -> (p.h1 + $i * p.h2) % 4294967311))")
       .mkString("[", ", ", "]")
@@ -185,7 +187,12 @@ object TextQueries {
        |                           'h2': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hp
        |  FROM toks),
        |sigs AS (SELECT doc_id, source, hp, $sig AS sig FROM hashed),
-       |banded AS (SELECT doc_id, source, hp, unnest($bands) AS band FROM sigs),
+       |banded AS (SELECT doc_id, source, hp, unnest($bands) AS band FROM sigs)""".stripMargin
+  }
+
+  /** Full oracle CTE chain for the self-join pair pipeline (q36 + q47). */
+  private val lshPairsCtes: String = {
+    s"""$lshSigCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    list_transform(a.hp, p -> p.h1) AS hs_a,

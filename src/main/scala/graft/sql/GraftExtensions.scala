@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.functions.expr.{DotProduct, MinhashSignatures}
+import graft.functions.expr.{DotProduct, MinhashSignatures, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_minhash k must be an integer literal, got $other")
         }
         MinhashSignatures(exprs.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization (codegen)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfc(s) takes exactly 1 argument")
+        NfcNormalize(exprs.head)
       }))
   }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{DedupFunctions => D, TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-hygiene operators: sentence segmentation, exact heavy
+  * hitters (candidate pass + soundness certification), Unicode NFC
+  * normalization (native expression, both execution paths), and cross-corpus
+  * near-dup.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- sentences
+  test("sentences splits on terminator+whitespace, trims, drops empties") {
+    val rows = Seq(
+      "Hello there. Big world! Ok? Yes end",
+      "No terminal punctuation at all",
+      "Trailing dot.",
+      "  ",
+      "Double.  Space.   After!").toDF("text")
+      .select(T.sentences($"text").as("s")).as[Seq[String]].collect()
+    assert(rows(0) === Seq("Hello there.", "Big world!", "Ok?", "Yes end"))
+    assert(rows(1) === Seq("No terminal punctuation at all"))
+    // no whitespace after the final dot — single sentence, kept whole
+    assert(rows(2) === Seq("Trailing dot."))
+    assert(rows(3) === Seq.empty)
+    assert(rows(4) === Seq("Double.", "Space.", "After!"))
+  }
+
+  test("sentences: mid-token dots (3.14, e.g) do not split without whitespace") {
+    val out = Seq("Pi is 3.14 here. And e.g.x stays").toDF("text")
+      .select(T.sentences($"text").as("s")).as[Seq[String]].collect().head
+    assert(out === Seq("Pi is 3.14 here.", "And e.g.x stays"))
+  }
+
+  // ---------------------------------------------------------- heavy hitters
+  test("HeavyHitters.topK is exact on a Zipf-ish distribution (certified path)") {
+    val toks = (Seq.fill(100)("the") ++ Seq.fill(50)("of") ++ Seq.fill(25)("and") ++
+      (1 to 200).map(i => s"rare$i")).toDS()
+    val got = HeavyHitters.topK(toks.repartition(4), k = 3, localM = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("the", 100L), ("of", 50L), ("and", 25L)))
+  }
+
+  test("HeavyHitters.topK stays exact when certification fails (flat distribution)") {
+    // every token appears exactly twice across different partitions: local
+    // bounds are non-zero and the k-th count can't clear them, so the
+    // operator must fall back to the full exact aggregation — and the
+    // result must STILL be the exact top-k with lexicographic tie-break
+    val toks = ((1 to 50) ++ (1 to 50)).map(i => f"t$i%02d").toDS()
+    val got = HeavyHitters.topK(toks.repartition(8), k = 5, localM = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("t01", 2L), ("t02", 2L), ("t03", 2L), ("t04", 2L), ("t05", 2L)))
+  }
+
+  test("HeavyHitters.topK ties at the boundary break lexicographically") {
+    val toks = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(5)("c") ++
+      Seq.fill(9)("z")).toDS()
+    val got = HeavyHitters.topK(toks, k = 2, localM = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("z", 9L), ("a", 5L)))
+  }
+
+  // ------------------------------------------------------------------- NFC
+  test("graft_nfc composes decomposed characters (interpreted + codegen agree)") {
+    val decomposed = "e\u0301cole" // e + combining acute (U+0301)
+    val composed = "\u00e9cole"    // precomposed \u00e9
+    val df = Seq((decomposed, composed)).toDF("d", "c")
+    import org.apache.spark.sql.graftops.Bridge
+    def nfc(col: org.apache.spark.sql.Column) =
+      Bridge.column(graft.functions.expr.NfcNormalize(Bridge.expression(col)))
+    val row = df.select(nfc($"d").as("nd"), nfc($"c").as("nc")).collect().head
+    assert(row.getString(0) === composed)
+    assert(row.getString(1) === composed)
+    // fingerprints now agree — the reason the clean pass runs before dedup
+    val fps = df.select(md5(nfc($"d")).as("a"), md5(nfc($"c")).as("b")).collect().head
+    assert(fps.getString(0) === fps.getString(1))
+  }
+
+  test("graft_nfc is registered on the SQL surface and handles NULL") {
+    val got = spark.sql("SELECT graft_nfc('e\u0301cole') AS n, graft_nfc(NULL) AS z")
+      .collect().head
+    assert(got.getString(0) === "\u00e9cole")
+    assert(got.isNullAt(1))
+  }
+
+  // ---------------------------------------------------- cross-corpus dedup
+  test("crossCorpusPairs finds planted near-dups across the corpus split") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    val half = substring($"source", 4, 10).cast("int")
+    val pairs = D.crossCorpusPairs(
+      docs.filter(half >= 10), docs.filter(half < 10),
+      "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9).cache()
+    val n = pairs.count()
+    assert(n > 0, "fixture plants cross-source duplicates; none found")
+    // direction: id_new only from the new half, id_ref only from the ref half
+    val ids = docs.select($"doc_id", half.as("h")).cache()
+    val wrongNew = pairs.join(ids, pairs("id_new") === ids("doc_id"))
+      .filter($"h" < 10).count()
+    val wrongRef = pairs.join(ids, pairs("id_ref") === ids("doc_id"))
+      .filter($"h" >= 10).count()
+    assert(wrongNew === 0 && wrongRef === 0)
+    // verified: every reported pair really has Jaccard >= 0.9
+    assert(pairs.filter($"jaccard" < 0.9).count() === 0)
+    ids.unpersist(); pairs.unpersist()
+  }
+}
