@@ -195,18 +195,102 @@ object CorpusQueries {
        |WHERE len(list_intersect(hs_n, hs_r))::DOUBLE
        |    / len(list_distinct(list_concat(hs_n, hs_r))) >= 0.9""".stripMargin
 
+  // ------------------------------------------------ q88 length quantiles
+  /** Corpus profiling: exact p50/p90/p99 document length per source (the
+    * distribution sheet every ingest run prints). Exact `percentile` keeps a
+    * per-group value→count map — right for bounded domains like char lengths;
+    * for unbounded value domains the scale path is `approx_percentile`
+    * (t-digest, fixed memory), spec'd against the exact result in
+    * CorpusOpsSpec. Both engines interpolate continuously, results rounded
+    * to 4 dp.
+    */
+  val q88_length_quantiles: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile($"n_chars", lit(0.5)), 4).as("p50"),
+        round(percentile($"n_chars", lit(0.9)), 4).as("p90"),
+        round(percentile($"n_chars", lit(0.99)), 4).as("p99"))
+  }
+
+  val q88_oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ------------------------------------------- q89 contamination overlap
+  /** Benchmark-contamination REPORT: per training document, the fraction of
+    * its word-trigram shingles that appear in the held-out benchmark set —
+    * the quantitative companion to q68's binary scrub (papers report overlap
+    * distributions, thresholds get tuned on this). Same broadcast shape as
+    * q68: the benchmark shingle set is tiny, the corpus scans once, shingles
+    * never shuffle; zero-overlap documents are KEPT (that is the report's
+    * point), so the join is left, not semi.
+    */
+  val q89_contamination_frac: Q = (s, dir) => {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .withColumn("th", T.tokenLongHashes($"text"))
+      .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
+    // held-out "benchmark": every 20th doc (the q68 stand-in convention)
+    val benchShingles = sh.filter($"doc_id" % 20 === 0)
+      .select(explode_outer($"sh").as("h"))
+      .filter($"h".isNotNull).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter($"doc_id" % 20 =!= 0)
+      // explode_outer keeps zero-shingle docs as a null-h row (no bench match)
+      .select($"doc_id", size($"sh").as("n_sh"), explode_outer($"sh").as("h"))
+      .join(broadcast(benchShingles), Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(max($"n_sh").as("n_shingles"),
+        sum(coalesce($"hit", lit(0))).as("n_overlap"))
+      .select($"doc_id", $"n_shingles", $"n_overlap",
+        round(when($"n_shingles" > 0, $"n_overlap" / $"n_shingles")
+          .otherwise(0.0), 6).as("overlap_frac"))
+  }
+
+  val q89_oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM toks),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(h) >= 3
+       |    THEN list_transform(range(1, len(h) - 1), i -> h[i] * 4099 + h[i+1] * 31 + h[i+2])
+       |    ELSE [] END) AS s
+       |  FROM th),
+       |bench AS (SELECT DISTINCT h FROM (
+       |  SELECT unnest(s) AS h FROM sh WHERE doc_id % 20 = 0)),
+       |ex AS (SELECT doc_id, len(s) AS n_sh,
+       |         unnest(CASE WHEN len(s) = 0 THEN [NULL::BIGINT] ELSE s END) AS h
+       |       FROM sh WHERE doc_id % 20 <> 0),
+       |j AS (SELECT e.doc_id, e.n_sh,
+       |        CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM ex e LEFT JOIN bench b ON e.h = b.h)
+       |SELECT doc_id, max(n_sh) AS n_shingles, sum(hit) AS n_overlap,
+       |  round(CASE WHEN max(n_sh) > 0
+       |    THEN sum(hit)::DOUBLE / max(n_sh) ELSE 0.0 END, 6) AS overlap_frac
+       |FROM j GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q82_sentence_dedup" -> q82_sentence_dedup,
     "q83_heavy_hitters" -> q83_heavy_hitters,
     "q84_unigram_logprob" -> q84_unigram_logprob,
     "q85_nfc_clean" -> q85_nfc_clean,
-    "q86_cross_corpus_dedup" -> q86_cross_corpus_dedup)
+    "q86_cross_corpus_dedup" -> q86_cross_corpus_dedup,
+    "q88_length_quantiles" -> q88_length_quantiles,
+    "q89_contamination_frac" -> q89_contamination_frac)
 
   val oracles: Map[String, String] = Map(
     "q82_sentence_dedup" -> q82_oracle,
     "q83_heavy_hitters" -> q83_oracle,
     "q84_unigram_logprob" -> q84_oracle,
     "q85_nfc_clean" -> q85_oracle,
-    "q86_cross_corpus_dedup" -> q86_oracle)
+    "q86_cross_corpus_dedup" -> q86_oracle,
+    "q88_length_quantiles" -> q88_oracle,
+    "q89_contamination_frac" -> q89_oracle)
 }

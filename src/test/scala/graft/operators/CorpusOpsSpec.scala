@@ -87,6 +87,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.isNullAt(1))
   }
 
+  // --------------------------------------------------------- quantiles
+  test("approx_percentile (scale path) tracks exact percentile on doc lengths") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val row = docs.agg(
+      percentile($"n_chars", lit(0.5)).as("exact"),
+      approx_percentile($"n_chars", lit(0.5), lit(1000)).as("approx")).collect().head
+    val exact = row.getDouble(0)
+    val approx = row.getAs[Number](1).doubleValue()
+    // t-digest at accuracy 1000 on a few hundred values is near-exact; the
+    // assertion bounds relative error so the documented q88 scale path is
+    // backed by a measurement, not a claim
+    assert(math.abs(approx - exact) / math.max(1.0, exact) < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   // ---------------------------------------------------- cross-corpus dedup
   test("crossCorpusPairs finds planted near-dups across the corpus split") {
     val docs = graft.Tables(spark, sf, "documents")
