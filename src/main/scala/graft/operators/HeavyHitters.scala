@@ -65,30 +65,29 @@ object HeavyHitters {
     val cands = local.filter(!$"is_bound").select($"tok").distinct()
 
     // pass 2: exact-count candidates only; the broadcast semi-join keeps the
-    // long tail out of the shuffle entirely
-    val exact = tokens.toDF("tok")
+    // long tail out of the shuffle entirely. The top-k is ≤ k rows — pull it
+    // to the driver once (KMeansLite-centroid pattern: tiny model-sized
+    // result, one job, nothing left cached in the session)
+    val topRows = tokens.toDF("tok")
       .join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy($"tok")
       .agg(count(lit(1)).as("n"))
-    val top = exact.orderBy($"n".desc, $"tok".asc).limit(k).cache()
+      .orderBy($"n".desc, $"tok".asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    local.unpersist()
 
     // soundness gate: certify no non-candidate can reach (or tie into) the
     // top-k. u == 0 means every partition emitted its entire key set — the
     // candidate pass was lossless. Otherwise the k-th exact count must be
     // STRICTLY above u: a non-candidate with count == u could tie the k-th
     // and win the lexicographic tie-break, so >= is not certifiable.
-    val certified = (u == 0L) || {
-      val kth = top.agg(coalesce(min($"n"), lit(0L))).first().getLong(0)
-      top.count() == k.toLong && kth > u
-    }
-    local.unpersist()
-    if (certified) top
-    else {
+    val certified = (u == 0L) ||
+      (topRows.length == k && topRows.map(_._2).min > u)
+    if (certified) topRows.toSeq.toDF("tok", "n")
+    else
       // provably-exact fallback: full aggregation (the candidate pass failed
       // to certify — flat distribution or localM too small for this data)
-      top.unpersist()
       tokens.toDF("tok").groupBy($"tok").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"tok".asc).limit(k)
-    }
   }
 }

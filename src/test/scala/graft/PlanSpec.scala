@@ -178,6 +178,34 @@ class PlanSpec extends SparkSpec {
       assert(!b.contains("text#"), s"text column shuffled in:\n$b"))
   }
 
+  test("contamination report joins against a BROADCAST benchmark set (q89)") {
+    val plan = planOf(queries.CorpusQueries.q89_contamination_frac(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark side shuffled instead of broadcast in:\n$plan")
+  }
+
+  test("cross-corpus LSH join is band-keyed, never a cross product (q86)") {
+    val plan = planOf(queries.CorpusQueries.q86_cross_corpus_dedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop (all-pairs) join in:\n$plan")
+  }
+
+  test("sentence dedup shuffles the fixed-width hash key, not sentence text (q82)") {
+    val df = queries.CorpusQueries.q82_sentence_dedup(spark, sf)
+    df.collect() // let AQE finalize
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchangeBlocks = formatted.split("\n\n").filter(b =>
+      b.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchangeBlocks.nonEmpty, s"no Exchange node found in:\n$formatted")
+    // the window shuffle must carry md5(sentence) (32 bytes), never the
+    // sentence string itself
+    exchangeBlocks.foreach(b =>
+      assert(!b.contains("sent#"), s"sentence text shuffled in:\n$b"))
+  }
+
   test("embedding pair join carries pre-normalized vectors (no per-pair norm)") {
     val plan = queries.EmbeddingQueries.q39_dedup_embedding(spark, sf)
       .queryExecution.optimizedPlan.toString
