@@ -33,7 +33,11 @@ object ScaleTrend {
     "q41_lsh_buckets", "q47_dedup_clusters", "q48_training_corpus",
     "q65_kmeans_ivf", "q72_pack_sequences",
     "q74_ann_recall", "q76_sliding_panes", "q77_stream_join",
-    "q78_boilerplate", "q79_repeated_spans")
+    "q78_boilerplate", "q79_repeated_spans",
+    // round-4 continuation batch: sentence dedup, heavy hitters, unigram LM,
+    // cross-corpus near-dup, streaming dedup, contamination report
+    "q82_sentence_dedup", "q83_heavy_hitters", "q84_unigram_logprob",
+    "q86_cross_corpus_dedup", "q87_stream_dedup", "q89_contamination_frac")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
