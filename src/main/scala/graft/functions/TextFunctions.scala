@@ -33,6 +33,16 @@ object TextFunctions {
         s => trim(s)),
       s => s =!= "")
 
+  /** Unicode NFC normalization — Column wrapper over the native codegen
+    * expression (same pattern as SimilarityFunctions.dot over DotProduct:
+    * callers never touch the Bridge glue). ASCII rows return by reference
+    * without allocation; see expr.NfcHelper.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftops.Bridge
+    Bridge.column(graft.functions.expr.NfcNormalize(Bridge.expression(text)))
+  }
+
   /** Whitespace token count — the "wc -w" notion of tokens. */
   def wsTokenCount(text: Column): Column =
     // explicit class, not \s: Java \s includes vertical tab \x0B, RE2 (the

@@ -13,12 +13,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * broadcast reference object).
   */
 object NfcHelper {
-  /** Unicode NFC normalization (canonical composition). The common case —
-    * already-normalized text, which includes all ASCII — is detected with
-    * `Normalizer.isNormalized` first: that's a scan without allocation, so the
-    * hot path (real corpora are overwhelmingly NFC already) never copies.
+  /** Unicode NFC normalization (canonical composition). Two-tier fast path:
+    * pure-ASCII input (the dominant case in web corpora) is detected by a
+    * byte scan on the UTF8String — no allocation at all, ASCII is always
+    * NFC; non-ASCII input pays one toString, and only text that is actually
+    * denormalized pays the Normalizer pass + copy back.
     */
   def nfc(s: UTF8String): UTF8String = {
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val j = s.toString
     if (Normalizer.isNormalized(j, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(j, Normalizer.Form.NFC))

@@ -33,17 +33,21 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Exact top-k (count desc, token asc tie-break) over a token dataset.
-    * Returns columns (token, n) — deterministic for any input.
+    * Returns columns (token, n) — deterministic for any input. NULL tokens
+    * are ignored (dropped up front, like COUNT(col) semantics) — they would
+    * otherwise be silently rejected by the candidate semi-join's
+    * null-rejecting equality while still claiming certification.
     */
   def topK(tokens: Dataset[String], k: Int, localM: Int = 512): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
     require(k > 0, "k must be positive")
     require(localM >= k, "localM must be >= k (candidates must be able to cover the top-k)")
+    val toks = tokens.filter(t => t != null)
 
     // pass 1: local counts; emit (token, localCount) for the top localM plus
     // one (null, missBound) row per partition
-    val local = tokens.mapPartitions { it =>
+    val local = toks.mapPartitions { it =>
       val counts = new java.util.HashMap[String, Long]()
       it.foreach(t => counts.merge(t, 1L, (a, b) => a + b))
       if (counts.isEmpty) Iterator.empty
@@ -61,20 +65,25 @@ object HeavyHitters {
       }
     }.toDF("tok", "cnt", "is_bound").cache()
 
-    val u = local.filter($"is_bound").agg(coalesce(sum($"cnt"), lit(0L))).first().getLong(0)
-    val cands = local.filter(!$"is_bound").select($"tok").distinct()
-
-    // pass 2: exact-count candidates only; the broadcast semi-join keeps the
-    // long tail out of the shuffle entirely. The top-k is ≤ k rows — pull it
-    // to the driver once (KMeansLite-centroid pattern: tiny model-sized
-    // result, one job, nothing left cached in the session)
-    val topRows = tokens.toDF("tok")
-      .join(broadcast(cands), Seq("tok"), "left_semi")
-      .groupBy($"tok")
-      .agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"tok".asc).limit(k)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    local.unpersist()
+    // release the pass-1 cache even when an action below throws (executor
+    // loss, OOM) — a docs-scale frame must never stay pinned in the session
+    val (u, topRows) =
+      try {
+        val u0 = local.filter($"is_bound")
+          .agg(coalesce(sum($"cnt"), lit(0L))).first().getLong(0)
+        val cands = local.filter(!$"is_bound").select($"tok").distinct()
+        // pass 2: exact-count candidates only; the broadcast semi-join keeps
+        // the long tail out of the shuffle entirely. The top-k is ≤ k rows —
+        // pull it to the driver once (KMeansLite-centroid pattern: tiny
+        // model-sized result, one job, nothing left cached in the session)
+        val rows = toks.toDF("tok")
+          .join(broadcast(cands), Seq("tok"), "left_semi")
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"tok".asc).limit(k)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (u0, rows)
+      } finally local.unpersist()
 
     // soundness gate: certify no non-candidate can reach (or tie into) the
     // top-k. u == 0 means every partition emitted its entire key set — the
@@ -87,7 +96,7 @@ object HeavyHitters {
     else
       // provably-exact fallback: full aggregation (the candidate pass failed
       // to certify — flat distribution or localM too small for this data)
-      tokens.toDF("tok").groupBy($"tok").agg(count(lit(1)).as("n"))
+      toks.toDF("tok").groupBy($"tok").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"tok".asc).limit(k)
   }
 }

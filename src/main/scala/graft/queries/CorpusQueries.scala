@@ -143,11 +143,8 @@ object CorpusQueries {
     */
   val q85_nfc_clean: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.graftops.Bridge
-    def nfc(c: Column): Column =
-      Bridge.column(graft.functions.expr.NfcNormalize(Bridge.expression(c)))
     val clean = trim(regexp_replace(
-      regexp_replace(nfc($"text"), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+      regexp_replace(T.nfcNormalize($"text"), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
     t(s, dir, "documents")
       .select($"doc_id", length(clean).as("n_chars_clean"), md5(clean).as("clean_fp"))
   }

@@ -64,14 +64,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("z", 9L), ("a", 5L)))
   }
 
+  test("HeavyHitters.topK ignores null tokens (COUNT(col) semantics)") {
+    val toks = Seq("a", "a", null, null, null, "b").toDS()
+    val got = HeavyHitters.topK(toks.repartition(2), k = 2, localM = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 2L), ("b", 1L)))
+  }
+
   // ------------------------------------------------------------------- NFC
   test("graft_nfc composes decomposed characters (interpreted + codegen agree)") {
     val decomposed = "e\u0301cole" // e + combining acute (U+0301)
     val composed = "\u00e9cole"    // precomposed \u00e9
     val df = Seq((decomposed, composed)).toDF("d", "c")
-    import org.apache.spark.sql.graftops.Bridge
-    def nfc(col: org.apache.spark.sql.Column) =
-      Bridge.column(graft.functions.expr.NfcNormalize(Bridge.expression(col)))
+    def nfc(col: org.apache.spark.sql.Column) = T.nfcNormalize(col)
     val row = df.select(nfc($"d").as("nd"), nfc($"c").as("nc")).collect().head
     assert(row.getString(0) === composed)
     assert(row.getString(1) === composed)
