@@ -272,6 +272,51 @@ object CorpusQueries {
        |    THEN sum(hit)::DOUBLE / max(n_sh) ELSE 0.0 END, 6) AS overlap_frac
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------- q90 bloom-prefiltered decontam
+  /** Exact-duplicate decontamination against a reference corpus via BLOOM
+    * PREFILTER + EXACT CONFIRM: the reference half's fingerprints aggregate
+    * into a bloom filter (Catalyst's own runtime-filter expressions, exposed
+    * as `BloomFunctions`); training docs are prefiltered row-locally — no
+    * false negatives, so nothing is missed — and survivors are exact-confirmed
+    * with a semi-join, which removes the bloom's false positives. Output is
+    * therefore EXACT and the oracle is the plain semi-join.
+    *
+    * Scale shape: at 100 TB the reference fingerprint set doesn't broadcast
+    * as data, but its bloom does (a few hundred MB for billions of keys), and
+    * the prefilter keeps all non-candidate rows out of the confirm shuffle.
+    * At fixture scale the filter is collected as a scalar (model-sized, like
+    * KMeansLite's centroids).
+    */
+  val q90_bloom_decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.BloomFunctions
+    // leading-passage fingerprint (first 16 tokens): the copied-opening
+    // heuristic — the fixture's near-dups share openings but not full bodies,
+    // so an exact full-text fingerprint would find nothing across the halves
+    val fp = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        md5(concat_ws(" ", slice(T.tokens($"text"), 1, 16))).as("fp"))
+    val half = substring($"source", 4, 10).cast("int")
+    val ref = fp.filter(half < 10).select($"fp")
+    val train = fp.filter(half >= 10)
+    val bloomRow = ref.agg(BloomFunctions.bloomAgg($"fp", 100000L).as("bf")).first()
+    if (bloomRow.isNullAt(0)) train.select($"doc_id", $"fp").limit(0)
+    else {
+      val bloom = lit(bloomRow.getAs[Array[Byte]](0))
+      train.filter(BloomFunctions.mightContain(bloom, $"fp"))
+        .join(ref.distinct(), Seq("fp"), "left_semi")
+        .select($"doc_id", $"fp")
+    }
+  }
+
+  val q90_oracle: String =
+    s"""WITH f AS (SELECT doc_id, source,
+       |  md5(array_to_string(($tokSql)[1:16], ' ')) AS fp FROM documents)
+       |SELECT t.doc_id, t.fp FROM f t
+       |WHERE CAST(substr(t.source, 4) AS INT) >= 10
+       |  AND EXISTS (SELECT 1 FROM f r
+       |    WHERE CAST(substr(r.source, 4) AS INT) < 10 AND r.fp = t.fp)""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q82_sentence_dedup" -> q82_sentence_dedup,
@@ -280,7 +325,8 @@ object CorpusQueries {
     "q85_nfc_clean" -> q85_nfc_clean,
     "q86_cross_corpus_dedup" -> q86_cross_corpus_dedup,
     "q88_length_quantiles" -> q88_length_quantiles,
-    "q89_contamination_frac" -> q89_contamination_frac)
+    "q89_contamination_frac" -> q89_contamination_frac,
+    "q90_bloom_decontaminate" -> q90_bloom_decontaminate)
 
   val oracles: Map[String, String] = Map(
     "q82_sentence_dedup" -> q82_oracle,
@@ -289,5 +335,6 @@ object CorpusQueries {
     "q85_nfc_clean" -> q85_oracle,
     "q86_cross_corpus_dedup" -> q86_oracle,
     "q88_length_quantiles" -> q88_oracle,
-    "q89_contamination_frac" -> q89_oracle)
+    "q89_contamination_frac" -> q89_oracle,
+    "q90_bloom_decontaminate" -> q90_oracle)
 }

@@ -51,5 +51,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_nfc(s) takes exactly 1 argument")
         NfcNormalize(exprs.head)
       }))
+    // Catalyst's own runtime-filter bloom expressions as SQL surface — the
+    // prefilter→exact-confirm decontamination pattern (BloomFunctions, q90)
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(x, expected_items) - aggregate x into a serialized " +
+          "bloom filter (xxhash64'd; probe with graft_might_contain)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_bloom_agg(x, n) takes exactly 2 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head)),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs(1), org.apache.spark.sql.types.LongType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, x) - bloom membership probe (no false " +
+          "negatives) against a graft_bloom_agg filter"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_might_contain(bloom, x) takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
+      }))
   }
 }
