@@ -64,6 +64,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("z", 9L), ("a", 5L)))
   }
 
+  test("HeavyHitters.topK equals the exact top-k for random inputs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocab + skew mix so runs hit BOTH the certified path and the
+    // uncertifiable fallback; partition count varies the miss bounds
+    val gen = for {
+      xs <- Gen.listOfN(120,
+        Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+          2 -> Gen.oneOf((1 to 30).map(i => s"t$i"))))
+      parts <- Gen.chooseNum(1, 6)
+      k <- Gen.chooseNum(1, 5)
+      m <- Gen.chooseNum(5, 12)
+    } yield (xs, parts, k, m)
+    val prop = Prop.forAll(gen) { case (xs, parts, k, m) =>
+      val expected = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(k)
+      val got = HeavyHitters.topK(xs.toDS().repartition(parts), k, localM = math.max(k, m))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"topK property: $res")
+  }
+
   test("HeavyHitters.topK ignores null tokens (COUNT(col) semantics)") {
     val toks = Seq("a", "a", null, null, null, "b").toDS()
     val got = HeavyHitters.topK(toks.repartition(2), k = 2, localM = 4)
