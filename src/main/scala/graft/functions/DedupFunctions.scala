@@ -97,7 +97,21 @@ object DedupFunctions {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact Jaccard similarity of two token-set columns. */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column =
+    if (sys.env.contains("GRAFT_JACCARD_FOLD")) jaccardComposed(a, b)
+    else {
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.JaccardSimilarity(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+
+  /** Composed-builtin form (the A/B baseline behind GRAFT_JACCARD_FOLD, and
+    * the semantic reference the native expression must match): two hash-set
+    * builds plus two materialized result arrays PER PAIR — the native
+    * one-pass expression exists because the LSH verify step runs this on
+    * millions of candidate pairs (q36/q86).
+    */
+  def jaccardComposed(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni > 0, inter / uni).otherwise(lit(0.0))

@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_nfc(s) takes exactly 1 argument")
         NfcNormalize(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard",
+        "graft_jaccard(a, b) - one-pass distinct-set Jaccard over two " +
+          "bigint arrays (codegen; = size(array_intersect)/size(array_union))"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_jaccard(a, b) takes exactly 2 arguments")
+        graft.functions.expr.JaccardSimilarity(exprs.head, exprs(1))
+      }))
     // Catalyst's own runtime-filter bloom expressions as SQL surface — the
     // prefilter→exact-confirm decontamination pattern (BloomFunctions, q90)
     ext.injectFunction((
