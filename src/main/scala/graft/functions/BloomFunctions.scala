@@ -24,12 +24,28 @@ import org.apache.spark.sql.graftops.Bridge
   */
 object BloomFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+  import org.apache.spark.sql.types.LongType
+
+  /** Expression-level builders — the ONE place the shared-hash invariant
+    * lives: agg and probe both wrap their input in XxHash64; SQL surface
+    * (GraftExtensions) and Column API below must build through these, so the
+    * hash can never drift between the two (a drift would be silent false
+    * negatives — the exact failure the q90 pattern's soundness rests on).
+    */
+  def bloomAggExpr(child: Expression, expectedItems: Expression): BloomFilterAggregate =
+    new BloomFilterAggregate(new XxHash64(Seq(child)), Cast(expectedItems, LongType))
+
+  def mightContainExpr(bloom: Expression, value: Expression): Expression =
+    BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
+
   /** Aggregate a column into a serialized bloom filter (BINARY). Size the
     * filter for the EXPECTED distinct count; Catalyst derives optimal bits.
     */
   def bloomAgg(col: Column, expectedItems: Long): Column =
-    Bridge.column(new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(col))), expectedItems)
+    Bridge.column(bloomAggExpr(
+      Bridge.expression(col),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems))
       .toAggregateExpression())
 
   /** Row-local membership probe against a serialized bloom filter (usually a
@@ -37,7 +53,5 @@ object BloomFunctions {
     * positive rate set by the agg sizing. Codegen'd, stays in the scan stage.
     */
   def mightContain(bloom: Column, col: Column): Column =
-    Bridge.column(BloomFilterMightContain(
-      Bridge.expression(bloom),
-      new XxHash64(Seq(Bridge.expression(col)))))
+    Bridge.column(mightContainExpr(Bridge.expression(bloom), Bridge.expression(col)))
 }

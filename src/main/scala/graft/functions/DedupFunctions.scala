@@ -97,6 +97,11 @@ object DedupFunctions {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact Jaccard similarity of two token-set columns. */
+  /** Distinct-set Jaccard over two ARRAY<BIGINT> columns (the engine's pair
+    * representation — every LSH/shingle path compares long hash arrays). For
+    * other element types use `jaccardComposed`, which works on any array.
+    * NULL arrays propagate NULL on both paths.
+    */
   def jaccard(a: Column, b: Column): Column =
     if (sys.env.contains("GRAFT_JACCARD_FOLD")) jaccardComposed(a, b)
     else {
@@ -106,15 +111,17 @@ object DedupFunctions {
     }
 
   /** Composed-builtin form (the A/B baseline behind GRAFT_JACCARD_FOLD, and
-    * the semantic reference the native expression must match): two hash-set
+    * the semantic reference the native expression must match — including
+    * NULL-array propagation, hence the explicit null gate): two hash-set
     * builds plus two materialized result arrays PER PAIR — the native
     * one-pass expression exists because the LSH verify step runs this on
-    * millions of candidate pairs (q36/q86).
+    * millions of candidate pairs (q36/q86). Accepts any array element type.
     */
   def jaccardComposed(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
-    when(uni > 0, inter / uni).otherwise(lit(0.0))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
   /** Connected components over a pair list (near-dup clustering: every doc in

@@ -297,14 +297,20 @@ object CorpusQueries {
       .select($"doc_id", $"source",
         md5(concat_ws(" ", slice(T.tokens($"text"), 1, 16))).as("fp"))
     val half = substring($"source", 4, 10).cast("int")
-    val ref = fp.filter(half < 10).select($"fp")
+    // the reference fingerprints feed two jobs (bloom agg + confirm join):
+    // localCheckpoint materializes the tokenize+md5 pass ONCE — fp-only rows,
+    // never corpus-sized — and the blocks free when the frame is GC'd (the
+    // q74 pattern; a plain cache would pin a table per call)
+    val ref = fp.filter(half < 10).select($"fp").localCheckpoint(true)
     val train = fp.filter(half >= 10)
     val bloomRow = ref.agg(BloomFunctions.bloomAgg($"fp", 100000L).as("bf")).first()
     if (bloomRow.isNullAt(0)) train.select($"doc_id", $"fp").limit(0)
     else {
       val bloom = lit(bloomRow.getAs[Array[Byte]](0))
+      // no distinct() on ref: a left_semi join is insensitive to right-side
+      // duplicates — deduping first would only add a shuffle
       train.filter(BloomFunctions.mightContain(bloom, $"fp"))
-        .join(ref.distinct(), Seq("fp"), "left_semi")
+        .join(ref, Seq("fp"), "left_semi")
         .select($"doc_id", $"fp")
     }
   }

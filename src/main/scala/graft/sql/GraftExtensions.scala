@@ -69,10 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom filter (xxhash64'd; probe with graft_might_contain)"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_bloom_agg(x, n) takes exactly 2 arguments")
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head)),
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            exprs(1), org.apache.spark.sql.types.LongType))
+        // built through BloomFunctions so the xxhash64 pairing with
+        // graft_might_contain can never drift
+        graft.functions.BloomFunctions.bloomAggExpr(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
@@ -81,9 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "negatives) against a graft_bloom_agg filter"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_might_contain(bloom, x) takes exactly 2 arguments")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs.head,
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
+        graft.functions.BloomFunctions.mightContainExpr(exprs.head, exprs(1))
       }))
   }
 }

@@ -43,4 +43,14 @@ class JaccardSpec extends SparkSpec {
     assert(df.getDouble(2) === 0.0)
     assert(df.isNullAt(3))
   }
+
+  test("composed A/B baseline propagates NULL arrays like the native form") {
+    val row = Seq((null: Array[java.lang.Long], Array[java.lang.Long](1L)))
+      .toDF("a", "b")
+      .select(DedupFunctions.jaccardComposed($"a", $"b").as("c"),
+        DedupFunctions.jaccard($"a".cast("array<bigint>"), $"b".cast("array<bigint>")).as("n"))
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1),
+      "GRAFT_JACCARD_FOLD A/B must be semantics-preserving on NULL arrays")
+  }
 }
