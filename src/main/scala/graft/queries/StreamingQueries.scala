@@ -208,18 +208,59 @@ object StreamingQueries {
       |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------- q91 stream windowed topk
+  /** Streaming windowed top-k (Jet `aggregateBuilder` + `topN` inside a
+    * window, reference AggregateOperations.topN): hourly event counts per
+    * type through a REAL streaming windowed aggregation (q50's update-mode
+    * snapshot shape), then the rank step — kept OUTSIDE the stream on the
+    * final snapshot, the standard lambda-free pattern: per-window state stays
+    * a scalar count (cheap, mergeable), the top-k sort happens once on the
+    * tiny aggregated result, not per micro-batch.
+    */
+  val q91_stream_window_topk: Q = (s, dir) => {
+    import s.implicits._
+    val raw = StreamRunner.replayFiles(s, eventsDf(s, dir), "ts", "update") { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"event_type", $"n")
+    }
+    // update-mode snapshot keeps every revision of a key: the final value of
+    // each (window, type) is the row with the largest n (counts only grow)
+    val finals = raw.groupBy($"window_start", $"event_type")
+      .agg(max($"n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start").orderBy($"n".desc, $"event_type".asc)
+    finals.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .select($"window_start", $"event_type", $"n", $"rank")
+  }
+
+  val q91_oracle: String =
+    """WITH c AS (
+      |  SELECT epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))::BIGINT AS window_start,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT window_start, event_type, n,
+      |        row_number() OVER (PARTITION BY window_start
+      |          ORDER BY n DESC, event_type ASC) AS rank
+      |      FROM c)
+      |SELECT window_start, event_type, n, rank FROM r WHERE rank <= 2""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q50_stream_tumbling" -> q50_stream_tumbling,
     "q51_stream_session" -> q51_stream_session,
     "q52_stream_rolling_final" -> q52_stream_rolling_final,
     "q77_stream_join" -> q77_stream_join,
-    "q87_stream_dedup" -> q87_stream_dedup)
+    "q87_stream_dedup" -> q87_stream_dedup,
+    "q91_stream_window_topk" -> q91_stream_window_topk)
 
   val oracles: Map[String, String] = Map(
     "q50_stream_tumbling" -> q50_oracle,
     "q51_stream_session" -> q51_oracle,
     "q52_stream_rolling_final" -> q52_oracle,
     "q77_stream_join" -> q77_oracle,
-    "q87_stream_dedup" -> q87_oracle)
+    "q87_stream_dedup" -> q87_oracle,
+    "q91_stream_window_topk" -> q91_oracle)
 }
