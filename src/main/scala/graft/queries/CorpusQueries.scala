@@ -323,6 +323,62 @@ object CorpusQueries {
        |  AND EXISTS (SELECT 1 FROM f r
        |    WHERE CAST(substr(r.source, 4) AS INT) < 10 AND r.fp = t.fp)""".stripMargin
 
+  // ------------------------------------------- q92 source entropy/KL mix
+  /** Data-mixing diagnostics: per-source unigram entropy and KL divergence
+    * from the corpus-wide token distribution — the signals mixture-weight
+    * tuning reads (a source with low entropy is repetitive; one with high KL
+    * is off-distribution). Counts are exact integers; the float entropy/KL
+    * sums use the q84 determinism contract: per-term rounding, then an
+    * ordered fold (by token) on BOTH engines.
+    *
+    * Scale shape: two map-side-partial count aggs (per source+token, per
+    * token), a join keyed on token, one fold agg per source — no corpus
+    * re-scan, no driver loops.
+    */
+  val q92_source_entropy: Q = (s, dir) => {
+    import s.implicits._
+    val tc = t(s, dir, "documents")
+      .select($"source", explode_outer(T.tokens($"text")).as("tok"))
+      .filter($"tok".isNotNull)
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val st = tc.groupBy($"source").agg(sum($"c").as("src_total"))
+    val cr = tc.groupBy($"tok").agg(sum($"c").as("cc"))
+    val ct = cr.agg(sum($"cc").cast("double").as("corpus_total"))
+    val p = $"c" / $"src_total".cast("double")
+    val q = $"cc" / $"corpus_total"
+    tc.join(st, "source").join(cr, "tok").crossJoin(broadcast(ct))
+      .select($"source", $"tok", $"src_total",
+        round(-p * log(p), 9).as("h"),
+        round(p * log(p / q), 9).as("kl"))
+      .groupBy($"source")
+      .agg(max($"src_total").as("n_tokens"),
+        sort_array(collect_list(struct($"tok", $"h", $"kl"))).as("terms"))
+      .select($"source", $"n_tokens",
+        round(aggregate(transform($"terms", x => x.getField("h")),
+          lit(0.0), (a, b) => a + b), 6).as("entropy"),
+        round(aggregate(transform($"terms", x => x.getField("kl")),
+          lit(0.0), (a, b) => a + b), 6).as("kl_vs_corpus"))
+  }
+
+  val q92_oracle: String =
+    s"""WITH tok AS (SELECT source, unnest($tokSql) AS tok FROM documents),
+       |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |st AS (SELECT source, sum(c) AS src_total FROM tc GROUP BY 1),
+       |cr AS (SELECT tok, sum(c) AS cc FROM tc GROUP BY 1),
+       |ct AS (SELECT sum(cc)::DOUBLE AS corpus_total FROM cr),
+       |terms AS (SELECT t.source, t.tok, st.src_total,
+       |    round(-(t.c / st.src_total::DOUBLE) * ln(t.c / st.src_total::DOUBLE), 9) AS h,
+       |    round((t.c / st.src_total::DOUBLE)
+       |      * ln((t.c / st.src_total::DOUBLE) / (cr.cc / ct.corpus_total)), 9) AS kl
+       |  FROM tc t JOIN st USING (source) JOIN cr USING (tok) CROSS JOIN ct),
+       |agg AS (SELECT source, max(src_total) AS n_tokens,
+       |    list(h ORDER BY tok) AS hs, list(kl ORDER BY tok) AS ks
+       |  FROM terms GROUP BY source)
+       |SELECT source, n_tokens,
+       |  round(list_reduce(list_prepend(0.0, hs), (a, b) -> a + b), 6) AS entropy,
+       |  round(list_reduce(list_prepend(0.0, ks), (a, b) -> a + b), 6) AS kl_vs_corpus
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q82_sentence_dedup" -> q82_sentence_dedup,
@@ -332,7 +388,8 @@ object CorpusQueries {
     "q86_cross_corpus_dedup" -> q86_cross_corpus_dedup,
     "q88_length_quantiles" -> q88_length_quantiles,
     "q89_contamination_frac" -> q89_contamination_frac,
-    "q90_bloom_decontaminate" -> q90_bloom_decontaminate)
+    "q90_bloom_decontaminate" -> q90_bloom_decontaminate,
+    "q92_source_entropy" -> q92_source_entropy)
 
   val oracles: Map[String, String] = Map(
     "q82_sentence_dedup" -> q82_oracle,
@@ -342,5 +399,6 @@ object CorpusQueries {
     "q86_cross_corpus_dedup" -> q86_oracle,
     "q88_length_quantiles" -> q88_oracle,
     "q89_contamination_frac" -> q89_oracle,
-    "q90_bloom_decontaminate" -> q90_oracle)
+    "q90_bloom_decontaminate" -> q90_oracle,
+    "q92_source_entropy" -> q92_oracle)
 }
