@@ -37,7 +37,8 @@ object ScaleTrend {
     // round-4 continuation batch: sentence dedup, heavy hitters, unigram LM,
     // cross-corpus near-dup, streaming dedup, contamination report
     "q82_sentence_dedup", "q83_heavy_hitters", "q84_unigram_logprob",
-    "q86_cross_corpus_dedup", "q87_stream_dedup", "q89_contamination_frac")
+    "q86_cross_corpus_dedup", "q87_stream_dedup", "q89_contamination_frac",
+    "q90_bloom_decontaminate", "q91_stream_window_topk", "q92_source_entropy")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
