@@ -104,13 +104,25 @@ object StreamRunner {
   /** Staged-chunk cache: several gate/bench queries replay the SAME input
     * frame (the events fixture) in one JVM, and the repartitionByRange +
     * parquet staging was the dominant fixed cost per replay. Keyed on the
-    * CANONICALIZED analyzed plan of the input (+ tsCol + chunk count), so two
-    * inputs share a staging only when Catalyst proves they are the same
-    * query — different column sets, filters, or source dirs never collide.
-    * Cached dirs live for the JVM (tens of MB; temp volume), tail-extended
-    * runs copy the cached files into a fresh dir instead of mutating it.
+    * CANONICALIZED analyzed plan of the input PLUS its file-source root paths
+    * (+ tsCol + chunk count): canonicalization erases source paths (a
+    * parquet relation renders path-free), so the paths must be appended or
+    * same-shaped tables from different directories would collide — e.g. a
+    * ScaleTrend JVM replaying the 1× fixture and a generated 10× replica.
+    * Cached dirs live for the JVM (tens of MB; a shutdown hook deletes them
+    * on exit, and hits re-validate existence against external /tmp pruning);
+    * tail-extended runs copy the cached files into a fresh dir instead of
+    * mutating it.
     */
   private val chunkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      chunkCache.values().forEach { dir =>
+        // dir is <tmp>/in — remove the temp parent
+        graft.pipeline.TempFiles.deleteTree(new java.io.File(dir).getParent)
+      }))
+  }
 
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
                   outputMode: String, chunks: Int = 2,
@@ -125,14 +137,21 @@ object StreamRunner {
       t0 = System.nanoTime()
     }
     val cacheKey =
-      input.queryExecution.analyzed.canonicalized.toString + s";$tsCol;$chunks"
-    val baseDir = chunkCache.computeIfAbsent(cacheKey, _ => {
+      input.queryExecution.analyzed.canonicalized.toString +
+        org.apache.spark.sql.graftops.Bridge.sourcePaths(input).mkString("[", "|", "]") +
+        s";$tsCol;$chunks"
+    def stage(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_freplay_base_").toString + "/in"
       input.repartitionByRange(chunks, col(tsCol))
         .withColumn("__chunk", spark_partition_id())
         .write.partitionBy("__chunk").parquet(dir)
       dir
-    })
+    }
+    val baseDir = chunkCache.compute(cacheKey, (_, cached) =>
+      // re-validate on hit: /tmp age-based pruning can remove a long-lived
+      // staging mid-session; a stale path would replay an empty stream
+      if (cached != null && new java.io.File(cached).isDirectory) cached
+      else stage())
     // tail-extended replays (sentinel chunks) get their OWN dir: copying the
     // staged files keeps the shared cache immutable
     val (inDir, scratch) =

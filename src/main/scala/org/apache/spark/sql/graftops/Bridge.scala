@@ -46,4 +46,21 @@ object Bridge {
     */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The file-source root paths under a DataFrame's analyzed plan — the part
+    * of the input identity that plan CANONICALIZATION erases (a parquet
+    * LogicalRelation renders as `Relation [cols] parquet` with no path, and
+    * two reads of identically-shaped tables from different directories
+    * canonicalize identically). Callers keying caches on a canonical plan
+    * must append these.
+    */
+  def sourcePaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
 }

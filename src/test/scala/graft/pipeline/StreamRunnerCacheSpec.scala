@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.streaming.StreamRunner
+import java.sql.Timestamp
+
+/** The replay staging cache must key on the input's SOURCE PATHS, not just
+  * its canonicalized plan shape — canonicalization erases parquet paths, so
+  * without the path component two same-shaped tables from different
+  * directories would silently share one staging (wrong streamed results in
+  * any JVM touching two fixture dirs, e.g. ScaleTrend).
+  */
+class StreamRunnerCacheSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("same-shaped inputs from different dirs do not share a staging") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cachespec_").toString
+    def write(dir: String, n: Int): Unit =
+      (1 to n).map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+        .toDF("ts", "v").write.parquet(dir)
+    write(s"$work/a", 7)
+    write(s"$work/b", 13)
+    // identical schema and plan shape; only the directory differs
+    val ra = StreamRunner.replayFiles(spark, spark.read.parquet(s"$work/a"), "ts", "append")(identity)
+    val rb = StreamRunner.replayFiles(spark, spark.read.parquet(s"$work/b"), "ts", "append")(identity)
+    assert(ra.count() === 7L)
+    assert(rb.count() === 13L, "second replay reused the first directory's staged chunks")
+    TempFiles.deleteTree(work)
+  }
+
+  test("a vanished cached staging is re-staged, not replayed empty") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cachespec2_").toString
+    (1 to 5).map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+      .toDF("ts", "v").write.parquet(s"$work/c")
+    val in = spark.read.parquet(s"$work/c")
+    assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 5L)
+    // simulate /tmp pruning: remove every graft_freplay_base_* staging dir
+    new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_freplay_base_"))
+      .foreach(d => TempFiles.deleteTree(d.getAbsolutePath))
+    assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 5L,
+      "stale cache hit after external cleanup — replayed an empty stream")
+    TempFiles.deleteTree(work)
+  }
+}
