@@ -96,7 +96,6 @@ object DedupFunctions {
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exact Jaccard similarity of two token-set columns. */
   /** Distinct-set Jaccard over two ARRAY<BIGINT> columns (the engine's pair
     * representation — every LSH/shingle path compares long hash arrays). For
     * other element types use `jaccardComposed`, which works on any array.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, NullType}
 
 /** One-pass distinct-set Jaccard over long arrays, JVM-side (shared by the
   * interpreted and generated paths): a single open-addressed long table holds
@@ -85,10 +85,17 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 
   override def nullable: Boolean = left.nullable || right.nullable
 
+  // NullType (a literal NULL) and ArrayType(NullType) (an untyped empty/
+  // all-null array literal) stay legal for A/B parity with the composed
+  // builtins — same whitelist rationale as NfcNormalize
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) | ArrayType(NullType, _) | NullType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+      case (l, r) if ok(l) && ok(r) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
     }

@@ -124,6 +124,14 @@ object StreamRunner {
       }))
   }
 
+  /** Test hook: THIS JVM's cached staging dirs — lets specs simulate external
+    * /tmp pruning without touching other processes' stagings.
+    */
+  private[graft] def stagedDirs: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    chunkCache.values().asScala.toSeq
+  }
+
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
                   outputMode: String, chunks: Int = 2,
                   tails: Option[java.sql.Timestamp => Seq[DataFrame]] = None)(
@@ -136,10 +144,6 @@ object StreamRunner {
       System.err.println(f"[replay $name] $phase ${(System.nanoTime() - t0) / 1e9}%.1fs")
       t0 = System.nanoTime()
     }
-    val cacheKey =
-      input.queryExecution.analyzed.canonicalized.toString +
-        org.apache.spark.sql.graftops.Bridge.sourcePaths(input).mkString("[", "|", "]") +
-        s";$tsCol;$chunks"
     def stage(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_freplay_base_").toString + "/in"
       input.repartitionByRange(chunks, col(tsCol))
@@ -147,11 +151,45 @@ object StreamRunner {
         .write.partitionBy("__chunk").parquet(dir)
       dir
     }
-    val baseDir = chunkCache.compute(cacheKey, (_, cached) =>
-      // re-validate on hit: /tmp age-based pruning can remove a long-lived
-      // staging mid-session; a stale path would replay an empty stream
-      if (cached != null && new java.io.File(cached).isDirectory) cached
-      else stage())
+    // deep revalidation on cache hit: /tmp age-based pruning can remove a
+    // long-lived staging mid-session — and file-first pruning can leave the
+    // directory skeleton standing — so every chunk dir must still hold
+    // parquet files; anything less re-stages instead of silently replaying
+    // an empty (or truncated) stream
+    def intact(dir: String): Boolean = {
+      val chunkDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("__chunk="))
+      chunkDirs.nonEmpty && chunkDirs.forall(d =>
+        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+    }
+    // the cache key is (canonical plan + file-source paths); canonicalization
+    // erases paths, and for NON-file inputs (LocalRelation, views over memory)
+    // it also erases the DATA — same-schema in-memory inputs would collide.
+    // Only file-backed inputs are cacheable; everything else stages fresh.
+    val srcPaths = org.apache.spark.sql.graftops.Bridge.sourcePaths(input)
+    // an uncacheable staging is private to this call — deleted with scratch
+    var ephemeralBase: Option[String] = None
+    val baseDir =
+      if (srcPaths.isEmpty) {
+        val dir = stage()
+        ephemeralBase = Some(new java.io.File(dir).getParent)
+        dir
+      }
+      else {
+        val cacheKey = input.queryExecution.analyzed.canonicalized.toString +
+          srcPaths.mkString("[", "|", "]") + s";$tsCol;$chunks"
+        // stage OUTSIDE the map lock (CHM.compute must not run long Spark
+        // jobs); a lost putIfAbsent race just discards the duplicate staging
+        val hit = chunkCache.get(cacheKey)
+        if (hit != null && intact(hit)) hit
+        else {
+          val fresh = stage()
+          val prev = chunkCache.put(cacheKey, fresh)
+          if (prev != null && prev != fresh)
+            graft.pipeline.TempFiles.deleteTree(new java.io.File(prev).getParent)
+          fresh
+        }
+      }
     // tail-extended replays (sentinel chunks) get their OWN dir: copying the
     // staged files keeps the shared cache immutable
     val (inDir, scratch) =
@@ -227,9 +265,11 @@ object StreamRunner {
     try q.processAllAvailable() finally q.stop()
     lap("process-all")
     // the memory sink holds the result rows; a tail-extended run's private
-    // copy is done — delete it. The shared base staging stays for the JVM:
-    // later replays of the same input skip the staging write entirely.
+    // copy and any uncacheable (in-memory-input) staging are done — delete
+    // them. A shared file-backed staging stays for the JVM: later replays of
+    // the same input skip the staging write entirely.
     scratch.foreach(graft.pipeline.TempFiles.deleteTree)
+    ephemeralBase.foreach(graft.pipeline.TempFiles.deleteTree)
     spark.table(name)
   }
 }

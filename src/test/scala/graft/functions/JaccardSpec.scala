@@ -34,7 +34,8 @@ class JaccardSpec extends SparkSpec {
         |       graft_jaccard(array(1L, NULL), array(2L)) AS one_null,
         |       graft_jaccard(CAST(array() AS ARRAY<BIGINT>),
         |                     CAST(array() AS ARRAY<BIGINT>)) AS empty,
-        |       graft_jaccard(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS null_arr
+        |       graft_jaccard(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS null_arr,
+        |       graft_jaccard(NULL, array(1L)) AS untyped_null
         |""".stripMargin).collect().head
     // {1, null} vs {null, 2}: inter {null} = 1, union {1, null, 2} = 3
     assert(df.getDouble(0) === 1.0 / 3.0)
@@ -42,6 +43,9 @@ class JaccardSpec extends SparkSpec {
     assert(df.getDouble(1) === 0.0)
     assert(df.getDouble(2) === 0.0)
     assert(df.isNullAt(3))
+    // an untyped NULL literal must stay analyzable (A/B parity with the
+    // composed baseline) and evaluate to NULL
+    assert(df.isNullAt(4))
   }
 
   test("composed A/B baseline propagates NULL arrays like the native form") {

@@ -35,12 +35,21 @@ class StreamRunnerCacheSpec extends SparkSpec {
       .toDF("ts", "v").write.parquet(s"$work/c")
     val in = spark.read.parquet(s"$work/c")
     assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 5L)
-    // simulate /tmp pruning: remove every graft_freplay_base_* staging dir
-    new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
-      .filter(_.getName.startsWith("graft_freplay_base_"))
-      .foreach(d => TempFiles.deleteTree(d.getAbsolutePath))
+    // simulate /tmp pruning: remove THIS JVM's cached stagings only (other
+    // processes on the box may have live graft_freplay_base_* dirs)
+    StreamRunner.stagedDirs.foreach(d => TempFiles.deleteTree(d))
     assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 5L,
       "stale cache hit after external cleanup — replayed an empty stream")
     TempFiles.deleteTree(work)
+  }
+
+  test("same-schema IN-MEMORY inputs never share a staging (uncacheable)") {
+    // canonicalization erases LocalRelation data, so these two frames are
+    // indistinguishable by plan+paths — they must bypass the cache entirely
+    def df(n: Int) = (1 to n).map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+      .toDF("ts", "v")
+    assert(StreamRunner.replayFiles(spark, df(3), "ts", "append")(identity).count() === 3L)
+    assert(StreamRunner.replayFiles(spark, df(9), "ts", "append")(identity).count() === 9L,
+      "second in-memory replay reused the first input's staged chunks")
   }
 }
