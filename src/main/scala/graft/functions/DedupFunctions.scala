@@ -389,13 +389,22 @@ object DedupFunctions {
     * Scale shape: both sides band on (band key) exactly like `candidatePairs`,
     * so the join is bucket-local, never all-pairs; the reference side's banded
     * signatures are a pure function of the corpus — persist (or pre-write)
-    * them once and amortize across batches. Degenerate-bucket skew on the
-    * reference side is bounded the same way as `candidatePairs`' chain guard:
-    * pre-cap with that entry point if the corpus carries boilerplate buckets.
+    * them once and amortize across batches.
+    *
+    * Degenerate-bucket guard (`maxRefPerBucket`): a boilerplate bucket
+    * (empty-token docs, templated pages) on the reference side multiplies
+    * EVERY colliding new doc by the whole bucket. Capping the reference side
+    * at K rows per band bucket bounds the fan-out at K pairs per new doc per
+    * band while preserving the DEDUP DECISION — the question is "does this
+    * new doc near-dup ANY reference doc", and a bucket's members collide
+    * because their signatures agree, so verifying against K of them (lowest
+    * ids, deterministic) answers it. Off by default: the full pair list (the
+    * oracle-checked q86 shape) needs every pair.
     */
   def crossCorpusPairs(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        setCol: String, hashes: Int, bands: Int,
-                       minJaccard: Double): DataFrame = {
+                       minJaccard: Double,
+                       maxRefPerBucket: Int = Int.MaxValue): DataFrame = {
     val rows = hashes / bands
     def banded(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), col(setCol).as("toks"))
@@ -407,7 +416,17 @@ object DedupFunctions {
         .filter(col("band").isNotNull)
         .select(col("id"), col("hs"), col("band"))
     val a = banded(newDf).select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
-    val b = banded(refDf).select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
+    val bAll = banded(refDf).select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
+    val b =
+      if (maxRefPerBucket == Int.MaxValue) bAll
+      else {
+        // per-bucket rank: the sort cost is per-bucket n log n — the guard's
+        // price when it is ON, versus the quadratic join it prevents
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band")).orderBy(col("id_ref"))
+        bAll.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxRefPerBucket).drop("__rk")
+      }
     a.join(b, "band")
       .select(col("id_new"), col("id_ref"),
         jaccard(col("hs_new"), col("hs_ref")).as("jaccard"))

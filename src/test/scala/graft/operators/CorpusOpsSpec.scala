@@ -131,6 +131,21 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------- cross-corpus dedup
+  test("crossCorpusPairs bucket cap bounds degenerate-bucket fan-out, keeps decisions") {
+    // 40 new + 40 ref docs with IDENTICAL token sets: one mega-bucket per
+    // band. Uncapped: 40×40 = 1600 pairs; capped at 3 refs/bucket: ≤ 120 —
+    // and every new doc still gets matched (the dedup decision survives)
+    val toks = Seq("the", "same", "boilerplate", "tokens")
+    val newDocs = (1 to 40).map(i => (i.toLong, toks)).toDF("doc_id", "toks")
+    val refDocs = (101 to 140).map(i => (i.toLong, toks)).toDF("doc_id", "toks")
+    val capped = D.crossCorpusPairs(newDocs, refDocs, "doc_id", "toks",
+      hashes = 12, bands = 2, minJaccard = 0.9, maxRefPerBucket = 3)
+    val pairs = capped.collect()
+    assert(pairs.length <= 40 * 3, s"cap did not bound fan-out: ${pairs.length} pairs")
+    assert(pairs.map(_.getLong(0)).distinct.length === 40,
+      "a new doc lost its dedup decision under the cap")
+  }
+
   test("crossCorpusPairs finds planted near-dups across the corpus split") {
     val docs = graft.Tables(spark, sf, "documents")
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
