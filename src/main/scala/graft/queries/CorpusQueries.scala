@@ -64,8 +64,8 @@ object CorpusQueries {
        |        row_number() OVER (PARTITION BY md5(sent) ORDER BY doc_id, pos) AS rn
        |      FROM s)
        |SELECT doc_id, count(*) AS n_sents,
-       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-       |  sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS n_removed
+       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed
        |FROM r GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------- q83 heavy hitters
@@ -267,7 +267,7 @@ object CorpusQueries {
        |j AS (SELECT e.doc_id, e.n_sh,
        |        CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS hit
        |      FROM ex e LEFT JOIN bench b ON e.h = b.h)
-       |SELECT doc_id, max(n_sh) AS n_shingles, sum(hit) AS n_overlap,
+       |SELECT doc_id, max(n_sh) AS n_shingles, sum(hit)::BIGINT AS n_overlap,
        |  round(CASE WHEN max(n_sh) > 0
        |    THEN sum(hit)::DOUBLE / max(n_sh) ELSE 0.0 END, 6) AS overlap_frac
        |FROM j GROUP BY doc_id""".stripMargin
@@ -363,7 +363,7 @@ object CorpusQueries {
   val q92_oracle: String =
     s"""WITH tok AS (SELECT source, unnest($tokSql) AS tok FROM documents),
        |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-       |st AS (SELECT source, sum(c) AS src_total FROM tc GROUP BY 1),
+       |st AS (SELECT source, sum(c)::BIGINT AS src_total FROM tc GROUP BY 1),
        |cr AS (SELECT tok, sum(c) AS cc FROM tc GROUP BY 1),
        |ct AS (SELECT sum(cc)::DOUBLE AS corpus_total FROM cr),
        |terms AS (SELECT t.source, t.tok, st.src_total,
