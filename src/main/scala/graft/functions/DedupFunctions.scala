@@ -317,53 +317,71 @@ object DedupFunctions {
       .drop("hp", "toks")
       // both sides of the self-join consume this — materialize once
       .cache()
-    // mega-bucket detection: an aggregate over the cached sig (map-side
-    // combine → a few rows per bucket key), NOT a window — the healthy path
-    // must not pay a full sort for a guard that almost never fires. The
-    // driver-side emptiness probe is one tiny action on an aggregated frame
-    // (same pattern as connectedComponents' size guard).
     val bucketKey = ("band" +: scopeCols).map(col)
-    val hot = sig.groupBy(bucketKey: _*).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select(bucketKey: _*)
-      .cache()
-    val hotBuckets = hot.count()
-    if (sys.env.contains("GRAFT_LSH_DEBUG"))
-      System.err.println(s"[lsh] buckets over maxBucket=$maxBucket (chained): $hotBuckets")
-    val pairsRaw = if (hotBuckets == 0) {
-      // the common case: exactly the unguarded all-pairs plan
-      val a = sig.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
+    val joinKeys = "band" +: scopeCols
+    // healthy buckets: the plain all-pairs self-join on the band bucket
+    def allPairsOf(src: DataFrame): DataFrame = {
+      val a = src.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
         col("band") +: scopeCols.map(col)): _*)
-      val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
+      val b = src.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
         col("band") +: scopeCols.map(col)): _*)
-      a.join(b, "band" +: scopeCols)
+      a.join(b, joinKeys)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
-    } else {
-      // split on the (tiny, broadcastable) hot-bucket key set
-      val hotB = broadcast(hot)
-      val joinKeys = "band" +: scopeCols
-      val small = sig.join(hotB, joinKeys, "left_anti")
-      val a = small.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
-        col("band") +: scopeCols.map(col)): _*)
-      val b = small.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
-        col("band") +: scopeCols.map(col)): _*)
-      val allPairs = a.join(b, joinKeys)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
-      // oversized buckets: rank by id, then equi-join rank → rank+1 (exactly
-      // one partner per row) — linear fan-out, bucket stays one component
+    }
+    // oversized buckets: rank by id, then equi-join rank → rank+1 (exactly
+    // one partner per row) — linear fan-out, bucket stays one component
+    def chainPairsOf(src: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(bucketKey: _*).orderBy(col("id"))
-      val big = sig.join(hotB, joinKeys, "left_semi")
-        .withColumn("__rk", row_number().over(w))
+      val big = src.withColumn("__rk", row_number().over(w))
       val ca = big.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
         col("band") +: (col("__rk") + 1).as("__nrk") +: scopeCols.map(col)): _*)
       val cb = big.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
         col("band") +: col("__rk").as("__nrk") +: scopeCols.map(col)): _*)
-      val chainPairs = ca.join(cb, "band" +: "__nrk" +: scopeCols)
+      ca.join(cb, "band" +: "__nrk" +: scopeCols)
         .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
-      allPairs.unionByName(chainPairs)
+    }
+    // mega-bucket key set: an aggregate over the cached sig (map-side combine
+    // → a few rows per bucket key), NOT a window — the healthy path must not
+    // pay a full sort for a guard that almost never fires
+    def hotKeys: DataFrame =
+      sig.groupBy(bucketKey: _*).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucket)
+        .select(bucketKey: _*)
+    // guard strategies, A/B'd warm in LshBench (see BASELINE.md r5: q47
+    // shape at sf0.1, best-of-3 — off 1.76 s, driver 1.82 s, inplan 2.21 s):
+    //   driver (default) — one tiny driver-side emptiness probe on the
+    //     aggregated frame; the healthy path then runs EXACTLY the unguarded
+    //     all-pairs plan. The probe's job materializes the sig cache that the
+    //     pair job would have paid anyway, so its marginal cost is the agg +
+    //     one scheduling round-trip: ~0.05 s at sf0.1 — the guard is free.
+    //   inplan — no driver action: broadcast the hot-key set into an
+    //     anti-join (all-pairs side) + semi-join (chain side) + union. Pays
+    //     two extra broadcast-probe scans of sig and an (empty) window even
+    //     when no bucket is hot — measured +0.4 s warm, WORSE than the probe.
+    //   off — r3's unguarded plan (quadratic on a mega-bucket); floor.
+    var probed: Option[DataFrame] = None
+    val mode = sys.props.get("graft.lsh.guard")
+      .orElse(sys.env.get("GRAFT_LSH_GUARD")).getOrElse("driver")
+    val pairsRaw = mode match {
+      case "off" => allPairsOf(sig)
+      case "inplan" =>
+        val hot = broadcast(hotKeys)
+        allPairsOf(sig.join(hot, joinKeys, "left_anti"))
+          .unionByName(chainPairsOf(sig.join(hot, joinKeys, "left_semi")))
+      case _ =>
+        val hot = hotKeys.cache()
+        probed = Some(hot)
+        val hotBuckets = hot.count()
+        if (sys.env.contains("GRAFT_LSH_DEBUG"))
+          System.err.println(s"[lsh] buckets over maxBucket=$maxBucket (chained): $hotBuckets")
+        if (hotBuckets == 0) allPairsOf(sig)
+        else {
+          val hotB = broadcast(hot)
+          allPairsOf(sig.join(hotB, joinKeys, "left_anti"))
+            .unionByName(chainPairsOf(sig.join(hotB, joinKeys, "left_semi")))
+        }
     }
     val pairs = pairsRaw
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
@@ -375,7 +393,7 @@ object DedupFunctions {
     // orders of magnitude smaller; callers may unpersist it when done)
     val snap = pairs.cache()
     snap.count()
-    hot.unpersist()
+    probed.foreach(_.unpersist())
     sig.unpersist()
     snap
   }
