@@ -185,7 +185,16 @@ object EmbeddingQueries {
     * Multi-probe is the standard recall lever (probe the next-nearest cells to
     * catch neighbors that fell across a cell boundary) at linear extra cost.
     */
-  private def ivfTopK(s: SparkSession, dir: String, probes: Int): DataFrame = {
+  /** The IVF candidate-scoring prefix shared by q44/q75/q74: build cells,
+    * probe the `probes` nearest per query, score every candidate in the
+    * probed cells. Returns (query_id, neighbor_id, cosine, probe_rn) where
+    * probe_rn is the probed cell's nearness rank (1 = nearest). Scoring is
+    * per-row, so restricting to probe_rn <= p afterwards is BIT-IDENTICAL to
+    * having probed only p cells — q74's recall audit scores once at the
+    * deepest probe depth and derives every shallower method from the same
+    * frame instead of re-running centroids + probe + join per method.
+    */
+  private def ivfScored(s: SparkSession, dir: String, probes: Int): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     // cells: per-label centroid, rebuilt as an ordered array
@@ -205,19 +214,29 @@ object EmbeddingQueries {
       .select($"query_id", $"qv", $"label",
         (S.dotAuto($"qv", $"cv") / S.norm($"cv")).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= probes)
-      .select($"query_id", $"qv", $"label".as("probe_label"))
-    // exact rank within the probed cells only (both sides unit-length → dot);
-    // cells are disjoint so the union of probes needs no dedup; quantized
-    // ordering like q40/q42
-    val w = Window.partitionBy($"query_id")
-      .orderBy(round($"cosine", 9).desc, $"neighbor_id".asc)
+      .select($"query_id", $"qv", $"label".as("probe_label"), $"rn".as("probe_rn"))
+    // exact score within the probed cells only (both sides unit-length → dot);
+    // cells are disjoint so the union of probes needs no dedup
     S.withNormalized(emb.select($"vec_id".as("neighbor_id"), $"embedding", $"label"),
         "embedding", "cv")
       .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"))
+      .select($"query_id", $"neighbor_id", S.dotAuto($"qv", $"cv").as("cosine"), $"probe_rn")
+  }
+
+  /** Per-query top-3 by exact cosine over an ivfScored frame (quantized
+    * ordering like q40/q42).
+    */
+  private def ivfRanked(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"cosine", 9).desc, $"neighbor_id".asc)
+    scored
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
   }
+
+  private def ivfTopK(s: SparkSession, dir: String, probes: Int): DataFrame =
+    ivfRanked(s, ivfScored(s, dir, probes))
 
   val q44_ann_ivf_topk: Q = (s, dir) => ivfTopK(s, dir, probes = 1)
 
@@ -376,9 +395,18 @@ object EmbeddingQueries {
           round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
             .as("recall_at_3"))
     }
+    // IVF: centroids + probe + candidate scoring run ONCE at the deepest
+    // probe depth (a small frame — |queries| × probed-cell sizes); ivf_p1 is
+    // the probe_rn <= 1 restriction of the same scored frame, bit-identical
+    // to a standalone single-probe run because scoring is per-row (see
+    // ivfScored). localCheckpoint for the same reason as `exact` above.
+    val scored = ivfScored(s, dir, probes = 2).localCheckpoint(true)
+    def ivfMethod(maxRn: Int): DataFrame =
+      ivfRanked(s, scored.filter($"probe_rn" <= maxRn))
+        .select($"query_id", $"neighbor_id")
     recallOf(q42_ann_lsh_topk(s, dir).select($"query_id", $"neighbor_id"), "lsh")
-      .unionByName(recallOf(ivfTopK(s, dir, 1).select($"query_id", $"neighbor_id"), "ivf_p1"))
-      .unionByName(recallOf(ivfTopK(s, dir, 2).select($"query_id", $"neighbor_id"), "ivf_p2"))
+      .unionByName(recallOf(ivfMethod(1), "ivf_p1"))
+      .unionByName(recallOf(ivfMethod(2), "ivf_p2"))
   }
 
   val q74_oracle: String = {
