@@ -98,8 +98,14 @@ final class BatchStage[T](val ds: Dataset[T]) {
 
   /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
     * AsyncTransformUsingServiceOrderedP): up to `maxConcurrent` in-flight
-    * async calls per partition — the reference's bounded in-flight window —
-    * with results emitted in INPUT order (Future.sequence preserves it).
+    * async calls per partition, results emitted in INPUT order — the
+    * reference's sliding in-flight ring, not a batch barrier. A new call is
+    * issued the moment the head of the ring is dequeued for emission, so a
+    * slow call only delays EMISSION of the results behind it (unavoidable
+    * under ordering); calls keep being issued and completing concurrently up
+    * to the window. (Round-4 shipped this as `grouped(maxConcurrent)` +
+    * `Future.sequence` — a cohort barrier where one slow call stopped the
+    * NEXT cohort from even starting; ServiceOpsSpec now pins the difference.)
     * For completion-order emission see `mapUsingServiceAsyncUnordered`.
     */
   def mapUsingServiceAsync[S, U: Encoder](
@@ -108,12 +114,45 @@ final class BatchStage[T](val ds: Dataset[T]) {
     new BatchStage(ds.mapPartitions { it =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
       val svc = factory.create()
-      ServiceFactories.closing(factory, svc,
-        it.grouped(maxConcurrent).flatMap { batch =>
-          implicit val ec = scala.concurrent.ExecutionContext.global
-          Await.result(Future.sequence(batch.map(t => f(svc, t))), Duration.Inf)
-        })
+      val ring = new scala.collection.mutable.Queue[Future[U]]()
+      // a val, not a def: local defs lift to instance methods and would drag
+      // the (non-serializable) stage into the task closure
+      val refill: () => Unit = () => while (ring.size < maxConcurrent && it.hasNext) {
+        ring.enqueue(f(svc, it.next()))
+      }
+      refill()
+      var destroyed = false
+      val destroyOnce: () => Unit =
+        () => if (!destroyed) { destroyed = true; factory.destroy(svc) }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
+      new Iterator[U] {
+        def hasNext: Boolean = {
+          val h = ring.nonEmpty
+          if (!h) destroyOnce()
+          h
+        }
+        def next(): U = {
+          val head = ring.dequeue()
+          // keep the window full WHILE we wait on the head — this is what
+          // makes it a sliding ring rather than a cohort barrier
+          refill()
+          try Await.result(head, Duration.Inf)
+          catch { case e: Throwable =>
+            // drain the in-flight window BEFORE destroying the service —
+            // destroying under live calls turns one failure into a cascade
+            // of use-after-close errors from the still-running futures
+            ring.foreach(fu => try Await.ready(fu, Duration.Inf)
+              catch { case _: Throwable => () })
+            ring.clear()
+            destroyOnce()
+            throw e
+          }
+        }
+      }
     })
 
   /** Jet `mapUsingServiceAsync` UNORDERED (GeneralStage.java:354-401,

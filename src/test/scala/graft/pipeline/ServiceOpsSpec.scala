@@ -39,6 +39,33 @@ class ServiceOpsSpec extends SparkSpec {
     assert(out.last === 50)
   }
 
+  test("mapUsingServiceAsync is a sliding window: later calls complete during a slow head, order preserved") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    AsyncOrderedProbe.done.clear()
+    val t0 = System.nanoTime()
+    val factory = ServiceFactories.service[String](() => "svc")
+    val out = p.wrap(spark.createDataset(Seq(0, 1, 2, 3, 4)).coalesce(1))
+      .mapUsingServiceAsync(factory, maxConcurrent = 4)((_, x) =>
+        Future {
+          Thread.sleep(if (x == 0) 600L else 5L)
+          AsyncOrderedProbe.done.put(x, System.nanoTime() - t0)
+          x
+        })
+      .ds.collect()
+    // ordered emission: exactly the input order
+    assert(out.toSeq === Seq(0, 1, 2, 3, 4))
+    // sliding window, not a cohort barrier: items 1-3 fill the initial ring;
+    // item 4 is issued the moment the slow head is dequeued for emission —
+    // ALL of them complete while the head is still sleeping. (The round-4
+    // grouped+Future.sequence form ran [0,1,2,3] as a cohort, so item 4
+    // could not even START before the 600 ms head finished.)
+    val headDone = AsyncOrderedProbe.done.get(0)
+    (1 to 4).foreach { i =>
+      assert(AsyncOrderedProbe.done.get(i) < headDone,
+        s"item $i completed after the slow head — window is not sliding")
+    }
+  }
+
   test("aggregate2/aggregate3/distinct work with EXPRESSION grouping keys") {
     val left = p.wrap(Seq(("Ann", 1), ("ann", 2), ("bob", 3)).toDF("name", "v"))
       .groupingKey(upper(col("name")))
@@ -116,4 +143,12 @@ class ServiceOpsSpec extends SparkSpec {
 object SourceBuilderProbe {
   val created = new java.util.concurrent.atomic.AtomicInteger(0)
   val destroyed = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Completion-time probe for the ordered-async sliding-window test (static:
+  * task closures are serialized even in local mode; a JVM-static map is the
+  * only state both sides see).
+  */
+object AsyncOrderedProbe {
+  val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
 }
