@@ -1,7 +1,7 @@
 package graft.sql
 
 import graft.pipeline.{JobRegistry, KeyedStore, StreamSinks}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 /** SQL face of the engine (reference: hazelcast-jet-sql — SqlCreateMapping.java,
   * SqlCreateJob.java, SqlShowStatement.java, SqlExtendedInsert.java; SURVEY §2.13).
@@ -389,17 +389,38 @@ final class GraftSql(spark: SparkSession) {
     * exactly like Jet's SqlResult (and our `observe()`); engine-side work
     * stays distributed up to the sink.
     */
-  def cursor(statement: String, outputMode: String = "append"): GraftSql.StreamCursor = {
+  def cursor(statement: String, outputMode: String = "append",
+             maxBufferedRows: Int = 1 << 16): GraftSql.StreamCursor = {
+    import GraftSql._
     val df = spark.sql(rewriteTableFunctions(statement))
     if (!df.isStreaming) {
-      val name = s"__graft_cursor_${GraftSql.streamIds.incrementAndGet()}"
+      val name = s"__graft_cursor_${streamIds.incrementAndGet()}"
       df.createOrReplaceTempView(name)
-      new GraftSql.StreamCursor(spark, None, name)
+      new StreamCursor(spark, None, BatchFeed(name))
+    } else if (outputMode.equalsIgnoreCase("complete")) {
+      // complete mode rewrites the whole result per batch — hold exactly ONE
+      // snapshot (replaced in place), not an ever-growing sink table
+      val snap = new java.util.concurrent.atomic.AtomicReference[(Long, Seq[Row])]((0L, null))
+      val q = df.writeStream.outputMode(outputMode)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          snap.set((id + 1, b.collect().toSeq)); ()
+        }.start()
+      new StreamCursor(spark, Some(q), SnapshotFeed(snap))
     } else {
-      val name = s"__graft_cursor_${GraftSql.streamIds.incrementAndGet()}"
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(outputMode).start()
-      new GraftSql.StreamCursor(spark, Some(q), name, outputMode)
+      // append/update: each micro-batch feeds a BOUNDED driver queue; fetch
+      // drains it, O(new rows) per call. When the client stops fetching the
+      // queue fills and `put` blocks the micro-batch thread — genuine
+      // backpressure instead of an unboundedly growing memory sink, and no
+      // per-poll re-collect of everything delivered so far. toLocalIterator
+      // streams the batch partition-by-partition, so even one huge batch is
+      // never fully materialized on the driver beyond the queue bound.
+      val queue = new java.util.concurrent.LinkedBlockingQueue[Row](maxBufferedRows)
+      val q = df.writeStream.outputMode(outputMode)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val it = b.toLocalIterator()
+          while (it.hasNext) queue.put(it.next())
+        }.start()
+      new StreamCursor(spark, Some(q), QueueFeed(queue))
     }
   }
 
@@ -431,52 +452,96 @@ object GraftSql {
 
   private[sql] val streamIds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** What feeds a cursor: a batch temp view (one final batch), a bounded
+    * driver queue (append/update streams), or a single replaced-in-place
+    * snapshot (complete-mode streams).
+    */
+  private[sql] sealed trait CursorFeed
+  private[sql] final case class BatchFeed(table: String) extends CursorFeed
+  private[sql] final case class QueueFeed(
+      queue: java.util.concurrent.LinkedBlockingQueue[org.apache.spark.sql.Row])
+    extends CursorFeed
+  private[sql] final case class SnapshotFeed(
+      snap: java.util.concurrent.atomic.AtomicReference[(Long, Seq[org.apache.spark.sql.Row])])
+    extends CursorFeed
+
   /** Incremental result cursor over a (possibly infinite) SQL statement —
     * Jet's `SqlResult` iterator semantics (JetQueryResultProducer.java): rows
     * arrive as the stream produces them; `fetch` blocks until new rows exist
     * or the timeout lapses; `close` stops the underlying streaming query.
+    *
+    * Cost + memory model (round-5 rework): append/update streams feed a
+    * BOUNDED queue from `foreachBatch`, so each `fetch` drains only what
+    * arrived since the last call — O(new rows), never a re-collect of the
+    * whole history — and an unfetched long-running job blocks its own
+    * micro-batches once the queue fills instead of growing the driver heap.
+    * Complete mode holds exactly one latest snapshot, replaced per batch.
     */
   final class StreamCursor private[sql](
       spark: SparkSession,
       query: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      table: String,
-      outputMode: String = "append") extends AutoCloseable {
+      feed: CursorFeed) extends AutoCloseable {
 
     private var consumed = 0
-    private var lastSnapshot: Seq[org.apache.spark.sql.Row] = null
+    private var lastSnapId = 0L
 
     def isStreaming: Boolean = query.isDefined
 
-    /** Rows produced beyond what earlier `fetch` calls returned. Blocks (poll
-      * loop) until at least one new row arrives or `timeoutMs` lapses — a
-      * lapsed timeout returns empty, it does NOT mean the stream ended.
+    /** Rows buffered and not yet fetched (append/update streams) — bounded by
+      * the cursor's `maxBufferedRows`.
+      */
+    def bufferedRows: Int = feed match {
+      case QueueFeed(q) => q.size()
+      case _ => 0
+    }
+
+    /** Rows produced beyond what earlier `fetch` calls returned. Blocks until
+      * at least one new row arrives or `timeoutMs` lapses — a lapsed timeout
+      * returns empty, it does NOT mean the stream ended.
       *
-      * In append/update mode the memory sink only ever appends, so "new" is a
-      * count-based tail. In COMPLETE mode the sink rewrites the whole table
-      * every batch — there a count-based tail would drop changed rows (stable
-      * count) or mix delivered and new rows, so `fetch` returns the full
-      * fresh snapshot whenever it differs from the last one delivered.
+      * In append/update mode rows are drained from the bounded queue in
+      * arrival order. In COMPLETE mode every batch rewrites the result, so
+      * `fetch` returns the full fresh snapshot whenever a newer one than the
+      * last delivered exists.
       */
     def fetch(timeoutMs: Long = 30000): Seq[org.apache.spark.sql.Row] = {
-      val complete = outputMode.equalsIgnoreCase("complete")
       val deadline = System.nanoTime() + timeoutMs * 1000000L
-      while (true) {
-        val rows = spark.table(table).collect().toSeq
-        if (complete) {
-          if (rows.nonEmpty && rows != lastSnapshot) {
-            lastSnapshot = rows
-            consumed += rows.length
-            return rows
+      def expired: Boolean =
+        System.nanoTime() > deadline || query.exists(!_.isActive)
+      feed match {
+        case BatchFeed(table) =>
+          val rows = spark.table(table).collect().toSeq
+          if (rows.length > consumed) {
+            val out = rows.drop(consumed); consumed = rows.length; out
+          } else Seq.empty
+        case QueueFeed(queue) =>
+          var head: org.apache.spark.sql.Row = queue.poll()
+          while (head == null && !expired) {
+            head = queue.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
           }
-        } else if (rows.length > consumed) {
-          val out = rows.drop(consumed)
-          consumed = rows.length
-          return out
-        }
-        if (System.nanoTime() > deadline || query.forall(!_.isActive)) return Seq.empty
-        Thread.sleep(50)
+          if (head == null) Seq.empty
+          else {
+            val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            buf += head
+            val rest = new java.util.ArrayList[org.apache.spark.sql.Row]()
+            queue.drainTo(rest)
+            rest.forEach(r => buf += r)
+            consumed += buf.length
+            buf.toSeq
+          }
+        case SnapshotFeed(snap) =>
+          while (true) {
+            val (id, rows) = snap.get()
+            if (id > lastSnapId && rows != null && rows.nonEmpty) {
+              lastSnapId = id
+              consumed += rows.length
+              return rows
+            }
+            if (expired) return Seq.empty
+            Thread.sleep(50)
+          }
+          Seq.empty // unreachable
       }
-      Seq.empty // unreachable
     }
 
     /** Total rows returned so far. */
@@ -484,8 +549,10 @@ object GraftSql {
 
     override def close(): Unit = {
       query.foreach(_.stop())
-      spark.catalog.dropTempView(table)
-      ()
+      feed match {
+        case BatchFeed(table) => spark.catalog.dropTempView(table); ()
+        case _ => ()
+      }
     }
   }
 

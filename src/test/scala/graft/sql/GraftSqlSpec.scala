@@ -145,6 +145,29 @@ class GraftSqlSpec extends SparkSpec {
     } finally cur.close()
   }
 
+  test("cursor fetch is O(new): drains a 3rd batch incrementally, buffer bounded when unfetched") {
+    // small bound: the stream produces ~200 rows/s but the queue may hold at
+    // most 64 undelivered rows — an unfetched cursor must plateau there
+    // (backpressure on the micro-batch thread), not grow with runtime
+    val cur = sql.cursor("SELECT v FROM TABLE(GENERATE_STREAM(200))",
+      maxBufferedRows = 64)
+    try {
+      val b1 = cur.fetch(timeoutMs = 30000)
+      val b2 = cur.fetch(timeoutMs = 30000)
+      val b3 = cur.fetch(timeoutMs = 30000)
+      assert(b1.nonEmpty && b2.nonEmpty && b3.nonEmpty, "three incremental batches")
+      val all = (b1 ++ b2 ++ b3).map(_.getLong(0))
+      assert(all.distinct.length === all.length, "a later fetch re-delivered earlier rows")
+      assert(cur.rowsFetched === all.length)
+      // stop fetching; the buffer must saturate at the bound, not keep growing
+      Thread.sleep(1500)
+      assert(cur.bufferedRows <= 64,
+        s"unfetched buffer grew past the bound: ${cur.bufferedRows}")
+      // and the stream still delivers correctly once the client resumes
+      assert(cur.fetch(timeoutMs = 30000).nonEmpty)
+    } finally cur.close()
+  }
+
   test("cursor in complete mode delivers fresh full snapshots, not stale tails") {
     // a streaming aggregate: the memory sink REWRITES the whole table per
     // batch in complete mode — a count-based tail would return empty forever
