@@ -412,12 +412,20 @@ object DedupFunctions {
     * Degenerate-bucket guard (`maxRefPerBucket`): a boilerplate bucket
     * (empty-token docs, templated pages) on the reference side multiplies
     * EVERY colliding new doc by the whole bucket. Capping the reference side
-    * at K rows per band bucket bounds the fan-out at K pairs per new doc per
-    * band while preserving the DEDUP DECISION — the question is "does this
-    * new doc near-dup ANY reference doc", and a bucket's members collide
-    * because their signatures agree, so verifying against K of them (lowest
-    * ids, deterministic) answers it. Off by default: the full pair list (the
-    * oracle-checked q86 shape) needs every pair.
+    * at K rows per band bucket (lowest ids, deterministic) bounds the
+    * fan-out at K pairs per new doc per band. This is a BOUNDED-RECALL
+    * approximation, not decision-preserving: a band collision only means
+    * ONE band's signature agrees, not verified similarity — if the sole
+    * true near-dup of a new doc ranks beyond the K retained rows in every
+    * bucket they share, while the retained K are LSH false positives below
+    * `minJaccard`, that new doc is wrongly classified clean. The cap's
+    * defense is the target case: oversized buckets are template floods
+    * whose retained members are near-identical to each other, so verifying
+    * against any K of them usually answers "does this doc near-dup the
+    * flood". Enable it as a skew fuse, size K generously (≫ expected true
+    * matches per bucket), and treat misses in capped buckets as possible.
+    * Off by default: the full pair list (the oracle-checked q86 shape)
+    * needs every pair.
     */
   def crossCorpusPairs(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        setCol: String, hashes: Int, bands: Int,

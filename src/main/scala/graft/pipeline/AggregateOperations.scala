@@ -42,14 +42,28 @@ object AggregateOperations {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
     import org.apache.spark.sql.graftops.Bridge
 
-    // a pre-analysis function call is aggregate iff the registry resolves its
+    // a pre-analysis function call is aggregate iff a registry resolves its
     // name to an AggregateFunction class (covers the whole AggOp vocabulary;
-    // scalar wrappers like round(sum(x), 4) are correctly left untouched)
-    def isAggName(parts: Seq[String]): Boolean = parts.lastOption.exists { n =>
-      FunctionRegistry.builtin.lookupFunction(FunctionIdentifier(n.toLowerCase)).exists { info =>
-        try classOf[AggregateFunction].isAssignableFrom(Class.forName(info.getClassName))
-        catch { case _: Throwable => false }
-      }
+    // scalar wrappers like round(sum(x), 4) are correctly left untouched).
+    // The SESSION registry is consulted after the builtins so that
+    // session-registered aggregates (spark.udf.register of a udaf) get the
+    // side filter too; a name neither registry knows fails LOUDLY — silently
+    // leaving it unfiltered would make a coAggregate over it accumulate BOTH
+    // inputs' rows, a wrong result with no error (and an unknown name can
+    // never analyze successfully downstream anyway).
+    def classIsAgg(info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo): Boolean =
+      try classOf[AggregateFunction].isAssignableFrom(Class.forName(info.getClassName))
+      catch { case _: Throwable => false }
+    def isAggCall(f: UnresolvedFunction): Boolean = f.nameParts.lastOption.exists { n =>
+      val id = FunctionIdentifier(n.toLowerCase)
+      FunctionRegistry.builtin.lookupFunction(id).map(classIsAgg)
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => Bridge.sessionFunctionIsAggregate(s, id, f.arguments)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sideFiltered: function '$n' is in neither the builtin nor the " +
+            "session function registry — cannot prove it scalar vs aggregate, " +
+            "and an unfiltered aggregate in a co-aggregation would silently " +
+            "mix both inputs' rows. Register the function on the session first."))
     }
     val condExpr = Bridge.catalystExpression(cond)
     def and(existing: Option[Expression]): Option[Expression] =
@@ -59,7 +73,7 @@ object AggregateOperations {
         // typed udaf path (Aggregator columns are already AggregateExpressions)
         case ae: AggregateExpression => ae.copy(filter = and(ae.filter))
         // functions._ path: still unresolved by name at this point
-        case f: UnresolvedFunction if isAggName(f.nameParts) =>
+        case f: UnresolvedFunction if isAggCall(f) =>
           f.copy(filter = and(f.filter))
       }
       Bridge.column(rewritten)

@@ -10,11 +10,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Spark-native shape: read → `coalesce(ceil(bytes / targetBytes))` (coalesce,
   * NOT repartition — narrowing file counts needs no shuffle) → write to a
-  * sibling staging dir → swap. The swap order is crash-safe for readers of
-  * the final path: the staging write completes (with _SUCCESS) before the
-  * original dir is replaced, and a crash mid-swap leaves either the original
-  * or the compacted dir plus debris, never a half-written mix under the
-  * live path.
+  * sibling staging dir → swap (retire original, promote staging).
+  *
+  * Swap guarantees, stated precisely: the staging write completes (with
+  * _SUCCESS) before the original dir is touched, so the live path NEVER
+  * exposes a half-written mix. The swap itself is two renames, NOT atomic:
+  * between retiring the original and promoting the staging there is a window
+  * where the live path does not exist — concurrent readers in that window
+  * see a missing directory, and a crash inside it leaves the data ONLY at
+  * `<dir>__compact_retired` (recovery: rename it back by hand; nothing is
+  * deleted until the promote succeeds). Run against quiescent directories,
+  * or front with a catalog/symlink flip if readers can race the swap.
+  *
+  * Filesystem constraint: the renames are `java.io.File.renameTo` — LOCAL
+  * filesystem only (and same-device). For object stores / HDFS, write the
+  * compacted copy to a new path and flip the table location in the catalog
+  * instead; this utility is the single-node/posix leg of that pattern.
   */
 object Compaction {
 

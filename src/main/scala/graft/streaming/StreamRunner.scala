@@ -105,22 +105,57 @@ object StreamRunner {
     * frame (the events fixture) in one JVM, and the repartitionByRange +
     * parquet staging was the dominant fixed cost per replay. Keyed on the
     * CANONICALIZED analyzed plan of the input PLUS its file-source root paths
-    * (+ tsCol + chunk count): canonicalization erases source paths (a
-    * parquet relation renders path-free), so the paths must be appended or
-    * same-shaped tables from different directories would collide — e.g. a
-    * ScaleTrend JVM replaying the 1× fixture and a generated 10× replica.
+    * AND a stamp of the source files' (path, size, mtime): canonicalization
+    * erases source paths (a parquet relation renders path-free), so the
+    * paths must be appended or same-shaped tables from different directories
+    * would collide, and the stamp catches in-place rewrites of the source
+    * files between replays (same path, new data → new key, fresh staging).
+    * The cached VALUE carries the staging dir plus a manifest of every
+    * staged parquet file (relative path → size), so a cache hit re-validates
+    * the exact staged file set — file-level /tmp pruning that removes SOME
+    * files in a chunk re-stages instead of silently truncating the replay.
     * Cached dirs live for the JVM (tens of MB; a shutdown hook deletes them
-    * on exit, and hits re-validate existence against external /tmp pruning);
-    * tail-extended runs copy the cached files into a fresh dir instead of
-    * mutating it.
+    * on exit); tail-extended runs copy the cached files into a fresh dir
+    * instead of mutating it. Entries are only ever added or replaced, never
+    * removed. On a lost staging race the NEW dir is discarded and the
+    * existing (possibly in-use) entry wins — deleting the previous entry's
+    * tree while another replay streams from it would truncate that replay.
     */
-  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private final case class Staged(dir: String, manifest: Map[String, Long])
+  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
+  /** Relative path → size of every staged chunk parquet file under `dir`. */
+  private def manifestOf(dir: String): Map[String, Long] = {
+    val chunkDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__chunk="))
+    chunkDirs.flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}" -> f.length())
+    }.toMap
+  }
+
+  /** MD5 over (path, size, mtime) of every file under the source roots —
+    * the in-place-rewrite detector folded into the cache key. Non-local /
+    * missing paths contribute nothing (the key then rests on the paths
+    * alone, the round-4 behavior).
+    */
+  private def sourceStamp(paths: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else if (f.isFile)
+        md.update(s"${f.getPath}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+    paths.sorted.foreach(p => walk(new java.io.File(p.stripPrefix("file:"))))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      chunkCache.values().forEach { dir =>
+      chunkCache.values().forEach { st =>
         // dir is <tmp>/in — remove the temp parent
-        graft.pipeline.TempFiles.deleteTree(new java.io.File(dir).getParent)
+        graft.pipeline.TempFiles.deleteTree(new java.io.File(st.dir).getParent)
       }))
   }
 
@@ -129,7 +164,7 @@ object StreamRunner {
     */
   private[graft] def stagedDirs: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    chunkCache.values().asScala.toSeq
+    chunkCache.values().asScala.map(_.dir).toSeq
   }
 
   def replayFiles(spark: SparkSession, input: DataFrame, tsCol: String,
@@ -152,20 +187,18 @@ object StreamRunner {
       dir
     }
     // deep revalidation on cache hit: /tmp age-based pruning can remove a
-    // long-lived staging mid-session — and file-first pruning can leave the
-    // directory skeleton standing — so every chunk dir must still hold
-    // parquet files; anything less re-stages instead of silently replaying
-    // an empty (or truncated) stream
-    def intact(dir: String): Boolean = {
-      val chunkDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("__chunk="))
-      chunkDirs.nonEmpty && chunkDirs.forall(d =>
-        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-    }
-    // the cache key is (canonical plan + file-source paths); canonicalization
-    // erases paths, and for NON-file inputs (LocalRelation, views over memory)
-    // it also erases the DATA — same-schema in-memory inputs would collide.
-    // Only file-backed inputs are cacheable; everything else stages fresh.
+    // long-lived staging mid-session — and FILE-level pruning can remove
+    // some-but-not-all parquet files while the directory skeleton stands —
+    // so the staged file set must match the manifest recorded at staging
+    // time exactly; anything less re-stages instead of silently replaying an
+    // empty or TRUNCATED stream
+    def intact(st: Staged): Boolean =
+      st.manifest.nonEmpty && manifestOf(st.dir) == st.manifest
+    // the cache key is (canonical plan + file-source paths + source stamp);
+    // canonicalization erases paths, and for NON-file inputs (LocalRelation,
+    // views over memory) it also erases the DATA — same-schema in-memory
+    // inputs would collide. Only file-backed inputs are cacheable; everything
+    // else stages fresh.
     val srcPaths = org.apache.spark.sql.graftops.Bridge.sourcePaths(input)
     // an uncacheable staging is private to this call — deleted with scratch
     var ephemeralBase: Option[String] = None
@@ -177,17 +210,34 @@ object StreamRunner {
       }
       else {
         val cacheKey = input.queryExecution.analyzed.canonicalized.toString +
-          srcPaths.mkString("[", "|", "]") + s";$tsCol;$chunks"
+          srcPaths.mkString("[", "|", "]") + s";$tsCol;$chunks;" +
+          sourceStamp(srcPaths)
         // stage OUTSIDE the map lock (CHM.compute must not run long Spark
-        // jobs); a lost putIfAbsent race just discards the duplicate staging
+        // jobs), publish via putIfAbsent: on a lost race the NEW staging is
+        // deleted and the existing entry (possibly mid-replay elsewhere)
+        // wins — never the other way around
         val hit = chunkCache.get(cacheKey)
-        if (hit != null && intact(hit)) hit
+        if (hit != null && intact(hit)) hit.dir
         else {
-          val fresh = stage()
-          val prev = chunkCache.put(cacheKey, fresh)
-          if (prev != null && prev != fresh)
-            graft.pipeline.TempFiles.deleteTree(new java.io.File(prev).getParent)
-          fresh
+          val fresh = Staged(stage(), Map.empty)
+          val staged = fresh.copy(manifest = manifestOf(fresh.dir))
+          val winner =
+            if (hit == null) {
+              val prev = chunkCache.putIfAbsent(cacheKey, staged)
+              if (prev == null) staged else prev
+            } else {
+              // the hit failed revalidation: replace it (its files are
+              // already gone/damaged — no live replay could be reading the
+              // missing data anyway); if another thread replaced it first,
+              // use theirs (entries are never removed, so get is non-null)
+              if (chunkCache.replace(cacheKey, hit, staged)) {
+                graft.pipeline.TempFiles.deleteTree(new java.io.File(hit.dir).getParent)
+                staged
+              } else chunkCache.get(cacheKey)
+            }
+          if (winner.dir != staged.dir)
+            graft.pipeline.TempFiles.deleteTree(new java.io.File(staged.dir).getParent)
+          winner.dir
         }
       }
     // tail-extended replays (sentinel chunks) get their OWN dir: copying the

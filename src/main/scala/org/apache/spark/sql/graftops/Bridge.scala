@@ -47,6 +47,40 @@ object Bridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Whether a SESSION-registered function resolves to an aggregate.
+    * ExpressionInfo class names are unreliable for registered udafs (the
+    * builder is a closure), so the registry BUILDER is invoked with the
+    * call's actual arguments and the produced expression inspected; if that
+    * throws (arity/type mismatch at this pre-analysis point) the class-name
+    * check is the fallback. None = the session registry doesn't know the
+    * name at all. `sessionState` is private[sql] — reached from this
+    * sanctioned extension sub-package.
+    */
+  def sessionFunctionIsAggregate(
+      spark: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      args: Seq[Expression]): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    spark match {
+      case cs: org.apache.spark.sql.classic.SparkSession =>
+        val reg = cs.sessionState.functionRegistry
+        if (!reg.functionExists(id)) None
+        else Some(
+          try reg.lookupFunction(id, args) match {
+            case _: AggregateFunction => true
+            case _: AggregateExpression => true
+            case _ => false
+          } catch {
+            case _: Throwable =>
+              reg.lookupFunction(id).exists(info =>
+                try classOf[AggregateFunction]
+                  .isAssignableFrom(Class.forName(info.getClassName))
+                catch { case _: Throwable => false })
+          })
+      case _ => None
+    }
+  }
+
   /** The file-source root paths under a DataFrame's analyzed plan — the part
     * of the input identity that plan CANONICALIZATION erases (a parquet
     * LogicalRelation renders as `Relation [cols] parquet` with no path, and

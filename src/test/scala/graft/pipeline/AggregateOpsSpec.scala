@@ -46,6 +46,24 @@ class AggregateOpsSpec extends SparkSpec {
     assert(r.getSeq[Double](2) === Seq(5.0, 3.0)) // 9.0 excluded from the typed agg
   }
 
+  test("sideFiltered filters SESSION-registered aggregates and rejects unknown names") {
+    // a session-registered udaf used by bare name must get the side filter
+    // (the round-4 builtin-only lookup silently left it unfiltered → it
+    // would have accumulated BOTH inputs' rows in a co-aggregation)
+    spark.udf.register("graft_spec_top2", udaf(graft.pipeline.typed.TypedAggs.topN(2)))
+    val df = Seq((0, 5.0), (0, 3.0), (1, 9.0)).toDF("side", "v")
+    val cols = AggregateOperations.sideFiltered(
+      AggOp(Seq(expr("graft_spec_top2(v)").as("top"))), $"side" === 0)
+    val r = df.agg(cols.head, cols.tail: _*).collect()(0)
+    assert(r.getSeq[Double](0) === Seq(5.0, 3.0), "side-1 row leaked into session udaf")
+    // a name in NEITHER registry must fail loudly, not pass through unfiltered
+    val e = intercept[IllegalArgumentException] {
+      AggregateOperations.sideFiltered(
+        AggOp(Seq(expr("graft_no_such_fn(v)").as("x"))), $"side" === 0)
+    }
+    assert(e.getMessage.contains("graft_no_such_fn"))
+  }
+
   test("topN / bottomN / sorting / toList / toSet / concatenating / toMap / pickAny") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("a", 1)).toDF("k", "x")
     val row = new BatchStage(df).groupingKey(col("k"))

@@ -43,6 +43,45 @@ class StreamRunnerCacheSpec extends SparkSpec {
     TempFiles.deleteTree(work)
   }
 
+  test("a PARTIALLY pruned staging (one file gone, skeleton intact) is re-staged") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cachespec3_").toString
+    (1 to 11).map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+      .toDF("ts", "v").write.parquet(s"$work/d")
+    val in = spark.read.parquet(s"$work/d")
+    val before = StreamRunner.stagedDirs.toSet
+    assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 11L)
+    // file-level /tmp pruning: delete exactly ONE staged parquet file; the
+    // chunk dirs all still exist and still contain parquet files, so the
+    // round-4 existence-only check would accept the truncated staging
+    val staged = (StreamRunner.stagedDirs.toSet -- before).head
+    val victim = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("__chunk=")).sortBy(_.getName)
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .head
+    assert(victim.delete())
+    assert(StreamRunner.replayFiles(spark, in, "ts", "append")(identity).count() === 11L,
+      "truncated staging passed revalidation — rows were silently dropped")
+    TempFiles.deleteTree(work)
+  }
+
+  test("an in-place source rewrite between replays is not served the old staging") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cachespec4_").toString
+    def write(n: Int): Unit = {
+      TempFiles.deleteTree(s"$work/e")
+      (1 to n).map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+        .toDF("ts", "v").write.parquet(s"$work/e")
+    }
+    write(4)
+    assert(StreamRunner.replayFiles(spark, spark.read.parquet(s"$work/e"), "ts", "append")(identity)
+      .count() === 4L)
+    // rewrite the SAME path with different data: same plan, same source
+    // paths — only the file (size, mtime) stamp distinguishes it
+    write(6)
+    assert(StreamRunner.replayFiles(spark, spark.read.parquet(s"$work/e"), "ts", "append")(identity)
+      .count() === 6L, "stale staging served after an in-place source rewrite")
+    TempFiles.deleteTree(work)
+  }
+
   test("same-schema IN-MEMORY inputs never share a staging (uncacheable)") {
     // canonicalization erases LocalRelation data, so these two frames are
     // indistinguishable by plan+paths — they must bypass the cache entirely
