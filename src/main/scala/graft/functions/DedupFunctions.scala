@@ -430,19 +430,61 @@ object DedupFunctions {
   def crossCorpusPairs(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        setCol: String, hashes: Int, bands: Int,
                        minJaccard: Double,
-                       maxRefPerBucket: Int = Int.MaxValue): DataFrame = {
+                       maxRefPerBucket: Int = Int.MaxValue): DataFrame =
+    crossCorpusPairsImpl(
+      bandedSignatures(newDf, idCol, setCol, hashes, bands),
+      bandedSignatures(refDf, idCol, setCol, hashes, bands),
+      minJaccard, maxRefPerBucket)
+
+  /** The banded-signature frame both sides of a cross-corpus join stand on:
+    * (id, hs = per-token h1 longs for the exact-Jaccard verify, band = one
+    * row per band key). A pure function of (corpus, hashes, bands).
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, setCol: String,
+                               hashes: Int, bands: Int): DataFrame = {
     val rows = hashes / bands
-    def banded(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(setCol).as("toks"))
-        .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
-        .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
-        // explode_outer + null filter: see candidatePairs (generate-inlining)
-        .withColumn("band",
-          explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
-        .filter(col("band").isNotNull)
-        .select(col("id"), col("hs"), col("band"))
-    val a = banded(newDf).select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
-    val bAll = banded(refDf).select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
+    df.select(col(idCol).as("id"), col(setCol).as("toks"))
+      .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
+      .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
+      // explode_outer + null filter: see candidatePairs (generate-inlining)
+      .withColumn("band",
+        explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+      .filter(col("band").isNotNull)
+      .select(col("id"), col("hs"), col("band"))
+  }
+
+  /** Persist a REFERENCE corpus's banded signatures once — the amortization
+    * the cross-corpus scale shape calls for: signatures are a pure function
+    * of (corpus, hashes, bands), so nightly batches join against this
+    * parquet instead of re-hashing the whole training set per batch. Write
+    * once, then `crossCorpusPairsFromSignatures` per batch. The layout is
+    * partitioned by nothing and bucketable by `band` downstream; pass the
+    * SAME (hashes, bands) to the read side — the file carries no metadata.
+    */
+  def writeBandedSignatures(refDf: DataFrame, idCol: String, setCol: String,
+                            hashes: Int, bands: Int, path: String): Unit =
+    bandedSignatures(refDf, idCol, setCol, hashes, bands)
+      .write.mode("overwrite").parquet(path)
+
+  /** `crossCorpusPairs` against signatures previously persisted with
+    * `writeBandedSignatures` — identical output to the two-DataFrame form
+    * (CorpusOpsSpec pins the equivalence), minus the reference-side hashing.
+    */
+  def crossCorpusPairsFromSignatures(newDf: DataFrame, signaturesPath: String,
+                                     idCol: String, setCol: String,
+                                     hashes: Int, bands: Int,
+                                     minJaccard: Double,
+                                     maxRefPerBucket: Int = Int.MaxValue): DataFrame =
+    crossCorpusPairsImpl(
+      bandedSignatures(newDf, idCol, setCol, hashes, bands),
+      newDf.sparkSession.read.parquet(signaturesPath),
+      minJaccard, maxRefPerBucket)
+
+  private def crossCorpusPairsImpl(newSig: DataFrame, refSig: DataFrame,
+                                   minJaccard: Double,
+                                   maxRefPerBucket: Int): DataFrame = {
+    val a = newSig.select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
+    val bAll = refSig.select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
     val b =
       if (maxRefPerBucket == Int.MaxValue) bAll
       else {

@@ -166,4 +166,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" < 0.9).count() === 0)
     ids.unpersist(); pairs.unpersist()
   }
+
+  test("crossCorpusPairsFromSignatures equals the two-DataFrame form (persisted ref side)") {
+    val docs = graft.Tables(spark, sf, "documents").limit(120)
+      .select($"doc_id", T.tokenSet($"text").as("toks"))
+    val newBatch = docs.filter($"doc_id" % 3 === 0)
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val direct = D.crossCorpusPairs(newBatch, ref, "doc_id", "toks",
+      hashes = 12, bands = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString + "/ref"
+    D.writeBandedSignatures(ref, "doc_id", "toks", hashes = 12, bands = 2, sigDir)
+    val fromDisk = D.crossCorpusPairsFromSignatures(newBatch, sigDir, "doc_id", "toks",
+      hashes = 12, bands = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk === direct, "persisted-signature path diverged from direct path")
+    graft.pipeline.TempFiles.deleteTree(new java.io.File(sigDir).getParent)
+  }
 }
