@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque `BINARY` columns with
   * typed metadata structs, plus batch decode/feature-extract plumbing.
   *
-  * The container has no codec libraries, so `decodeStub` is a clearly-marked
-  * deterministic FAKE decoder — but everything around it is the real production
-  * shape: binary columns flow through parquet scans column-pruned, the decoder
-  * runs per-partition (one "model/codec handle" per task, the mapPartitions
-  * service pattern), and outputs are a typed struct per item. Swapping
-  * `decodeStub` for a JNI/FFmpeg/PIL call changes no plumbing.
+  * Image formats the JDK ships codecs for (PNG/BMP/GIF via `javax.imageio`)
+  * are decoded FOR REAL in `decodeImages` — true raster width/height/bands
+  * from parsing the bytes. Formats needing external codecs (video, JPEG2000,
+  * audio) stay behind `decodeStub`, a clearly-marked deterministic FAKE —
+  * but everything around it is the real production shape: binary columns
+  * flow through parquet scans column-pruned, the decoder runs per-partition
+  * (one "model/codec handle" per task, the mapPartitions service pattern),
+  * and outputs are a typed struct per item. Swapping `decodeStub` for a
+  * JNI/FFmpeg call changes no plumbing.
   *
   * Scale notes: binary payloads dominate row size — `spark.sql.files.
   * maxPartitionBytes` governs split sizing, and the decode stage is a pure map
@@ -42,6 +45,65 @@ object Multimodal {
       content_md5 = md5,
       fake_width = (bytes.length % 64) + 1,
       fake_height = ((bytes.length * 7) % 64) + 1)
+  }
+
+  /** Typed record of a REAL image decode (see `decodeImages`). */
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  /** REAL image decode — `javax.imageio` ships PNG/BMP/GIF codecs in the
+    * JDK, so this path is NOT a stub: the payload bytes are parsed as an
+    * actual image and the true raster dimensions come back. Undecodable or
+    * NULL payloads are skipped (a corrupt image must not kill a 100 TB
+    * decode job — count them from the input/output row delta). Video and
+    * formats needing external codecs stay on `decodeStub`.
+    *
+    * Same scale shape as `decodeAll`: one pass, mapPartitions, no shuffle;
+    * the in-memory stream cache is disabled once per partition (ImageIO
+    * otherwise spills temp files per image).
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): Dataset[ImageFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per task, like a codec handle
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+            if (img == null) None // skip-undecodable semantics
+            else Some(ImageFeatures(id, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands))
+          }
+        }
+      }
+  }
+
+  /** Deterministic tiny-PNG synthesizer for fixtures/tests: a real encoded
+    * PNG whose dimensions are a pure function the caller chooses — the
+    * differential oracle predicts (width, height, channels) independently
+    * and the gate verifies `decodeImages` actually parsed the bytes.
+    */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((seed + x * 31 + y * 131) & 0xffffff)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Batch decode: mapPartitions so a real implementation amortizes one codec/

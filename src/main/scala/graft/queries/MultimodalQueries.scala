@@ -5,34 +5,43 @@ import graft.functions.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column gate queries: the documents' text bytes stand in for media
-  * payloads (no codecs in the container — TESTDATA has no binary fixture), so
-  * the binary column is synthesized with `encode(text)` and pushed through the
-  * REAL decode plumbing (binary column → mapPartitions decoder → typed struct).
-  * The oracle reproduces the stub's arithmetic from octet_length/md5.
+/** Multimodal-column gate queries. q45 is a REAL decode: a tiny PNG is
+  * synthesized per document (dimensions a pure function of doc_id), and
+  * `javax.imageio` — a genuine in-JDK codec — parses the bytes back; the
+  * oracle predicts (width, height, channels) independently from doc_id, so
+  * the gate verifies actual image parsing, not arithmetic replay. q46/q64
+  * use text bytes as payload stand-ins through the same binary-column
+  * plumbing (TESTDATA has no media fixture); their decode step remains the
+  * documented stub (video-class formats have no in-container codec).
   */
 object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
   // ------------------------------------------------ q45 decode via mapPartitions
+  /** Encode stage (real PNG writer) → binary column → decode stage (real PNG
+    * reader, one codec setup per partition) → typed struct.
+    */
   val q45_multimodal_decode: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    Multimodal.decodeAll(docs, "doc_id", "payload")
-      .toDF() // media_id, n_bytes, content_md5, fake_width, fake_height
+    import s.implicits._
+    val withPng = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id,
+          Multimodal.syntheticPng((id % 13).toInt + 1, (id % 7).toInt + 1, id)))
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeImages(withPng, "doc_id", "payload")
+      .toDF() // media_id, width, height, channels — true raster values
   }
 
-  // oracles mirror the engine's skip-undecodable semantics: NULL payloads
-  // are dropped by the decode stages (one null row must not NPE a 100 TB
-  // decode job), and a zero-byte payload yields zero frames in q46
+  // width/height/channels predicted from doc_id alone: if decodeImages did
+  // not truly parse the PNG bytes, the hash compare fails
   val q45_oracle: String =
     """SELECT doc_id AS media_id,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  (octet_length(encode(text)) % 64 + 1)::INT AS fake_width,
-      |  ((octet_length(encode(text)) * 7) % 64 + 1)::INT AS fake_height
-      |FROM documents WHERE text IS NOT NULL""".stripMargin
+      |  (doc_id % 13 + 1)::INT AS width,
+      |  (doc_id % 7 + 1)::INT AS height,
+      |  3 AS channels
+      |FROM documents""".stripMargin
 
   // -------------------------------------------------- q46 frame sampling shape
   val q46_multimodal_frames: Q = (s, dir) => {
