@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Max-sustainable-rate probe — the engine-side analog of the reference's
   * single-node "events per second it can keep up with" methodology
@@ -9,35 +8,55 @@ import org.apache.spark.sql.functions._
   * a node passes a rate if processing keeps up with the generators; the
   * published single-node ceiling is 25M events/s on 16 vCPUs).
   *
-  * Instrument: Spark's rate source generates rows at a requested rows/second;
-  * the pipeline is the same NEXMark-style keyed tumbling window count+sum the
-  * BENCH throughput harness uses. A rate R is SUSTAINED if, over the probe
-  * window (after a settle period), the query commits ≥95% of R rows/s —
-  * under saturation committed-rows-per-wall-second IS engine throughput, so
-  * a query that cannot keep up fails the criterion within one window.
+  * Instrument: Spark's rate source generates rows at a requested rows/second
+  * through one of four pipelines covering the distinct state shapes —
+  * stateless map, keyed tumbling window (point-keyed state), time-bounded
+  * stream-stream join (state ∝ rate × join window, both sides buffered),
+  * and session windows (range-keyed state with merge-per-batch). A rate R is
+  * SUSTAINED if, over the probe window (after a settle period), the query
+  * commits ≥95% of R rows/s — under saturation committed-rows-per-wall-second
+  * IS engine throughput, so a query that cannot keep up fails the criterion
+  * within one window. State rows at the sustained rate are recorded from the
+  * last progress (the "state-rows-at-rate" column of the BASELINE.md ladder).
   *
-  * Search: geometric ladder (doubling) from 1M rows/s until a rate fails,
-  * then one bisection step — prints one JSON line with the stateful and
-  * stateless ceilings. Results are recorded in BASELINE.md, not gated: the
-  * number is machine-relative (local[32] micro-batch vs the reference's
+  * Search: geometric ladder (doubling) from 1M rows/s (joins/sessions: 250k)
+  * until a rate fails, then one bisection step — prints one JSON line with
+  * per-pipeline ceilings. Results are recorded in BASELINE.md, not gated:
+  * the number is machine-relative (local[32] micro-batch vs the reference's
   * 45-node event-at-a-time cluster) and calibrates the architecture, not the
-  * round artifact.
+  * round artifact. SPARK_GRAFT_MAXRATE_ONLY=name,... filters pipelines.
   */
 object MaxRate {
 
   private val SettleSec = 4
   private val MeasureSec = 10
 
-  /** Run the workload at `rate` rows/s; return measured processed rows/s if
-    * sustained, else None.
+  private final case class Pipeline(
+      name: String,
+      outputMode: String,
+      startRate: Long,
+      build: (SparkSession, Long) => DataFrame)
+
+  private val pipelines = Seq(
+    Pipeline("stateless", "append", 1000000L,
+      (s, r) => RateWorkloads.statelessMap(RateWorkloads.shaped(s, r))),
+    Pipeline("keyed_tumbling", "update", 1000000L,
+      (s, r) => RateWorkloads.statefulAgg(RateWorkloads.shaped(s, r))),
+    Pipeline("stream_join", "append", 250000L,
+      (s, r) => RateWorkloads.streamStreamJoin(s, r)),
+    // session windows support append, not update (Spark STREAMING_OUTPUT_MODE
+    // 42KDE); the keep-up criterion reads numInputRows, so never-closing
+    // sessions (continuously firing keys) are fine — the probe exercises the
+    // merge path, not emission
+    Pipeline("session_window", "append", 250000L,
+      (s, r) => RateWorkloads.sessionAgg(RateWorkloads.shaped(s, r))))
+
+  /** Run the workload at `rate` rows/s; Some((processed rows/s, state rows))
+    * if sustained, else None.
     */
-  private def probe(spark: SparkSession, rate: Long, stateful: Boolean): Option[Double] = {
-    val shaped = RateWorkloads.shaped(spark, rate)
-    val out =
-      if (stateful) RateWorkloads.statefulAgg(shaped)
-      else RateWorkloads.statelessMap(shaped)
-    val q = out.writeStream.format("noop")
-      .outputMode(if (stateful) "update" else "append")
+  private def probe(spark: SparkSession, p: Pipeline, rate: Long): Option[(Double, Long)] = {
+    val q = p.build(spark, rate).writeStream.format("noop")
+      .outputMode(p.outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
       .start()
     try {
@@ -47,41 +66,54 @@ object MaxRate {
       // window — excluding them undercounts and fails a sustainable rate
       val fromBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       Thread.sleep(MeasureSec * 1000L)
-      val progress = q.recentProgress.filter(_.batchId > fromBatch)
+      // BUSY-TIME throughput: committed rows per second of trigger execution.
+      // A wall-clock window is unfair to pipelines with multi-second batches
+      // (sessions, joins): the trailing in-flight batch's rows are generated
+      // but uncommitted at cutoff, shaving up to batchDur/window off the
+      // measurement regardless of true capacity. Busy-time is edge-free:
+      // under saturation back-to-back batches make exec ≈ wall (identical
+      // verdict to the round-4 criterion at the high ceilings), and a rate
+      // above capacity still fails because committed/exec IS capacity.
+      // Leading zero-row batches (batch 0 starts at offset 0 and carries
+      // planning warm-up) are excluded.
+      val progress = q.recentProgress.filter(p => p.batchId > fromBatch && p.numInputRows > 0)
       if (progress.isEmpty) None
       else {
         val rows = progress.map(_.numInputRows).sum
-        // when no batch closed inside the settle, the counted batches reach
-        // back to stream START and include settle-time generation — divide by
-        // the full elapsed span so catch-up backlog can never inflate the
-        // verdict (it can only make it conservative)
-        val span = if (fromBatch == -1L) (SettleSec + MeasureSec).toDouble
-                   else MeasureSec.toDouble
-        val processedPerSec = rows / span
-        // sustained = kept up with ≥95% of the requested rate over the window
-        if (processedPerSec >= 0.95 * rate) Some(processedPerSec) else None
+        val execSec = progress
+          .map(_.durationMs.get("triggerExecution").toDouble).sum / 1000.0
+        val processedPerSec = rows / math.max(execSec, 1e-3)
+        val stateRows = progress.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // sustained = kept up with ≥95% of the requested rate
+        if (processedPerSec >= 0.95 * rate) Some((processedPerSec, stateRows))
+        else None
       }
     } finally q.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_MAXRATE_ONLY").map(_.split(',').toSet)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-maxrate"),
       shufflePartitions = 8
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def ceilingFor(stateful: Boolean): (Long, Double) = {
+    def ceilingFor(p: Pipeline): (Long, Double, Long) = {
       val ceiling = 512000000L // generator guard: don't probe beyond this
-      var rate = 1000000L
+      var rate = sys.env.get("SPARK_GRAFT_MAXRATE_START")
+        .map(_.toLong).getOrElse(p.startRate)
       var lastOk = 0L
       var lastMeasured = 0.0
+      var lastState = 0L
       var sawFailure = false
       var done = false
       while (!done) {
-        probe(spark, rate, stateful) match {
-          case Some(m) => lastOk = rate; lastMeasured = m; rate *= 2
+        probe(spark, p, rate) match {
+          case Some((m, st)) =>
+            lastOk = rate; lastMeasured = m; lastState = st; rate *= 2
           case None => sawFailure = true; done = true
         }
         if (rate > ceiling) done = true
@@ -91,16 +123,20 @@ object MaxRate {
       // has no failed rate above lastOk to bisect toward)
       if (lastOk > 0 && sawFailure) {
         val mid = lastOk + (lastOk / 2)
-        probe(spark, mid, stateful).foreach { m => lastOk = mid; lastMeasured = m }
+        probe(spark, p, mid).foreach { case (m, st) =>
+          lastOk = mid; lastMeasured = m; lastState = st
+        }
       }
-      (lastOk, lastMeasured)
+      (lastOk, lastMeasured, lastState)
     }
 
-    val (statelessRate, statelessMeasured) = ceilingFor(stateful = false)
-    val (statefulRate, statefulMeasured) = ceilingFor(stateful = true)
+    val results = pipelines.filter(p => only.forall(_.contains(p.name))).map { p =>
+      val (r, m, st) = ceilingFor(p)
+      System.err.println(s"[maxrate] ${p.name}: sustained=$r measured=$m state_rows=$st")
+      s""""${p.name}":{"rate":$r,"measured":$m,"state_rows":$st}"""
+    }
     println(s"""{"metric":"max_sustainable_rate","unit":"rows_per_sec",""" +
-      s""""stateless_rate":$statelessRate,"stateless_measured":$statelessMeasured,""" +
-      s""""stateful_rate":$statefulRate,"stateful_measured":$statefulMeasured}""")
+      results.mkString(",") + "}")
     spark.stop()
   }
 }
