@@ -386,15 +386,6 @@ object EmbeddingQueries {
     // a long-lived session don't pin one dead cached table each
     val exact = S.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
       .select($"query_id", $"neighbor_id").localCheckpoint(true)
-    def recallOf(approx: DataFrame, method: String): DataFrame = {
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-      exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select($"query_id", lit(method).as("method"),
-          round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
-            .as("recall_at_3"))
-    }
     // IVF: centroids + probe + candidate scoring run ONCE at the deepest
     // probe depth (a small frame — |queries| × probed-cell sizes); ivf_p1 is
     // the probe_rn <= 1 restriction of the same scored frame, bit-identical
@@ -404,9 +395,24 @@ object EmbeddingQueries {
     def ivfMethod(maxRn: Int): DataFrame =
       ivfRanked(s, scored.filter($"probe_rn" <= maxRn))
         .select($"query_id", $"neighbor_id")
-    recallOf(q42_ann_lsh_topk(s, dir).select($"query_id", $"neighbor_id"), "lsh")
-      .unionByName(recallOf(ivfMethod(1), "ivf_p1"))
-      .unionByName(recallOf(ivfMethod(2), "ivf_p2"))
+    // ONE recall pass for all three methods: the approx top-3 lists are tiny
+    // (|queries|·k rows each) — union them with a method tag, inner-join the
+    // exact reference once (each approx list is duplicate-free, so the hit
+    // count equals the semi-join count per method), and left-join onto the
+    // (query × method) grid so absent methods read recall 0. Replaces three
+    // separate semi-join+aggregate pipelines (~12 stages) with one (~4).
+    val approxAll = q42_ann_lsh_topk(s, dir)
+      .select($"query_id", $"neighbor_id", lit("lsh").as("method"))
+      .unionByName(ivfMethod(1).withColumn("method", lit("ivf_p1")))
+      .unionByName(ivfMethod(2).withColumn("method", lit("ivf_p2")))
+    val hits = exact.join(approxAll, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id", $"method").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(Seq("lsh", "ivf_p1", "ivf_p2").toDF("method"))
+      .join(hits, Seq("query_id", "method"), "left")
+      .select($"query_id", $"method",
+        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
+          .as("recall_at_3"))
   }
 
   val q74_oracle: String = {
