@@ -398,6 +398,56 @@ object DedupFunctions {
     snap
   }
 
+  /** Near-CONTAINMENT pairs: LSH-banded candidates scored by set containment
+    * in both directions — containment(A in B) = |A∩B| / |A| over the
+    * per-token h1 longs — instead of Jaccard. This is the asymmetric-dedup
+    * operator ("this crawl page is 90% a copy of that reference doc even
+    * though the page is 10× longer") that a symmetric Jaccard threshold
+    * misses: J(A,B) ≤ |A|/|B| however complete the containment.
+    *
+    * Honest limitation, stated: candidates still come from MINHASH banding,
+    * which approximates JACCARD — a tiny doc fully contained in a huge one
+    * may collide in no band. Raise `bands` (more, narrower bands → lower
+    * collision threshold) when asymmetric sizes dominate; the exact answer
+    * at scale is the inverted-index/ExactSubstr family (q79's shape), at
+    * higher cost. No mega-bucket guard here (see candidatePairs' `maxBucket`
+    * for the flood-bucket fuse to replicate if needed).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, setCol: String,
+                       hashes: Int, bands: Int, minContainment: Double,
+                       scopeCols: Seq[String] = Nil): DataFrame = {
+    val rows = hashes / bands
+    val sig = df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
+        scopeCols.map(col)): _*)
+      .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
+      .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
+      // explode_outer + null filter: see candidatePairs (generate-inlining)
+      .withColumn("band",
+        explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
+      .filter(col("band").isNotNull)
+      .drop("hp", "toks")
+      .cache()
+    val joinKeys = "band" +: scopeCols
+    val a = sig.select((col("id").as("id_a") +: col("hs").as("hs_a") +:
+      col("band") +: scopeCols.map(col)): _*)
+    val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
+      col("band") +: scopeCols.map(col)): _*)
+    // |A∩B| once; both denominators are DISTINCT counts (h1 collisions across
+    // distinct tokens dedup identically in both engines)
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val pairs = a.join(b, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / size(array_distinct(col("hs_a")))).as("cont_a_in_b"),
+        (inter / size(array_distinct(col("hs_b")))).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+    val snap = pairs.cache()
+    snap.count()
+    sig.unpersist()
+    snap
+  }
+
   /** Cross-corpus near-dup: MinHash/LSH-banded join of a NEW document batch
     * against an EXISTING reference corpus — the "dedup tonight's crawl against
     * the whole training set" pass, where a self-join over new ∪ existing would

@@ -360,6 +360,48 @@ object CorpusQueries {
           lit(0.0), (a, b) => a + b), 6).as("kl_vs_corpus"))
   }
 
+  // ------------------------------------- q95 temperature-scaled mix weights
+  /** Temperature-scaled source sampling weights — the standard multilingual/
+    * multi-source recipe (w_s ∝ p_s^α, α < 1 upsamples the tail): at α = 0.3
+    * a 100× larger source gets only 100^0.3 ≈ 4× the sampling mass. This is
+    * q71's inverse-proportional scheme generalized; the pair spans the
+    * mixing-policy space a training-data pipeline actually uses. Token
+    * totals are exact integer sums; the one floating reduction (the weight
+    * denominator) is an order-pinned fold like q92.
+    */
+  val q95_mix_temperature: Q = (s, dir) => {
+    import s.implicits._
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withW = t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(sum(size(T.tokens($"text")).cast("long")).as("src_tokens"))
+      .select($"source", $"src_tokens",
+        ($"src_tokens".cast("double") /
+          sum($"src_tokens").over(all).cast("double")).as("p_raw"))
+      .select($"source", $"src_tokens", $"p_raw",
+        round(pow($"p_raw", 0.3), 9).as("w_raw"))
+    val denom = withW.agg(
+      aggregate(transform(sort_array(collect_list(struct($"source", $"w_raw"))),
+        x => x.getField("w_raw")), lit(0.0), (a, b) => a + b).as("denom"))
+    withW.crossJoin(broadcast(denom))
+      .select($"source", $"src_tokens", round($"p_raw", 6).as("p_src"),
+        round($"w_raw" / $"denom", 6).as("weight"))
+  }
+
+  val q95_oracle: String =
+    s"""WITH sc AS (SELECT source, sum(len($tokSql))::BIGINT AS src_tokens
+       |  FROM documents GROUP BY source),
+       |p AS (SELECT source, src_tokens,
+       |    src_tokens::DOUBLE / (SELECT sum(src_tokens) FROM sc)::DOUBLE AS p_raw
+       |  FROM sc),
+       |w AS (SELECT source, src_tokens, p_raw,
+       |    round(pow(p_raw, 0.3), 9) AS w_raw FROM p),
+       |d AS (SELECT list_reduce(list_prepend(0.0, list(w_raw ORDER BY source)),
+       |    (a, b) -> a + b) AS denom FROM w)
+       |SELECT source, src_tokens, round(p_raw, 6) AS p_src,
+       |  round(w_raw / d.denom, 6) AS weight
+       |FROM w, d""".stripMargin
+
   val q92_oracle: String =
     s"""WITH tok AS (SELECT source, unnest($tokSql) AS tok FROM documents),
        |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -389,7 +431,8 @@ object CorpusQueries {
     "q88_length_quantiles" -> q88_length_quantiles,
     "q89_contamination_frac" -> q89_contamination_frac,
     "q90_bloom_decontaminate" -> q90_bloom_decontaminate,
-    "q92_source_entropy" -> q92_source_entropy)
+    "q92_source_entropy" -> q92_source_entropy,
+    "q95_mix_temperature" -> q95_mix_temperature)
 
   val oracles: Map[String, String] = Map(
     "q82_sentence_dedup" -> q82_oracle,
@@ -400,5 +443,6 @@ object CorpusQueries {
     "q88_length_quantiles" -> q88_oracle,
     "q89_contamination_frac" -> q89_oracle,
     "q90_bloom_decontaminate" -> q90_oracle,
-    "q92_source_entropy" -> q92_oracle)
+    "q92_source_entropy" -> q92_oracle,
+    "q95_mix_temperature" -> q95_oracle)
 }

@@ -168,6 +168,64 @@ object StreamingQueries {
     }
   }
 
+  // --------------------------------- q94 streaming LEFT OUTER stream-stream join
+  /** LEFT OUTER time-bounded stream-stream join — the semantics q77's inner
+    * join does not cover: an UNMATCHED left row is held in state until the
+    * watermark passes its join window, then emitted with NULL right columns
+    * (StreamingSymmetricHashJoin's outer-eviction path). Views left-joined to
+    * purchases within [view_ts, view_ts + 2 h] per user; far-future sentinel
+    * chunks advance the watermark past every real view's window and trigger
+    * the flush batches, so the replay drains every outer row
+    * deterministically (q51's sentinel pattern).
+    *
+    * Sentinel shape matters here: the per-side `event_type` filters get
+    * PUSHED below the watermark into each branch's file scan, so a sentinel
+    * with a type matching neither side is skipped at scan level and never
+    * reaches the event-time stats — the watermark stalls and the tail outer
+    * rows never flush (observed: 10 rows short). The sentinels are therefore
+    * 'purchase' rows for user −1: they enter the right side (advancing the
+    * watermark), can never match a real view, and the build side of a left
+    * outer join emits nothing unmatched — no result filtering needed.
+    */
+  val q94_stream_left_join: Q = (s, dir) => {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
+    def sentinel(maxTs: Timestamp, offsetSec: Long): DataFrame =
+      Seq((new Timestamp(maxTs.getTime + offsetSec * 1000L), -1L, -1L, "purchase", 0.0))
+        .toDF("ts", "event_id", "user_id", "event_type", "value")
+    StreamRunner.replayFiles(s, events, "ts", "append",
+      tails = Some(maxTs =>
+        Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60),
+          sentinel(maxTs, 4 * 3600 + 120)))) { df =>
+      val wm = df.withWatermark("ts", "1 hour")
+      val views = wm.filter($"event_type" === "view")
+        .select($"ts".as("view_ts"), $"event_id".as("view_id"),
+          $"user_id", $"value".as("view_value"))
+      val buys = wm.filter($"event_type" === "purchase")
+        .select($"ts".as("buy_ts"), $"event_id".as("buy_id"),
+          $"user_id".as("buyer_id"), $"value".as("buy_value"))
+      views.join(buys,
+        $"user_id" === $"buyer_id" &&
+          $"buy_ts" >= $"view_ts" &&
+          $"buy_ts" <= $"view_ts" + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+        .select($"user_id", $"view_id", $"buy_id",
+          unix_micros($"view_ts").as("view_ts_us"),
+          round($"view_value", 4).as("view_value"),
+          round($"buy_value", 4).as("buy_value"))
+    }
+  }
+
+  val q94_oracle: String =
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
+      |  round(a.value, 4) AS view_value, round(b.value, 4) AS buy_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR""".stripMargin
+
   val q77_oracle: String =
     """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
       |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
@@ -254,7 +312,8 @@ object StreamingQueries {
     "q52_stream_rolling_final" -> q52_stream_rolling_final,
     "q77_stream_join" -> q77_stream_join,
     "q87_stream_dedup" -> q87_stream_dedup,
-    "q91_stream_window_topk" -> q91_stream_window_topk)
+    "q91_stream_window_topk" -> q91_stream_window_topk,
+    "q94_stream_left_join" -> q94_stream_left_join)
 
   val oracles: Map[String, String] = Map(
     "q50_stream_tumbling" -> q50_oracle,
@@ -262,5 +321,6 @@ object StreamingQueries {
     "q52_stream_rolling_final" -> q52_oracle,
     "q77_stream_join" -> q77_oracle,
     "q87_stream_dedup" -> q87_oracle,
-    "q91_stream_window_topk" -> q91_oracle)
+    "q91_stream_window_topk" -> q91_oracle,
+    "q94_stream_left_join" -> q94_oracle)
 }

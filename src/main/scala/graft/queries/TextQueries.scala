@@ -211,6 +211,36 @@ object TextQueries {
 
   val q36_oracle: String = s"WITH $lshPairsCtes\n$lshPairsSelect"
 
+  // ------------------------------------------------ q93 near-containment
+  /** Asymmetric near-dup: containment(A in B) = |A∩B|/|A| in BOTH directions
+    * over the same source-scoped LSH candidates as q36 — catches "small doc
+    * is mostly inside big doc" pairs whose symmetric Jaccard stays under any
+    * dedup threshold (DedupFunctions.containmentPairs; the q36 ↔ q93 pair on
+    * one candidate set is the full asymmetric/symmetric dedup toolkit).
+    */
+  val q93_containment: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    D.containmentPairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
+        minContainment = 0.5, scopeCols = Seq("source"))
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        round($"cont_a_in_b", 6).as("cont_a_in_b"),
+        round($"cont_b_in_a", 6).as("cont_b_in_a"))
+  }
+
+  val q93_oracle: String =
+    s"""WITH $lshPairsCtes
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a)), 6)
+       |    AS cont_a_in_b,
+       |  round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_b)), 6)
+       |    AS cont_b_in_a
+       |FROM cand
+       |WHERE greatest(
+       |    len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a)),
+       |    len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_b))) >= 0.5""".stripMargin
+
   // ----------------------------------------------------------- q37 simhash
   /** SimHash near-dup: 16-bit signature per doc; pairs of consecutive doc_ids
     * compared by Hamming distance (linear, deterministic probe of the simhash
@@ -805,7 +835,8 @@ object TextQueries {
     "q72_pack_sequences" -> q72_pack_sequences,
     "q73_dedup_keep_best" -> q73_dedup_keep_best,
     "q78_boilerplate" -> q78_boilerplate,
-    "q79_repeated_spans" -> q79_repeated_spans)
+    "q79_repeated_spans" -> q79_repeated_spans,
+    "q93_containment" -> q93_containment)
 
   val oracles: Map[String, String] = Map(
     "q29_tfidf" -> q29_oracle,
@@ -828,5 +859,6 @@ object TextQueries {
     "q72_pack_sequences" -> q72_oracle,
     "q73_dedup_keep_best" -> q73_oracle,
     "q78_boilerplate" -> q78_oracle,
-    "q79_repeated_spans" -> q79_oracle)
+    "q79_repeated_spans" -> q79_oracle,
+    "q93_containment" -> q93_oracle)
 }
