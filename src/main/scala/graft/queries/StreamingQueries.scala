@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.pipeline.StreamSourceStage
 import graft.streaming.StreamRunner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -217,6 +218,35 @@ object StreamingQueries {
     }
   }
 
+  // --------------------------------------- q96 stream-static broadcast join
+  /** Stream-static enrichment — Jet's streaming `hashJoin` against a
+    * replicated batch dimension (StreamStage.hashJoin: left-outer broadcast,
+    * each micro-batch probes the dim). Stateless: no watermark, no state
+    * store; every event row is enriched with its customer's name/nation, and
+    * events without a matching dimension row keep NULLs (left outer). This
+    * is the operator's first oracle-checked entry (previously spec-only).
+    */
+  val q96_stream_static_join: Q = (s, dir) => {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"ts", $"event_id", $"user_id", $"event_type", $"value")
+    val dim = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    StreamRunner.replayFiles(s, events, "ts", "append") { df =>
+      new StreamSourceStage(df).withoutTimestamps()
+        .hashJoin(dim, $"user_id" === $"c_custkey")
+        .df
+        .select($"event_id", $"user_id", $"c_name",
+          $"c_nationkey".cast("int").as("c_nationkey"),
+          round($"value", 4).as("value"))
+    }
+  }
+
+  val q96_oracle: String =
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey::INT AS c_nationkey,
+      |  round(e.value, 4) AS value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   val q94_oracle: String =
     """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
       |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
@@ -313,7 +343,8 @@ object StreamingQueries {
     "q77_stream_join" -> q77_stream_join,
     "q87_stream_dedup" -> q87_stream_dedup,
     "q91_stream_window_topk" -> q91_stream_window_topk,
-    "q94_stream_left_join" -> q94_stream_left_join)
+    "q94_stream_left_join" -> q94_stream_left_join,
+    "q96_stream_static_join" -> q96_stream_static_join)
 
   val oracles: Map[String, String] = Map(
     "q50_stream_tumbling" -> q50_oracle,
@@ -322,5 +353,6 @@ object StreamingQueries {
     "q77_stream_join" -> q77_oracle,
     "q87_stream_dedup" -> q87_oracle,
     "q91_stream_window_topk" -> q91_oracle,
-    "q94_stream_left_join" -> q94_oracle)
+    "q94_stream_left_join" -> q94_oracle,
+    "q96_stream_static_join" -> q96_oracle)
 }
