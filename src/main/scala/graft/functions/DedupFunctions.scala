@@ -385,8 +385,10 @@ object DedupFunctions {
     }
     val pairs = pairsRaw
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
-      .dropDuplicates("id_a", "id_b")
+      // filter before dedup: jaccard is pure per pair, so duplicates pass or
+      // fail identically and the dedup shuffle carries only surviving pairs
       .filter(col("jaccard") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
     // materialize the (small) verified pair set, then RELEASE the exploded
     // band-signature cache — leaving it pinned for the session would leak a
     // docs×bands table with full hash arrays per call (the pair list is
@@ -433,15 +435,21 @@ object DedupFunctions {
     val b = sig.select((col("id").as("id_b") +: col("hs").as("hs_b") +:
       col("band") +: scopeCols.map(col)): _*)
     // |A∩B| once; both denominators are DISTINCT counts (h1 collisions across
-    // distinct tokens dedup identically in both engines)
+    // distinct tokens dedup identically in both engines). Containments are
+    // computed BEFORE the multi-band dedup so dropDuplicates shuffles tiny
+    // (id, id, cont, cont) rows, not pair rows still carrying both hash
+    // arrays — measured 19.5 MB → ~2 MB shuffle at sf0.1 (ShuffleAudit);
+    // cont is a pure function of the pair, so the kept row is deterministic.
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     val pairs = a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / size(array_distinct(col("hs_a")))).as("cont_a_in_b"),
         (inter / size(array_distinct(col("hs_b")))).as("cont_b_in_a"))
+      // filter before dedup (pure per pair → commutes; dedup shuffles only
+      // surviving pairs)
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .dropDuplicates("id_a", "id_b")
     val snap = pairs.cache()
     snap.count()
     sig.unpersist()
@@ -477,14 +485,22 @@ object DedupFunctions {
     * Off by default: the full pair list (the oracle-checked q86 shape)
     * needs every pair.
     */
+  /** @param broadcastNew when true (the nightly-batch norm: new ≪ reference)
+    *   the NEW side's banded signatures are broadcast, so the REFERENCE
+    *   corpus — the 100 TB side — is never shuffled at all: the join runs
+    *   map-side over the ref scan (ShuffleAudit: 12.9 MB → 0 MB exchange at
+    *   sf0.1). Leave false when the new batch is too big to replicate
+    *   (rule of thumb: banded signatures ≈ bands × tokens × 8 B per doc).
+    */
   def crossCorpusPairs(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        setCol: String, hashes: Int, bands: Int,
                        minJaccard: Double,
-                       maxRefPerBucket: Int = Int.MaxValue): DataFrame =
+                       maxRefPerBucket: Int = Int.MaxValue,
+                       broadcastNew: Boolean = false): DataFrame =
     crossCorpusPairsImpl(
       bandedSignatures(newDf, idCol, setCol, hashes, bands),
       bandedSignatures(refDf, idCol, setCol, hashes, bands),
-      minJaccard, maxRefPerBucket)
+      minJaccard, maxRefPerBucket, broadcastNew)
 
   /** The banded-signature frame both sides of a cross-corpus join stand on:
     * (id, hs = per-token h1 longs for the exact-Jaccard verify, band = one
@@ -524,16 +540,19 @@ object DedupFunctions {
                                      idCol: String, setCol: String,
                                      hashes: Int, bands: Int,
                                      minJaccard: Double,
-                                     maxRefPerBucket: Int = Int.MaxValue): DataFrame =
+                                     maxRefPerBucket: Int = Int.MaxValue,
+                                     broadcastNew: Boolean = false): DataFrame =
     crossCorpusPairsImpl(
       bandedSignatures(newDf, idCol, setCol, hashes, bands),
       newDf.sparkSession.read.parquet(signaturesPath),
-      minJaccard, maxRefPerBucket)
+      minJaccard, maxRefPerBucket, broadcastNew)
 
   private def crossCorpusPairsImpl(newSig: DataFrame, refSig: DataFrame,
                                    minJaccard: Double,
-                                   maxRefPerBucket: Int): DataFrame = {
-    val a = newSig.select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
+                                   maxRefPerBucket: Int,
+                                   broadcastNew: Boolean): DataFrame = {
+    val a0 = newSig.select(col("id").as("id_new"), col("hs").as("hs_new"), col("band"))
+    val a = if (broadcastNew) broadcast(a0) else a0
     val bAll = refSig.select(col("id").as("id_ref"), col("hs").as("hs_ref"), col("band"))
     val b =
       if (maxRefPerBucket == Int.MaxValue) bAll
@@ -548,9 +567,12 @@ object DedupFunctions {
     a.join(b, "band")
       .select(col("id_new"), col("id_ref"),
         jaccard(col("hs_new"), col("hs_ref")).as("jaccard"))
-      // a pair can collide in several bands; jaccard is a pure function of the
-      // pair, so dropDuplicates keeps a deterministic value
-      .dropDuplicates("id_new", "id_ref")
+      // a pair can collide in several bands; jaccard is a pure function of
+      // the pair, so every duplicate passes or fails the threshold
+      // identically — filtering BEFORE the dedup commutes, and shrinks the
+      // dedup shuffle from all band-colliding candidates to the final pair
+      // list (ShuffleAudit: the dominant exchange in the broadcast plan)
       .filter(col("jaccard") >= minJaccard)
+      .dropDuplicates("id_new", "id_ref")
   }
 }

@@ -170,8 +170,10 @@ object CorpusQueries {
     val half = substring($"source", 4, 10).cast("int")
     val newDocs = docs.filter(half >= 10)
     val refDocs = docs.filter(half < 10)
+    // broadcastNew: the nightly batch is the small side by construction —
+    // the reference corpus (the 100 TB side at scale) is never shuffled
     D.crossCorpusPairs(newDocs, refDocs, "doc_id", "toks",
-        hashes = 12, bands = 2, minJaccard = 0.9)
+        hashes = 12, bands = 2, minJaccard = 0.9, broadcastNew = true)
       .select($"id_new", $"id_ref", $"jaccard")
   }
 
