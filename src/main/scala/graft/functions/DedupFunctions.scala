@@ -314,6 +314,12 @@ object DedupFunctions {
       .withColumn("band",
         explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
       .filter(col("band").isNotNull)
+      // empty token sets are EXCLUDED, matching the differential oracle
+      // (their DuckDB band is NULL via || of NULL signature parts, so they
+      // never pair there) — and leaving them in would put every empty doc
+      // into ONE shared bucket (concat_ws skips null parts): a quadratic
+      // flood of all-empty pairs whose similarity is 0/0 = NaN anyway
+      .filter(size(col("hs")) > 0)
       .drop("hp", "toks")
       // both sides of the self-join consume this — materialize once
       .cache()
@@ -427,6 +433,12 @@ object DedupFunctions {
       .withColumn("band",
         explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
       .filter(col("band").isNotNull)
+      // empty token sets are EXCLUDED, matching the differential oracle
+      // (their DuckDB band is NULL via || of NULL signature parts, so they
+      // never pair there) — and leaving them in would put every empty doc
+      // into ONE shared bucket (concat_ws skips null parts): a quadratic
+      // flood of all-empty pairs whose similarity is 0/0 = NaN anyway
+      .filter(size(col("hs")) > 0)
       .drop("hp", "toks")
       .cache()
     val joinKeys = "band" +: scopeCols
@@ -516,6 +528,12 @@ object DedupFunctions {
       .withColumn("band",
         explode_outer(bandKeys(minhashSignatureFromPairs(col("hp"), hashes), bands, rows)))
       .filter(col("band").isNotNull)
+      // empty token sets are EXCLUDED, matching the differential oracle
+      // (their DuckDB band is NULL via || of NULL signature parts, so they
+      // never pair there) — and leaving them in would put every empty doc
+      // into ONE shared bucket (concat_ws skips null parts): a quadratic
+      // flood of all-empty pairs whose similarity is 0/0 = NaN anyway
+      .filter(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("band"))
   }
 

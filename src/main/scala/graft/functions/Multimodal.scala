@@ -74,8 +74,12 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           if (bytes == null) None
           else {
+            // NonFatal, not just IOException: JDK decoders throw
+            // IllegalArgumentException / ArrayIndexOutOfBounds / CMMException
+            // on fuzzed or truncated bytes — all must mean "skip", not "kill
+            // the 100 TB decode job"
             val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) None // skip-undecodable semantics
             else Some(ImageFeatures(id, img.getWidth, img.getHeight,
               img.getRaster.getNumBands))

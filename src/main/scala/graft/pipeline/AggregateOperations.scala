@@ -45,25 +45,34 @@ object AggregateOperations {
     // a pre-analysis function call is aggregate iff a registry resolves its
     // name to an AggregateFunction class (covers the whole AggOp vocabulary;
     // scalar wrappers like round(sum(x), 4) are correctly left untouched).
-    // The SESSION registry is consulted after the builtins so that
+    // The SESSION registry (and, for metastore-persistent functions, the
+    // session catalog) is consulted after the builtins so that
     // session-registered aggregates (spark.udf.register of a udaf) get the
-    // side filter too; a name neither registry knows fails LOUDLY — silently
-    // leaving it unfiltered would make a coAggregate over it accumulate BOTH
-    // inputs' rows, a wrong result with no error (and an unknown name can
-    // never analyze successfully downstream anyway).
+    // side filter too. A name the session knows NOTHING about fails LOUDLY —
+    // silently leaving it unfiltered would make a coAggregate over it
+    // accumulate BOTH inputs' rows, a wrong result with no error (and an
+    // unknown name can never analyze successfully downstream anyway). With
+    // no active session to ask, the builtin-only round-4 behavior applies
+    // (non-builtins left untouched) rather than failing work on other
+    // threads.
     def classIsAgg(info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo): Boolean =
       try classOf[AggregateFunction].isAssignableFrom(Class.forName(info.getClassName))
       catch { case _: Throwable => false }
     def isAggCall(f: UnresolvedFunction): Boolean = f.nameParts.lastOption.exists { n =>
       val id = FunctionIdentifier(n.toLowerCase)
-      FunctionRegistry.builtin.lookupFunction(id).map(classIsAgg)
-        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
-          .flatMap(s => Bridge.sessionFunctionIsAggregate(s, id, f.arguments)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"sideFiltered: function '$n' is in neither the builtin nor the " +
-            "session function registry — cannot prove it scalar vs aggregate, " +
-            "and an unfiltered aggregate in a co-aggregation would silently " +
-            "mix both inputs' rows. Register the function on the session first."))
+      val builtin = FunctionRegistry.builtin.lookupFunction(id).map(classIsAgg)
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+      builtin
+        .orElse(session.flatMap(s => Bridge.sessionFunctionIsAggregate(s, id, f.arguments)))
+        .getOrElse {
+          if (session.isEmpty) false // no session to ask — leave non-builtins untouched
+          else throw new IllegalArgumentException(
+            s"sideFiltered: function '$n' is in neither the builtin registry, " +
+              "the session registry, nor the session catalog — cannot prove it " +
+              "scalar vs aggregate, and an unfiltered aggregate in a " +
+              "co-aggregation would silently mix both inputs' rows. Register " +
+              "the function on the session first.")
+        }
     }
     val condExpr = Bridge.catalystExpression(cond)
     def and(existing: Option[Expression]): Option[Expression] =

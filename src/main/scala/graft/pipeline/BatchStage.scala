@@ -125,14 +125,23 @@ final class BatchStage[T](val ds: Dataset[T]) {
       }
       refill()
       var destroyed = false
-      val destroyOnce: () => Unit =
-        () => if (!destroyed) { destroyed = true; factory.destroy(svc) }
+      // drain BEFORE destroy, always — the in-flight futures hold the live
+      // service; destroying under them turns one failure (or an early-exit
+      // consumer like limit(1), which fires the task-completion listener
+      // with the ring still full) into a cascade of use-after-close errors
+      val drainAndDestroy: () => Unit = () => if (!destroyed) {
+        destroyed = true
+        ring.foreach(fu => try Await.ready(fu, Duration.Inf)
+          catch { case _: Throwable => () })
+        ring.clear()
+        factory.destroy(svc)
+      }
       Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
+        .foreach(_.addTaskCompletionListener[Unit](_ => drainAndDestroy()))
       new Iterator[U] {
         def hasNext: Boolean = {
           val h = ring.nonEmpty
-          if (!h) destroyOnce()
+          if (!h) drainAndDestroy()
           h
         }
         def next(): U = {
@@ -141,16 +150,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
           // makes it a sliding ring rather than a cohort barrier
           refill()
           try Await.result(head, Duration.Inf)
-          catch { case e: Throwable =>
-            // drain the in-flight window BEFORE destroying the service —
-            // destroying under live calls turns one failure into a cascade
-            // of use-after-close errors from the still-running futures
-            ring.foreach(fu => try Await.ready(fu, Duration.Inf)
-              catch { case _: Throwable => () })
-            ring.clear()
-            destroyOnce()
-            throw e
-          }
+          catch { case e: Throwable => drainAndDestroy(); throw e }
         }
       }
     })
@@ -184,16 +184,20 @@ final class BatchStage[T](val ds: Dataset[T]) {
       }
       refill()
       var destroyed = false
-      // val, not def: a local def lifts to an instance method and would drag
-      // the non-serializable stage into the task closure
-      val destroyOnce: () => Unit =
-        () => if (!destroyed) { destroyed = true; factory.destroy(svc) }
+      // drain BEFORE destroy, always (see the ordered variant): an early-exit
+      // consumer fires the task-completion listener with calls still in
+      // flight; destroying under them is a use-after-close cascade
+      val drainAndDestroy: () => Unit = () => if (!destroyed) {
+        destroyed = true
+        while (inFlight > 0) { done.take(); inFlight -= 1 }
+        factory.destroy(svc)
+      }
       Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => destroyOnce()))
+        .foreach(_.addTaskCompletionListener[Unit](_ => drainAndDestroy()))
       new Iterator[U] {
         def hasNext: Boolean = {
           val h = inFlight > 0
-          if (!h) destroyOnce()
+          if (!h) drainAndDestroy()
           h
         }
         def next(): U = {
@@ -201,13 +205,7 @@ final class BatchStage[T](val ds: Dataset[T]) {
           inFlight -= 1
           r match {
             case Right(u) => refill(); u
-            case Left(e) =>
-              // drain the in-flight window BEFORE destroying the service —
-              // destroying under live calls turns one failure into a cascade
-              // of use-after-close errors from the still-running futures
-              while (inFlight > 0) { done.take(); inFlight -= 1 }
-              destroyOnce()
-              throw e
+            case Left(e) => drainAndDestroy(); throw e
           }
         }
       }

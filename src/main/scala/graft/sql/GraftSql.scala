@@ -484,6 +484,7 @@ object GraftSql {
 
     private var consumed = 0
     private var lastSnapId = 0L
+    private var lastSnapshot: Seq[org.apache.spark.sql.Row] = null
 
     def isStreaming: Boolean = query.isDefined
 
@@ -534,8 +535,14 @@ object GraftSql {
             val (id, rows) = snap.get()
             if (id > lastSnapId && rows != null && rows.nonEmpty) {
               lastSnapId = id
-              consumed += rows.length
-              return rows
+              // a newer batch can recompute an IDENTICAL result (e.g. a max
+              // that didn't move) — delivering it again would surface
+              // phantom updates, so only content changes count as fresh
+              if (rows != lastSnapshot) {
+                lastSnapshot = rows
+                consumed += rows.length
+                return rows
+              }
             }
             if (expired) return Seq.empty
             Thread.sleep(50)

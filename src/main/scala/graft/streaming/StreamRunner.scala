@@ -136,17 +136,24 @@ object StreamRunner {
   }
 
   /** MD5 over (path, size, mtime) of every file under the source roots —
-    * the in-place-rewrite detector folded into the cache key. Non-local /
-    * missing paths contribute nothing (the key then rests on the paths
-    * alone, the round-4 behavior).
+    * the in-place-rewrite detector folded into the cache key. mtime is read
+    * at the filesystem's full (up to nanosecond) resolution via NIO, not the
+    * millisecond-truncated `File.lastModified` — two same-sized rewrites
+    * inside one millisecond would otherwise collide. Non-local / missing
+    * paths contribute nothing (the key then rests on the paths alone, the
+    * round-4 behavior).
     */
   private def sourceStamp(paths: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(f: java.io.File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
-      else if (f.isFile)
-        md.update(s"${f.getPath}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+      else if (f.isFile) {
+        val mtime = try java.nio.file.Files
+          .getLastModifiedTime(f.toPath).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => f.lastModified() }
+        md.update(s"${f.getPath}:${f.length}:$mtime;".getBytes("UTF-8"))
+      }
     paths.sorted.foreach(p => walk(new java.io.File(p.stripPrefix("file:"))))
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }

@@ -61,22 +61,33 @@ object Bridge {
       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
       args: Seq[Expression]): Option[Boolean] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    def classify(e: Expression): Boolean = e match {
+      case _: AggregateFunction => true
+      case _: AggregateExpression => true
+      case _ => false
+    }
     spark match {
       case cs: org.apache.spark.sql.classic.SparkSession =>
         val reg = cs.sessionState.functionRegistry
-        if (!reg.functionExists(id)) None
-        else Some(
-          try reg.lookupFunction(id, args) match {
-            case _: AggregateFunction => true
-            case _: AggregateExpression => true
-            case _ => false
-          } catch {
-            case _: Throwable =>
-              reg.lookupFunction(id).exists(info =>
-                try classOf[AggregateFunction]
-                  .isAssignableFrom(Class.forName(info.getClassName))
-                catch { case _: Throwable => false })
-          })
+        if (reg.functionExists(id))
+          Some(
+            try classify(reg.lookupFunction(id, args))
+            catch {
+              case _: Throwable =>
+                reg.lookupFunction(id).exists(info =>
+                  try classOf[AggregateFunction]
+                    .isAssignableFrom(Class.forName(info.getClassName))
+                  catch { case _: Throwable => false })
+            })
+        else {
+          // metastore-persistent functions are NOT in the registry until
+          // analysis loads them — the session catalog resolves those too
+          val cat = cs.sessionState.catalog
+          try {
+            if (cat.functionExists(id)) Some(classify(cat.lookupFunction(id, args)))
+            else None
+          } catch { case _: Throwable => None }
+        }
       case _ => None
     }
   }
