@@ -167,6 +167,25 @@ class CorpusOpsSpec extends SparkSpec {
     ids.unpersist(); pairs.unpersist()
   }
 
+  test("empty token sets never pair (oracle parity: their DuckDB band is NULL)") {
+    import org.apache.spark.sql.functions.lit
+    // three empty docs + two identical non-empty docs in one scope: without
+    // the size(hs)>0 guard every empty doc lands in ONE shared band bucket
+    // (concat_ws skips the null signature parts) and 0/0 containments are
+    // NaN, which PASSES thresholds under Spark's NaN-sorts-high
+    val docs = Seq(
+      (1L, Seq.empty[String]), (2L, Seq.empty[String]), (3L, Seq.empty[String]),
+      (4L, Seq("alpha", "beta", "gamma")), (5L, Seq("alpha", "beta", "gamma"))
+    ).toDF("doc_id", "toks").withColumn("source", lit("s"))
+    val jp = D.candidatePairs(docs, "doc_id", "toks",
+      hashes = 12, bands = 2, minJaccard = 0.5, scopeCols = Seq("source"))
+    assert(jp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    val cp = D.containmentPairs(docs, "doc_id", "toks",
+      hashes = 12, bands = 2, minContainment = 0.5, scopeCols = Seq("source"))
+    assert(cp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    jp.unpersist(); cp.unpersist()
+  }
+
   test("crossCorpusPairsFromSignatures equals the two-DataFrame form (persisted ref side)") {
     val docs = graft.Tables(spark, sf, "documents").limit(120)
       .select($"doc_id", T.tokenSet($"text").as("toks"))

@@ -66,6 +66,32 @@ class ServiceOpsSpec extends SparkSpec {
     }
   }
 
+  test("async early-exit (limit) drains in-flight calls before destroying the service") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    AsyncOrderedProbe.done.clear()
+    AsyncOrderedProbe.useAfterClose.set(0)
+    AsyncOrderedProbe.closed.set(false)
+    val factory = ServiceFactories.service[String](() => "svc",
+      _ => AsyncOrderedProbe.closed.set(true))
+    // window of 4: limit(1) abandons the iterator with ~3 calls in flight;
+    // the task-completion listener must drain them before destroy — any
+    // in-flight call observing the closed flag is a use-after-close
+    val out = p.wrap(spark.createDataset(Seq(1, 2, 3, 4, 5)).coalesce(1))
+      .mapUsingServiceAsync(factory, maxConcurrent = 4)((_, x) =>
+        Future {
+          Thread.sleep(80)
+          if (AsyncOrderedProbe.closed.get()) AsyncOrderedProbe.useAfterClose.incrementAndGet()
+          x
+        })
+      .ds.limit(1).collect()
+    assert(out.length === 1)
+    // allow the task-completion listener to finish
+    Thread.sleep(600)
+    assert(AsyncOrderedProbe.closed.get(), "service never destroyed")
+    assert(AsyncOrderedProbe.useAfterClose.get() === 0,
+      "a still-running call observed the service after destroy")
+  }
+
   test("aggregate2/aggregate3/distinct work with EXPRESSION grouping keys") {
     val left = p.wrap(Seq(("Ann", 1), ("ann", 2), ("bob", 3)).toDF("name", "v"))
       .groupingKey(upper(col("name")))
@@ -151,4 +177,6 @@ object SourceBuilderProbe {
   */
 object AsyncOrderedProbe {
   val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+  val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val useAfterClose = new java.util.concurrent.atomic.AtomicInteger(0)
 }
