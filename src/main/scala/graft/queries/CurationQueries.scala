@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation/selection batch (round 5): token-budget-aware corpus
+  * selection, fixed-context chunking with overlap, BM25 retrieval, and
+  * tokenizer-vocabulary coverage profiling. These are the "assemble the
+  * training set" operators that sit downstream of the hygiene passes
+  * (dedup/decontamination/quality in TextQueries/CorpusQueries): once the
+  * corpus is clean, a pipeline selects documents against a token budget,
+  * packs them into fixed context windows, retrieves eval-relevant slices,
+  * and audits tokenizer coverage. Every entry is DuckDB-oracle-checked.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def tokSql = TextQueries.tokSql
+
+  // ------------------------------------------- q97 token-budget selection
+  /** Per-source token-budget fill: order each source's documents by a
+    * deterministic priority (longest-first as the quality proxy, doc_id
+    * tie-break), take documents while the running token total stays within
+    * the per-source budget. The standard "give every source at most B
+    * tokens" cap used when assembling a mixture from heterogeneous sources.
+    *
+    * Scale shape: ONE shuffle keyed on source, then a per-source sort for
+    * the running-sum window — cumulative state is a single long. A
+    * pathologically large source concentrates its sort on one partition;
+    * the two-phase refinement (per-partition partial fills + a driver-side
+    * merge of partition subtotals) trades exactness of the greedy order for
+    * a bounded per-partition sort, but at 100 TB the window sort over ONE
+    * source's doc list (not the corpus) is usually acceptable as-is.
+    */
+  val q97_token_budget: Q = (s, dir) => {
+    import s.implicits._
+    val budget = 800L
+    val docs = t(s, dir, "documents")
+      .select($"source", $"doc_id",
+        size(T.tokens($"text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_tokens".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+  }
+
+  val q97_oracle: String =
+    s"""WITH d AS (SELECT source, doc_id, len($tokSql)::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY n_tokens DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |      AS cum_tokens
+       |  FROM d)
+       |SELECT source, doc_id, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 800""".stripMargin
+
+  // ------------------------------------------- q98 fixed-context chunking
+  /** Overlapping fixed-context chunking: split every document into windows
+    * of 64 tokens with stride 48 (16-token overlap) — the RAG/pretraining
+    * chunker. Chunk ids are derived from the window start (start/stride),
+    * so the output is a pure function of the row. A window start past
+    * `n - (win - stride)` would add no tokens beyond the previous chunk's
+    * coverage (the whole window lies inside the overlap region), so such
+    * degenerate trailing chunks are not emitted: every non-final chunk is
+    * exactly `win` tokens and every token is covered exactly once outside
+    * the overlap regions.
+    *
+    * Scale shape: ZERO shuffle — scan → per-row explode of window starts →
+    * slice/join projections, all narrow, fully pipelined inside one
+    * whole-stage-codegen span. At 100 TB this is scan-bound by
+    * construction; output row count is ~n_tokens/stride per doc.
+    */
+  val q98_chunking: Q = (s, dir) => {
+    import s.implicits._
+    val (win, stride) = (64, 48)
+    t(s, dir, "documents")
+      .select($"doc_id", T.tokens($"text").as("ts"))
+      .withColumn("n", size($"ts"))
+      .filter($"n" > 0)
+      .withColumn("start",
+        explode(filter(sequence(lit(0), $"n" - 1, lit(stride)),
+          st => st === 0 || st < $"n" - lit(win - stride))))
+      .select($"doc_id",
+        ($"start" / stride).cast("long").as("chunk_id"),
+        slice($"ts", $"start" + 1, lit(win)).as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").as("n_chunk_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+  }
+
+  val q98_oracle: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |nz AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0),
+       |st AS (SELECT doc_id, ts, n, unnest(list_filter(
+       |      generate_series(0, n - 1, 48),
+       |      s -> s = 0 OR s < n - 16)) AS start FROM nz),
+       |ch AS (SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+       |    list_slice(ts, start + 1, least(start + 64, n)) AS chunk FROM st)
+       |SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text FROM ch""".stripMargin
+
+  // ------------------------------------------------- q99 BM25 top-k docs
+  /** BM25 retrieval (Lucene's idf form, k1=1.2, b=0.75) of the top-10
+    * documents for a fixed query-term set — the "pull eval-adjacent
+    * training docs" / relevance-slice operator.
+    *
+    * Float determinism contract (the q84/q92 class): per-term idf and the
+    * per-(doc,term) contribution are rounded to 9 dp, the per-doc sum is
+    * an ORDERED fold over the query terms, and the final score rounds to
+    * 6 dp before the (score DESC, doc_id) rank.
+    *
+    * Scale shape: the term filter runs BEFORE any shuffle (only rows whose
+    * token is in the 3-term query survive the explode), so the tf agg
+    * shuffles query-matching tokens only; corpus stats (N, avgdl) and the
+    * df side are model-sized broadcasts; top-k is a global sort of the
+    * scored matches — docs with zero matching terms never enter the plan.
+    */
+  val q99_bm25_topk: Q = (s, dir) => {
+    import s.implicits._
+    val terms = Seq("spark", "join", "window")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", T.tokens($"text").as("ts"))
+      .select($"doc_id", size($"ts").cast("long").as("dl"), $"ts")
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ts").as("tok"))
+      .filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(lit(1.0) +
+          ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)), 9))
+      .withColumn("contrib",
+        round($"idf" * ($"tf" * lit(k1 + 1)) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")), 9))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sort_array(collect_list(struct($"tok", $"contrib"))).as("cs"))
+      .select($"doc_id", $"n_terms_hit",
+        round(aggregate(transform($"cs", x => x.getField("contrib")),
+          lit(0.0), (a, c) => a + c), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q99_oracle: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |d AS (SELECT doc_id, len(ts)::BIGINT AS dl, ts FROM tk),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs,
+       |    sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM d)
+       |  WHERE tok IN ('spark', 'join', 'window')
+       |  GROUP BY doc_id, dl, tok),
+       |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT tf.doc_id, tf.tok,
+       |    round(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 9)
+       |      AS idf,
+       |    tf.tf, tf.dl, s.avgdl
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN stats s),
+       |con AS (SELECT doc_id, tok,
+       |    round(idf * (tf * 2.2)
+       |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 9) AS contrib
+       |  FROM sc),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+       |    round(list_reduce(list_prepend(0.0, list(contrib ORDER BY tok)),
+       |      (a, c) -> a + c), 6) AS score
+       |  FROM con GROUP BY doc_id)
+       |SELECT doc_id, n_terms_hit, score FROM agg
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------- q100 vocab coverage / OOV
+  /** Tokenizer-vocabulary coverage audit: build the top-50 corpus vocabulary
+    * by frequency ((count DESC, token ASC) — fully deterministic cut), then
+    * report every document's out-of-vocabulary token count and rate. The signal
+    * a tokenizer/vocab choice is validated with before a training run.
+    *
+    * Scale shape: the vocab is a model-sized artifact (one map-side-partial
+    * count agg + a global top-V) broadcast to the per-doc pass; the per-doc
+    * OOV counts are one map-side-partial agg keyed on doc_id. No corpus
+    * data ever shuffles by token except the V-row vocab build.
+    */
+  val q100_vocab_oov: Q = (s, dir) => {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(T.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(50)
+      .select($"tok", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+  }
+
+  val q100_oracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+       |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+       |    ORDER BY c DESC, tok LIMIT 50)),
+       |j AS (SELECT t.doc_id, t.tok, v.tok AS vt
+       |  FROM tok t LEFT JOIN v ON t.tok = v.tok)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  round(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS oov_rate
+       |FROM j GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val entries: Map[String, Q] = Map(
+    "q97_token_budget" -> q97_token_budget,
+    "q98_chunking" -> q98_chunking,
+    "q99_bm25_topk" -> q99_bm25_topk,
+    "q100_vocab_oov" -> q100_vocab_oov)
+
+  val oracles: Map[String, String] = Map(
+    "q97_token_budget" -> q97_oracle,
+    "q98_chunking" -> q98_oracle,
+    "q99_bm25_topk" -> q99_oracle,
+    "q100_vocab_oov" -> q100_oracle)
+}

@@ -14,10 +14,12 @@ object QueryRegistry {
   def all: Map[String, Q] =
     TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
       EmbeddingQueries.entries ++ MultimodalQueries.entries ++
-      StreamingQueries.entries ++ SqlQueries.entries ++ CorpusQueries.entries
+      StreamingQueries.entries ++ SqlQueries.entries ++ CorpusQueries.entries ++
+      CurationQueries.entries
 
   def oracles: Map[String, String] =
     TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++
-      StreamingQueries.oracles ++ SqlQueries.oracles ++ CorpusQueries.oracles
+      StreamingQueries.oracles ++ SqlQueries.oracles ++ CorpusQueries.oracles ++
+      CurationQueries.oracles
 }
