@@ -218,16 +218,91 @@ object CurationQueries {
        |    / count(*), 6) AS oov_rate
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------- q101 shard assignment
+  /** Deterministic training-data shuffle + shard assignment: every document
+    * gets a pseudo-random but reproducible position via md5 over a seeded
+    * key, a shard from the hash's first 8 hex digits (row-local — no global
+    * coordination), and an ordinal within its shard (the write position in
+    * that shard's training file). The standard "shuffle once, shard for N
+    * data-loader workers" step before serializing a corpus.
+    *
+    * Scale shape: shard assignment is a pure projection; the only shuffle is
+    * the per-shard ordering window, keyed on shard — grow the shard count
+    * with the cluster (shards are independent, so the window never sees more
+    * than one shard's rows). No global sort, no driver state.
+    */
+  val q101_shard_assign: Q = (s, dir) => {
+    import s.implicits._
+    val nShards = 8
+    val keyed = t(s, dir, "documents")
+      .select($"doc_id",
+        md5(concat(lit("shuf42:"), $"doc_id".cast("string"))).as("hkey"))
+      .withColumn("shard",
+        pmod(conv(substring($"hkey", 1, 8), 16, 10).cast("long"),
+          lit(nShards)))
+    val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
+    keyed.withColumn("pos_in_shard", row_number().over(w) - 1)
+      .select($"doc_id", $"shard", $"pos_in_shard")
+  }
+
+  val q101_oracle: String =
+    s"""WITH k AS (SELECT doc_id,
+       |    md5('shuf42:' || doc_id::VARCHAR) AS hkey FROM documents),
+       |sh AS (SELECT doc_id, hkey,
+       |    ('0x' || substr(hkey, 1, 8))::BIGINT % 8 AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) - 1
+       |    AS pos_in_shard
+       |FROM sh""".stripMargin
+
+  // --------------------------------- q102 per-source adaptive quality gate
+  /** Relative (per-source) quality selection: keep each source's top 60% of
+    * documents by lexical diversity (distinct-token count, doc_id
+    * tie-break). Absolute quality thresholds don't transfer across sources
+    * with different registers; the relative gate is the recipe when a fixed
+    * cut would empty one source and pass another wholesale. The 60% cut is
+    * integer-exact (10·rank ≤ 6·count — no float threshold).
+    *
+    * Scale shape: one shuffle keyed on source; rank + count come from the
+    * same window sort; the kept rows stream out without re-aggregation.
+    */
+  val q102_adaptive_quality: Q = (s, dir) => {
+    import s.implicits._
+    val scored = t(s, dir, "documents")
+      .select($"source", $"doc_id",
+        size(array_distinct(T.tokens($"text"))).as("n_distinct"))
+    val w = Window.partitionBy($"source").orderBy($"n_distinct".desc, $"doc_id")
+    val wc = Window.partitionBy($"source")
+    scored.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter($"rn" * 10 <= $"cnt" * 6)
+      .select($"source", $"doc_id", $"n_distinct")
+  }
+
+  val q102_oracle: String =
+    s"""WITH sc AS (SELECT source, doc_id,
+       |    len(list_distinct($tokSql)) AS n_distinct FROM documents),
+       |r AS (SELECT source, doc_id, n_distinct,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_distinct DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt FROM sc)
+       |SELECT source, doc_id, n_distinct FROM r
+       |WHERE rn * 10 <= cnt * 6""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
     "q98_chunking" -> q98_chunking,
     "q99_bm25_topk" -> q99_bm25_topk,
-    "q100_vocab_oov" -> q100_vocab_oov)
+    "q100_vocab_oov" -> q100_vocab_oov,
+    "q101_shard_assign" -> q101_shard_assign,
+    "q102_adaptive_quality" -> q102_adaptive_quality)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
     "q98_chunking" -> q98_oracle,
     "q99_bm25_topk" -> q99_oracle,
-    "q100_vocab_oov" -> q100_oracle)
+    "q100_vocab_oov" -> q100_oracle,
+    "q101_shard_assign" -> q101_oracle,
+    "q102_adaptive_quality" -> q102_oracle)
 }

@@ -65,6 +65,57 @@ class CurationSpec extends SparkSpec {
       s"chunking should be a pure narrow pipeline:\n$plan")
   }
 
+  test("q101 shards: positions dense per shard, assignment deterministic") {
+    import spark.implicits._
+    val a = CurationQueries.q101_shard_assign(spark, sf).cache()
+    // dense ordinals: per shard, positions are exactly 0..count-1
+    val holes = a.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos_in_shard").as("mx"),
+        min($"pos_in_shard").as("mn"))
+      .filter($"mx" =!= $"n" - 1 || $"mn" =!= 0)
+    assert(holes.count() == 0, "pos_in_shard is not dense 0..n-1")
+    // every doc appears exactly once
+    assert(a.select($"doc_id").distinct().count() == a.count())
+    // deterministic: a second evaluation assigns identical (shard, pos)
+    val b = CurationQueries.q101_shard_assign(spark, sf)
+    val diff = a.join(b.withColumnRenamed("shard", "s2")
+        .withColumnRenamed("pos_in_shard", "p2"), "doc_id")
+      .filter($"shard" =!= $"s2" || $"pos_in_shard" =!= $"p2")
+    assert(diff.count() == 0, "shard assignment is not reproducible")
+    // md5-balanced: no shard holds more than 3x its fair share
+    val n = a.count()
+    val worst = a.groupBy($"shard").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(worst <= 3 * n / 8 + 1, s"shard skew: worst=$worst of $n")
+    a.unpersist()
+  }
+
+  test("q102 adaptive quality: exact 60% cut, kept dominate dropped") {
+    import spark.implicits._
+    val kept = CurationQueries.q102_adaptive_quality(spark, sf).cache()
+    val all = graft.Tables(spark, sf, "documents")
+      .select($"source", $"doc_id",
+        size(array_distinct(graft.functions.TextFunctions.tokens($"text")))
+          .as("n_distinct"))
+    // per source: kept count == floor(0.6 * total) (rank*10 <= cnt*6)
+    val counts = all.groupBy($"source").agg(count(lit(1)).as("total"))
+      .join(kept.groupBy($"source").agg(count(lit(1)).as("k")), "source")
+      .filter($"k" =!= floor($"total" * 6 / 10))
+    assert(counts.count() == 0, "kept count is not the exact 60% cut")
+    // dominance: kept is a PREFIX of the (n_distinct DESC, doc_id ASC)
+    // ranking — no dropped doc has a better rank key than any kept doc.
+    // rank key = (-n_distinct, doc_id) ascending; violation iff some
+    // dropped key < the worst (max) kept key in the same source
+    val dropped = all.join(kept.select($"doc_id", lit(1).as("k")),
+        Seq("doc_id"), "left").filter($"k".isNull)
+    val worstKept = kept.groupBy($"source")
+      .agg(max(struct((-$"n_distinct").as("neg"), $"doc_id".as("d"))).as("wk"))
+    val viol = dropped.join(worstKept, "source")
+      .filter(struct((-$"n_distinct").as("neg"), $"doc_id".as("d")) < $"wk")
+    assert(viol.count() == 0, "a dropped doc outranks a kept doc")
+    kept.unpersist()
+  }
+
   test("q100 vocab OOV: rates are in [0,1] and vocab hits dominate") {
     import spark.implicits._
     val oov = CurationQueries.q100_vocab_oov(spark, sf)
