@@ -128,4 +128,32 @@ object SimilarityFunctions {
       .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k most
+    * cosine-similar corpus vectors whose LABEL DIFFERS from the query's — the
+    * "looks like a positive, isn't one" set that contrastive losses need.
+    * Same plan and determinism contract as [[bruteForceTopK]] (broadcast
+    * queries, row-local normalized dot, rank on the 9-dp-quantized score with
+    * id tiebreak); the label-mismatch predicate runs before the window so
+    * same-label rows never enter the rank shuffle.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("query_label"), col(vecCol).as("__qraw")),
+        "__qraw", "qv").drop("__qraw"))
+    val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label"), col(vecCol).as("__craw")),
+      "__craw", "cv").drop("__craw")
+    val scored = c.crossJoin(q)
+      .filter(col("neg_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        dotAuto(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -289,6 +289,156 @@ object CurationQueries {
        |SELECT source, doc_id, n_distinct FROM r
        |WHERE rn * 10 <= cnt * 6""".stripMargin
 
+  // --------------------------------------- q103 interpolated bigram LM score
+  /** Bigram-LM quality scoring with unigram interpolation: train bigram and
+    * unigram counts on the corpus itself, score every document by its mean
+    * interpolated token log-probability
+    * `log(0.7·c(prev,cur)/c(prev) + 0.3·c(cur)/total)` over positions 2..n.
+    * The step up from q84's unigram proxy: word-order-destroying garbage
+    * (shuffled tokens, keyword stuffing) keeps its unigram score but craters
+    * here, which is why bigram perplexity is the classic cheap fluency gate.
+    *
+    * Determinism contract (the q84/q92/q99 class): per-bigram log-probs are
+    * rounded to 6 dp, then summed by an ORDERED fold over token positions on
+    * both engines; interpolation weights are the exact literals 0.7/0.3 (no
+    * derived `1 - λ`, whose double value differs from the 0.3 literal).
+    *
+    * Scale shape: one doc-keyed window for the lag (the chunking/window
+    * shuffle every positional op pays once), token- and bigram-keyed count
+    * aggs with map-side partials, a bigram-keyed join for the numerator (the
+    * bigram table is corpus-vocabulary-sized, not corpus-sized), and a final
+    * doc-keyed fold agg.
+    */
+  val q103_bigram_logprob: Q = (s, dir) => {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
+      .filter($"tok".isNotNull)
+    val uni = tok.groupBy($"tok").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum($"ucnt").cast("double").as("total"))
+    val big = tok
+      .withColumn("prev",
+        lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"prev".isNotNull)
+    val bcnt = big.groupBy($"prev", $"tok").agg(count(lit(1)).as("bcnt"))
+    big.join(bcnt, Seq("prev", "tok"))
+      .join(uni.select($"tok".as("prev"), $"ucnt".as("pcnt")), "prev")
+      .join(uni, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(
+        lit(0.7) * ($"bcnt".cast("double") / $"pcnt") +
+          lit(0.3) * ($"ucnt".cast("double") / $"total")), 6))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"lp"))).as("lps"))
+      .select($"doc_id", size($"lps").as("n_bigrams"),
+        round(aggregate(transform($"lps", x => x.getField("lp")),
+          lit(0.0), (a, b) => a + b) / size($"lps"), 6).as("logprob2"))
+  }
+
+  val q103_oracle: String =
+    s"""WITH tokl AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |tok AS (SELECT doc_id, ts[i] AS tok, i AS pos
+       |        FROM tokl, unnest(generate_series(1, len(ts))) u(i)),
+       |uni AS (SELECT tok, count(*) AS ucnt FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(ucnt)::DOUBLE AS total FROM uni),
+       |bg AS (SELECT doc_id, pos, tok,
+       |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+       |bgf AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+       |bcnt AS (SELECT prev, tok, count(*) AS bcnt FROM bgf GROUP BY prev, tok),
+       |lp AS (SELECT b.doc_id, b.pos,
+       |    round(ln(0.7 * (bc.bcnt::DOUBLE / up.ucnt)
+       |           + 0.3 * (uc.ucnt::DOUBLE / tot.total)), 6) AS lp
+       |  FROM bgf b
+       |  JOIN bcnt bc ON b.prev = bc.prev AND b.tok = bc.tok
+       |  JOIN uni up ON b.prev = up.tok
+       |  JOIN uni uc ON b.tok = uc.tok
+       |  CROSS JOIN tot),
+       |agg AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+       |SELECT doc_id, len(lps) AS n_bigrams,
+       |  round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b)
+       |    / len(lps), 6) AS logprob2
+       |FROM agg""".stripMargin
+
+  // ------------------------------------- q105 inter-source n-gram overlap
+  /** Source-overlap contamination matrix: for every pair of sources, how many
+    * distinct token-5-grams they share. The pre-mixing diagnostic that
+    * catches "these two crawls are partly the same corpus" before mixture
+    * weights (q71/q95) are computed over double-counted text — document-level
+    * dedup misses this when the shared text is embedded in different docs.
+    *
+    * Scale shape: the 5-gram explode is narrow; the (source, gram) distinct
+    * is one shuffle with map-side partials; the self-join key is the gram,
+    * whose bucket is bounded by the SOURCE COUNT (not corpus size), so the
+    * join cannot go quadratic in rows; the output is a #sources² matrix —
+    * model-sized. At 100 TB, gram-hashing to 64-bit (as here, via md5 prefix)
+    * keeps the shuffle payload at 8-ish bytes a gram.
+    */
+  val q105_source_ngram_overlap: Q = (s, dir) => {
+    import s.implicits._
+    val n = 5
+    val g = t(s, dir, "documents")
+      .select($"source", T.tokens($"text").as("ts"))
+      .filter(size($"ts") >= n)
+      .withColumn("i", explode(sequence(lit(1), size($"ts") - (n - 1))))
+      .select($"source", md5(array_join(slice($"ts", $"i", lit(n)), " ")).as("gram"))
+      .distinct()
+    g.select($"gram", $"source".as("src_a"))
+      .join(g.select($"gram", $"source".as("src_b")), "gram")
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  val q105_oracle: String =
+    s"""WITH tk AS (SELECT source, $tokSql AS ts FROM documents),
+       |nz AS (SELECT source, ts, len(ts) AS n FROM tk WHERE len(ts) >= 5),
+       |g AS (SELECT DISTINCT source,
+       |    md5(array_to_string(list_slice(ts, i, i + 4), ' ')) AS gram
+       |  FROM nz, unnest(generate_series(1, n - 4)) u(i))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*)::BIGINT AS n_shared_grams
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------ q106 contrastive positive pairs
+  /** Anchor/positive pair manifest for contrastive pretraining: adjacent
+    * overlapping chunks of the same document (from q98's stride-48/window-64
+    * chunker) form naturally-aligned positive pairs — the standard
+    * self-supervised construction when no labeled pairs exist. Emits
+    * fingerprints, not text: the manifest is what ships to the trainer, and
+    * a pair manifest carrying full duplicate text would double the corpus.
+    *
+    * Scale shape: the chunker is q98's zero-shuffle narrow pipeline; pairing
+    * is a single self-join keyed on (doc_id, chunk_id) — co-partitioned by
+    * construction, bucket size 1, no fan-out.
+    */
+  val q106_contrastive_pairs: Q = (s, dir) => {
+    import s.implicits._
+    val chunks = q98_chunking(s, dir)
+    val a = chunks.select($"doc_id", $"chunk_id",
+      md5($"chunk_text").as("anchor_fp"))
+    val b = chunks.select($"doc_id", ($"chunk_id" - 1).as("chunk_id"),
+      md5($"chunk_text").as("positive_fp"))
+    a.join(b, Seq("doc_id", "chunk_id"))
+      .select($"doc_id", $"chunk_id".as("anchor_chunk"),
+        $"anchor_fp", $"positive_fp")
+  }
+
+  val q106_oracle: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |nz AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0),
+       |st AS (SELECT doc_id, ts, n, unnest(list_filter(
+       |      generate_series(0, n - 1, 48),
+       |      s -> s = 0 OR s < n - 16)) AS start FROM nz),
+       |ch AS (SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+       |    md5(array_to_string(
+       |      list_slice(ts, start + 1, least(start + 64, n)), ' ')) AS fp
+       |  FROM st)
+       |SELECT a.doc_id, a.chunk_id AS anchor_chunk,
+       |  a.fp AS anchor_fp, b.fp AS positive_fp
+       |FROM ch a JOIN ch b
+       |  ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -296,7 +446,10 @@ object CurationQueries {
     "q99_bm25_topk" -> q99_bm25_topk,
     "q100_vocab_oov" -> q100_vocab_oov,
     "q101_shard_assign" -> q101_shard_assign,
-    "q102_adaptive_quality" -> q102_adaptive_quality)
+    "q102_adaptive_quality" -> q102_adaptive_quality,
+    "q103_bigram_logprob" -> q103_bigram_logprob,
+    "q105_source_ngram_overlap" -> q105_source_ngram_overlap,
+    "q106_contrastive_pairs" -> q106_contrastive_pairs)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -304,5 +457,8 @@ object CurationQueries {
     "q99_bm25_topk" -> q99_oracle,
     "q100_vocab_oov" -> q100_oracle,
     "q101_shard_assign" -> q101_oracle,
-    "q102_adaptive_quality" -> q102_oracle)
+    "q102_adaptive_quality" -> q102_oracle,
+    "q103_bigram_logprob" -> q103_oracle,
+    "q105_source_ngram_overlap" -> q105_oracle,
+    "q106_contrastive_pairs" -> q106_oracle)
 }

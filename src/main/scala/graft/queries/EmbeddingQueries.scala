@@ -521,8 +521,47 @@ object EmbeddingQueries {
        |WHERE round(${cosSql("x.ve", "y.ve")}, 6) >= 0.35
        |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- q104 hard-negative mining
+  /** Contrastive-training hard negatives: per query vector, the top-5 most
+    * similar corpus vectors with a DIFFERENT label. These are the
+    * "semantically adjacent but wrong" examples a contrastive loss is
+    * trained against; mining them is a standard corpus-prep pass for
+    * embedding-model training.
+    *
+    * Scale shape: identical to q40 (broadcast query set, row-local
+    * normalized dot, per-query window top-k) — the label predicate prunes
+    * before the rank shuffle, and at 100 TB the same IVF/LSH candidate
+    * bounding that serves q42/q44 applies (mine within cells, label-filter
+    * inside the cell).
+    */
+  val q104_hard_negatives: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    S.hardNegativesTopK(emb, queries, "vec_id", "embedding", "label", k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"neg_label",
+        round($"cosine", 6).as("cosine"))
+  }
+
+  val q104_oracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+       |    ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.label <> q.qlabel),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, neg_label, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, neg_label, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
+    "q104_hard_negatives" -> q104_hard_negatives,
     "q39_dedup_embedding" -> q39_dedup_embedding,
     "q40_cosine_topk" -> q40_cosine_topk,
     "q41_lsh_buckets" -> q41_lsh_buckets,
@@ -535,6 +574,7 @@ object EmbeddingQueries {
     "q81_semantic_dedup" -> q81_semantic_dedup)
 
   val oracles: Map[String, String] = Map(
+    "q104_hard_negatives" -> q104_oracle,
     "q39_dedup_embedding" -> q39_oracle,
     "q40_cosine_topk" -> q40_oracle,
     "q41_lsh_buckets" -> q41_oracle,

@@ -206,6 +206,24 @@ class PlanSpec extends SparkSpec {
       assert(!b.contains("sent#"), s"sentence text shuffled in:\n$b"))
   }
 
+  test("source-overlap matrix joins on the gram hash, never all-pairs, no text shuffle (q105)") {
+    val df = queries.CurationQueries.q105_source_ngram_overlap(spark, sf)
+    df.collect() // let AQE finalize join strategies
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in source-overlap plan:\n$plan")
+    // every exchange must carry (source, gram-hash) rows only — the raw text
+    // and the token array must both be dropped before the first shuffle
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchangeBlocks = formatted.split("\n\n").filter(b =>
+      b.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchangeBlocks.nonEmpty, s"no Exchange node found in:\n$formatted")
+    exchangeBlocks.foreach(b =>
+      assert(!b.contains("text#") && !b.contains("ts#"),
+        s"text/token payload shuffled in:\n$b"))
+  }
+
   test("embedding pair join carries pre-normalized vectors (no per-pair norm)") {
     val plan = queries.EmbeddingQueries.q39_dedup_embedding(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -116,6 +116,47 @@ class CurationSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("q103 bigram LM: one bigram per adjacent token pair, scores negative") {
+    import spark.implicits._
+    val lm = CurationQueries.q103_bigram_logprob(spark, sf).cache()
+    // every doc with >= 2 tokens appears with exactly n_tokens - 1 bigrams
+    val toks = graft.Tables(spark, sf, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n_tokens"))
+    val joined = toks.filter($"n_tokens" >= 2)
+      .join(lm, Seq("doc_id"), "full")
+    assert(joined.filter($"n_bigrams".isNull || $"n_tokens".isNull).count() == 0,
+      "doc set mismatch: q103 must cover exactly the docs with >= 2 tokens")
+    assert(joined.filter($"n_bigrams" =!= $"n_tokens" - 1).count() == 0)
+    // log of a probability in (0, 1]: every score is <= 0
+    assert(lm.filter($"logprob2" > 0).count() == 0)
+    lm.unpersist()
+  }
+
+  test("q104 hard negatives: labels always differ, ranks dense 1..5") {
+    import spark.implicits._
+    val hn = EmbeddingQueries.q104_hard_negatives(spark, sf).cache()
+    val lbl = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"))
+    assert(hn.join(lbl, "query_id").filter($"neg_label" === $"qlabel").count() == 0,
+      "a hard negative shares the query's label")
+    val ranks = hn.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("mn"), max($"rank").as("mx"))
+      .filter($"n" =!= 5 || $"mn" =!= 1 || $"mx" =!= 5)
+    assert(ranks.count() == 0, "ranks are not dense 1..5 per query")
+    hn.unpersist()
+  }
+
+  test("q106 contrastive pairs: exactly chunks-minus-docs pairs, overlap real") {
+    import spark.implicits._
+    val chunks = CurationQueries.q98_chunking(spark, sf).cache()
+    val pairs = CurationQueries.q106_contrastive_pairs(spark, sf)
+    val expected = chunks.count() - chunks.select($"doc_id").distinct().count()
+    assert(pairs.count() == expected,
+      s"pair count != chunks - docs (${pairs.count()} vs $expected)")
+    chunks.unpersist()
+  }
+
   test("q100 vocab OOV: rates are in [0,1] and vocab hits dominate") {
     import spark.implicits._
     val oov = CurationQueries.q100_vocab_oov(spark, sf)
