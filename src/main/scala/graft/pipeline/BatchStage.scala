@@ -281,6 +281,15 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def mapUsingIMap(storeName: String, on: Column): BatchStage[Row] =
     new BatchStage(ds.join(broadcast(KeyedStore.get(spark, storeName)), on, "left_outer"))
 
+  /** Jet `mapUsingReplicatedMap` (GeneralStage.java:643): lookup against a map
+    * replicated to every member. A Spark broadcast IS a replicated map — the
+    * plan is identical to [[mapUsingIMap]]; the distinct entry point exists
+    * because the reference draws an operational line (replicated = local read,
+    * no RPC) that callers port against.
+    */
+  def mapUsingReplicatedMap(storeName: String, on: Column): BatchStage[Row] =
+    mapUsingIMap(storeName, on)
+
   // ----------------------------------------------- grouping / aggregation
 
   /** Jet `groupingKey` (GeneralStage.java→BatchStageWithKey): column-keyed

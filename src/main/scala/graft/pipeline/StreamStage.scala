@@ -331,6 +331,74 @@ object StatefulOps {
       mapFn = (_, s, v) => mapFn(s, v))(
       org.apache.spark.sql.Encoders.scalaInt, se, oe, tupleEnc)
 
+  /** Jet keyed `flatMapStateful` (StreamStageWithKey.java:186) — the general
+    * member of the stateful trio: per event, the state transitions AND zero or
+    * more outputs are emitted (Jet's Traverser return); `onEvictFn` may also
+    * emit on TTL expiry. Same fMGWS mechanism and TTL semantics as
+    * [[mapStateful]].
+    */
+  def flatMapStateful[K, V, S, O](
+      ds: Dataset[V], keyFn: V => K, ttlMillis: Long,
+      createFn: () => S, flatMapFn: (K, S, V) => (S, IterableOnce[O]),
+      onEvictFn: (K, S) => IterableOnce[O] = (_: K, _: S) => Nil)(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[O],
+      tupleEnc: Encoder[(K, V)]): Dataset[O] = {
+    val timeout =
+      if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.map(v => (keyFn(v), v))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout) {
+        case (key, values, state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val out = onEvictFn(key, state.get).iterator.toList
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(createFn())
+            val outs = values.flatMap { case (_, v) =>
+              val (s2, os) = flatMapFn(key, s, v)
+              s = s2
+              os
+            }.toList
+            state.update(s)
+            if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+            outs.iterator
+          }
+      }
+  }
+
+  /** Jet keyed `filterStateful` (StreamStageWithKey.java:157): keep an event
+    * iff the stateful predicate passes; the state still transitions on every
+    * event (that is the point — e.g. "first N per key", change detection).
+    */
+  def filterStateful[K, V, S](
+      ds: Dataset[V], keyFn: V => K, ttlMillis: Long,
+      createFn: () => S, filterFn: (S, V) => (S, Boolean))(
+      implicit ke: Encoder[K], se: Encoder[S], ve: Encoder[V],
+      tupleEnc: Encoder[(K, V)]): Dataset[V] =
+    flatMapStateful[K, V, S, V](ds, keyFn, ttlMillis, createFn,
+      (_, s, v) => { val (s2, keep) = filterFn(s, v); (s2, if (keep) Seq(v) else Nil) })
+
+  /** Jet global `flatMapStateful`/`filterStateful` (GeneralStage.java:198,239):
+    * one state object for the whole stream — same single-task caveat as
+    * [[mapStatefulGlobal]].
+    */
+  def flatMapStatefulGlobal[V, S, O](
+      ds: Dataset[V], createFn: () => S, flatMapFn: (S, V) => (S, IterableOnce[O]))(
+      implicit se: Encoder[S], oe: Encoder[O],
+      tupleEnc: Encoder[(Int, V)]): Dataset[O] =
+    flatMapStateful[Int, V, S, O](ds, _ => 0, ttlMillis = 0, createFn,
+      (_, s, v) => flatMapFn(s, v))(
+      org.apache.spark.sql.Encoders.scalaInt, se, oe, tupleEnc)
+
+  def filterStatefulGlobal[V, S](
+      ds: Dataset[V], createFn: () => S, filterFn: (S, V) => (S, Boolean))(
+      implicit se: Encoder[S], ve: Encoder[V],
+      tupleEnc: Encoder[(Int, V)]): Dataset[V] =
+    flatMapStatefulGlobal[V, S, V](ds, createFn,
+      (s, v) => { val (s2, keep) = filterFn(s, v); (s2, if (keep) Seq(v) else Nil) })
+
   /** Jet `rollingAggregate` (StreamStageWithKey.java:256): running accumulator
     * per key, one output per input event.
     */

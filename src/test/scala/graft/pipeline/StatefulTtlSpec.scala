@@ -48,6 +48,50 @@ class StatefulTtlSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("filterStateful: first-N-per-key keeps state transitioning on drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    // keep only the first 2 events per key — the dedup/throttle shape
+    val out = StatefulOps.filterStateful[String, (String, Long), Long](
+      mem.toDS(), _._1, ttlMillis = 0,
+      createFn = () => 0L,
+      filterFn = (seen, _) => (seen + 1, seen < 2))
+    val job = StreamSinks.memory("fs_test", "append").start(out.toDF())
+    mem.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+    job.processAllAvailable()
+    mem.addData(("a", 4L), ("b", 20L), ("b", 30L))
+    job.processAllAvailable()
+    val rows = spark.table("fs_test").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // a: first two only (3,4 dropped — state kept counting); b: first two
+    assert(rows === Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L)))
+    job.cancel()
+  }
+
+  test("flatMapStateful: buffered emit — zero or many outputs per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    // emit nothing until 3 values buffered per key, then flush the triple —
+    // the micro-batching/assembly shape mapStateful can't express
+    val out = StatefulOps.flatMapStateful[String, (String, Long), Seq[Long], (String, Long)](
+      mem.toDS(), _._1, ttlMillis = 0,
+      createFn = () => Nil,
+      flatMapFn = (k, buf, v) => {
+        val b = buf :+ v._2
+        if (b.size >= 3) (Nil, b.map((k, _))) else (b, Nil)
+      })
+    val job = StreamSinks.memory("fms_test", "append").start(out.toDF())
+    mem.addData(("a", 1L), ("a", 2L))
+    job.processAllAvailable()
+    assert(spark.table("fms_test").count() == 0, "flushed before 3 buffered")
+    mem.addData(("a", 3L), ("b", 9L))
+    job.processAllAvailable()
+    val rows = spark.table("fms_test").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(rows === Seq(("a", 1L), ("a", 2L), ("a", 3L)), "triple flush for a only")
+    job.cancel()
+  }
+
   test("mapStatefulGlobal: single global state across keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
