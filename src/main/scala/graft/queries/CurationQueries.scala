@@ -370,8 +370,11 @@ object CurationQueries {
     * is one shuffle with map-side partials; the self-join key is the gram,
     * whose bucket is bounded by the SOURCE COUNT (not corpus size), so the
     * join cannot go quadratic in rows; the output is a #sources² matrix —
-    * model-sized. At 100 TB, gram-hashing to 64-bit (as here, via md5 prefix)
-    * keeps the shuffle payload at 8-ish bytes a gram.
+    * model-sized. The gram key is the 64-bit md5 PREFIX, not the full hash:
+    * ShuffleAudit measured the full-hex key at 9.2 MB shuffled per 0.003 MB
+    * of input (read twice by the self-join) — the 16-hex-char truncation
+    * halves that, and both engines truncate identically so any collision
+    * perturbs both counts the same way (the differential check stays exact).
     */
   val q105_source_ngram_overlap: Q = (s, dir) => {
     import s.implicits._
@@ -380,7 +383,8 @@ object CurationQueries {
       .select($"source", T.tokens($"text").as("ts"))
       .filter(size($"ts") >= n)
       .withColumn("i", explode(sequence(lit(1), size($"ts") - (n - 1))))
-      .select($"source", md5(array_join(slice($"ts", $"i", lit(n)), " ")).as("gram"))
+      .select($"source",
+        substring(md5(array_join(slice($"ts", $"i", lit(n)), " ")), 1, 16).as("gram"))
       .distinct()
     g.select($"gram", $"source".as("src_a"))
       .join(g.select($"gram", $"source".as("src_b")), "gram")
@@ -393,7 +397,7 @@ object CurationQueries {
     s"""WITH tk AS (SELECT source, $tokSql AS ts FROM documents),
        |nz AS (SELECT source, ts, len(ts) AS n FROM tk WHERE len(ts) >= 5),
        |g AS (SELECT DISTINCT source,
-       |    md5(array_to_string(list_slice(ts, i, i + 4), ' ')) AS gram
+       |    substr(md5(array_to_string(list_slice(ts, i, i + 4), ' ')), 1, 16) AS gram
        |  FROM nz, unnest(generate_series(1, n - 4)) u(i))
        |SELECT a.source AS src_a, b.source AS src_b,
        |  count(*)::BIGINT AS n_shared_grams
