@@ -20,6 +20,17 @@ object Sources {
     def read(spark: SparkSession): Dataset[T] = spark.createDataset(xs)
   }
 
+  /** Jet `TestSources.itemsDistributed` (TestSources.java:84): the items
+    * pre-spread across members instead of emitted from one. Spark's
+    * `createDataset` already distributes; `numSlices` pins the partition
+    * count (the reference's member fan-out knob).
+    */
+  def itemsDistributed[T: Encoder](xs: Seq[T], numSlices: Int): BatchSource[T] =
+    new BatchSource[T] {
+      def read(spark: SparkSession): Dataset[T] =
+        spark.createDataset(xs).repartition(numSlices)
+    }
+
   /** Jet `Sources.list` (Sources.java:886): bounded scan of a named in-memory
     * list — here backed by the KeyedStore catalog (see `KeyedStore`).
     */
@@ -158,6 +169,72 @@ object Sources {
     }
   }
 
+  /** A running custom unbounded source (see [[Sources.buildStream]]): `df` is
+    * the streaming frame to attach a query to; `stop()` halts the pump and
+    * runs the builder's destroy callback exactly once.
+    */
+  final class BuiltStream private[pipeline] (
+      val df: DataFrame, stopFn: () => Unit) {
+    def stop(): Unit = stopFn()
+  }
+
+  /** Jet `SourceBuilder.stream` (SourceBuilder.java:236): a custom UNBOUNDED
+    * source from create/fill/destroy callbacks. The reference runs the
+    * callbacks on one processor; here a pump thread drains `fill` into a
+    * memory-backed streaming source feeding a standard Structured Streaming
+    * query — same single-drainer semantics. `fill` returning None means
+    * "nothing available now" (the pump sleeps `pollMillis` and retries until
+    * `stop()`); `destroy` runs exactly once on stop or pump death. Delivery
+    * is at-least-once and non-replayable across driver restarts — exactly the
+    * guarantee the reference gives a custom source without snapshot support
+    * (SourceBuilder docs). Fault-tolerant custom sources should instead land
+    * data in files and use [[fileWatcher]], whose offsets checkpoint.
+    */
+  def buildStream[S, T: Encoder](pollMillis: Long = 10)(
+      create: () => S)(
+      fill: S => Option[Seq[T]])(
+      destroy: S => Unit = (_: S) => ()): SparkSession => BuiltStream =
+    spark => {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+      val ctx = create()
+      val open = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val destroyOnce: () => Unit =
+        () => if (open.compareAndSet(true, false)) destroy(ctx)
+      val pump = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted)
+            fill(ctx) match {
+              case Some(batch) => if (batch.nonEmpty) mem.addData(batch)
+              case None => Thread.sleep(pollMillis)
+            }
+        } catch { case _: InterruptedException => } finally destroyOnce()
+      }, "graft-source-pump")
+      pump.setDaemon(true)
+      pump.start()
+      new BuiltStream(mem.toDF(),
+        () => { pump.interrupt(); pump.join(5000); destroyOnce() })
+    }
+
+  /** Jet `SourceBuilder.timestampedStream` (SourceBuilder.java:342): the
+    * custom unbounded source with event time attached at the source — the
+    * pump stamps each item via `timestampFn` (epoch millis), so the stream
+    * carries an `item` column plus a `timestamp` column ready for
+    * `withWatermark`.
+    */
+  def buildTimestampedStream[S, T](pollMillis: Long = 10)(
+      create: () => S)(
+      fill: S => Option[Seq[T]])(
+      timestampFn: T => Long,
+      destroy: S => Unit = (_: S) => ())(
+      implicit te: Encoder[(T, java.sql.Timestamp)]): SparkSession => BuiltStream =
+    spark => {
+      val built = buildStream[S, (T, java.sql.Timestamp)](pollMillis)(create)(
+        s => fill(s).map(_.map(t =>
+          (t, new java.sql.Timestamp(timestampFn(t))))))(destroy)(te)(spark)
+      new BuiltStream(built.df.toDF("item", "timestamp"), () => built.stop())
+    }
+
   /** SQL `TABLE(GENERATE_SERIES(a,b))` (JetSqlOperatorTable.java:84). */
   def generateSeries(from: Long, to: Long): BatchSource[java.lang.Long] =
     new BatchSource[java.lang.Long] {
@@ -175,6 +252,15 @@ object Sources {
     def read(spark: SparkSession): DataFrame =
       spark.readStream.format("rate")
         .option("rowsPerSecond", eventsPerSecond.toString).load()
+  }
+
+  /** Jet `TestSources.longStream` (TestSources.java:211): monotonically
+    * increasing longs at the given rate — the rate source's `value` column
+    * alone (the reference documents it as the lighter primitive-only variant).
+    */
+  def longStream(eventsPerSecond: Int): StreamSource = new StreamSource {
+    def read(spark: SparkSession): DataFrame =
+      itemStream(eventsPerSecond).read(spark).select("value")
   }
 
   /** Jet `Sources.socket` (Sources.java:950) → socket source (exact match). */
