@@ -38,7 +38,12 @@ object ScaleTrend {
     // cross-corpus near-dup, streaming dedup, contamination report
     "q82_sentence_dedup", "q83_heavy_hitters", "q84_unigram_logprob",
     "q86_cross_corpus_dedup", "q87_stream_dedup", "q89_contamination_frac",
-    "q90_bloom_decontaminate", "q91_stream_window_topk", "q92_source_entropy")
+    "q90_bloom_decontaminate", "q91_stream_window_topk", "q92_source_entropy",
+    // round-5 batches: containment pairs, curation/selection, bigram LM,
+    // source overlap matrix — the ops whose scale story is newest
+    "q93_containment", "q97_token_budget", "q98_chunking", "q99_bm25_topk",
+    "q101_shard_assign", "q102_adaptive_quality", "q103_bigram_logprob",
+    "q105_source_ngram_overlap", "q106_contrastive_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

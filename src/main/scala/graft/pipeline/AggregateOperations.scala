@@ -137,10 +137,42 @@ object AggregateOperations {
   def concatenating(c: Column, sep: String = "", as: String = "concat"): AggOp =
     one(array_join(collect_list(c.cast("string")), sep).as(as))
 
-  /** mapping/filtering/flatMapping input adapters (:605/:653/:707) are
-    * pre-transforms in Spark: apply `select`/`filter`/`explode` on the stage
-    * before aggregating, or wrap the expression: `summingLong(expr)`.
+  /** mapping/flatMapping input adapters (:605/:707) are pre-transforms in
+    * Spark: `mapping(fn, op)` IS `op(fn(c))` (ops take columns), and
+    * flatMapping is an `explode` on the stage before aggregating — both
+    * compose in-plan with no combinator needed. `filtering` and `groupingBy`
+    * are NOT trivial compositions; they are first-class below.
     */
+
+  /** filtering (:653): the downstream op accumulates only rows matching
+    * `cond`, in the SAME aggregation pass (SQL `FILTER (WHERE ...)` on every
+    * aggregate in the op — the coAggregate side-filter machinery). Unlike a
+    * stage-level `.filter`, other ops fused via `allOf` still see every row.
+    */
+  def filtering(cond: Column, op: AggOp): AggOp = AggOp(sideFiltered(op, cond))
+
+  /** groupingBy (:1026/:1067): map from key to a per-key aggregate of the group, in
+    * ONE aggregation pass (one collect + in-expression fold) — Jet's default
+    * `toList` downstream and the common `counting` downstream. NULL keys are
+    * dropped (Spark map keys cannot be null; same documented divergence as
+    * [[toMap]]). The final-expression cost is O(distinct-keys × items) per
+    * group — the Jet accumulator is likewise group-bound; for huge groups
+    * prefer a real two-level `groupBy` with a second key column.
+    */
+  def groupingByToList(k: Column, v: Column, as: String = "grouped"): AggOp = {
+    val entries = collect_list(when(k.isNotNull, struct(k.as("k"), v.as("v"))))
+    one(map_from_entries(
+      transform(array_distinct(transform(entries, _.getField("k"))),
+        key => struct(key,
+          transform(filter(entries, e => e.getField("k") === key),
+            e => e.getField("v"))))).as(as))
+  }
+
+  def groupingByCounting(k: Column, as: String = "grouped_counts"): AggOp = {
+    val ks = collect_list(when(k.isNotNull, k))
+    one(map_from_entries(transform(array_distinct(ks),
+      key => struct(key, size(filter(ks, x => x === key)).cast("long")))).as(as))
+  }
 
   /** toList / toSet (:784/:804) */
   def toList(c: Column, as: String = "list"): AggOp = one(collect_list(c).as(as))

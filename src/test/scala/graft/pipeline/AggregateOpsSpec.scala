@@ -99,6 +99,34 @@ class AggregateOpsSpec extends SparkSpec {
     assert(prod === 24)
   }
 
+  test("filtering: downstream sees only matching rows; fused ops see all rows") {
+    import AggregateOperations._
+    val df = Seq(("a", 1L), ("a", 10L), ("a", 100L), ("b", 5L)).toDF("k", "v")
+    val out = new BatchStage(df).groupingKey(col("k"))
+      .aggregate(allOf(
+        filtering(col("v") >= 10, summingLong(col("v"), "big_sum")),
+        counting("n_all")))
+      .toDF.collect().map(r => r.getString(0) -> (r.get(1), r.getLong(2))).toMap
+    assert(out("a") === ((110L, 3L)), "filter must scope only its own op")
+    assert(out("b") === ((null, 1L)), "no matching rows -> NULL sum, count still 1")
+  }
+
+  test("groupingBy: one-pass map-valued aggregation (toList + counting)") {
+    import AggregateOperations._
+    val df = Seq(("g", "x", 1L), ("g", "y", 2L), ("g", "x", 3L), ("g", null, 9L))
+      .toDF("k", "sub", "v")
+    val row = new BatchStage(df).groupingKey(col("k"))
+      .aggregate(allOf(
+        groupingByToList(col("sub"), col("v"), "lists"),
+        groupingByCounting(col("sub"), "counts")))
+      .toDF.collect().head
+    val lists = row.getMap[String, Seq[Long]](1)
+    val counts = row.getMap[String, Long](2)
+    assert(lists("x").toList === List(1L, 3L) && lists("y").toList === List(2L))
+    assert(!lists.contains(null), "NULL keys must be dropped")
+    assert(counts === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("LAW: sum/count are partition-count invariant (combineFn associativity)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
