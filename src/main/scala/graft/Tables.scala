@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
 
 /** Loader for the driver TESTDATA tables (TPC-H-ish star schema + events/documents/
   * embeddings). See /root/repo/TESTDATA.md and FIXTURES.md.
@@ -18,16 +18,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table; normalizes the `events.ts` nano-timestamp (read as a long via
-    * `spark.sql.legacy.parquet.nanosAsLong`) to a proper microsecond TIMESTAMP.
-    * Integer division keeps it exact (`ts div 1000`); the fixture data is
-    * whole-microsecond so nothing is lost.
+  /** Load one table; normalizes timestamp physical types so downstream event-time
+    * code always sees a proper TIMESTAMP (instant) column:
+    *   - `events.ts` written as a nano long (read via
+    *     `spark.sql.legacy.parquet.nanosAsLong`) → microsecond TIMESTAMP
+    *     (`ts div 1000` is exact; the fixture data is whole-microsecond);
+    *   - any TIMESTAMP_NTZ column (parquet `timestamp[us]` with no timezone,
+    *     which Spark 4 reads as NTZ) → TIMESTAMP. The session timezone is UTC
+    *     (GraftSession), so the cast re-labels the same wall-clock values as
+    *     UTC instants — exactly how the DuckDB oracle reads the naive column.
+    *     Watermarks, window(), and unix_micros all require TIMESTAMP, not NTZ.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && df0.schema("ts").dataType == LongType)
+        df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df0
+    df.schema.collect { case StructField(n, TimestampNTZType, _, _) => n }
+      .foldLeft(df)((d, n) => d.withColumn(n, col(n).cast(TimestampType)))
   }
 
   /** Register every table as a temp view so `spark.sql` queries see the same names
