@@ -25,10 +25,31 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-partition plans under .cache(): KeyedStore materializes
+      // every store mutation through cache()+count(), which otherwise pins
+      // the pre-AQE 32-partition shape for the cache build AND every read —
+      // r7 profile: q67's KB-sized store merges ran 198 near-empty tasks
+      // (200-500 ms each of pure fixed overhead) with this off, 10 tasks
+      // with it on. Per-task fixed cost is exactly the class that inflates
+      // 3-5× under external load while bulk compute inflates ~1.2×.
+      // (Deliberately NOT parallelismFirst=false: with the default,
+      // coalescing already shrinks the advisory to totalSize/parallelism for
+      // small shuffles; size-first coalescing serialized q47's compact-but-
+      // CPU-dense pair stage onto one core.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // The driver's `events` fixture carries TIMESTAMP(NANOS) parquet columns,
       // which Spark cannot represent natively; read them as epoch-nano longs and
       // convert in `Tables` (lossless: the fixture is whole-microsecond).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 infers naive parquet `timestamp[us]` (isAdjustedToUTC=false) as
+      // TIMESTAMP_NTZ, which watermarks / window() / unix_micros reject — the
+      // r5 gate silently lost all 8 timestamp queries to exactly this. Restore
+      // the Spark 3 reading engine-wide (naive → TIMESTAMP in the session zone,
+      // UTC here — the same instant labeling DuckDB applies), so EVERY parquet
+      // path (Sources.files, fileWatcher, Tables) hands event-time code a
+      // watermarkable column. `withTimestamps` additionally normalizes NTZ
+      // from user-declared schemas (json/csv watchers) as a second fence.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** Cluster-mode tuning for the 100 TB target (applied on top of `tune`) —
     * the knobs that matter when this engine runs on ~1000 executors instead of

@@ -36,7 +36,35 @@ object Plans {
     "q98_chunking" -> "fixed-context chunking: pure narrow pipeline (scan → explode → slice/join), ZERO exchanges — scan-bound at any scale",
     "q99_bm25_topk" -> "BM25: query-term filter BEFORE the tf shuffle; df + corpus stats broadcast; only matching tokens ever shuffle",
     "q104_hard_negatives" -> "hard-negative mining: broadcast query set, row-local normalized dot, label filter ahead of the rank window — nothing but the k results shuffle",
-    "q105_source_ngram_overlap" -> "source overlap matrix: 64-bit gram-key distinct + gram-keyed self-join (bucket bounded by source count), #sources^2 output")
+    "q105_source_ngram_overlap" -> "source overlap matrix: 64-bit gram-key distinct + gram-keyed self-join (bucket bounded by source count), #sources^2 output",
+    "q93_containment" -> "asymmetric near-containment: LSH band-keyed candidates (no all-pairs), per-pair h1-long set ops; the pair-dedup shuffle carries scored pairs only",
+    "q95_mix_temperature" -> "temperature mixing: per-source agg first (rows = #sources), then window + broadcast denominator — everything after the one agg shuffle is source-cardinality-sized",
+    "q97_token_budget" -> "per-source token budget: one shuffle keyed on source, running-sum window inside each partition; no global sort",
+    "q100_vocab_oov" -> "vocab/OOV: token agg builds the 50-term vocab, broadcast back over the token stream — the corpus-side join never shuffles",
+    "q101_shard_assign" -> "deterministic shard assignment: row-local md5 projection; the only shuffle is the per-shard ordering window, keyed on shard — shards scale with the cluster",
+    "q102_adaptive_quality" -> "per-source relative quality gate: single source-keyed shuffle; rank + count from one window sort, integer-exact 60% cut",
+    "q103_bigram_logprob" -> "interpolated bigram LM: doc-keyed lag window + two count aggs; bigram/unigram tables join on token keys, corpus total broadcast",
+    "q106_contrastive_pairs" -> "contrastive pairs: q98's zero-shuffle chunker + self-join co-partitioned on (doc_id, chunk_id), bucket size 1 — manifests ship fingerprints, never text")
+
+  // Streaming queries whose result frame is a memory-sink table (the
+  // interesting plan is the in-flight streaming one, not the post-replay
+  // batch scan): documented as shuffle-shape prose + the micro-batch plan
+  // properties PlanSpec/ShuffleAudit pin.
+  private val streamingNotes = Seq(
+    "q94_stream_left_join" ->
+      ("time-bounded stream-stream LEFT OUTER join (StreamingQueries.scala:191): " +
+        "both sides watermarked, join condition bounds event-time distance, so state " +
+        "per side = rate x window — bounded, evicted by watermark; unmatched left rows " +
+        "emit NULL-extended on eviction. Shuffle shape: one exchange per side keyed on " +
+        "the join key into the join's state store partitions (statefulOperators keep " +
+        "HashClusteredDistribution across batches — no re-shuffle between batches). At " +
+        "100 TB/day the state bound, not the data volume, sizes the cluster."),
+    "q96_stream_static_join" ->
+      ("stream-static broadcast enrichment (StreamingQueries.scala:229): the static " +
+        "dimension is broadcast per micro-batch, the stream side never shuffles for the " +
+        "join. The stream side's only exchange is the downstream agg's. At scale: the " +
+        "dimension must stay broadcast-able (<8 GB); beyond that, pre-bucket both sides " +
+        "on the key — ScaleRecipes documents the swap."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -55,8 +83,12 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode).take(8000))
       sb.append("\n```\n")
     }
+    sb.append("\n# Streaming queries (micro-batch plans)\n")
+    streamingNotes.foreach { case (name, note) =>
+      sb.append(s"\n## $name\n\n$note\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${headline.size} queries)")
+    println(s"[plans] wrote PLANS.md (${headline.size} batch + ${streamingNotes.size} streaming)")
     spark.stop()
   }
 }

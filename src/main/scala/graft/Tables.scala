@@ -24,12 +24,22 @@ object Tables {
     *     `spark.sql.legacy.parquet.nanosAsLong`) → microsecond TIMESTAMP
     *     (`ts div 1000` is exact; the fixture data is whole-microsecond);
     *   - any TIMESTAMP_NTZ column (parquet `timestamp[us]` with no timezone,
-    *     which Spark 4 reads as NTZ) → TIMESTAMP. The session timezone is UTC
-    *     (GraftSession), so the cast re-labels the same wall-clock values as
-    *     UTC instants — exactly how the DuckDB oracle reads the naive column.
-    *     Watermarks, window(), and unix_micros all require TIMESTAMP, not NTZ.
+    *     which Spark 4 reads as NTZ when inference is on) → TIMESTAMP. The
+    *     session timezone is UTC (enforced below), so the cast re-labels the
+    *     same wall-clock values as UTC instants — exactly how the DuckDB
+    *     oracle reads the naive column. Watermarks, window(), and unix_micros
+    *     all require TIMESTAMP, not NTZ. Top-level columns only by design: the
+    *     fixtures are flat, and event-time code reads top-level columns. Under
+    *     a GraftSession-tuned session this branch is a no-op belt-and-braces
+    *     (tune() disables parquet NTZ inference engine-wide).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the NTZ→TIMESTAMP relabeling below is only correct when the session
+    // timezone is the oracle's (UTC); fail loudly rather than silently shift
+    // every event time for a caller with an untuned non-UTC session
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables requires spark.sql.session.timeZone=UTC (use GraftSession.tune): " +
+        "naive-timestamp columns are labeled as UTC instants to match the oracle")
     val df0 = spark.read.parquet(s"$dir/$name.parquet")
     val df =
       if (name == "events" && df0.schema("ts").dataType == LongType)

@@ -18,6 +18,25 @@ object DedupFunctions {
 
   private val P = 4294967311L // first prime > 2^32
 
+  /** Spread a NARROW input across the cluster before a CPU-dense per-row pass.
+    *
+    * The signature builds below cost ~100k× their input bytes in CPU (one md5
+    * per token + minhash permutations), so scan parallelism — which Spark
+    * sizes by BYTES (maxPartitionBytes) — is the wrong width for them: a
+    * single small parquet file becomes one scan partition and the whole
+    * corpus hashes on one core (r7 profile: q47's 594 KB documents fixture =
+    * one 2.2 s task with 31 cores idle). Repartition only when the input is
+    * narrower than half the cluster width: a 100 TB corpus already arrives in
+    * thousands of scan partitions and passes through untouched — the shuffle
+    * fires exactly when it is small by construction (few partitions ≤ a few
+    * hundred MB each under maxPartitionBytes).
+    */
+  private def widenNarrowInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val n = try df.rdd.getNumPartitions catch { case _: Throwable => target }
+    if (n * 2 <= target) df.repartition(target) else df
+  }
+
   /** Per-token (h1, h2) hash pairs for the Kirsch–Mitzenmacher MinHash
     * construction: each token md5-hashed ONCE, split into two 32-bit halves.
     * Materialize this as its own column (a projection boundary) so the md5 pass
@@ -303,8 +322,9 @@ object DedupFunctions {
     // (measured dominant cost), and the hashes are engine-identical so the
     // differential check stays exact; h1 collisions perturb jaccard
     // deterministically, which MinHash (itself approximate) tolerates
-    val sig = df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
-        scopeCols.map(col)): _*)
+    val sig = widenNarrowInput(
+        df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
+          scopeCols.map(col)): _*))
       .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
       .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
       // explode_outer + null filter: a plain explode lets
@@ -425,8 +445,9 @@ object DedupFunctions {
                        hashes: Int, bands: Int, minContainment: Double,
                        scopeCols: Seq[String] = Nil): DataFrame = {
     val rows = hashes / bands
-    val sig = df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
-        scopeCols.map(col)): _*)
+    val sig = widenNarrowInput(
+        df.select((col(idCol).as("id") +: col(setCol).as("toks") +:
+          scopeCols.map(col)): _*))
       .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
       .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
       // explode_outer + null filter: see candidatePairs (generate-inlining)
@@ -521,7 +542,7 @@ object DedupFunctions {
   private def bandedSignatures(df: DataFrame, idCol: String, setCol: String,
                                hashes: Int, bands: Int): DataFrame = {
     val rows = hashes / bands
-    df.select(col(idCol).as("id"), col(setCol).as("toks"))
+    widenNarrowInput(df.select(col(idCol).as("id"), col(setCol).as("toks")))
       .withColumn("hp", tokenHashPairs(col("toks"))) // one md5 pass per doc
       .withColumn("hs", transform(col("hp"), p => p.getField("h1")))
       // explode_outer + null filter: see candidatePairs (generate-inlining)

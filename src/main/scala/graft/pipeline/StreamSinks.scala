@@ -23,21 +23,41 @@ final class JobHandle(val name: String, val query: StreamingQuery) {
     else if (query.exception.isDefined) "FAILED"
     else "COMPLETED"
 
-  /** Jet `Job.getMetrics()` (core/metrics/JobMetrics.java): the job's key
-    * counters from the last progress event — input rows, processing rate,
-    * state rows, late-event drops.
+  // engine-wide listener accumulating this query's lifetime counters; created
+  // with the handle so it observes the job's progress from the first batch
+  private val accumulated = graft.streaming.Metrics.sharedFor(query.sparkSession)
+
+  /** Jet `Job.getMetrics()` (core/metrics/JobMetrics.java, MetricNames.java):
+    * job-LIFETIME counters (Jet's metrics are cumulative totals) merged with
+    * the last progress event's instantaneous figures:
+    *   - numInputRows / lateEventsDropped / batches / totalBatchDurationMs —
+    *     cumulative across every micro-batch since the handle was created
+    *     (reference `emittedCount`, `lateEventsDropped`);
+    *   - stateRows — current state size (reference snapshot bytes analog);
+    *   - inputRowsPerSecond / processedRowsPerSecond / batchId — last batch.
     */
-  def metrics: Map[String, Double] =
-    Option(query.lastProgress).map { p =>
+  def metrics: Map[String, Double] = {
+    val last = Option(query.lastProgress).map { p =>
       Map(
         "batchId" -> p.batchId.toDouble,
-        "numInputRows" -> p.numInputRows.toDouble,
         "inputRowsPerSecond" -> p.inputRowsPerSecond,
         "processedRowsPerSecond" -> p.processedRowsPerSecond,
-        "stateRows" -> p.stateOperators.map(_.numRowsTotal).sum.toDouble,
-        "lateEventsDropped" -> p.stateOperators.map(_.numRowsDroppedByWatermark).sum.toDouble)
+        "stateRows" -> p.stateOperators.map(_.numRowsTotal).sum.toDouble)
         .filterNot(_._2.isNaN)
     }.getOrElse(Map.empty)
+    val life = accumulated.cumulative(query.id.toString)
+      .map { case (k, v) => k -> v.toDouble }
+    // listener totals win for the cumulative keys; fall back to the last
+    // progress event's own figures if the listener missed every batch (e.g.
+    // a handle wrapped around an already-running query)
+    val fallback = Option(query.lastProgress).map { p =>
+      Map(
+        "numInputRows" -> p.numInputRows.toDouble,
+        "lateEventsDropped" ->
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum.toDouble)
+    }.getOrElse(Map.empty)
+    fallback ++ last ++ life
+  }
 }
 
 /** Streaming sink vocabulary (reference: Sinks.java applied to StreamStage;

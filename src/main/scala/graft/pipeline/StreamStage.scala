@@ -12,20 +12,39 @@ final class StreamSourceStage(df: DataFrame) {
   /** Jet `withTimestamps(tsFn, allowedLag)` (GeneralStage.java:1155, via
     * InsertWatermarksP) → event-time column + bounded-lateness watermark:
     * semantically `WatermarkPolicy.limitingLag` (core/WatermarkPolicy.java:72).
+    *
+    * A TIMESTAMP_NTZ event-time column (Spark 4's reading of naive timestamps,
+    * e.g. a user-declared NTZ schema on a json/csv watcher) is normalized to
+    * TIMESTAMP first — `withWatermark` rejects NTZ outright, and the cast
+    * labels the wall-clock values as instants in the session timezone (UTC
+    * under GraftSession), matching how the engine's parquet paths read the
+    * same data with NTZ inference disabled.
     */
-  def withTimestamps(tsCol: String, allowedLag: String): StreamStage =
-    new StreamStage(df.withWatermark(tsCol, allowedLag), tsCol)
+  def withTimestamps(tsCol: String, allowedLag: String): StreamStage = {
+    val d = StreamSourceStage.ntzToTimestamp(df, tsCol)
+    new StreamStage(d.withWatermark(tsCol, allowedLag), tsCol)
+  }
 
   /** Jet `withNativeTimestamps(0)` — sources that carry their own event time
     * (rate source's `timestamp`, kafka's `timestamp`).
     */
   def withNativeTimestamps(allowedLag: String = "0 seconds"): StreamStage = {
     val tsCol = if (df.columns.contains("timestamp")) "timestamp" else "ts"
-    new StreamStage(df.withWatermark(tsCol, allowedLag), tsCol)
+    val d = StreamSourceStage.ntzToTimestamp(df, tsCol)
+    new StreamStage(d.withWatermark(tsCol, allowedLag), tsCol)
   }
 
   /** Jet `withoutTimestamps` — no event-time ops downstream. */
   def withoutTimestamps(): StreamStage = new StreamStage(df, null)
+}
+
+object StreamSourceStage {
+  /** Cast `tsCol` TIMESTAMP_NTZ → TIMESTAMP (no-op otherwise). */
+  private[pipeline] def ntzToTimestamp(df: DataFrame, tsCol: String): DataFrame =
+    if (df.columns.contains(tsCol) &&
+        df.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    else df
 }
 
 /** Jet `StreamStage<T>` (reference: pipeline/StreamStage.java) over a streaming

@@ -32,6 +32,9 @@ final class GraftSql(spark: SparkSession) {
   private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val showMappings = """(?is)\s*SHOW\s+(?:EXTERNAL\s+)?MAPPINGS\s*""".r
   private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
+  // Jet Job.getMetrics() on the SQL surface (core/metrics/JobMetrics.java):
+  // one (metric, value) row per counter for a named job
+  private val showJobMetrics = """(?is)\s*SHOW\s+JOB\s+METRICS\s+(\w+)\s*""".r
   // Jet CREATE JOB [OPTIONS(...)] AS ... (SqlCreateJob.java:140-186): options
   // carry JobConfig — processingGuarantee, snapshotIntervalMillis,
   // initialSnapshotName, autoScaling, metricsEnabled.
@@ -130,6 +133,12 @@ final class GraftSql(spark: SparkSession) {
     case showJobs() =>
       import spark.implicits._
       JobRegistry.list.toDF("name", "running")
+
+    case showJobMetrics(name) =>
+      import spark.implicits._
+      val h = JobRegistry.get(name).getOrElse(
+        throw new IllegalArgumentException(s"job $name not found"))
+      h.metrics.toSeq.sortBy(_._1).toDF("metric", "value")
 
     case createJob(ifNotExists, name, optStr, store, keyCols, rawSelect) =>
       // Jet semantics (SqlCreateJob.ifNotExists): an existing job of the same

@@ -13,6 +13,11 @@ final class Metrics extends org.apache.spark.sql.streaming.StreamingQueryListene
 
   private val late = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private val rows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  // cumulative per-query-ID counters (Jet's JobMetrics are job-lifetime
+  // totals, not last-batch snapshots): keyed by StreamingQuery.id so a
+  // restarted-from-checkpoint query keeps accumulating under its stable id
+  private val byId =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -21,11 +26,26 @@ final class Metrics extends org.apache.spark.sql.streaming.StreamingQueryListene
     val dropped = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
     late.merge(name, dropped, (a, b) => a + b)
     rows.merge(name, e.progress.numInputRows, (a, b) => a + b)
+    val batchMs = Option(e.progress.durationMs)
+      .flatMap(d => Option(d.get("triggerExecution"))).map(_.longValue).getOrElse(0L)
+    val delta = Map(
+      "numInputRows" -> e.progress.numInputRows,
+      "lateEventsDropped" -> dropped,
+      "batches" -> 1L,
+      "totalBatchDurationMs" -> batchMs)
+    byId.merge(e.progress.id.toString, delta,
+      (a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    ()
   }
 
   /** Jet `lateEventsDropped` analog for a named query. */
   def lateEventsDropped(query: String): Long = late.getOrDefault(query, 0L)
   def inputRows(query: String): Long = rows.getOrDefault(query, 0L)
+
+  /** Job-lifetime counters for a StreamingQuery id (empty before progress). */
+  def cumulative(queryId: String): Map[String, Long] =
+    byId.getOrDefault(queryId, Map.empty)
 }
 
 object Metrics {
@@ -33,6 +53,17 @@ object Metrics {
   def install(spark: SparkSession): Metrics = {
     val m = new Metrics
     spark.streams.addListener(m)
+    m
+  }
+
+  // one shared engine-wide listener per session (weak keys: a dropped
+  // session's listener map entry must not pin it): JobRegistry/JobHandle
+  // pull cumulative counters from here without each handle adding its own
+  // listener
+  private val shared = new java.util.WeakHashMap[SparkSession, Metrics]()
+  def sharedFor(spark: SparkSession): Metrics = shared.synchronized {
+    var m = shared.get(spark)
+    if (m == null) { m = install(spark); shared.put(spark, m) }
     m
   }
 }

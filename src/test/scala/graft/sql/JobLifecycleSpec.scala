@@ -158,4 +158,38 @@ class JobLifecycleSpec extends SparkSpec {
     assert(!h.isRunning)
     KeyedStore.drop("gen_out")
   }
+
+  test("Job.getMetrics: cumulative rows + late-event drops; SHOW JOB METRICS") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF.toDF("ts", "v").withWatermark("ts", "1 second")
+      .groupBy(window($"ts", "1 minute")).agg(sum($"v"))
+    val q = df.writeStream.format("memory").queryName("metrics_job")
+      .outputMode("update").start()
+    val h = JobRegistry.register(new graft.pipeline.JobHandle("metrics_job", q))
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      mem.addData((t(1000), 1.0), (t(2000), 2.0)) // watermark → 1999s
+      q.processAllAvailable()
+      mem.addData((t(10), 5.0)) // far behind the watermark → dropped late
+      q.processAllAvailable()
+      mem.addData((t(2001), 1.0))
+      q.processAllAvailable()
+      val m = h.metrics
+      assert(m.getOrElse("numInputRows", 0.0) >= 4.0, s"metrics: $m")
+      assert(m.getOrElse("lateEventsDropped", 0.0) >= 1.0, s"metrics: $m")
+      assert(m.getOrElse("batches", 0.0) >= 2.0, s"metrics: $m")
+      assert(m.getOrElse("totalBatchDurationMs", 0.0) > 0.0, s"metrics: $m")
+      // the SQL surface returns the same counters as (metric, value) rows
+      val rows = GraftSql(spark).execute("SHOW JOB METRICS metrics_job")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rows.getOrElse("numInputRows", 0.0) >= 4.0)
+      assert(rows.getOrElse("lateEventsDropped", 0.0) >= 1.0)
+    } finally {
+      q.stop()
+      JobRegistry.drop("metrics_job")
+      ()
+    }
+  }
 }
