@@ -124,4 +124,20 @@ class MergeSinkSpec extends SparkSpec {
     val n = KeyedStore.get(spark, "replay_store").collect().head.getLong(1)
     assert(n === 7L) // 5 + 2, not 5 + 5 + 2
   }
+
+  test("store snapshots coalesce under AQE (cached plans must not pin shuffle width)") {
+    // guard for spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
+    // KeyedStore materializes every mutation via cache()+count(); with the
+    // flag off, a KB-sized store snapshot runs (and stays) at the session's
+    // full shuffle width — 32 near-empty tasks per mutation at engine
+    // defaults, the r5/r6 q67 inflation (BASELINE.md round 7)
+    KeyedStore.drop("aqe_store")
+    val agg = Seq.tabulate(100)(i => (i % 7, i.toLong)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s")) // a real exchange feeds the store
+    KeyedStore.upsert("aqe_store", agg, Seq("k"))
+    val parts = KeyedStore.get(spark, "aqe_store").rdd.getNumPartitions
+    assert(parts <= 2,
+      s"tiny store snapshot kept $parts partitions — AQE cached-plan coalescing is off")
+    KeyedStore.drop("aqe_store")
+  }
 }
