@@ -18,24 +18,11 @@ object DedupFunctions {
 
   private val P = 4294967311L // first prime > 2^32
 
-  /** Spread a NARROW input across the cluster before a CPU-dense per-row pass.
-    *
-    * The signature builds below cost ~100k× their input bytes in CPU (one md5
-    * per token + minhash permutations), so scan parallelism — which Spark
-    * sizes by BYTES (maxPartitionBytes) — is the wrong width for them: a
-    * single small parquet file becomes one scan partition and the whole
-    * corpus hashes on one core (r7 profile: q47's 594 KB documents fixture =
-    * one 2.2 s task with 31 cores idle). Repartition only when the input is
-    * narrower than half the cluster width: a 100 TB corpus already arrives in
-    * thousands of scan partitions and passes through untouched — the shuffle
-    * fires exactly when it is small by construction (few partitions ≤ a few
-    * hundred MB each under maxPartitionBytes).
+  /** Spread a NARROW input across the cluster before the CPU-dense signature
+    * builds below (one md5 per token + minhash permutations, ~100k× the input
+    * bytes in CPU). See [[Width.widen]] for the guard's scale argument.
     */
-  private def widenNarrowInput(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val n = try df.rdd.getNumPartitions catch { case _: Throwable => target }
-    if (n * 2 <= target) df.repartition(target) else df
-  }
+  private def widenNarrowInput(df: DataFrame): DataFrame = Width.widen(df)
 
   /** Per-token (h1, h2) hash pairs for the Kirsch–Mitzenmacher MinHash
     * construction: each token md5-hashed ONCE, split into two 32-bit halves.
