@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // Single-box harness: put JVM temp files (streaming checkpoints, replay
+  // staging, shuffle spill) on tmpfs when the host has one — a finite
+  // replay's checkpoint needs no durability, and per-micro-batch commit
+  // fsyncs against a loaded disk are pure overhead. A real deployment sets
+  // explicit durable checkpointLocation/spark.local.dir; this only moves the
+  // UNNAMED temp dirs.
+  if (new File("/dev/shm").isDirectory) Seq("-Djava.io.tmpdir=/dev/shm")
+  else Seq.empty
+}
