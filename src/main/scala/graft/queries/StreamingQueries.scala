@@ -196,9 +196,11 @@ object StreamingQueries {
       Seq((new Timestamp(maxTs.getTime + offsetSec * 1000L), -1L, -1L, "purchase", 0.0))
         .toDF("ts", "event_id", "user_id", "event_type", "value")
     StreamRunner.replayFiles(s, events, "ts", "append",
+      // two sentinel chunks (the documented minimum — replayFiles: the flush
+      // lands in the batch FOLLOWING the watermark-advancing one); both far
+      // enough past max(ts) that the first alone clears every view's window
       tails = Some(maxTs =>
-        Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60),
-          sentinel(maxTs, 4 * 3600 + 120)))) { df =>
+        Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60)))) { df =>
       val wm = df.withWatermark("ts", "1 hour")
       val views = wm.filter($"event_type" === "view")
         .select($"ts".as("view_ts"), $"event_id".as("view_id"),
