@@ -64,7 +64,22 @@ object Bench {
       case _ => base
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query job/task counters: a query's wall time in THIS artifact is
+    // (work) + (job count × per-job scheduling floor), and the floor is what
+    // external machine load multiplies 3-5× while bulk work absorbs ~1.2×
+    // (BASELINE.md round 7). Emitting the counts makes the artifact
+    // self-diagnosing: a time that moved with flat jobs+tasks is load, not
+    // plan decay.
+    @volatile var jobCount = 0
+    @volatile var taskCount = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount += 1
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskCount += 1
+    })
     val results = selected.map { case (name, fn) =>
+      jobCount = 0; taskCount = 0
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -72,6 +87,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (jc, tc) = (jobCount, taskCount)
       // isolate queries from each other: drop the store state + cached tables
       // this query left behind and collect its garbage OUTSIDE the timed
       // window, so a heavy query can't tax its successors' numbers (the
@@ -79,7 +95,7 @@ object Bench {
       pipeline.KeyedStore.clear()
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      (name, dt, jc, tc)
     }
     // best-of-2 trials: throughput is floored by per-micro-batch fixed
     // overhead and swings ±40% with background machine load (BASELINE.md
@@ -99,7 +115,9 @@ object Bench {
     // records the conclusion; this keeps the artifact carrying both numbers)
     val streamRateRocks = bestOf2("rocksdb")(streamThroughput(spark, sfDir, rocksdb = true))
     val statelessRate = bestOf2("stateless")(streamThroughputStateless(spark, sfDir))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val jobsJson = results.map { case (k, _, j, t) => "\"" + k + "\":[" + j + "," + t + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries are listed explicitly — their partial times would
     // otherwise read as dramatic "improvements" in cross-round comparisons
@@ -108,10 +126,16 @@ object Bench {
     // zero throughput under a filter is an artifact, not a regression
     val marker = filter.map(f => s""""filter":"${f.mkString(",")}",""").getOrElse("") +
       order.map(o => s""""order":"$o",""").getOrElse("")
+    // 1-minute load average at end of run: cross-round artifact comparisons
+    // need to know whether the box was contended (see jobs_tasks note above)
+    val load = try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
+      s""""jobs_tasks":$jobsJson,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
       s""""stream_rows_per_sec_rocksdb":$streamRateRocks,""" +
-      s""""stream_stateless_rows_per_sec":$statelessRate,"sf":"$sfDir"}""")
+      s""""stream_stateless_rows_per_sec":$statelessRate,""" +
+      s""""load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 
