@@ -403,6 +403,17 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
         .join(aligned(s3, op3), keyNames, "full_outer"))
   }
 
+  /** Jet `aggregateBuilder` (BatchStageWithKey.java:391, GrAggBuilder): N-way
+    * co-aggregation for arbitrary N — `aggregate2`/`aggregate3`'s shape
+    * without the arity cap. Each input aggregates independently (two-phase,
+    * map-side combined), then the COMPACT per-key aggregates full-outer-join
+    * on the key values; keys from later stages are renamed to this stage's
+    * key names (Jet matches key VALUES, not names). At scale this is N small
+    * joins of per-key results, never a co-shuffle of raw rows.
+    */
+  def aggregateBuilder(op: AggOp): CoAggBuilder =
+    new CoAggBuilder(this, keyNames, Vector(aggregate(op).toDF))
+
   /** Jet keyed `distinct` (BatchStageWithKey.java:66): one arbitrary row per
     * key VALUE — the key expressions are materialized as hidden columns for
     * the dedup and dropped after (correct for expression keys, not just refs).
@@ -436,4 +447,26 @@ final class BatchStageWithKey(df: DataFrame, keys: Seq[Column]) {
       .agg(partial.columns.head, partial.columns.tail: _*)
     new BatchStage(phase1.groupBy(keys: _*).agg(merge.columns.head, merge.columns.tail: _*))
   }
+}
+
+/** Accumulator for `BatchStageWithKey.aggregateBuilder` (Jet GrAggBuilder,
+  * pipeline/GrAggBuilder.java): `add` any number of keyed stages, `build`
+  * joins their compact per-key aggregates. Immutable — each `add` returns a
+  * new builder, so a partially-built chain can be shared/branched safely.
+  */
+final class CoAggBuilder private[pipeline] (
+    first: BatchStageWithKey, keyNames: Seq[String], aggs: Vector[DataFrame]) {
+
+  def add(s: BatchStageWithKey, op: AggOp): CoAggBuilder = {
+    val raw = s.aggregate(op).toDF
+    val aligned = raw.toDF(keyNames ++ raw.columns.drop(keyNames.size): _*)
+    new CoAggBuilder(first, keyNames, aggs :+ aligned)
+  }
+
+  /** Full-outer-join chain over the per-key aggregates: a key present in ANY
+    * input appears once, with NULLs where an input lacks it (Jet ItemsByTag
+    * semantics: absent tag → null).
+    */
+  def build(): BatchStage[org.apache.spark.sql.Row] =
+    new BatchStage(aggs.reduce(_.join(_, keyNames, "full_outer")))
 }

@@ -138,6 +138,21 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out(0) === ((2L, 2L, null)) && out(1) === ((2L, null, 1L)))
   }
 
+  test("aggregateBuilder N-way co-aggregation (Jet GrAggBuilder, N=4)") {
+    def staged(vals: Seq[Int]) = new BatchStage(
+      p.readFrom(Sources.items(vals)).toDF.withColumn("k", col("value") % 2))
+      .groupingKey(col("k"))
+    val out = staged(Seq(1, 2, 3, 4)).aggregateBuilder(AggregateOperations.counting("n1"))
+      .add(staged(Seq(10, 20)), AggregateOperations.counting("n2"))
+      .add(staged(Seq(5)), AggregateOperations.counting("n3"))
+      .add(staged(Seq(7, 9, 11)), AggregateOperations.counting("n4"))
+      .build()
+      .toDF.collect().map(r => r.getInt(0) -> (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    // key 0: evens in s1/s2; absent from s3/s4 → NULL tags (ItemsByTag.get → null)
+    assert(out(0) === ((2L, 2L, null, null)))
+    assert(out(1) === ((2L, null, 1L, 3L)))
+  }
+
   test("mapUsingServiceAsync: bounded in-flight async calls") {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
