@@ -81,6 +81,15 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def hashJoin(dim: DataFrame, on: Column): StreamStage =
     new StreamStage(df.join(broadcast(dim), on, "left_outer"), tsCol)
 
+  /** Jet `StreamHashJoinBuilder` (pipeline/StreamHashJoinBuilder.java):
+    * enrich one stream against N batch dimensions — a chain of broadcast
+    * left-outer probes, each micro-batch probing every replicated dimension.
+    * The stream side never shuffles; at scale each dimension must stay
+    * broadcast-able (same bound as `hashJoin`).
+    */
+  def hashJoinN(dims: (DataFrame, Column)*): StreamStage =
+    dims.foldLeft(this) { case (st, (dim, on)) => st.hashJoin(dim, on) }
+
   /** Stream-stream join — ABSENT in the reference (SURVEY §2.5: Jet hashJoin
     * right sides are batch-only); Spark-native superset. Both sides must carry
     * watermarks and the condition must time-bound the match (e.g.

@@ -102,6 +102,26 @@ class StreamingSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("hashJoinN enriches a stream against several dimensions (StreamHashJoinBuilder)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = MemoryStream[(Timestamp, Int)]
+    m.addData((ts("2024-01-01 00:00:01"), 1), (ts("2024-01-01 00:00:02"), 2))
+    val names = Seq((1, "one"), (2, "two")).toDF("name_id", "name")
+    val colors = Seq((1, "red")).toDF("color_id", "color") // no row for 2 → NULL
+    val enriched = new StreamSourceStage(m.toDF.toDF("ts", "id"))
+      .withTimestamps("ts", "1 second")
+      .hashJoinN(
+        (names, col("id") === col("name_id")),
+        (colors, col("id") === col("color_id")))
+    val job = StreamSinks.memory("hashjoinn_test", "append").start(enriched.df)
+    job.processAllAvailable()
+    val rows = spark.table("hashjoinn_test")
+      .select("id", "name", "color").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1, "one", Some("red")), (2, "two", None)))
+    job.cancel()
+  }
+
   test("windowed co-aggregation of two keyed streams (aggregate2, one shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Timestamp, Long)]
