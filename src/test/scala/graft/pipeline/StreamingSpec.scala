@@ -156,6 +156,38 @@ class StreamingSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("NON-KEYED windowed co-aggregation (Jet WindowAggregateBuilder): global window, two streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Double)]
+    // groupingKey() with no columns = Jet's StageWithWindow (window, no key):
+    // the co-agg groups on the window alone, one result row per window
+    val s0 = new StreamSourceStage(views.toDF.toDF("ts", "user"))
+      .withTimestamps("ts", "1 minute")
+      .groupingKey()
+      .window(WindowDefinition.Tumbling("1 minute"))
+    val s1 = new StreamSourceStage(buys.toDF.toDF("bts", "amount"))
+      .withTimestamps("bts", "1 minute")
+      .groupingKey()
+    val coagg = s0.aggregate2(
+      AggregateOperations.counting("n_views"),
+      s1,
+      AggregateOperations.summingDouble(col("amount"), "spend"))
+    val job = StreamSinks.memory("global_coagg_test", "complete").start(coagg)
+    views.addData((ts("2024-01-01 00:00:01"), 1L), (ts("2024-01-01 00:00:02"), 2L))
+    buys.addData((ts("2024-01-01 00:00:10"), 5.0), (ts("2024-01-01 00:01:30"), 7.0))
+    job.processAllAvailable()
+    val rows = spark.table("global_coagg_test")
+      .select("window_start", "n_views", "spend").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1)
+    // first window has both sides; second window is buys-only (views count 0)
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 2L, 5.0),
+      ("2024-01-01 00:01:00.0", 0L, 7.0)))
+    job.cancel()
+  }
+
   test("three-way windowed co-aggregation (aggregate3 / WindowGroupAggregateBuilder)") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Timestamp, Long)]
