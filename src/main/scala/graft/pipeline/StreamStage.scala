@@ -81,6 +81,25 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
   def hashJoin(dim: DataFrame, on: Column): StreamStage =
     new StreamStage(df.join(broadcast(dim), on, "left_outer"), tsCol)
 
+  /** Jet streaming `mapUsingIMap` (GeneralStage.java:678 applied to
+    * StreamStage): enrich each event against a named store. SEMANTIC DELTA,
+    * stated: Jet reads the live map per event; a Spark streaming plan binds
+    * the static side at query START, so this join sees the store as of
+    * `.start()` — mutations during the run are not observed. For live
+    * per-batch lookups, do the enrichment in a `foreachBatch` sink
+    * (`SinkBuilder`/`CdcSinks` pattern: the batch function re-reads
+    * `KeyedStore.get` fresh on every micro-batch), or restart the query on
+    * dimension change (checkpoint resume makes that cheap).
+    */
+  def mapUsingIMap(storeName: String, on: Column): StreamStage =
+    hashJoin(KeyedStore.get(df.sparkSession, storeName), on)
+
+  /** Jet streaming `mapUsingReplicatedMap` — same plan as [[mapUsingIMap]]
+    * (a broadcast IS the replicated map); see the batch-side note.
+    */
+  def mapUsingReplicatedMap(storeName: String, on: Column): StreamStage =
+    mapUsingIMap(storeName, on)
+
   /** Jet `StreamHashJoinBuilder` (pipeline/StreamHashJoinBuilder.java):
     * enrich one stream against N batch dimensions — a chain of broadcast
     * left-outer probes, each micro-batch probing every replicated dimension.
