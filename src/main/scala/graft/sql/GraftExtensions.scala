@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_jaccard(a, b) takes exactly 2 arguments")
         graft.functions.expr.JaccardSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap"),
+      info("graft_overlap",
+        "graft_overlap(a, b) - one-pass distinct-set overlap counts " +
+          "struct(inter, na, nb) over two bigint arrays (codegen; containment " +
+          "= inter/na or inter/nb)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_overlap(a, b) takes exactly 2 arguments")
+        graft.functions.expr.SetOverlap(exprs.head, exprs(1))
+      }))
     // Catalyst's own runtime-filter bloom expressions as SQL surface — the
     // prefilter→exact-confirm decontamination pattern (BloomFunctions, q90)
     ext.injectFunction((
