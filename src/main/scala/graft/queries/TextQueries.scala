@@ -814,7 +814,79 @@ object TextQueries {
        |FROM grp GROUP BY doc_id, g""".stripMargin
   }
 
+  // ------------------------------------ q107 repeated-span EXCISION
+  /** Contamination/boilerplate REMOVAL, not just detection: q79's repeated
+    * spans (ExactSubstr W-gram islands) are cut OUT of every document —
+    * tokens whose position falls inside any span are dropped and the cleaned
+    * text re-joined. This is the destructive half of the ExactSubstr dedup
+    * recipe (detect q79 / excise here): the trainer receives the corpus with
+    * cross-document duplicated passages removed, per-doc stats witnessing
+    * what was cut.
+    *
+    * Scale shape: spans per doc collapse to ONE array row (they are islands —
+    * few per doc by construction), so the excision join is doc-keyed with a
+    * tiny right side, and the token filter is row-local (O(tokens × spans)
+    * with spans small). Text crosses no exchange: the spans do.
+    */
+  val q107_span_excision: Q = (s, dir) => {
+    import s.implicits._
+    val spans = q79_repeated_spans(s, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start".as("s"), $"span_end".as("e"))).as("spans"))
+    t(s, dir, "documents")
+      .select($"doc_id", T.tokens($"text").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      // docs with no spans carry a NULL array: exists → NULL, coalesce keeps
+      .withColumn("kept", filter($"toks", (_, i) =>
+        !coalesce(
+          exists($"spans", sp => i >= sp.getField("s") && i < sp.getField("e")),
+          lit(false))))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("n_removed"),
+        concat_ws(" ", $"kept").as("clean_text"))
+  }
+
+  val q107_oracle: String = {
+    val W = 8
+    val coef = Seq(1L, 31L, 131L, 4099L, 16381L, 65537L, 262139L, 524287L)
+    val poly = coef.zipWithIndex
+      .map { case (c, j) => s"h[i+$j]*$c" }.mkString(" + ")
+    // q79's span CTE chain + excision: DuckDB lambdas index from 1 (hence
+    // i-1); array_to_string of an empty list is NULL there where Spark's
+    // concat_ws gives '' — coalesced
+    s"""WITH th AS (SELECT doc_id,
+       |  list_transform($tokSql, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h,
+       |  $tokSql AS t
+       |  FROM documents),
+       |wh AS (SELECT doc_id, i - 1 AS pos, $poly AS wh
+       |  FROM th, LATERAL (SELECT unnest(range(1, len(h) - $W + 2)) AS i)
+       |  WHERE len(h) >= $W),
+       |dup AS (SELECT wh FROM wh GROUP BY wh HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (wh)),
+       |isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
+       |    THEN 0 ELSE 1 END AS brk FROM dp),
+       |grp AS (SELECT doc_id, pos,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $W AS e
+       |  FROM grp GROUP BY doc_id, g),
+       |sp AS (SELECT doc_id, list(s ORDER BY s) AS starts,
+       |  list(e ORDER BY s) AS ends FROM spans GROUP BY doc_id),
+       |base AS (SELECT th.doc_id, th.t,
+       |  coalesce(sp.starts, []) AS starts, coalesce(sp.ends, []) AS ends
+       |  FROM th LEFT JOIN sp ON th.doc_id = sp.doc_id),
+       |kept AS (SELECT doc_id, t,
+       |  list_filter(t, (x, i) ->
+       |    len(list_filter(starts, (s0, j) -> i-1 >= s0 AND i-1 < ends[j])) = 0) AS k
+       |  FROM base)
+       |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  (len(t) - len(k))::BIGINT AS n_removed,
+       |  coalesce(array_to_string(k, ' '), '') AS clean_text
+       |FROM kept""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
+    "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
     "q31_token_stats" -> q31_token_stats,
@@ -839,6 +911,7 @@ object TextQueries {
     "q93_containment" -> q93_containment)
 
   val oracles: Map[String, String] = Map(
+    "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,
     "q30_wordcount" -> q30_oracle,
     "q31_token_stats" -> q31_oracle,
