@@ -443,6 +443,97 @@ object CurationQueries {
        |FROM ch a JOIN ch b
        |  ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1""".stripMargin
 
+  // ----------------------------------------- q108 Naive-Bayes classifier
+  /** Trainable corpus classifier, trained and applied in one pipeline: a
+    * multinomial Naive Bayes over token counts with the document `lang` as
+    * the class — the same shape as the fastText/logistic quality classifiers
+    * used to filter web corpora (class = "high quality" vs "low"), exercised
+    * here on the label the fixtures carry. Complements q33's n-gram heuristic
+    * lang-id: q33 is zero-shot rules, q108 LEARNS from labeled data.
+    *
+    * Training is two aggregations: per-(token, class) counts (one map-side
+    * partial agg shuffle, output is vocabulary×classes-sized) and per-class
+    * token totals derived from it (no second corpus scan). The fitted model —
+    * add-one-smoothed log-likelihood per (token, class) plus class log-priors
+    * — is model-sized, so scoring BROADCASTS it (q100's model-sized-broadcast
+    * pattern): the corpus never shuffles for the lookup; the only corpus-keyed
+    * exchange is the per-(doc, class) score aggregation. The token grid is
+    * tokens × n_classes rows (classes is a small constant), narrow columns.
+    *
+    * Determinism contract (q84's): per-token log-likelihoods and class priors
+    * are rounded to 6 dp, summed by an ORDERED fold over token positions on
+    * both engines, and the argmax tie-breaks on class name.
+    */
+  val q108_nb_classifier: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    // NOT widened: the Width.widen A/B on tokenize-bound passes (BASELINE.md
+    // r7) reproduces here — 6.6 s widened vs 6.0 s narrow at sf0.1
+    val tok = docs
+      .select($"doc_id", $"lang", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
+      .filter($"tok".isNotNull)
+    // fit: token-class counts + class totals + vocab size + class priors.
+    // The counts table is the FIT ARTIFACT every later step derives from —
+    // materialize it once (it's vocab×classes-sized, never corpus-sized) so
+    // langtot/vocabSize/the broadcast don't each re-run the corpus tokenize
+    // (profiled: 3 redundant ~2 s single-pass scans at sf0.1 without this).
+    // localCheckpoint, not cache: blocks are freed when the frame is GC'd.
+    // The scoring pass below still re-tokenizes once — at 100 TB you
+    // re-tokenize rather than materialize a corpus-sized token grid.
+    val tokc = tok.groupBy($"tok", $"lang").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("lang", "clang").localCheckpoint(true)
+    val langtot = tokc.groupBy($"clang").agg(sum($"cnt").cast("double").as("tot"))
+    val vocabSize = tokc.agg(countDistinct($"tok").cast("double").as("v"))
+    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).cast("double").as("nd"))))
+      .select($"lang".as("clang"), round(log($"n" / $"nd"), 6).as("prior"))
+    // score: every document against every class; absent (token, class) pairs
+    // fall back to the add-one smoothing mass via the LEFT broadcast join
+    val scored = tok.select($"doc_id", $"pos", $"tok")
+      .crossJoin(broadcast(langtot))
+      .crossJoin(broadcast(vocabSize))
+      .join(broadcast(tokc), Seq("tok", "clang"), "left")
+      .withColumn("ll",
+        round(log((coalesce($"cnt", lit(0L)) + 1) / ($"tot" + $"v")), 6))
+      .groupBy($"doc_id", $"clang")
+      .agg(sort_array(collect_list(struct($"pos", $"ll"))).as("lls"))
+      .join(broadcast(priors), "clang")
+      .select($"doc_id", $"clang",
+        round(
+          aggregate(transform($"lls", x => x.getField("ll")), lit(0.0), (a, b) => a + b)
+            + $"prior", 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"clang".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"clang".as("pred_lang"), $"score")
+  }
+
+  val q108_oracle: String =
+    s"""WITH tokl AS (SELECT doc_id, $tokSql AS ts FROM documents),
+       |tok AS (SELECT doc_id, ts[i] AS tok, i AS pos
+       |        FROM tokl, unnest(generate_series(1, len(ts))) u(i)),
+       |lab AS (SELECT doc_id, lang FROM documents),
+       |tokc AS (SELECT t.tok, l.lang, count(*) AS cnt
+       |         FROM tok t JOIN lab l USING (doc_id) GROUP BY t.tok, l.lang),
+       |langtot AS (SELECT lang, sum(cnt)::DOUBLE AS tot FROM tokc GROUP BY lang),
+       |voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tokc),
+       |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |prior AS (SELECT lang, round(ln(count(*) / nd.n), 6) AS prior
+       |          FROM documents CROSS JOIN nd GROUP BY lang, nd.n),
+       |ll AS (SELECT t.doc_id, t.pos, lt.lang,
+       |         round(ln((coalesce(c.cnt, 0) + 1) / (lt.tot + voc.v)), 6) AS ll
+       |       FROM tok t CROSS JOIN langtot lt CROSS JOIN voc
+       |       LEFT JOIN tokc c ON c.tok = t.tok AND c.lang = lt.lang),
+       |agg AS (SELECT doc_id, lang, list(ll ORDER BY pos) AS lls
+       |        FROM ll GROUP BY doc_id, lang),
+       |sc AS (SELECT a.doc_id, a.lang,
+       |         round(list_reduce(list_prepend(0.0, a.lls), (x, y) -> x + y)
+       |           + p.prior, 6) AS score
+       |       FROM agg a JOIN prior p ON a.lang = p.lang),
+       |rk AS (SELECT doc_id, lang, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, lang ASC) AS rn FROM sc)
+       |SELECT doc_id, lang AS pred_lang, score FROM rk WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -453,7 +544,8 @@ object CurationQueries {
     "q102_adaptive_quality" -> q102_adaptive_quality,
     "q103_bigram_logprob" -> q103_bigram_logprob,
     "q105_source_ngram_overlap" -> q105_source_ngram_overlap,
-    "q106_contrastive_pairs" -> q106_contrastive_pairs)
+    "q106_contrastive_pairs" -> q106_contrastive_pairs,
+    "q108_nb_classifier" -> q108_nb_classifier)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -464,5 +556,6 @@ object CurationQueries {
     "q102_adaptive_quality" -> q102_oracle,
     "q103_bigram_logprob" -> q103_oracle,
     "q105_source_ngram_overlap" -> q105_oracle,
-    "q106_contrastive_pairs" -> q106_oracle)
+    "q106_contrastive_pairs" -> q106_oracle,
+    "q108_nb_classifier" -> q108_oracle)
 }
