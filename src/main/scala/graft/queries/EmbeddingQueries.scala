@@ -560,6 +560,116 @@ object EmbeddingQueries {
        |FROM ranked WHERE rank <= 5""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // -------------------------------------------- q109 product quantization
+  /** Product-quantization ANN (ADC search): the memory-compression scale path
+    * the LSH/IVF family doesn't cover. The D=64 vector splits into M=4
+    * subspaces of 16 dims; each subspace gets a deterministic codebook (the
+    * per-label subvector means — the same trained-quantizer-as-labels device
+    * as q44's IVF cells); every corpus vector is ENCODED as M small codes
+    * (argmin squared-L2 to the subspace codebook, 4 bytes replacing 256),
+    * and a query scores candidates with asymmetric distance computation:
+    * one tiny query-to-codeword distance table per subspace, approx distance
+    * = an ordered fold of M table lookups. PQ alone is exhaustive-but-
+    * compressed (every vector is a candidate — the win is memory and lookup
+    * cost, not candidate pruning); composing it with q44's cells gives
+    * IVFADC. 100 TB shape: codebooks and distance tables are broadcast-tiny;
+    * encoding is one keyed agg over a narrow ×(M·k) expansion (map-side
+    * partials make the argmin cheap); the encoded corpus is ~64× smaller
+    * than the raw vectors, which is the artifact you'd persist and scan.
+    *
+    * Determinism: argmin and ranking tie-break on (round 9 dp, id); the M
+    * per-subspace lookups sum by an ordered fold over the subspace index
+    * (q84's contract) — never by aggregation order.
+    */
+  val q109_pq_ann: Q = (s, dir) => {
+    import s.implicits._
+    val M = 4
+    val sub = dims / M
+    val emb = t(s, dir, "embeddings")
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    // codebooks: slice the per-label centroid into M subspace codewords
+    val centroids = emb
+      .select($"label", posexplode(S.toDouble($"embedding")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
+    val cb = centroids.select($"label", inline(array((0 until M).map(m =>
+      struct(lit(m).as("m"), slice($"cv", m * sub + 1, sub).as("cw"))): _*)))
+    // encode: per (vector, subspace) argmin over the 10 codewords; min of a
+    // (rounded-distance, code) struct = deterministic argmin with map-side
+    // partial aggregation (no window shuffle)
+    val sv = emb.select($"vec_id", inline(array((0 until M).map(m =>
+      struct(lit(m).as("m"), slice(S.toDouble($"embedding"), m * sub + 1, sub).as("sv"))): _*)))
+    val codes = sv.join(broadcast(cb), "m")
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct(round(sq($"sv", $"cw"), 9).as("d"), $"label".as("code"))).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"))
+    // ADC: per-query distance table (queries × M × codewords — broadcast-tiny)
+    val dt = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), inline(array((0 until M).map(m =>
+        struct(lit(m).as("m"), slice(S.toDouble($"embedding"), m * sub + 1, sub).as("qv"))): _*)))
+      .join(broadcast(cb), "m")
+      .select($"query_id", $"m", $"label", sq($"qv", $"cw").as("qd"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"approx_dist", 9).asc, $"neighbor_id".asc)
+    codes.join(broadcast(dt),
+        codes("m") === dt("m") && codes("code") === dt("label") &&
+          codes("vec_id") =!= dt("query_id"))
+      .groupBy($"query_id", codes("vec_id").as("neighbor_id"))
+      .agg(sort_array(collect_list(struct(codes("m"), $"qd"))).as("ds"))
+      .select($"query_id", $"neighbor_id",
+        aggregate(transform($"ds", x => x.getField("qd")), lit(0.0), (a, b) => a + b)
+          .as("approx_dist"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"approx_dist", 6).as("approx_dist"))
+  }
+
+  val q109_oracle: String = {
+    val sub = dims / 4
+    def sqSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH expanded AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS cv
+       |  FROM (SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos)
+       |  GROUP BY label),
+       |ms AS (SELECT unnest(range(0, 4)) AS m),
+       |cb AS (SELECT ms.m, c.label,
+       |         list_slice(c.cv, ms.m * $sub + 1, ms.m * $sub + $sub) AS cw
+       |       FROM ms CROSS JOIN cent c),
+       |sv AS (SELECT e.vec_id, ms.m,
+       |         list_transform(list_slice(e.embedding, ms.m * $sub + 1, ms.m * $sub + $sub),
+       |           x -> x::DOUBLE) AS sv
+       |       FROM embeddings e CROSS JOIN ms),
+       |enc0 AS (SELECT s.vec_id, s.m, c.label,
+       |           ${sqSql("s.sv", "c.cw")} AS d
+       |         FROM sv s JOIN cb c ON s.m = c.m),
+       |enc AS (SELECT vec_id, m, label AS code FROM (
+       |  SELECT vec_id, m, label,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY round(d, 9) ASC, label ASC) AS rn FROM enc0) WHERE rn = 1),
+       |qsv AS (SELECT vec_id AS query_id, m, sv AS qv FROM sv WHERE vec_id < 5),
+       |dt AS (SELECT q.query_id, q.m, c.label, ${sqSql("q.qv", "c.cw")} AS qd
+       |       FROM qsv q JOIN cb c ON q.m = c.m),
+       |adc AS (SELECT d.query_id, e.vec_id AS neighbor_id, list(d.qd ORDER BY e.m) AS ds
+       |        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.label
+       |          AND e.vec_id <> d.query_id
+       |        GROUP BY d.query_id, e.vec_id),
+       |tot AS (SELECT query_id, neighbor_id,
+       |          list_reduce(list_prepend(0.0, ds), (a, b) -> a + b) AS approx_dist
+       |        FROM adc),
+       |ranked AS (SELECT query_id, neighbor_id, approx_dist,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(approx_dist, 9) ASC, neighbor_id ASC) AS rank FROM tot)
+       |SELECT query_id, rank, neighbor_id, round(approx_dist, 6) AS approx_dist
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q104_hard_negatives" -> q104_hard_negatives,
     "q39_dedup_embedding" -> q39_dedup_embedding,
@@ -571,7 +681,8 @@ object EmbeddingQueries {
     "q65_kmeans_ivf" -> q65_kmeans_ivf,
     "q74_ann_recall" -> q74_ann_recall,
     "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe,
-    "q81_semantic_dedup" -> q81_semantic_dedup)
+    "q81_semantic_dedup" -> q81_semantic_dedup,
+    "q109_pq_ann" -> q109_pq_ann)
 
   val oracles: Map[String, String] = Map(
     "q104_hard_negatives" -> q104_oracle,
@@ -584,5 +695,6 @@ object EmbeddingQueries {
     "q65_kmeans_ivf" -> q65_oracle,
     "q74_ann_recall" -> q74_oracle,
     "q75_ann_ivf_multiprobe" -> q75_oracle,
-    "q81_semantic_dedup" -> q81_oracle)
+    "q81_semantic_dedup" -> q81_oracle,
+    "q109_pq_ann" -> q109_oracle)
 }
