@@ -44,7 +44,10 @@ object Plans {
     "q101_shard_assign" -> "deterministic shard assignment: row-local md5 projection; the only shuffle is the per-shard ordering window, keyed on shard — shards scale with the cluster",
     "q102_adaptive_quality" -> "per-source relative quality gate: single source-keyed shuffle; rank + count from one window sort, integer-exact 60% cut",
     "q103_bigram_logprob" -> "interpolated bigram LM: doc-keyed lag window + two count aggs; bigram/unigram tables join on token keys, corpus total broadcast",
-    "q106_contrastive_pairs" -> "contrastive pairs: q98's zero-shuffle chunker + self-join co-partitioned on (doc_id, chunk_id), bucket size 1 — manifests ship fingerprints, never text")
+    "q106_contrastive_pairs" -> "contrastive pairs: q98's zero-shuffle chunker + self-join co-partitioned on (doc_id, chunk_id), bucket size 1 — manifests ship fingerprints, never text",
+    "q107_span_excision" -> "span excision: q79's span islands joined back doc-keyed (spans per doc are few), token filter is row-local against the collected span list — the text column never shuffles",
+    "q108_nb_classifier" -> "NB classifier: fit = one (token,class) map-side-partial agg, vocab×classes output localCheckpointed so derived stats don't re-tokenize; model broadcast for scoring — the only corpus-keyed exchange is the per-(doc,class) score agg",
+    "q109_pq_ann" -> "PQ-ADC: codebooks + query distance tables broadcast-tiny; encoding = keyed argmin (min-of-struct, map-side partials) over a narrow ×(M·k) expansion; the encoded corpus (~64× smaller) is the artifact a 100 TB deployment persists and scans")
 
   // Streaming queries whose result frame is a memory-sink table (the
   // interesting plan is the in-flight streaming one, not the post-replay
