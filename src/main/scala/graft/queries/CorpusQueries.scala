@@ -428,7 +428,73 @@ object CorpusQueries {
        |FROM agg""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------- q110 mixture materialization
+  /** Materialize the temperature mixture: q95 computes WEIGHTS; this op
+    * actually draws the subsampled corpus. Per-source acceptance rate =
+    * temperature weight normalized so the highest-weighted source keeps
+    * everything (rate 1.0 — upsampling beyond 1 is epoch repetition, a
+    * training-loop concern, not a corpus-materialization one); a document is
+    * kept iff its seeded md5 uniform (`mix42:` + doc_id → first 8 hex digits
+    * / 2^32, q101's reproducible-draw device) falls under its source's rate.
+    * Deterministic: re-running yields the SAME subsample — the property that
+    * makes the drawn corpus shardable and resumable.
+    *
+    * Scale shape: one narrow tokenize pass materialized (doc_id, source,
+    * n_tokens only — the text never moves), a source-cardinality weight table
+    * broadcast back, the accept test row-local, and one per-source agg. At
+    * 100 TB the kept manifest (or the filter itself, fused into the next
+    * pass) is the output; here the per-source audit (rate, kept docs/tokens)
+    * is emitted for the oracle.
+    */
+  val q110_mixture_sample: Q = (s, dir) => {
+    import s.implicits._
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // narrow (id, source, tokens) frame once; both the weight fit and the
+    // accept pass read it (q108's no-redundant-tokenize rule)
+    val docTok = t(s, dir, "documents")
+      .select($"doc_id", $"source", size(T.tokens($"text")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val rates = docTok.groupBy($"source")
+      .agg(sum($"n_tokens").cast("long").as("src_tokens"))
+      .select($"source",
+        ($"src_tokens".cast("double") /
+          sum($"src_tokens").over(all).cast("double")).as("p_raw"))
+      .select($"source", round(pow($"p_raw", 0.3), 9).as("w_raw"))
+      .select($"source", round($"w_raw" / max($"w_raw").over(all), 6).as("rate"))
+    val kept = docTok.join(broadcast(rates), "source")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("mix42:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .filter($"h" / lit(4294967296.0) < $"rate")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tokens").cast("long").as("tokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"rate",
+        coalesce($"n_docs_kept", lit(0L)).as("n_docs_kept"),
+        coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+  }
+
+  val q110_oracle: String =
+    s"""WITH dt AS (SELECT doc_id, source, len($tokSql)::BIGINT AS n_tokens
+       |  FROM documents),
+       |sc AS (SELECT source, sum(n_tokens)::BIGINT AS src_tokens FROM dt GROUP BY source),
+       |p AS (SELECT source,
+       |    src_tokens::DOUBLE / (SELECT sum(src_tokens) FROM sc)::DOUBLE AS p_raw
+       |  FROM sc),
+       |w AS (SELECT source, round(pow(p_raw, 0.3), 9) AS w_raw FROM p),
+       |r AS (SELECT source, round(w_raw / (SELECT max(w_raw) FROM w), 6) AS rate FROM w),
+       |acc AS (SELECT d.source, d.n_tokens FROM dt d JOIN r ON d.source = r.source
+       |  WHERE ('0x' || substr(md5('mix42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+       |    / 4294967296.0 < r.rate),
+       |k AS (SELECT source, count(*) AS n_docs_kept, sum(n_tokens)::BIGINT AS tokens_kept
+       |  FROM acc GROUP BY source)
+       |SELECT r.source, r.rate,
+       |  coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(k.tokens_kept, 0) AS tokens_kept
+       |FROM r LEFT JOIN k ON r.source = k.source""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q110_mixture_sample" -> q110_mixture_sample,
     "q82_sentence_dedup" -> q82_sentence_dedup,
     "q83_heavy_hitters" -> q83_heavy_hitters,
     "q84_unigram_logprob" -> q84_unigram_logprob,
@@ -441,6 +507,7 @@ object CorpusQueries {
     "q95_mix_temperature" -> q95_mix_temperature)
 
   val oracles: Map[String, String] = Map(
+    "q110_mixture_sample" -> q110_oracle,
     "q82_sentence_dedup" -> q82_oracle,
     "q83_heavy_hitters" -> q83_oracle,
     "q84_unigram_logprob" -> q84_oracle,

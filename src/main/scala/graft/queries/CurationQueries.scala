@@ -534,6 +534,52 @@ object CurationQueries {
        |           ORDER BY score DESC, lang ASC) AS rn FROM sc)
        |SELECT doc_id, lang AS pred_lang, score FROM rk WHERE rn = 1""".stripMargin
 
+  // ----------------------------------------- q111 length-bucketed batching
+  /** Dynamic-batching manifest: group documents into training batches of
+    * B=8 by LENGTH BUCKET so each batch pads to its own max length instead
+    * of the global one — the standard padding-efficiency move for
+    * variable-length sequence training. Bucket = bit-length of the token
+    * count (power-of-two bands; integer-exact on both engines via
+    * `length(bin(n))` — no float log). Within a bucket, documents take a
+    * deterministic doc_id order and chunk into batches of B; each batch
+    * reports its max length and padding waste (B·max − Σlen for full
+    * batches; partial tail batches count their actual size).
+    *
+    * Scale shape: the only exchange is the bucket-keyed ordering window.
+    * Bucket count is small (log of the max length), so at 100 TB the
+    * within-bucket sort is the bottleneck — shard the ordering key to
+    * (bucket, q101-style seeded shard) and batches stay deterministic while
+    * the sort spreads; the single-key window here keeps the oracle exact.
+    */
+  val q111_length_batches: Q = (s, dir) => {
+    import s.implicits._
+    val docTok = t(s, dir, "documents")
+      .select($"doc_id", size(T.tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("bucket", length(bin($"n_tokens")).cast("long"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id".asc)
+    docTok
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / 8).cast("long"))
+      .groupBy($"bucket", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_tokens").as("max_len"),
+        (max($"n_tokens") * count(lit(1)) - sum($"n_tokens")).cast("long")
+          .as("padding_waste"))
+  }
+
+  val q111_oracle: String =
+    s"""WITH dt AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens FROM documents),
+       |b AS (SELECT doc_id, n_tokens, length(bin(n_tokens))::BIGINT AS bucket
+       |      FROM dt WHERE n_tokens > 0),
+       |r AS (SELECT doc_id, n_tokens, bucket,
+       |        (row_number() OVER (PARTITION BY bucket ORDER BY doc_id ASC) - 1) // 8
+       |          AS batch_id
+       |      FROM b)
+       |SELECT bucket, batch_id, count(*) AS n_docs,
+       |  max(n_tokens) AS max_len,
+       |  (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS padding_waste
+       |FROM r GROUP BY bucket, batch_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -545,7 +591,8 @@ object CurationQueries {
     "q103_bigram_logprob" -> q103_bigram_logprob,
     "q105_source_ngram_overlap" -> q105_source_ngram_overlap,
     "q106_contrastive_pairs" -> q106_contrastive_pairs,
-    "q108_nb_classifier" -> q108_nb_classifier)
+    "q108_nb_classifier" -> q108_nb_classifier,
+    "q111_length_batches" -> q111_length_batches)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -557,5 +604,6 @@ object CurationQueries {
     "q103_bigram_logprob" -> q103_oracle,
     "q105_source_ngram_overlap" -> q105_oracle,
     "q106_contrastive_pairs" -> q106_oracle,
-    "q108_nb_classifier" -> q108_oracle)
+    "q108_nb_classifier" -> q108_oracle,
+    "q111_length_batches" -> q111_oracle)
 }
