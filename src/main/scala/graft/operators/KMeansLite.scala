@@ -71,4 +71,60 @@ object KMeansLite {
     }
     (vecs.withColumn("cluster", assignExpr).select(col(idCol), col("cluster")), centroids)
   }
+
+  /** Product-quantizer fit: M independent per-subspace k-means trained in ONE
+    * corpus pass per iteration instead of M. Each subspace's trajectory is
+    * BIT-IDENTICAL to running [[fit]] on its slice (same id-ordered init over
+    * the sliced rows, same raw-distance (d, cid) struct-argmin, same
+    * 8-decimal per-recompute rounding, same empty-cluster carry-over), so a
+    * differential oracle written against M independent trainings still
+    * verifies this fused path. The fusion is the 100 TB argument: per
+    * iteration the corpus is scanned once with all M argmins evaluated
+    * row-locally, and the single means aggregation is keyed on
+    * (subspace, code, dim) — M·k·dims output rows, driver-tiny.
+    *
+    * @return (codes frame (idCol, m, code) — one row per (vector, subspace),
+    *          codebooks indexed [m][code][dim])
+    */
+  def fitProduct(df: DataFrame, idCol: String, vecCol: String,
+                 m: Int, sub: Int, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    val initRows: Array[Array[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mm => initRows.map(_.slice(mm * sub, (mm + 1) * sub)))
+
+    def codeExpr(mm: Int) = {
+      val sliced = transform(slice(col(vecCol), mm * sub + 1, sub), x => x.cast("double"))
+      val scored = (0 until books(mm).length).map { c =>
+        val cv = array(books(mm)(c).map(lit): _*)
+        val d = aggregate(zip_with(sliced, cv, (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d.as("d"), lit(c).as("cid"))
+      }
+      array_min(array(scored: _*)).getField("cid")
+    }
+    def codesLong = vecs.select(col(idCol), col(vecCol),
+      posexplode(array((0 until m).map(mm => codeExpr(mm)): _*)).as(Seq("m", "code")))
+
+    for (_ <- 1 to iters) {
+      val means = codesLong
+        .withColumn("__sv", transform(
+          slice(col(vecCol), col("m") * lit(sub) + lit(1), lit(sub)), x => x.cast("double")))
+        .select(col("m"), col("code"), posexplode(col("__sv")).as(Seq("__i", "__x")))
+        .groupBy(col("m"), col("code"), col("__i"))
+        .agg(round(avg(col("__x")), 8).as("__m"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          e => e("__m")).as("__cv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      books = Array.tabulate(m)(mm =>
+        books(mm).indices.map(c => means.getOrElse((mm, c), books(mm)(c))).toArray)
+    }
+    (codesLong.select(col(idCol), col("m"), col("code")), books)
+  }
 }

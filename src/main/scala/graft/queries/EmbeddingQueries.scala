@@ -563,110 +563,161 @@ object EmbeddingQueries {
   // -------------------------------------------- q109 product quantization
   /** Product-quantization ANN (ADC search): the memory-compression scale path
     * the LSH/IVF family doesn't cover. The D=64 vector splits into M=4
-    * subspaces of 16 dims; each subspace gets a deterministic codebook (the
-    * per-label subvector means — the same trained-quantizer-as-labels device
-    * as q44's IVF cells); every corpus vector is ENCODED as M small codes
-    * (argmin squared-L2 to the subspace codebook, 4 bytes replacing 256),
-    * and a query scores candidates with asymmetric distance computation:
-    * one tiny query-to-codeword distance table per subspace, approx distance
-    * = an ordered fold of M table lookups. PQ alone is exhaustive-but-
-    * compressed (every vector is a candidate — the win is memory and lookup
-    * cost, not candidate pruning); composing it with q44's cells gives
-    * IVFADC. 100 TB shape: codebooks and distance tables are broadcast-tiny;
-    * encoding is one keyed agg over a narrow ×(M·k) expansion (map-side
-    * partials make the argmin cheap); the encoded corpus is ~64× smaller
-    * than the raw vectors, which is the artifact you'd persist and scan.
+    * subspaces of 16 dims; each subspace trains its OWN k=8 codebook with the
+    * deterministic KMeansLite (id-ordered init, 2 iterations, per-recompute
+    * rounding — q65's device); every corpus vector is ENCODED as M codes
+    * (argmin squared-L2 to its subspace's codebook — 4 bytes replacing 256),
+    * and a query scores candidates with asymmetric distance computation: one
+    * tiny query-to-codeword distance table per subspace, approx distance = an
+    * ordered fold of M table lookups.
     *
-    * Determinism: argmin and ranking tie-break on (round 9 dp, id); the M
-    * per-subspace lookups sum by an ordered fold over the subspace index
-    * (q84's contract) — never by aggregation order.
+    * The codebooks MUST be trained independently per subspace: a first cut
+    * used the per-label subvector means in every subspace, which made the M
+    * codes perfectly correlated (all = label) — the code product collapsed to
+    * 10 cells, every same-cell vector tied at the same ADC distance, and
+    * recall vs exact L2 was 0 (Round7OpsSpec caught it; the oracle could not,
+    * because it replays the same arithmetic). Independent k-means per
+    * subspace decorrelates the codes, the product space gets k^M effective
+    * cells, and ADC discriminates within any coarse cluster.
+    *
+    * PQ alone is exhaustive-but-compressed (every vector is a candidate — the
+    * win is memory and lookup cost, not candidate pruning); composing with
+    * q44's cells gives IVFADC. 100 TB shape: codebooks and distance tables
+    * are broadcast-tiny; encoding is one argmin projection over the encoded
+    * corpus (~64× smaller than raw — the artifact you'd persist and scan).
+    *
+    * Determinism: KMeansLite's contract for the fit; ranking ties break on
+    * (round 9 dp, id); the M per-subspace lookups sum by an ordered fold over
+    * the subspace index (q84's contract) — never by aggregation order.
     */
   val q109_pq_ann: Q = (s, dir) => {
     import s.implicits._
     val M = 4
     val sub = dims / M
+    val k = 8
     val emb = t(s, dir, "embeddings")
     def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    // codebooks: slice the per-label centroid into M subspace codewords
-    val centroids = emb
-      .select($"label", posexplode(S.toDouble($"embedding")).as(Seq("pos", "x")))
-      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
-    val cb = centroids.select($"label", inline(array((0 until M).map(m =>
-      struct(lit(m).as("m"), slice($"cv", m * sub + 1, sub).as("cw"))): _*)))
-    // encode: per (vector, subspace) argmin over the 10 codewords; min of a
-    // (rounded-distance, code) struct = deterministic argmin with map-side
-    // partial aggregation (no window shuffle)
-    val sv = emb.select($"vec_id", inline(array((0 until M).map(m =>
-      struct(lit(m).as("m"), slice(S.toDouble($"embedding"), m * sub + 1, sub).as("sv"))): _*)))
-    val codes = sv.join(broadcast(cb), "m")
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct(round(sq($"sv", $"cw"), 9).as("d"), $"label".as("code"))).as("best"))
-      .select($"vec_id", $"m", $"best.code".as("code"))
-    // ADC: per-query distance table (queries × M × codewords — broadcast-tiny)
+    // fit: M independent per-subspace k-means, fused into one corpus pass per
+    // iteration (KMeansLite.fitProduct — bit-identical per subspace to M
+    // separate fits, which is what the oracle replays); assignments ARE the
+    // codes (the final argmin projection)
+    val (codes, books) = graft.operators.KMeansLite.fitProduct(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      m = M, sub = sub, k = k, iters = 2)
+    // fitted codebooks re-enter the plan as a tiny literal frame
+    val cb = books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
+    }.toSeq.toDF("m", "code", "cw")
+    // ADC: per-query distance table (queries × M × k — broadcast-tiny)
     val dt = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), inline(array((0 until M).map(m =>
-        struct(lit(m).as("m"), slice(S.toDouble($"embedding"), m * sub + 1, sub).as("qv"))): _*)))
+        struct(lit(m).as("m"),
+          transform(slice($"embedding", m * sub + 1, sub), x => x.cast("double"))
+            .as("qv"))): _*)))
       .join(broadcast(cb), "m")
-      .select($"query_id", $"m", $"label", sq($"qv", $"cw").as("qd"))
-    val w = Window.partitionBy($"query_id")
+      .select($"query_id", $"m", $"code", sq($"qv", $"cw").as("qd"))
+    val wA = Window.partitionBy($"query_id")
       .orderBy(round($"approx_dist", 9).asc, $"neighbor_id".asc)
-    codes.join(broadcast(dt),
-        codes("m") === dt("m") && codes("code") === dt("label") &&
-          codes("vec_id") =!= dt("query_id"))
-      .groupBy($"query_id", codes("vec_id").as("neighbor_id"))
-      .agg(sort_array(collect_list(struct(codes("m"), $"qd"))).as("ds"))
+    val shortlist = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      .agg(sort_array(collect_list(struct($"m", $"qd"))).as("ds"))
       .select($"query_id", $"neighbor_id",
         aggregate(transform($"ds", x => x.getField("qd")), lit(0.0), (a, b) => a + b)
           .as("approx_dist"))
-      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id",
-        round($"approx_dist", 6).as("approx_dist"))
+      .withColumn("arank", row_number().over(wA)).filter($"arank" <= 32)
+      .select($"query_id", $"neighbor_id")
+    // refine: exact re-rank of the ADC shortlist (the FAISS refine stage —
+    // ADC recall@3 directly from 4-byte codes is inherently lossy; recall is
+    // recovered by shortlisting L=32 in compressed space, then touching raw
+    // vectors for only |queries|·L rows). The shortlist is broadcast-tiny, so
+    // the raw-vector fetch is one more corpus scan, never a shuffle.
+    val nvec = emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("nv"))
+    val qvec = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"))
+    val wE = Window.partitionBy($"query_id")
+      .orderBy(round($"dist", 9).asc, $"neighbor_id".asc)
+    nvec.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qvec), "query_id")
+      .select($"query_id", $"neighbor_id", sq($"qv", $"nv").as("dist"))
+      .withColumn("rank", row_number().over(wE)).filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id", round($"dist", 6).as("dist"))
   }
 
+  /** Oracle: the four per-subspace k-means trainings replayed as unrolled SQL
+    * layers (the kmeansPrefixSql device, parameterized per subspace), then
+    * encode + ADC + rank.
+    */
   val q109_oracle: String = {
-    val sub = dims / 4
-    def sqSql(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    s"""WITH expanded AS (
-       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
-       |    unnest(embedding)::DOUBLE AS x
-       |  FROM embeddings),
-       |cent AS (
-       |  SELECT label, list(m ORDER BY pos) AS cv
-       |  FROM (SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos)
-       |  GROUP BY label),
-       |ms AS (SELECT unnest(range(0, 4)) AS m),
-       |cb AS (SELECT ms.m, c.label,
-       |         list_slice(c.cv, ms.m * $sub + 1, ms.m * $sub + $sub) AS cw
-       |       FROM ms CROSS JOIN cent c),
-       |sv AS (SELECT e.vec_id, ms.m,
-       |         list_transform(list_slice(e.embedding, ms.m * $sub + 1, ms.m * $sub + $sub),
-       |           x -> x::DOUBLE) AS sv
-       |       FROM embeddings e CROSS JOIN ms),
-       |enc0 AS (SELECT s.vec_id, s.m, c.label,
-       |           ${sqSql("s.sv", "c.cw")} AS d
-       |         FROM sv s JOIN cb c ON s.m = c.m),
-       |enc AS (SELECT vec_id, m, label AS code FROM (
-       |  SELECT vec_id, m, label,
-       |    row_number() OVER (PARTITION BY vec_id, m
-       |      ORDER BY round(d, 9) ASC, label ASC) AS rn FROM enc0) WHERE rn = 1),
-       |qsv AS (SELECT vec_id AS query_id, m, sv AS qv FROM sv WHERE vec_id < 5),
-       |dt AS (SELECT q.query_id, q.m, c.label, ${sqSql("q.qv", "c.cw")} AS qd
+    val M = 4
+    val sub = dims / M
+    val k = 8
+    def distSql(ve: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
+    def chain(m: Int): String = {
+      val p = s"s$m"
+      def assignLayer(a: String, c: String) =
+        s"""$a AS (SELECT vec_id, ve, cid FROM (
+           |  SELECT v.vec_id, v.ve, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${distSql("v.ve", "c.cv")}, c.cid) AS rn
+           |  FROM ${p}v v CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+      def centroidLayer(c: String, a: String, prev: String) =
+        s"""${c}m AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |  SELECT cid, i, round(avg(ve[i]), 8) AS m
+           |  FROM $a, range(1, ${sub + 1}) t(i) GROUP BY cid, i) GROUP BY cid),
+           |$c AS (SELECT cid, cv FROM ${c}m
+           |  UNION ALL SELECT cid, cv FROM $prev
+           |  WHERE cid NOT IN (SELECT cid FROM ${c}m))""".stripMargin
+      s"""${p}v AS (SELECT vec_id,
+         |  list_transform(list_slice(embedding, ${m * sub + 1}, ${m * sub + sub}),
+         |    x -> x::DOUBLE) AS ve FROM embeddings),
+         |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS cv
+         |       FROM (SELECT * FROM ${p}v ORDER BY vec_id LIMIT $k)),
+         |${assignLayer(s"${p}a1", s"${p}c0")},
+         |${centroidLayer(s"${p}c1", s"${p}a1", s"${p}c0")},
+         |${assignLayer(s"${p}a2", s"${p}c1")},
+         |${centroidLayer(s"${p}c2", s"${p}a2", s"${p}c1")},
+         |${assignLayer(s"${p}a3", s"${p}c2")}""".stripMargin
+    }
+    val enc = (0 until M).map(m => s"SELECT vec_id, $m AS m, cid AS code FROM s${m}a3")
+      .mkString(" UNION ALL ")
+    val cb = (0 until M).map(m => s"SELECT $m AS m, cid AS code, cv AS cw FROM s${m}c2")
+      .mkString(" UNION ALL ")
+    val qsv = (0 until M).map(m =>
+      s"""SELECT vec_id AS query_id, $m AS m,
+         |  list_transform(list_slice(embedding, ${m * sub + 1}, ${m * sub + sub}),
+         |    x -> x::DOUBLE) AS qv
+         |FROM embeddings WHERE vec_id < 5""".stripMargin).mkString(" UNION ALL ")
+    s"""WITH ${(0 until M).map(chain).mkString(",\n")},
+       |enc AS ($enc),
+       |cb AS ($cb),
+       |qsv AS ($qsv),
+       |dt AS (SELECT q.query_id, q.m, c.code, ${distSql("q.qv", "c.cw")} AS qd
        |       FROM qsv q JOIN cb c ON q.m = c.m),
        |adc AS (SELECT d.query_id, e.vec_id AS neighbor_id, list(d.qd ORDER BY e.m) AS ds
-       |        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.label
+       |        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
        |          AND e.vec_id <> d.query_id
        |        GROUP BY d.query_id, e.vec_id),
        |tot AS (SELECT query_id, neighbor_id,
        |          list_reduce(list_prepend(0.0, ds), (a, b) -> a + b) AS approx_dist
        |        FROM adc),
-       |ranked AS (SELECT query_id, neighbor_id, approx_dist,
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(approx_dist, 9) ASC, neighbor_id ASC) AS arank FROM tot)
+       |  WHERE arank <= 32),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |         list_sum(list_transform(range(1, ${dims + 1}),
+       |           i -> (qq.embedding[i]::DOUBLE - n.embedding[i]::DOUBLE)
+       |              * (qq.embedding[i]::DOUBLE - n.embedding[i]::DOUBLE))) AS dist
+       |       FROM sl s JOIN embeddings n ON n.vec_id = s.neighbor_id
+       |                 JOIN embeddings qq ON qq.vec_id = s.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, dist,
        |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY round(approx_dist, 9) ASC, neighbor_id ASC) AS rank FROM tot)
-       |SELECT query_id, rank, neighbor_id, round(approx_dist, 6) AS approx_dist
+       |    ORDER BY round(dist, 9) ASC, neighbor_id ASC) AS rank FROM ex)
+       |SELECT query_id, rank, neighbor_id, round(dist, 6) AS dist
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-7 operator batch (q108–q111). The DuckDB
+  * oracle is the value gate; these pin the properties the oracle can't see —
+  * classifier sanity, quantization recall vs exact search, draw determinism
+  * and monotonicity, batching invariants.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  test("q108 NB classifier: predictions beat the prior baseline on its own training set") {
+    import spark.implicits._
+    val pred = CurationQueries.q108_nb_classifier(spark, sf)
+    val truth = graft.Tables(spark, sf, "documents").select($"doc_id", $"lang")
+    val joined = pred.join(truth, "doc_id").cache()
+    val n = joined.count()
+    val correct = joined.filter($"pred_lang" === $"lang").count()
+    // majority-class baseline: predicting the most common lang for every doc
+    val majority = truth.groupBy($"lang").count().agg(max($"count")).head.getLong(0)
+    assert(correct > majority,
+      s"train-set accuracy $correct/$n should beat the majority baseline $majority/$n")
+    joined.unpersist()
+    ()
+  }
+
+  test("q109 PQ: 3 contiguous ranks per query, refined distances non-negative and ordered") {
+    import spark.implicits._
+    val out = EmbeddingQueries.q109_pq_ann(spark, sf).cache()
+    val perQuery = out.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("lo"), max($"rank").as("hi"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getAs[Long]("n") == 3 && r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == 3)
+    }
+    // refined exact distances are non-negative and non-decreasing in rank
+    val bad = out.withColumn("prev", lag($"dist", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"rank")))
+      .filter($"dist" < 0 || ($"prev".isNotNull && $"dist" < $"prev"))
+    assert(bad.count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q109 PQ: ADC top-3 recalls a majority of the exact L2 top-3 (compression sanity)") {
+    import spark.implicits._
+    // PQ approximates SQUARED-L2 (the FAISS-default metric q109 encodes);
+    // the exact reference must use the same metric, not the cosine the rest
+    // of the ANN family ranks by — the fixtures' vectors are not unit-norm,
+    // so the two rankings legitimately differ.
+    val emb = graft.Tables(spark, sf, "embeddings")
+    def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"dist".asc, $"neighbor_id".asc)
+    val exact = emb.select($"vec_id".as("neighbor_id"),
+        $"embedding".cast("array<double>").as("nv"))
+      .crossJoin(broadcast(q)).filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", d($"qv", $"nv").as("dist"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val approx = EmbeddingQueries.q109_pq_ann(spark, sf)
+      .select($"query_id", $"neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    // 4-byte codes vs 256-byte vectors: expect most exact neighbors to survive
+    assert(hits * 2 >= total, s"PQ recall too low: $hits/$total")
+  }
+
+  test("q110 mixture draw: deterministic, dominant source keeps everything, kept <= corpus") {
+    import spark.implicits._
+    val a = CorpusQueries.q110_mixture_sample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = CorpusQueries.q110_mixture_sample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b), "re-running the draw must yield the identical subsample")
+    // the max-rate source has rate 1.0 and keeps every document
+    val top = a.maxBy(_._2)
+    assert(top._2 == 1.0)
+    val srcCounts = graft.Tables(spark, sf, "documents")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top._3 == srcCounts(top._1), "rate-1.0 source must keep all docs")
+    // no source keeps more than it has
+    a.foreach { case (src, _, kept, _) => assert(kept <= srcCounts(src)) }
+  }
+
+  test("q111 batching: batch size <= 8, padding waste >= 0, every doc batched once") {
+    import spark.implicits._
+    val out = CurationQueries.q111_length_batches(spark, sf).cache()
+    assert(out.filter($"n_docs" > 8 || $"n_docs" < 1).count() == 0)
+    assert(out.filter($"padding_waste" < 0).count() == 0)
+    // per bucket: only the LAST batch may be partial (deterministic chunking)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+    val partialNonLast = out
+      .withColumn("maxb", max($"batch_id").over(w))
+      .filter($"n_docs" < 8 && $"batch_id" < $"maxb")
+    assert(partialNonLast.count() == 0)
+    // doc conservation: batched docs == docs with >0 tokens
+    val batched = out.agg(sum($"n_docs")).head.getLong(0)
+    val docs = graft.Tables(spark, sf, "documents")
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) > 0).count()
+    assert(batched == docs)
+    out.unpersist()
+    ()
+  }
+}
