@@ -132,6 +132,15 @@ final class StreamStage(val df: DataFrame, val tsCol: String) {
     new StreamStage(
       df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema)).toDF(), tsCol)
 
+  /** Jet stream `mapUsingPython` (extensions/python/.../PythonTransforms.java:47):
+    * rewrite one string column through an external worker process per
+    * partition per micro-batch — see [[SubprocessTransforms]] for the
+    * protocol/ordering contract (SubprocessSpec covers the streaming path).
+    */
+  def mapUsingSubprocess(colName: String, command: Seq[String],
+                         env: Map[String, String] = Map.empty): StreamStage =
+    new StreamStage(SubprocessTransforms.transformColumn(df, colName, command, env), tsCol)
+
   /** Jet stream `mapUsingService` (GeneralStage.java:305 applied to
     * StreamStage): per-partition service lifecycle inside each micro-batch.
     */

@@ -17,6 +17,13 @@ object EmbeddingQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   private val dims = 64
+  // PQ family constants (q109/q112) — declared up top: vals lower in the
+  // object would read as 0 from any earlier-declared oracle val (Scala
+  // object-init order), which is exactly the bug that once emitted
+  // `WITH , enc AS ()` oracles
+  private val pqM = 4
+  private val pqSub = dims / pqM
+  private val pqK = 8
 
   /** DuckDB SQL fragment: cosine between two DOUBLE-cast float lists, explicit
     * arithmetic (no list_cosine_similarity — we control the exact operation
@@ -590,49 +597,58 @@ object EmbeddingQueries {
     * (round 9 dp, id); the M per-subspace lookups sum by an ordered fold over
     * the subspace index (q84's contract) — never by aggregation order.
     */
-  val q109_pq_ann: Q = (s, dir) => {
+  private def pqSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Shared PQ fit + search artifacts (q109/q112): fused per-subspace k-means
+    * (KMeansLite.fitProduct — bit-identical per subspace to M separate fits,
+    * which is what the oracle replays), codebooks re-entering the plan as a
+    * tiny literal frame, and the per-query ADC distance table.
+    * @return (embeddings, codes (vec_id, m, code), dt (query_id, m, code, qd))
+    */
+  private def pqFitted(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val M = 4
-    val sub = dims / M
-    val k = 8
     val emb = t(s, dir, "embeddings")
-    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    // fit: M independent per-subspace k-means, fused into one corpus pass per
-    // iteration (KMeansLite.fitProduct — bit-identical per subspace to M
-    // separate fits, which is what the oracle replays); assignments ARE the
-    // codes (the final argmin projection)
     val (codes, books) = graft.operators.KMeansLite.fitProduct(
       emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
-      m = M, sub = sub, k = k, iters = 2)
-    // fitted codebooks re-enter the plan as a tiny literal frame
+      m = pqM, sub = pqSub, k = pqK, iters = 2)
     val cb = books.zipWithIndex.flatMap { case (book, m) =>
       book.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
     }.toSeq.toDF("m", "code", "cw")
-    // ADC: per-query distance table (queries × M × k — broadcast-tiny)
     val dt = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), inline(array((0 until M).map(m =>
+      .select($"vec_id".as("query_id"), inline(array((0 until pqM).map(m =>
         struct(lit(m).as("m"),
-          transform(slice($"embedding", m * sub + 1, sub), x => x.cast("double"))
+          transform(slice($"embedding", m * pqSub + 1, pqSub), x => x.cast("double"))
             .as("qv"))): _*)))
       .join(broadcast(cb), "m")
-      .select($"query_id", $"m", $"code", sq($"qv", $"cw").as("qd"))
-    val wA = Window.partitionBy($"query_id")
-      .orderBy(round($"approx_dist", 9).asc, $"neighbor_id".asc)
-    val shortlist = codes.join(broadcast(dt), Seq("m", "code"))
-      .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      .select($"query_id", $"m", $"code", pqSq($"qv", $"cw").as("qd"))
+    (emb, codes, dt)
+  }
+
+  /** Ordered subspace fold of ADC lookups per (query, neighbor) pair. */
+  private def pqAdcTotal(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupBy($"query_id", $"neighbor_id")
       .agg(sort_array(collect_list(struct($"m", $"qd"))).as("ds"))
       .select($"query_id", $"neighbor_id",
         aggregate(transform($"ds", x => x.getField("qd")), lit(0.0), (a, b) => a + b)
           .as("approx_dist"))
-      .withColumn("arank", row_number().over(wA)).filter($"arank" <= 32)
+  }
+
+  /** Refine stage shared by q109/q112: exact re-rank of the ADC top-`l`
+    * shortlist (the FAISS refine stage — ADC recall@3 directly from 4-byte
+    * codes is inherently lossy; recall is recovered by shortlisting in
+    * compressed space, then touching raw vectors for only |queries|·l rows).
+    * The shortlist is broadcast-tiny, so the raw-vector fetch is one more
+    * corpus scan, never a shuffle.
+    */
+  private def pqRefine(emb: DataFrame, tot: DataFrame, l: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val wA = Window.partitionBy($"query_id")
+      .orderBy(round($"approx_dist", 9).asc, $"neighbor_id".asc)
+    val shortlist = tot.withColumn("arank", row_number().over(wA)).filter($"arank" <= l)
       .select($"query_id", $"neighbor_id")
-    // refine: exact re-rank of the ADC shortlist (the FAISS refine stage —
-    // ADC recall@3 directly from 4-byte codes is inherently lossy; recall is
-    // recovered by shortlisting L=32 in compressed space, then touching raw
-    // vectors for only |queries|·L rows). The shortlist is broadcast-tiny, so
-    // the raw-vector fetch is one more corpus scan, never a shuffle.
     val nvec = emb.select($"vec_id".as("neighbor_id"), S.toDouble($"embedding").as("nv"))
     val qvec = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"))
@@ -640,74 +656,147 @@ object EmbeddingQueries {
       .orderBy(round($"dist", 9).asc, $"neighbor_id".asc)
     nvec.join(broadcast(shortlist), "neighbor_id")
       .join(broadcast(qvec), "query_id")
-      .select($"query_id", $"neighbor_id", sq($"qv", $"nv").as("dist"))
+      .select($"query_id", $"neighbor_id", pqSq($"qv", $"nv").as("dist"))
       .withColumn("rank", row_number().over(wE)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", round($"dist", 6).as("dist"))
   }
 
-  /** Oracle: the four per-subspace k-means trainings replayed as unrolled SQL
-    * layers (the kmeansPrefixSql device, parameterized per subspace), then
-    * encode + ADC + rank.
+  val q109_pq_ann: Q = (s, dir) => {
+    import s.implicits._
+    val (emb, codes, dt) = pqFitted(s, dir)
+    // PQ alone is exhaustive-but-compressed: every encoded vector scores
+    val tot = pqAdcTotal(codes.join(broadcast(dt), Seq("m", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"m", $"qd"))
+    pqRefine(emb, tot, 32)
+  }
+
+  // -------------------------------------------------------- q112 IVFADC
+  /** IVFADC — the composition that IS the 100 TB ANN architecture (coarse
+    * inverted-file cells bound the candidates, PQ codes make scoring them
+    * cheap, exact refine restores precision): q44's per-label coarse
+    * quantizer probes the 2 nearest cells per query by L2, only those cells'
+    * vectors are ADC-scored via q109's fitted codebooks, and the top-16
+    * shortlist re-ranks exact. At scale the corpus is partitioned by cell id
+    * with only CODES resident (~64× compression); a query touches 2 cells ×
+    * 4-byte codes + |shortlist| raw vectors — everything else is never read.
     */
-  val q109_oracle: String = {
-    val M = 4
-    val sub = dims / M
-    val k = 8
-    def distSql(ve: String, cv: String) =
-      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
-    def chain(m: Int): String = {
-      val p = s"s$m"
-      def assignLayer(a: String, c: String) =
-        s"""$a AS (SELECT vec_id, ve, cid FROM (
-           |  SELECT v.vec_id, v.ve, c.cid,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${distSql("v.ve", "c.cv")}, c.cid) AS rn
-           |  FROM ${p}v v CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-      def centroidLayer(c: String, a: String, prev: String) =
-        s"""${c}m AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
-           |  SELECT cid, i, round(avg(ve[i]), 8) AS m
-           |  FROM $a, range(1, ${sub + 1}) t(i) GROUP BY cid, i) GROUP BY cid),
-           |$c AS (SELECT cid, cv FROM ${c}m
-           |  UNION ALL SELECT cid, cv FROM $prev
-           |  WHERE cid NOT IN (SELECT cid FROM ${c}m))""".stripMargin
-      s"""${p}v AS (SELECT vec_id,
-         |  list_transform(list_slice(embedding, ${m * sub + 1}, ${m * sub + sub}),
-         |    x -> x::DOUBLE) AS ve FROM embeddings),
-         |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS cv
-         |       FROM (SELECT * FROM ${p}v ORDER BY vec_id LIMIT $k)),
-         |${assignLayer(s"${p}a1", s"${p}c0")},
-         |${centroidLayer(s"${p}c1", s"${p}a1", s"${p}c0")},
-         |${assignLayer(s"${p}a2", s"${p}c1")},
-         |${centroidLayer(s"${p}c2", s"${p}a2", s"${p}c1")},
-         |${assignLayer(s"${p}a3", s"${p}c2")}""".stripMargin
-    }
-    val enc = (0 until M).map(m => s"SELECT vec_id, $m AS m, cid AS code FROM s${m}a3")
-      .mkString(" UNION ALL ")
-    val cb = (0 until M).map(m => s"SELECT $m AS m, cid AS code, cv AS cw FROM s${m}c2")
-      .mkString(" UNION ALL ")
-    val qsv = (0 until M).map(m =>
-      s"""SELECT vec_id AS query_id, $m AS m,
-         |  list_transform(list_slice(embedding, ${m * sub + 1}, ${m * sub + sub}),
-         |    x -> x::DOUBLE) AS qv
-         |FROM embeddings WHERE vec_id < 5""".stripMargin).mkString(" UNION ALL ")
-    s"""WITH ${(0 until M).map(chain).mkString(",\n")},
-       |enc AS ($enc),
-       |cb AS ($cb),
-       |qsv AS ($qsv),
-       |dt AS (SELECT q.query_id, q.m, c.code, ${distSql("q.qv", "c.cw")} AS qd
-       |       FROM qsv q JOIN cb c ON q.m = c.m),
-       |adc AS (SELECT d.query_id, e.vec_id AS neighbor_id, list(d.qd ORDER BY e.m) AS ds
-       |        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
-       |          AND e.vec_id <> d.query_id
-       |        GROUP BY d.query_id, e.vec_id),
+  val q112_ivfadc: Q = (s, dir) => {
+    import s.implicits._
+    val (emb, codes, dt) = pqFitted(s, dir)
+    // coarse cells: per-label centroid (q44's quantizer), probed by L2
+    val centroids = emb
+      .select($"label", posexplode(S.toDouble($"embedding")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), e => e("m")).as("cv"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), S.toDouble($"embedding").as("qv"))
+    val wP = Window.partitionBy($"query_id").orderBy(round($"d", 9).asc, $"label".asc)
+    val probe = queries.crossJoin(broadcast(centroids))
+      .select($"query_id", $"label", pqSq($"qv", $"cv").as("d"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= 2)
+      .select($"query_id", $"label".as("probe_label"))
+    val cand = emb.select($"vec_id".as("neighbor_id"), $"label")
+      .join(broadcast(probe), $"label" === $"probe_label" && $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id")
+    val tot = pqAdcTotal(cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .select($"query_id", $"neighbor_id", $"m", $"qd"))
+    pqRefine(emb, tot, 32)
+  }
+
+  val q112_oracle: String = {
+    val probeDist =
+      s"""round(list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), 9)""".stripMargin
+    s"""WITH $pqCommonSql,
+       |expanded AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |cent AS (SELECT label, list(m ORDER BY pos) AS cv
+       |  FROM (SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos)
+       |  GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+       |      FROM embeddings WHERE vec_id < 5),
+       |probe AS (SELECT query_id, label AS probe_label FROM (
+       |  SELECT q.query_id, c.label,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY $probeDist ASC, c.label ASC) AS rn
+       |  FROM q CROSS JOIN cent c) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, e.vec_id AS neighbor_id
+       |         FROM embeddings e JOIN probe p
+       |           ON e.label = p.probe_label AND e.vec_id <> p.query_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id, list(d.qd ORDER BY e.m) AS ds
+       |        FROM cand c JOIN enc e ON e.vec_id = c.neighbor_id
+       |          JOIN dt d ON d.query_id = c.query_id AND d.m = e.m AND d.code = e.code
+       |        GROUP BY c.query_id, c.neighbor_id),
        |tot AS (SELECT query_id, neighbor_id,
        |          list_reduce(list_prepend(0.0, ds), (a, b) -> a + b) AS approx_dist
        |        FROM adc),
-       |sl AS (SELECT query_id, neighbor_id FROM (
+       |${pqRefineTailSql(32)}""".stripMargin
+  }
+
+  // ---- shared PQ oracle SQL builders (q109 + q112): the four per-subspace
+  // k-means trainings replayed as unrolled layers (the kmeansPrefixSql
+  // device, parameterized per subspace), plus encode/codebook/distance-table
+  // CTEs and the exact-refine tail.
+  private def pqSubDistSql(ve: String, cv: String) =
+    s"list_sum(list_transform(range(1, ${pqSub + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
+  private def pqChainSql(m: Int): String = {
+    val p = s"s$m"
+    def assignLayer(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, ve, cid FROM (
+         |  SELECT v.vec_id, v.ve, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${pqSubDistSql("v.ve", "c.cv")}, c.cid) AS rn
+         |  FROM ${p}v v CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def centroidLayer(c: String, a: String, prev: String) =
+      s"""${c}m AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |  SELECT cid, i, round(avg(ve[i]), 8) AS m
+         |  FROM $a, range(1, ${pqSub + 1}) t(i) GROUP BY cid, i) GROUP BY cid),
+         |$c AS (SELECT cid, cv FROM ${c}m
+         |  UNION ALL SELECT cid, cv FROM $prev
+         |  WHERE cid NOT IN (SELECT cid FROM ${c}m))""".stripMargin
+    s"""${p}v AS (SELECT vec_id,
+       |  list_transform(list_slice(embedding, ${m * pqSub + 1}, ${m * pqSub + pqSub}),
+       |    x -> x::DOUBLE) AS ve FROM embeddings),
+       |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS cv
+       |       FROM (SELECT * FROM ${p}v ORDER BY vec_id LIMIT $pqK)),
+       |${assignLayer(s"${p}a1", s"${p}c0")},
+       |${centroidLayer(s"${p}c1", s"${p}a1", s"${p}c0")},
+       |${assignLayer(s"${p}a2", s"${p}c1")},
+       |${centroidLayer(s"${p}c2", s"${p}a2", s"${p}c1")},
+       |${assignLayer(s"${p}a3", s"${p}c2")}""".stripMargin
+  }
+
+  /** Chains + enc/cb/qsv/dt CTE text (no leading WITH), shared by q109/q112. */
+  private def pqCommonSql: String = {
+    val enc = (0 until pqM).map(m => s"SELECT vec_id, $m AS m, cid AS code FROM s${m}a3")
+      .mkString(" UNION ALL ")
+    val cb = (0 until pqM).map(m => s"SELECT $m AS m, cid AS code, cv AS cw FROM s${m}c2")
+      .mkString(" UNION ALL ")
+    val qsv = (0 until pqM).map(m =>
+      s"""SELECT vec_id AS query_id, $m AS m,
+         |  list_transform(list_slice(embedding, ${m * pqSub + 1}, ${m * pqSub + pqSub}),
+         |    x -> x::DOUBLE) AS qv
+         |FROM embeddings WHERE vec_id < 5""".stripMargin).mkString(" UNION ALL ")
+    s"""${(0 until pqM).map(pqChainSql).mkString(",\n")},
+       |enc AS ($enc),
+       |cb AS ($cb),
+       |qsv AS ($qsv),
+       |dt AS (SELECT q.query_id, q.m, c.code, ${pqSubDistSql("q.qv", "c.cw")} AS qd
+       |       FROM qsv q JOIN cb c ON q.m = c.m)""".stripMargin
+  }
+
+  /** Shortlist-of-`l` + exact-refine + top-3 tail over a `tot`
+    * (query_id, neighbor_id, approx_dist) CTE. */
+  private def pqRefineTailSql(l: Int): String =
+    s"""sl AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(approx_dist, 9) ASC, neighbor_id ASC) AS arank FROM tot)
-       |  WHERE arank <= 32),
+       |  WHERE arank <= $l),
        |ex AS (SELECT s.query_id, s.neighbor_id,
        |         list_sum(list_transform(range(1, ${dims + 1}),
        |           i -> (qq.embedding[i]::DOUBLE - n.embedding[i]::DOUBLE)
@@ -719,7 +808,17 @@ object EmbeddingQueries {
        |    ORDER BY round(dist, 9) ASC, neighbor_id ASC) AS rank FROM ex)
        |SELECT query_id, rank, neighbor_id, round(dist, 6) AS dist
        |FROM ranked WHERE rank <= 3""".stripMargin
-  }
+
+  val q109_oracle: String =
+    s"""WITH $pqCommonSql,
+       |adc AS (SELECT d.query_id, e.vec_id AS neighbor_id, list(d.qd ORDER BY e.m) AS ds
+       |        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
+       |          AND e.vec_id <> d.query_id
+       |        GROUP BY d.query_id, e.vec_id),
+       |tot AS (SELECT query_id, neighbor_id,
+       |          list_reduce(list_prepend(0.0, ds), (a, b) -> a + b) AS approx_dist
+       |        FROM adc),
+       |${pqRefineTailSql(32)}""".stripMargin
 
   val entries: Map[String, Q] = Map(
     "q104_hard_negatives" -> q104_hard_negatives,
@@ -733,7 +832,8 @@ object EmbeddingQueries {
     "q74_ann_recall" -> q74_ann_recall,
     "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe,
     "q81_semantic_dedup" -> q81_semantic_dedup,
-    "q109_pq_ann" -> q109_pq_ann)
+    "q109_pq_ann" -> q109_pq_ann,
+    "q112_ivfadc" -> q112_ivfadc)
 
   val oracles: Map[String, String] = Map(
     "q104_hard_negatives" -> q104_oracle,
@@ -747,5 +847,6 @@ object EmbeddingQueries {
     "q74_ann_recall" -> q74_oracle,
     "q75_ann_ivf_multiprobe" -> q75_oracle,
     "q81_semantic_dedup" -> q81_oracle,
-    "q109_pq_ann" -> q109_oracle)
+    "q109_pq_ann" -> q109_oracle,
+    "q112_ivfadc" -> q112_oracle)
 }
