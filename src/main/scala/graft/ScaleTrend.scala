@@ -43,7 +43,12 @@ object ScaleTrend {
     // source overlap matrix — the ops whose scale story is newest
     "q93_containment", "q97_token_budget", "q98_chunking", "q99_bm25_topk",
     "q101_shard_assign", "q102_adaptive_quality", "q103_bigram_logprob",
-    "q105_source_ngram_overlap", "q106_contrastive_pairs")
+    "q105_source_ngram_overlap", "q106_contrastive_pairs",
+    // round-7 batch: span excision, NB classifier, PQ/IVFADC fits, mixture
+    // draw, length batching — fits and tokenize-heavy ops, the newest scale
+    // stories
+    "q107_span_excision", "q108_nb_classifier", "q109_pq_ann",
+    "q110_mixture_sample", "q111_length_batches", "q112_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
