@@ -70,7 +70,15 @@ object Plans {
         "dimension is broadcast per micro-batch, the stream side never shuffles for the " +
         "join. The stream side's only exchange is the downstream agg's. At scale: the " +
         "dimension must stay broadcast-able (<8 GB); beyond that, pre-bucket both sides " +
-        "on the key — ScaleRecipes documents the swap."))
+        "on the key — ScaleRecipes documents the swap."),
+    "q113_stream_classify" ->
+      ("fit-batch/score-stream classifier serving (StreamingQueries.scala): the NB " +
+        "model is fitted batch-side, driver-collected (model-scale boundary, same as " +
+        "KMeansLite centroids), broadcast, and each streamed document scores " +
+        "row-locally in one typed map — zero shuffles, zero state stores, so " +
+        "throughput is scan-bound and scales with executors. Beyond broadcast scale " +
+        "the model ships as a keyed store (mapUsingIMap). Oracle = q108's: stream " +
+        "scoring reproduces the batch classifier bit-for-bit."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -337,8 +337,75 @@ object StreamingQueries {
       |      FROM c)
       |SELECT window_start, event_type, n, rank FROM r WHERE rank <= 2""".stripMargin
 
+  // ------------------------------------ q113 streaming classifier scoring
+  /** Fit-batch / score-stream — the model-serving pattern every production
+    * corpus pipeline ends in: q108's Naive-Bayes model is fitted batch-side,
+    * collected to the driver (vocab×classes-sized — the same model-scale
+    * boundary as KMeansLite's driver-held centroids; beyond broadcast scale
+    * you'd ship it as a keyed store via mapUsingIMap), broadcast to every
+    * task, and each streamed document is scored ROW-LOCALLY in one typed map
+    * — no shuffle, no state store, unbounded throughput. A declarative
+    * in-stream argmax is impossible (window functions and chained
+    * aggregations are unsupported on streams), which is exactly why scoring
+    * belongs row-side with the model broadcast — same architecture as
+    * MLlib's model.transform.
+    *
+    * Determinism contract: identical to q108 — per-(token, class)
+    * log-likelihoods and priors rounded to 6 dp at fit time, folded in token
+    * order at scoring time, final 6 dp round, ties on class name (the class
+    * loop ascends with a strict `>`). The ORACLE IS q108's: stream scoring
+    * must reproduce the batch classifier bit-for-bit. Tokenization uses
+    * Locale.ROOT lowercasing to match the column expression's
+    * locale-independent lower().
+    */
+  val q113_stream_classify: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables(s, dir, "documents")
+    // fit (batch side, one tokenize pass; q108's arithmetic)
+    val tokc = docs
+      .select($"lang", explode(T.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"lang").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val v = tokc.agg(countDistinct($"tok").cast("double")).head.getDouble(0)
+    val tots: Map[String, Double] = tokc.groupBy($"lang")
+      .agg(sum($"cnt").cast("double").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nd = docs.count().toDouble
+    val priors: Map[String, Double] = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> round6(math.log(r.getLong(1) / nd))).toMap
+    val ll: Map[(String, String), Double] = tokc.collect().map { r =>
+      val (tok, c, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+      (tok, c) -> round6(math.log((cnt + 1) / (tots(c) + v)))
+    }.toMap
+    val absent: Map[String, Double] =
+      tots.map { case (c, t) => c -> round6(math.log(1.0 / (t + v))) }
+    val classes = priors.keys.toSeq.sorted
+    val bc = s.sparkContext.broadcast((ll, absent, priors, classes))
+    // score (stream side, row-local)
+    StreamRunner.replayFiles(s, docs.select($"doc_id", $"text"), "doc_id", "append") { df =>
+      df.as[(Long, String)].map { case (id, text) =>
+        val (llm, dflt, pri, cls) = bc.value
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        var bestC = ""
+        var bestS = Double.NegativeInfinity
+        for (c <- cls) {
+          var acc = 0.0
+          toks.foreach(t => acc += llm.getOrElse((t, c), dflt(c)))
+          val sc = round6(acc + pri(c))
+          if (sc > bestS) { bestS = sc; bestC = c }
+        }
+        (id, bestC, bestS)
+      }.toDF("doc_id", "pred_lang", "score")
+    }
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
+    "q113_stream_classify" -> q113_stream_classify,
     "q50_stream_tumbling" -> q50_stream_tumbling,
     "q51_stream_session" -> q51_stream_session,
     "q52_stream_rolling_final" -> q52_stream_rolling_final,
@@ -349,6 +416,8 @@ object StreamingQueries {
     "q96_stream_static_join" -> q96_stream_static_join)
 
   val oracles: Map[String, String] = Map(
+    // stream scoring must reproduce the batch classifier exactly
+    "q113_stream_classify" -> CurationQueries.q108_oracle,
     "q50_stream_tumbling" -> q50_oracle,
     "q51_stream_session" -> q51_oracle,
     "q52_stream_rolling_final" -> q52_oracle,
