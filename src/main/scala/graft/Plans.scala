@@ -78,7 +78,14 @@ object Plans {
         "row-locally in one typed map — zero shuffles, zero state stores, so " +
         "throughput is scan-bound and scales with executors. Beyond broadcast scale " +
         "the model ships as a keyed store (mapUsingIMap). Oracle = q108's: stream " +
-        "scoring reproduces the batch classifier bit-for-bit."))
+        "scoring reproduces the batch classifier bit-for-bit."),
+    "q114_stream_ingest_dedup" ->
+      ("streaming ingestion-time near-dup gate (StreamingQueries.scala): arriving " +
+        "documents signature-band row-locally inside the micro-batch (no state), " +
+        "stream-static join on the band key against the reference corpus's persisted " +
+        "signatures — the 100 TB reference side is hashed ONCE, each batch pays only " +
+        "its own row-local hashing + a band-keyed join. Oracle = q86's: in-stream " +
+        "dedup finds exactly the pairs the batch pass finds."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -595,6 +595,35 @@ object DedupFunctions {
       newDf.sparkSession.read.parquet(signaturesPath),
       minJaccard, maxRefPerBucket, broadcastNew)
 
+  /** Reference-side banded signatures as a DataFrame (the in-memory form of
+    * [[writeBandedSignatures]] — same frame, not persisted). Callers that
+    * join it repeatedly (e.g. per micro-batch) should persist or checkpoint
+    * it; the parquet path is the production form.
+    */
+  def referenceSignatures(refDf: DataFrame, idCol: String, setCol: String,
+                          hashes: Int, bands: Int): DataFrame =
+    bandedSignatures(refDf, idCol, setCol, hashes, bands)
+
+  /** STREAMING ingestion-time near-dup gate — [[crossCorpusPairs]] with the
+    * new side a STREAM: every arriving document is signature-banded
+    * row-locally (md5 token hashing, minhash, band keys are all per-row
+    * expressions, so they run inside the micro-batch with no state), joined
+    * stream-static against the reference signatures (the static side is
+    * re-evaluated per micro-batch — hand this the persisted
+    * [[writeBandedSignatures]] parquet, or a checkpointed frame, never a
+    * recompute-per-batch plan), exact-Jaccard verified, and emitted as
+    * (id_new, id_ref, jaccard) pairs in append mode. `dropDuplicates` state
+    * holds one row per emitted pair; bound it with a watermark on an
+    * event-time column in production ingestion.
+    */
+  def streamCrossCorpusPairs(newStream: DataFrame, refSig: DataFrame,
+                             idCol: String, setCol: String,
+                             hashes: Int, bands: Int,
+                             minJaccard: Double): DataFrame =
+    crossCorpusPairsImpl(
+      bandedSignatures(newStream.select(col(idCol), col(setCol)), idCol, setCol, hashes, bands),
+      refSig, minJaccard, Int.MaxValue, broadcastNew = false)
+
   private def crossCorpusPairsImpl(newSig: DataFrame, refSig: DataFrame,
                                    minJaccard: Double,
                                    maxRefPerBucket: Int,

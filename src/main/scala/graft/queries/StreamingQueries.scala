@@ -403,9 +403,38 @@ object StreamingQueries {
     }
   }
 
+  // -------------------------------------- q114 streaming ingestion dedup
+  /** Ingestion-time near-dup gate — q86's cross-corpus MinHash dedup with
+    * the NEW side a real stream: documents arrive micro-batched, are
+    * tokenized + signature-banded row-locally in-stream, joined
+    * stream-static against the reference corpus's banded signatures
+    * (checkpointed here; production reads the writeBandedSignatures
+    * parquet), exact-Jaccard verified and emitted as pairs. The oracle is
+    * q86's SQL — in-stream dedup must find exactly the pairs the batch pass
+    * finds. At 100 TB/day this is the shape that matters: the reference
+    * side is hashed ONCE (persisted), each arriving batch pays only its own
+    * row-local hashing plus a band-keyed join.
+    */
+  val q114_stream_ingest_dedup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.{TextFunctions => T, DedupFunctions => D}
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"source", $"text")
+    val half = substring($"source", 4, 10).cast("int")
+    val refSig = D.referenceSignatures(
+      docs.filter(half < 10).select($"doc_id", T.tokenSet($"text").as("toks")),
+      "doc_id", "toks", hashes = 12, bands = 2).localCheckpoint(true)
+    StreamRunner.replayFiles(s, docs.filter(half >= 10).select($"doc_id", $"text"),
+        "doc_id", "append") { df =>
+      D.streamCrossCorpusPairs(df.withColumn("toks", T.tokenSet($"text")), refSig,
+        "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9)
+        .select($"id_new", $"id_ref", $"jaccard")
+    }
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q113_stream_classify" -> q113_stream_classify,
+    "q114_stream_ingest_dedup" -> q114_stream_ingest_dedup,
     "q50_stream_tumbling" -> q50_stream_tumbling,
     "q51_stream_session" -> q51_stream_session,
     "q52_stream_rolling_final" -> q52_stream_rolling_final,
@@ -418,6 +447,8 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // stream scoring must reproduce the batch classifier exactly
     "q113_stream_classify" -> CurationQueries.q108_oracle,
+    // in-stream dedup must find exactly the pairs the batch pass finds
+    "q114_stream_ingest_dedup" -> CorpusQueries.q86_oracle,
     "q50_stream_tumbling" -> q50_oracle,
     "q51_stream_session" -> q51_oracle,
     "q52_stream_rolling_final" -> q52_oracle,
