@@ -885,7 +885,90 @@ object TextQueries {
        |FROM kept""".stripMargin
   }
 
+  // --------------------------------------------- q115 Gopher rule filter
+  /** The published Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 — the rule set most large-corpus
+    * pipelines start from), one row-local pass, per-rule flags plus the
+    * composite keep bit. Every comparison is INTEGER-exact (cross-multiplied
+    * ratios, e.g. mean word length in [3,10] ⇔ 3n ≤ Σlen ≤ 10n) so no float
+    * boundary can diverge between engines. Rules: word count in [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio (# and ellipsis)
+    * ≤ 0.1, ≤ 90% bulleted lines, ≤ 30% ellipsis-ending lines, ≥ 80% words
+    * with an alphabetic character, ≥ 2 distinct core stopwords. Zero
+    * shuffles — the filter fuses into whatever scan feeds it.
+    *
+    * On the synthetic fixture the stopword rule fails corpus-wide (the
+    * generator's token soup carries <2 core English stopwords per doc), so
+    * `keep` is 0 everywhere while the other flags vary — per-rule flags are
+    * the informative columns there; real prose passes r_stopwords routinely.
+    */
+  val q115_gopher_rules: Q = (s, dir) => {
+    import s.implicits._
+    val ws = filter(split($"text", "[ \\t\\n\\r]+"), w => length(w) > 0)
+    val n = size(ws).cast("long")
+    val totlen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+    val hashes = (length($"text") - length(replace($"text", lit("#"), lit("")))).cast("long")
+    val ellipses = ((length($"text") -
+      length(replace($"text", lit("..."), lit("")))) / 3).cast("long")
+    val lines = filter(split($"text", "\n"), l => length(l) > 0)
+    val nl = size(lines).cast("long")
+    val bullets = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val elines = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaW = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(filter(array_distinct(transform(ws, w => lower(w))),
+      w => w.isin("the", "be", "to", "of", "and", "that", "have", "with"))).cast("long")
+    val flags: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "r_word_count" -> ((n >= 50) && (n <= 100000)),
+      "r_mean_word_len" -> ((lit(3) * n <= totlen) && (totlen <= lit(10) * n)),
+      "r_symbol_ratio" -> (lit(10) * (hashes + ellipses) <= n),
+      "r_bullet_lines" -> (nl === 0 || lit(10) * bullets <= lit(9) * nl),
+      "r_ellipsis_lines" -> (nl === 0 || lit(10) * elines <= lit(3) * nl),
+      "r_alpha_words" -> (n > 0 && lit(5) * alphaW >= lit(4) * n),
+      "r_stopwords" -> (stopHits >= 2))
+    val named = flags.map { case (nm, f) => f.cast("int").as(nm) }
+    val keep = flags.map(_._2.cast("int")).reduce(_ * _).as("keep")
+    t(s, dir, "documents").select(($"doc_id" +: named :+ keep): _*)
+  }
+
+  val q115_oracle: String =
+    s"""WITH w AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS ws,
+       |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(ws)::BIGINT AS n,
+       |  list_sum(list_prepend(0, list_transform(ws, x -> length(x))))::BIGINT AS totlen,
+       |  (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes,
+       |  ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS ellipses,
+       |  len(lines)::BIGINT AS nl,
+       |  len(list_filter(lines, l ->
+       |    list_contains(['-','*','•'], substr(ltrim(l), 1, 1))))::BIGINT AS bullets,
+       |  len(list_filter(lines, l ->
+       |    ends_with(l, '...') OR ends_with(l, '…')))::BIGINT AS elines,
+       |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alphaw,
+       |  len(list_filter(list_distinct(list_transform(ws, x -> lower(x))),
+       |    x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT
+       |    AS stophits
+       |  FROM w),
+       |f AS (SELECT doc_id,
+       |  (n >= 50 AND n <= 100000)::INT AS r_word_count,
+       |  (3 * n <= totlen AND totlen <= 10 * n)::INT AS r_mean_word_len,
+       |  (10 * (hashes + ellipses) <= n)::INT AS r_symbol_ratio,
+       |  (nl = 0 OR 10 * bullets <= 9 * nl)::INT AS r_bullet_lines,
+       |  (nl = 0 OR 10 * elines <= 3 * nl)::INT AS r_ellipsis_lines,
+       |  (n > 0 AND 5 * alphaw >= 4 * n)::INT AS r_alpha_words,
+       |  (stophits >= 2)::INT AS r_stopwords
+       |  FROM m)
+       |SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+       |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+       |  (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+       |   * r_ellipsis_lines * r_alpha_words * r_stopwords) AS keep
+       |FROM f""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q115_gopher_rules" -> q115_gopher_rules,
     "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
     "q30_wordcount" -> q30_wordcount,
@@ -911,6 +994,7 @@ object TextQueries {
     "q93_containment" -> q93_containment)
 
   val oracles: Map[String, String] = Map(
+    "q115_gopher_rules" -> q115_oracle,
     "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,
     "q30_wordcount" -> q30_oracle,
