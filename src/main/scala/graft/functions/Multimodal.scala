@@ -93,7 +93,14 @@ object Multimodal {
     * differential oracle predicts (width, height, channels) independently
     * and the gate verifies `decodeImages` actually parsed the bytes.
     */
-  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] =
+    syntheticImage(width, height, seed, "png")
+
+  /** [[syntheticPng]] generalized over the JDK's lossless writers ("png",
+    * "bmp") — the same raster encoded through different codecs, which is
+    * exactly what a perceptual hash must see through (q116).
+    */
+  def syntheticImage(width: Int, height: Int, seed: Long, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -106,8 +113,70 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
+  }
+
+  /** Average-hash (aHash) of one decoded image: luminance block-means over an
+    * 8×8 grid, one bit per block (block mean ≥ global mean), 64-bit output.
+    * All-INTEGER arithmetic — block sums and pixel counts compare by
+    * cross-multiplication (`blockSum·totalCnt ≥ totalSum·blockCnt`), so the
+    * hash is bit-reproducible on any platform: no float mean, no rounding.
+    * Pixels map to blocks by `x·8/w` (nearest), so an exact k× nearest-
+    * neighbor rescale preserves the hash — the resize-invariance that makes
+    * it a near-dup key rather than a byte checksum. Empty blocks (w or h < 8)
+    * contribute 0 bits, deterministically.
+    */
+  def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(b) += lum
+        cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = cnts.sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * n >= total * cnts(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Image near-dup fingerprinting: decode + [[averageHash]] per row, one
+    * pass, no shuffle (the dedup join downstream keys on the hash — 8 bytes
+    * per image regardless of payload size, the multimodal analog of the
+    * text pipelines' md5-before-shuffle rule). Undecodable payloads are
+    * skipped, matching [[decodeImages]].
+    */
+  def imagePhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) None else Some((id, averageHash(img)))
+          }
+        }
+      }.toDF("media_id", "phash")
   }
 
   /** Batch decode: mapPartitions so a real implementation amortizes one codec/

@@ -88,12 +88,51 @@ object MultimodalQueries {
        |FROM f""".stripMargin
   }
 
+  // ------------------------------------------ q116 image perceptual hash
+  /** Image near-dup fingerprinting: the aHash of each decoded raster, with
+    * codec invariance as the differential check — every synthetic image is
+    * encoded BOTH as PNG and BMP (different bytes, identical pixels), and
+    * the oracle asserts the two hashes agree for every document. A hash
+    * computed from the payload bytes (md5-style) fails this; only a hash of
+    * the DECODED raster passes, which is exactly what makes it a perceptual
+    * near-dup key (recompressed/re-encoded copies collide). Hamming distance
+    * on the 64-bit hash is the near-dup radius; MultimodalSpec pins
+    * discrimination (distinct images → mostly distinct hashes) and exact-
+    * rescale invariance. Scale shape: decode+hash is one narrow pass; the
+    * dedup join downstream keys on 8 bytes per image.
+    */
+  val q116_image_phash: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (id % 13).toInt + 1
+          val h = (id % 7).toInt + 1
+          (id, Multimodal.syntheticImage(w, h, id, "png"),
+            Multimodal.syntheticImage(w, h, id, "bmp"))
+        }
+      }.toDF("doc_id", "png", "bmp")
+    val hp = Multimodal.imagePhash(media, "doc_id", "png")
+      .withColumnRenamed("phash", "phash_png")
+    val hb = Multimodal.imagePhash(media, "doc_id", "bmp")
+      .withColumnRenamed("phash", "phash_bmp")
+    hp.join(hb, "media_id")
+      .select(col("media_id"),
+        (col("phash_png") === col("phash_bmp")).cast("int").as("codec_invariant"))
+  }
+
+  val q116_oracle: String =
+    """SELECT doc_id AS media_id, 1 AS codec_invariant FROM documents""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q116_image_phash" -> q116_image_phash,
     "q45_multimodal_decode" -> q45_multimodal_decode,
     "q46_multimodal_frames" -> q46_multimodal_frames,
     "q64_multimodal_features" -> q64_multimodal_features)
 
   val oracles: Map[String, String] = Map(
+    "q116_image_phash" -> q116_oracle,
     "q45_multimodal_decode" -> q45_oracle,
     "q46_multimodal_frames" -> q46_oracle,
     "q64_multimodal_features" -> q64_oracle)

@@ -37,4 +37,27 @@ class MultimodalSpec extends SparkSpec {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     assert(img.getWidth === 13 && img.getHeight === 7)
   }
+
+  test("averageHash discriminates distinct images and survives exact k× rescale") {
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    // discrimination: images large enough to fill the 8×8 grid should mostly
+    // hash apart (tiny 1×1 images all collapse to a constant — expected)
+    val hashes = (0 until 100).map { i =>
+      Multimodal.averageHash(decode(Multimodal.syntheticPng(16, 16, seed = i.toLong)))
+    }
+    assert(hashes.distinct.size > 50, s"only ${hashes.distinct.size} distinct hashes")
+    // exact 3× nearest-neighbor upscale preserves every block mean → same hash
+    val img = decode(Multimodal.syntheticPng(8, 8, seed = 99L))
+    val up = new java.awt.image.BufferedImage(24, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 24) up.setRGB(x, y, img.getRGB(x / 3, y / 3))
+    assert(Multimodal.averageHash(img) === Multimodal.averageHash(up))
+    // ... which is what a byte-level fingerprint can never do
+    val pngBytes = Multimodal.syntheticImage(9, 9, 5L, "png")
+    val bmpBytes2 = Multimodal.syntheticImage(9, 9, 5L, "bmp")
+    assert(!java.util.Arrays.equals(pngBytes, bmpBytes2))
+    assert(Multimodal.averageHash(decode(pngBytes)) ===
+      Multimodal.averageHash(decode(bmpBytes2)))
+  }
 }
