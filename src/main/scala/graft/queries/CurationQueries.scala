@@ -580,6 +580,92 @@ object CurationQueries {
        |  (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS padding_waste
        |FROM r GROUP BY bucket, batch_id""".stripMargin
 
+  // ------------------------------------------- q117 BPE merge training
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016) — the merge
+    * loop that produces a subword vocabulary, run as a Spark fit: words and
+    * their corpus frequencies are the (vocabulary-sized, NOT corpus-sized)
+    * working set; each round counts adjacent symbol pairs weighted by word
+    * frequency (one map-side-partial agg over the vocab), picks the argmax
+    * (deterministic tie-break: count desc, then pair lexicographic), and
+    * applies the merge to every word's symbol sequence. The merge is a
+    * sentinel-delimited string replace — `<S>a<S>b<S> →
+    * <S>ab<S>` (<S> = U+0001; the tokenizer emits alnum-only symbols, so the sentinel cannot occur in data) — whose non-overlapping left-to-right semantics (same
+    * in Spark's `replace` and DuckDB's) reproduce greedy token-level merging
+    * exactly, including the `aaa → [aa, a]` overlap case. Output = the
+    * 3-round merge TRACE (round, left, right, pair_count); the oracle
+    * replays the entire training loop in SQL, so the differential check
+    * covers the learning dynamics, not just one count.
+    *
+    * 100 TB shape: the corpus is touched ONCE (word counts); every round
+    * after that runs over distinct words — bounded by vocabulary, not data.
+    * k merges = k vocab-sized aggregations + k driver-collected argmax rows
+    * (the fit-artifact boundary, as KMeansLite/q113).
+    */
+  val q117_bpe_merges: Q = (s, dir) => {
+    import s.implicits._
+    val SEP = "\u0001"
+    def symPairs(sym: org.apache.spark.sql.Column) = {
+      val toks = filter(split(sym, SEP), t => length(t) > 0)
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("l"), element_at(toks, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    }
+    var cur = t(s, dir, "documents")
+      .select(explode(T.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"cnt", concat(lit(SEP),
+        concat_ws(SEP, filter(split($"w", ""), c => length(c) > 0)), lit(SEP)).as("sym"))
+      .localCheckpoint(true) // corpus touched once; rounds run on the vocab
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to 3) {
+      val best = cur
+        .select($"cnt", explode_outer(symPairs($"sym")).as("p"))
+        .filter($"p".isNotNull)
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("pair_count"))
+        .orderBy($"pair_count".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      trace += ((round, l, r, c))
+      cur = cur.withColumn("sym",
+        replace($"sym", lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP)))
+    }
+    trace.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  val q117_oracle: String = {
+    def pairLayer(p: String, src: String) =
+      s"""$p AS (SELECT t[i] AS l, t[i + 1] AS r, sum(cnt)::BIGINT AS pair_count
+         |  FROM (SELECT cnt, list_filter(string_split(sym, chr(1)), x -> x <> '') AS t
+         |        FROM $src),
+         |    unnest(generate_series(1, len(t) - 1)) u(i)
+         |  GROUP BY l, r)""".stripMargin
+    def bestLayer(b: String, p: String) =
+      s"$b AS (SELECT l, r, pair_count FROM $p ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)"
+    def applyLayer(sNext: String, sPrev: String, b: String) =
+      s"""$sNext AS (SELECT cnt, replace(sym,
+         |    chr(1) || (SELECT l FROM $b) || chr(1) || (SELECT r FROM $b) || chr(1),
+         |    chr(1) || (SELECT l FROM $b) || (SELECT r FROM $b) || chr(1)) AS sym
+         |  FROM $sPrev)""".stripMargin
+    s"""WITH w AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest($tokSql) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT cnt, chr(1) ||
+       |    array_to_string(list_filter(string_split(w, ''), x -> x <> ''), chr(1))
+       |    || chr(1) AS sym FROM w),
+       |${pairLayer("p1", "s0")},
+       |${bestLayer("b1", "p1")},
+       |${applyLayer("s1", "s0", "b1")},
+       |${pairLayer("p2", "s1")},
+       |${bestLayer("b2", "p2")},
+       |${applyLayer("s2", "s1", "b2")},
+       |${pairLayer("p3", "s2")},
+       |${bestLayer("b3", "p3")}
+       |SELECT 1 AS round, l AS left_sym, r AS right_sym, pair_count FROM b1
+       |UNION ALL SELECT 2, l, r, pair_count FROM b2
+       |UNION ALL SELECT 3, l, r, pair_count FROM b3""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -592,7 +678,8 @@ object CurationQueries {
     "q105_source_ngram_overlap" -> q105_source_ngram_overlap,
     "q106_contrastive_pairs" -> q106_contrastive_pairs,
     "q108_nb_classifier" -> q108_nb_classifier,
-    "q111_length_batches" -> q111_length_batches)
+    "q111_length_batches" -> q111_length_batches,
+    "q117_bpe_merges" -> q117_bpe_merges)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -605,5 +692,6 @@ object CurationQueries {
     "q105_source_ngram_overlap" -> q105_oracle,
     "q106_contrastive_pairs" -> q106_oracle,
     "q108_nb_classifier" -> q108_oracle,
-    "q111_length_batches" -> q111_oracle)
+    "q111_length_batches" -> q111_oracle,
+    "q117_bpe_merges" -> q117_oracle)
 }
