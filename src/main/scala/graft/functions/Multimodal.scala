@@ -156,6 +156,69 @@ object Multimodal {
     hash
   }
 
+  /** Deterministic 16-bit PCM mono WAV synthesizer (fixtures/tests): a real
+    * RIFF/WAVE container the JDK's `javax.sound` stack parses — the audio
+    * analog of [[syntheticPng]]; the differential oracle predicts
+    * (frames, rate, channels, duration) analytically.
+    */
+  def syntheticWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (((seed + i * 2654435761L) & 0xffff) - 0x8000).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Typed record of a REAL audio decode (see [[decodeAudio]]). */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_frames: Long,
+      sample_rate: Int,
+      channels: Int,
+      duration_us: Long)
+
+  /** REAL audio decode — `javax.sound.sampled` ships WAV/AIFF/AU parsers in
+    * the JDK, so this path is NOT a stub: the container is actually parsed
+    * and the true frame count / rate / channel count come back
+    * (duration_us = frames·1,000,000/rate, exact integer when rate divides).
+    * Undecodable payloads are skipped, like [[decodeImages]]; compressed
+    * codecs (mp3/aac/opus) need external libraries and stay on
+    * [[decodeStub]] — the documented boundary.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+            if (ais == null) None
+            else {
+              val f = ais.getFormat
+              val frames = ais.getFrameLength
+              ais.close()
+              Some(AudioFeatures(id, frames, f.getSampleRate.toInt, f.getChannels,
+                frames * 1000000L / f.getSampleRate.toLong))
+            }
+          }
+        }
+      }
+  }
+
   /** Image near-dup fingerprinting: decode + [[averageHash]] per row, one
     * pass, no shuffle (the dedup join downstream keys on the hash — 8 bytes
     * per image regardless of payload size, the multimodal analog of the

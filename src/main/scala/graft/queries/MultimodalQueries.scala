@@ -125,13 +125,43 @@ object MultimodalQueries {
   val q116_oracle: String =
     """SELECT doc_id AS media_id, 1 AS codec_invariant FROM documents""".stripMargin
 
+  // ------------------------------------------------ q118 audio decode
+  /** REAL audio decode over binary payloads — `javax.sound` parses the
+    * RIFF/WAVE container (in-JDK, no external codec), returning the true
+    * frame count / sample rate / channels; the oracle predicts all of them
+    * analytically from doc_id (q45's synthesize-and-predict device), so a
+    * decode that didn't actually parse the bytes hash-mismatches.
+    * duration_us = frames·125 exactly at 8 kHz (integer — no float time
+    * arithmetic). Compressed codecs (mp3/aac) need external libraries and
+    * stay on decodeStub; this pins the WAV/PCM path end-to-end.
+    */
+  val q118_audio_decode: Q = (s, dir) => {
+    import s.implicits._
+    val withWav = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id,
+          Multimodal.syntheticWav((id % 1000).toInt + 100, 8000, id)))
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeAudio(withWav, "doc_id", "payload").toDF()
+  }
+
+  val q118_oracle: String =
+    """SELECT doc_id AS media_id,
+      |  (doc_id % 1000 + 100)::BIGINT AS n_frames,
+      |  8000 AS sample_rate,
+      |  1 AS channels,
+      |  ((doc_id % 1000 + 100) * 125)::BIGINT AS duration_us
+      |FROM documents""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q118_audio_decode" -> q118_audio_decode,
     "q116_image_phash" -> q116_image_phash,
     "q45_multimodal_decode" -> q45_multimodal_decode,
     "q46_multimodal_frames" -> q46_multimodal_frames,
     "q64_multimodal_features" -> q64_multimodal_features)
 
   val oracles: Map[String, String] = Map(
+    "q118_audio_decode" -> q118_oracle,
     "q116_image_phash" -> q116_oracle,
     "q45_multimodal_decode" -> q45_oracle,
     "q46_multimodal_frames" -> q46_oracle,
