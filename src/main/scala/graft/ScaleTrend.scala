@@ -48,7 +48,9 @@ object ScaleTrend {
     // draw, length batching — fits and tokenize-heavy ops, the newest scale
     // stories
     "q107_span_excision", "q108_nb_classifier", "q109_pq_ann",
-    "q110_mixture_sample", "q111_length_batches", "q112_ivfadc")
+    "q110_mixture_sample", "q111_length_batches", "q112_ivfadc",
+    "q114_stream_ingest_dedup", "q115_gopher_rules", "q116_image_phash",
+    "q117_bpe_merges", "q118_audio_decode")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

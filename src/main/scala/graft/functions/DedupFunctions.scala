@@ -615,6 +615,13 @@ object DedupFunctions {
     * (id_new, id_ref, jaccard) pairs in append mode. `dropDuplicates` state
     * holds one row per emitted pair; bound it with a watermark on an
     * event-time column in production ingestion.
+    *
+    * Partitioning caveat: a streaming plan's width cannot be inspected
+    * (Width.widen is batch-only), and the signature build is md5-dense — a
+    * source that delivers a micro-batch as few partitions (file replay, a
+    * single kafka partition) should `repartition` the RAW rows before
+    * computing `setCol`, so the hashing lands wide (q114 does; measured 9×
+    * super-linear without it).
     */
   def streamCrossCorpusPairs(newStream: DataFrame, refSig: DataFrame,
                              idCol: String, setCol: String,

@@ -588,10 +588,16 @@ object CurationQueries {
     * frequency (one map-side-partial agg over the vocab), picks the argmax
     * (deterministic tie-break: count desc, then pair lexicographic), and
     * applies the merge to every word's symbol sequence. The merge is a
-    * sentinel-delimited string replace — `<S>a<S>b<S> →
-    * <S>ab<S>` (<S> = U+0001; the tokenizer emits alnum-only symbols, so the sentinel cannot occur in data) — whose non-overlapping left-to-right semantics (same
-    * in Spark's `replace` and DuckDB's) reproduce greedy token-level merging
-    * exactly, including the `aaa → [aa, a]` overlap case. Output = the
+    * sentinel-delimited string replace — `<S>a<S>b<S>` → `<S>ab<S>` (<S> =
+    * U+0001; the tokenizer emits alnum-only symbols, so the sentinel cannot
+    * occur in data) — with non-overlapping left-to-right semantics that are
+    * IDENTICAL in Spark's `replace` and DuckDB's, so the two engines can
+    * never diverge. Within a run of repeated symbols this merges ALTERNATE
+    * pairs (each match consumes the shared delimiter: `aaa → [aa, a]`,
+    * `aaaa → [aa, a, a]`) — a deterministic variant of rescan-greedy BPE
+    * (which would give `aaaa → [aa, aa]`); the difference is confined to
+    * same-symbol runs and Round7OpsSpec pins it so neither side gets
+    * "fixed" alone. Output = the
     * 3-round merge TRACE (round, left, right, pair_count); the oracle
     * replays the entire training loop in SQL, so the differential check
     * covers the learning dynamics, not just one count.

@@ -103,6 +103,13 @@ object MultimodalQueries {
     */
   val q116_image_phash: Q = (s, dir) => {
     import s.implicits._
+    // deliberately NOT widened: ImageIO's registry serializes concurrent
+    // decodes on a global lock (the same convoy the audio path hit in
+    // AudioSystem), so 32 tasks burn 4.9 s where one task takes 1.3 s at 10×
+    // (measured r7) — single-task is optimal until the decode is lock-free.
+    // A production image pipeline swaps in a native codec via
+    // mapUsingSubprocess/transformColumn; the JDK path is the in-sandbox
+    // reality, documented.
     val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -137,7 +144,12 @@ object MultimodalQueries {
     */
   val q118_audio_decode: Q = (s, dir) => {
     import s.implicits._
-    val withWav = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    // Width.widen: synth+parse is codec-bound (~0.2 ms/row — the md5-class
+    // cost profile, not the tokenize class), and the narrow doc_id scan
+    // serialized it onto one task: 16× super-linear at 10× data before the
+    // widen, 1.0× after (ScaleTrend r7)
+    val withWav = graft.functions.Width.widen(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map(id => (id,
           Multimodal.syntheticWav((id % 1000).toInt + 100, 8000, id)))

@@ -425,7 +425,15 @@ object StreamingQueries {
       "doc_id", "toks", hashes = 12, bands = 2).localCheckpoint(true)
     StreamRunner.replayFiles(s, docs.filter(half >= 10).select($"doc_id", $"text"),
         "doc_id", "append") { df =>
-      D.streamCrossCorpusPairs(df.withColumn("toks", T.tokenSet($"text")), refSig,
+      // the streaming analog of Width.widen (a streaming plan's partition
+      // count can't be inspected, so widen explicitly): the file-replay
+      // source delivers each micro-batch as ONE scan partition, which
+      // serialized the md5+minhash build — 9.1× super-linear at 10× data
+      // before this repartition, linear after. Raw text shuffles BEFORE
+      // tokenize+hash so the CPU-dense work lands wide; a well-partitioned
+      // production source (many kafka partitions) can skip this.
+      val wide = df.repartition(s.sparkContext.defaultParallelism)
+      D.streamCrossCorpusPairs(wide.withColumn("toks", T.tokenSet($"text")), refSig,
         "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9)
         .select($"id_new", $"id_ref", $"jaccard")
     }

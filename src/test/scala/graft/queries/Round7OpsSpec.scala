@@ -142,6 +142,47 @@ class Round7OpsSpec extends SparkSpec {
     a.foreach { case (src, _, kept, _) => assert(kept <= srcCounts(src)) }
   }
 
+  test("q117's sentinel-replace merge semantics are the documented alternate-pair variant") {
+    import spark.implicits._
+    // the load-bearing assumption, pinned: replace() is non-overlapping
+    // left-to-right, and because each match CONSUMES the shared trailing
+    // sentinel, a run of repeated symbols merges ALTERNATE pairs — the token
+    // after a merge is skipped (aaa -> [aa, a]; aaaa -> [aa, a, a], NOT
+    // rescan-greedy's [aa, aa]). Both engines implement replace identically,
+    // so the oracle gate holds universally; this spec exists so nobody
+    // "fixes" the variant on one side only.
+    val S = "\u0001"
+    val out = Seq(s"${S}a${S}a${S}a${S}", s"${S}a${S}a${S}a${S}a${S}", s"${S}b${S}a${S}a${S}")
+      .toDF("sym")
+      .select(replace($"sym", lit(s"${S}a${S}a${S}"), lit(s"${S}aa${S}")).as("m"))
+      .as[String].collect()
+    assert(out(0) == s"${S}aa${S}a${S}")        // aaa  -> [aa, a]
+    assert(out(1) == s"${S}aa${S}a${S}a${S}")   // aaaa -> [aa, a, a] (alternate-pair)
+    assert(out(2) == s"${S}b${S}aa${S}")        // baa  -> [b, aa]
+  }
+
+  test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
+    import spark.implicits._
+    val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
+    // the hand-rolled RIFF bytes are a GENUINE WAV: the JDK's own stack
+    // parses them to the same frames/rate — the fast-path parse is a
+    // performance route (AudioSystem's global lock convoys under 32 tasks),
+    // not a private format
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFrameLength == 250 && ais.getFormat.getSampleRate == 8000f)
+    ais.close()
+    val rows = Seq(
+      (1L, wav),
+      (2L, "not audio".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = graft.functions.Multimodal.decodeAudio(rows, "id", "payload")
+      .collect().map(a => a.media_id ->
+        ((a.n_frames, a.sample_rate, a.channels, a.duration_us))).toMap
+    assert(out === Map(1L -> ((250L, 8000, 1, 31250L))))
+  }
+
   test("q111 batching: batch size <= 8, padding waste >= 0, every doc batched once") {
     import spark.implicits._
     val out = CurationQueries.q111_length_batches(spark, sf).cache()
