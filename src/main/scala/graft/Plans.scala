@@ -50,6 +50,7 @@ object Plans {
     "q109_pq_ann" -> "PQ-ADC: fused product-quantizer fit (ONE corpus pass per iteration for all M subspaces), row-local argmin encoding, broadcast distance tables, exact refine of the broadcast-tiny shortlist; the encoded corpus (~64× smaller) is the artifact a 100 TB deployment persists and scans",
     "q118_audio_decode" -> "audio decode: Width-widened narrow pass with a LOCK-FREE canonical-RIFF parse (AudioSystem's provider registry convoys 32 tasks at ~2 ms/row; the header walk is µs and scales linearly — 20× at 10× data, measured); SPI fallback for non-canonical containers",
     "q117_bpe_merges" -> "BPE training: corpus scanned ONCE (word counts, localCheckpointed); each merge round is a vocabulary-sized pair agg + a 1-row driver argmax — rounds are bounded by vocab, never data",
+    "q119_bpe_encode" -> "BPE encode: the k fitted merges ride as LITERALS in the expression tree — transform() over the token array + an integer fold, ZERO exchanges, one row out per row in; at 100 TB the encode pass is scan-bound and embarrassingly parallel",
     "q116_image_phash" -> "image phash: one narrow pass, deliberately NOT widened — ImageIO's registry lock convoys concurrent decodes (32 tasks 4.9 s vs 1 task 1.3 s at 10×, measured); the near-dup join downstream keys on 8 bytes per image; production swaps a native codec via the subprocess seam",
     "q115_gopher_rules" -> "Gopher rule battery: pure row-local projection, ZERO exchanges — the filter fuses into whatever scan feeds it; integer cross-multiplied ratios, no float boundary",
     "q112_ivfadc" -> "IVFADC: broadcast probe bounds candidates to 2 cells, ADC scores them via broadcast code/distance tables, exact refine touches |queries|×32 raw vectors — at 100 TB only the probed cells' 4-byte codes are read",

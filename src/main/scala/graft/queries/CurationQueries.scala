@@ -607,9 +607,17 @@ object CurationQueries {
     * k merges = k vocab-sized aggregations + k driver-collected argmax rows
     * (the fit-artifact boundary, as KMeansLite/q113).
     */
-  val q117_bpe_merges: Q = (s, dir) => {
+  private[queries] val BpeSep = "\u0001"
+
+  /** Shared BPE fit (q117 trace / q119 encode): one corpus pass for word
+    * counts, then `rounds` merge rounds over the vocabulary. Returns the
+    * merge trace (round, left, right, pair_count) and the final symbolized
+    * vocabulary (cnt, sym -- sentinel-delimited).
+    */
+  private def bpeFit(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
-    val SEP = "\u0001"
+    val SEP = BpeSep
     def symPairs(sym: org.apache.spark.sql.Column) = {
       val toks = filter(split(sym, SEP), t => length(t) > 0)
       when(size(toks) >= 2,
@@ -624,7 +632,7 @@ object CurationQueries {
         concat_ws(SEP, filter(split($"w", ""), c => length(c) > 0)), lit(SEP)).as("sym"))
       .localCheckpoint(true) // corpus touched once; rounds run on the vocab
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to 3) {
+    for (round <- 1 to rounds) {
       val best = cur
         .select($"cnt", explode_outer(symPairs($"sym")).as("p"))
         .filter($"p".isNotNull)
@@ -637,10 +645,20 @@ object CurationQueries {
       cur = cur.withColumn("sym",
         replace($"sym", lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP)))
     }
-    trace.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+    (trace.toSeq, cur)
   }
 
-  val q117_oracle: String = {
+  val q117_bpe_merges: Q = (s, dir) => {
+    import s.implicits._
+    bpeFit(s, dir, 3)._1.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** DuckDB replay of the BPE merge loop: WITH-chain through `rounds` rounds
+    * (w, s0, then p_i/b_i/s_i per round). b_i = the round-i merge pair;
+    * s_i = the vocabulary after applying it. Shared by q117 (trace) and
+    * q119 (encode).
+    */
+  private def bpeOracleWith(rounds: Int): String = {
     def pairLayer(p: String, src: String) =
       s"""$p AS (SELECT t[i] AS l, t[i + 1] AS r, sum(cnt)::BIGINT AS pair_count
          |  FROM (SELECT cnt, list_filter(string_split(sym, chr(1)), x -> x <> '') AS t
@@ -654,23 +672,83 @@ object CurationQueries {
          |    chr(1) || (SELECT l FROM $b) || chr(1) || (SELECT r FROM $b) || chr(1),
          |    chr(1) || (SELECT l FROM $b) || (SELECT r FROM $b) || chr(1)) AS sym
          |  FROM $sPrev)""".stripMargin
+    val layers = (1 to rounds).map { i =>
+      val prev = s"s${i - 1}"
+      Seq(pairLayer(s"p$i", prev), bestLayer(s"b$i", s"p$i"),
+        applyLayer(s"s$i", prev, s"b$i")).mkString(",\n")
+    }.mkString(",\n")
     s"""WITH w AS (SELECT w, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest($tokSql) AS w FROM documents) GROUP BY w),
        |s0 AS (SELECT cnt, chr(1) ||
        |    array_to_string(list_filter(string_split(w, ''), x -> x <> ''), chr(1))
        |    || chr(1) AS sym FROM w),
-       |${pairLayer("p1", "s0")},
-       |${bestLayer("b1", "p1")},
-       |${applyLayer("s1", "s0", "b1")},
-       |${pairLayer("p2", "s1")},
-       |${bestLayer("b2", "p2")},
-       |${applyLayer("s2", "s1", "b2")},
-       |${pairLayer("p3", "s2")},
-       |${bestLayer("b3", "p3")}
-       |SELECT 1 AS round, l AS left_sym, r AS right_sym, pair_count FROM b1
-       |UNION ALL SELECT 2, l, r, pair_count FROM b2
-       |UNION ALL SELECT 3, l, r, pair_count FROM b3""".stripMargin
+       |$layers""".stripMargin
   }
+
+  val q117_oracle: String =
+    bpeOracleWith(3) + "\n" +
+      """SELECT 1 AS round, l AS left_sym, r AS right_sym, pair_count FROM b1
+        |UNION ALL SELECT 2, l, r, pair_count FROM b2
+        |UNION ALL SELECT 3, l, r, pair_count FROM b3""".stripMargin
+
+  // ---------------------------------------------- q119 BPE corpus encode
+  /** The APPLY half of the tokenizer loop (q117 trains, this encodes): every
+    * document is segmented with the trained merge list, producing the
+    * per-document subword count a batch-assembly pass (q110/q111) budgets
+    * with. The k fitted merges are driver-scale rows (the fit-artifact
+    * boundary, as KMeansLite/q113); encoding embeds them as LITERALS in the
+    * expression tree -- each word is symbolized and the k sentinel-replaces
+    * run in merge order, row-locally, inside whole-stage codegen. Sentinel
+    * semantics identical to q117 (and pinned by Round7OpsSpec), so the two
+    * engines segment identically. The oracle replays training AND encoding:
+    * a divergence anywhere in the loop (wrong merge learned, wrong
+    * application order, overlap handling) shifts subword counts and fails
+    * the hash.
+    *
+    * 100 TB shape: fit cost is q117's (corpus touched once, rounds bounded
+    * by vocabulary); the encode pass is ZERO-shuffle -- transform() over the
+    * token array + an integer fold, one row out per row in, no explode, no
+    * aggregation. The scan stays columnar and the merge chain is k string
+    * replaces per word.
+    */
+  val q119_bpe_encode: Q = (s, dir) => {
+    import s.implicits._
+    val SEP = BpeSep
+    val merges = bpeFit(s, dir, 3)._1.map { case (_, l, r, _) => (l, r) }
+    t(s, dir, "documents")
+      .select($"doc_id", T.tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("subs", transform($"ws", w => {
+        val sym0 = concat(lit(SEP),
+          concat_ws(SEP, filter(split(w, ""), c => length(c) > 0)), lit(SEP))
+        val symN = merges.foldLeft(sym0) { case (sc, (l, r)) =>
+          replace(sc, lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP))
+        }
+        size(filter(split(symN, SEP), t => length(t) > 0)).cast("long")
+      }))
+      .select($"doc_id", size($"ws").cast("long").as("n_words"),
+        aggregate($"subs", lit(0L), (a, b) => a + b).as("n_subwords"))
+  }
+
+  val q119_oracle: String =
+    bpeOracleWith(3) + ",\n" +
+    s"""encd AS (SELECT doc_id, chr(1) ||
+       |    array_to_string(list_filter(string_split(w, ''), x -> x <> ''), chr(1))
+       |    || chr(1) AS sym
+       |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)),
+       |e1 AS (SELECT doc_id, replace(sym,
+       |    chr(1) || (SELECT l FROM b1) || chr(1) || (SELECT r FROM b1) || chr(1),
+       |    chr(1) || (SELECT l FROM b1) || (SELECT r FROM b1) || chr(1)) AS sym FROM encd),
+       |e2 AS (SELECT doc_id, replace(sym,
+       |    chr(1) || (SELECT l FROM b2) || chr(1) || (SELECT r FROM b2) || chr(1),
+       |    chr(1) || (SELECT l FROM b2) || (SELECT r FROM b2) || chr(1)) AS sym FROM e1),
+       |e3 AS (SELECT doc_id, replace(sym,
+       |    chr(1) || (SELECT l FROM b3) || chr(1) || (SELECT r FROM b3) || chr(1),
+       |    chr(1) || (SELECT l FROM b3) || (SELECT r FROM b3) || chr(1)) AS sym FROM e2)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(list_filter(string_split(sym, chr(1)), x -> x <> '')))::BIGINT
+       |    AS n_subwords
+       |FROM e3 GROUP BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
@@ -685,7 +763,8 @@ object CurationQueries {
     "q106_contrastive_pairs" -> q106_contrastive_pairs,
     "q108_nb_classifier" -> q108_nb_classifier,
     "q111_length_batches" -> q111_length_batches,
-    "q117_bpe_merges" -> q117_bpe_merges)
+    "q117_bpe_merges" -> q117_bpe_merges,
+    "q119_bpe_encode" -> q119_bpe_encode)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -699,5 +778,6 @@ object CurationQueries {
     "q106_contrastive_pairs" -> q106_oracle,
     "q108_nb_classifier" -> q108_oracle,
     "q111_length_batches" -> q111_oracle,
-    "q117_bpe_merges" -> q117_oracle)
+    "q117_bpe_merges" -> q117_oracle,
+    "q119_bpe_encode" -> q119_oracle)
 }

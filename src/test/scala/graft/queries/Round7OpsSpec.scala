@@ -161,6 +161,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2) == s"${S}b${S}aa${S}")        // baa  -> [b, aa]
   }
 
+  test("q119 encode: zero-shuffle pass, subword counts bounded by words and chars") {
+    import spark.implicits._
+    val out = CurationQueries.q119_bpe_encode(spark, sf)
+    // the fit runs eagerly inside the call; the RETURNED encode pass must be
+    // a pure narrow pipeline — merges ride along as literals, no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encode should be a pure narrow pipeline:\n$plan")
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val chars = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (a, b) => a + b).as("tok_chars"))
+    val j = out.join(chars, "doc_id").cache()
+    // every word is >=1 subword; no word splits below 1 char per subword
+    assert(j.filter($"n_subwords" < $"n_words" || $"n_subwords" > $"tok_chars")
+      .count() == 0)
+    // the trained merges actually fire: corpus-wide, encoding is strictly
+    // coarser than character-level
+    val agg0 = j.agg(sum($"n_subwords"), sum($"tok_chars")).head
+    assert(agg0.getLong(0) < agg0.getLong(1))
+    j.unpersist()
+    ()
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
