@@ -750,6 +750,87 @@ object CurationQueries {
        |    AS n_subwords
        |FROM e3 GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------- q120 DSIR importance selection
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score every
+    * document by how much more likely its hashed-n-gram bag is under a
+    * TARGET distribution than under the raw-corpus distribution, then keep
+    * the top-k. Features = unigrams + space-joined bigrams hashed into
+    * B=1024 buckets (md5-prefix bucket, the q101 recipe, identical in both
+    * engines); the two feature distributions are add-1-smoothed bucket
+    * histograms; log w(doc) = sum_b c_b * log(p_tgt(b)/p_raw(b)). Target
+    * here = the lang='en' slice (standing in for the paper's formal-text
+    * target corpus). Selection is the deterministic top-k-by-weight variant
+    * (the paper's resampling draw adds Gumbel noise; ranking is the
+    * noise-free limit and keeps the oracle exact). Float discipline: the
+    * per-bucket log-ratio rounds to 6dp; each doc's weight is an ordered
+    * fold over its buckets ASC (the q103 contract), rounded at output.
+    *
+    * 100 TB shape: the corpus is touched once (gram construction is
+    * ROW-LOCAL over the token array -- no lag window); the only corpus-sized
+    * shuffle carries (doc_id, bucket, count) -- text and grams never move;
+    * the fitted model is B rows, broadcast back; the final top-k is a
+    * TakeOrdered. The learned-filter analog of q108 with a bounded feature
+    * space instead of a vocabulary.
+    */
+  val q120_dsir_select: Q = (s, dir) => {
+    import s.implicits._
+    val B = 1024
+    val grams = t(s, dir, "documents")
+      .select($"doc_id", $"lang", T.tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"lang", explode(concat($"ws",
+        when(size($"ws") >= 2, transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"), lit(B)))
+    val docBucket = grams.groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val feat = grams.groupBy($"bucket").agg(
+      count(lit(1)).as("craw"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ctgt"))
+    val totals = feat.agg(sum($"craw").as("traw"), sum($"ctgt").as("ttgt"))
+    val lr = feat.crossJoin(broadcast(totals))
+      .select($"bucket", round(log(
+        (($"ctgt" + 1).cast("double") * ($"traw" + B)) /
+          (($"craw" + 1).cast("double") * ($"ttgt" + B))), 6).as("lr"))
+    docBucket.join(broadcast(lr), "bucket")
+      .withColumn("term", $"c".cast("double") * $"lr")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"bucket", $"term"))).as("ts"))
+      .select($"doc_id", round(aggregate(transform($"ts", x => x.getField("term")),
+        lit(0.0), (a, b) => a + b), 6).as("logw"))
+      .orderBy($"logw".desc, $"doc_id".asc)
+      .limit(50)
+  }
+
+  val q120_oracle: String =
+    s"""WITH tokl AS (SELECT doc_id, lang, $tokSql AS ts FROM documents),
+       |tok AS (SELECT doc_id, lang, ts[i] AS tok,
+       |    CASE WHEN i < len(ts) THEN ts[i + 1] ELSE NULL END AS nxt
+       |  FROM tokl, unnest(generate_series(1, len(ts))) u(i)),
+       |grams AS (
+       |  SELECT doc_id, lang, tok AS gram FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, lang, tok || ' ' || nxt FROM tok WHERE nxt IS NOT NULL),
+       |bkt AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket FROM grams),
+       |db AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM bkt GROUP BY 1, 2),
+       |feat AS (SELECT bucket, count(*)::BIGINT AS craw,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ctgt
+       |  FROM bkt GROUP BY 1),
+       |tot AS (SELECT sum(craw)::BIGINT AS traw, sum(ctgt)::BIGINT AS ttgt FROM feat),
+       |lr AS (SELECT bucket,
+       |    round(ln(((ctgt + 1)::DOUBLE * (traw + 1024)) /
+       |             ((craw + 1)::DOUBLE * (ttgt + 1024))), 6) AS lr
+       |  FROM feat CROSS JOIN tot),
+       |terms AS (SELECT db.doc_id, db.bucket, db.c::DOUBLE * lr.lr AS term
+       |  FROM db JOIN lr ON db.bucket = lr.bucket),
+       |agg AS (SELECT doc_id, list(term ORDER BY bucket) AS ts FROM terms GROUP BY doc_id)
+       |SELECT doc_id, round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |    AS logw
+       |FROM agg ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -764,7 +845,8 @@ object CurationQueries {
     "q108_nb_classifier" -> q108_nb_classifier,
     "q111_length_batches" -> q111_length_batches,
     "q117_bpe_merges" -> q117_bpe_merges,
-    "q119_bpe_encode" -> q119_bpe_encode)
+    "q119_bpe_encode" -> q119_bpe_encode,
+    "q120_dsir_select" -> q120_dsir_select)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -779,5 +861,6 @@ object CurationQueries {
     "q108_nb_classifier" -> q108_oracle,
     "q111_length_batches" -> q111_oracle,
     "q117_bpe_merges" -> q117_oracle,
-    "q119_bpe_encode" -> q119_oracle)
+    "q119_bpe_encode" -> q119_oracle,
+    "q120_dsir_select" -> q120_oracle)
 }

@@ -185,6 +185,27 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("q120 DSIR: selection strongly enriches the target slice, deterministically") {
+    import spark.implicits._
+    val sel = CurationQueries.q120_dsir_select(spark, sf).cache()
+    val k = sel.count()
+    val truth = graft.Tables(spark, sf, "documents").select($"doc_id", $"lang")
+    val enSel = sel.join(truth, "doc_id").filter($"lang" === "en").count()
+    val enAll = truth.filter($"lang" === "en").count()
+    val all = truth.count()
+    // the importance weights must concentrate target-language docs well above
+    // the corpus base rate (~44% en at this fixture): require a 2/3 majority
+    assert(enSel * 3 >= k * 2,
+      s"target enrichment too weak: $enSel/$k selected en vs base $enAll/$all")
+    // re-running the whole fit+score must reproduce the identical ranking
+    val again = CurationQueries.q120_dsir_select(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val first = sel.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(first == again)
+    sel.unpersist()
+    ()
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
