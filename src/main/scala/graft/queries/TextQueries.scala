@@ -967,7 +967,67 @@ object TextQueries {
        |   * r_ellipsis_lines * r_alpha_words * r_stopwords) AS keep
        |FROM f""".stripMargin
 
+  // ------------------------------------------- q121 PMI collocation mining
+  /** Pointwise-mutual-information collocation mining: the phrase-vocabulary
+    * induction step (word2vec's phrase pass, Mikolov et al. 2013, scores
+    * adjacent pairs the same way) that decides which adjacent token pairs
+    * become single vocabulary units before tokenizer training. p(a,b) from
+    * bigram occurrences, p(a)/p(b) from unigram occurrences,
+    * PMI = ln(p(a,b) / (p(a)p(b))), minimum support 5 so rare accidents
+    * don't top the list. Top-25 by 6dp-rounded PMI (pair tie-break) with the
+    * raw bigram count kept as an integer anchor in the output.
+    *
+    * 100 TB shape: bigrams come from a ROW-LOCAL transform over the token
+    * array (no lag window, text never shuffles); unigram and bigram aggs are
+    * vocabulary-bounded with map-side partials; corpus totals broadcast; the
+    * result is a TakeOrdered over the support-filtered pair table.
+    */
+  val q121_pmi_collocations: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(T.tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+    val uni = docs.select(explode($"ws").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val bi = docs.filter(size($"ws") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("a"), element_at($"ws", i + 1).as("b"))))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+    val totals = docs.agg(sum(size($"ws")).cast("double").as("n1"),
+      sum(greatest(size($"ws") - 1, lit(0))).cast("double").as("nb"))
+    bi.join(uni.select($"tok".as("a"), $"c1".as("ca")), "a")
+      .join(uni.select($"tok".as("b"), $"c1".as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select($"a", $"b", $"cab",
+        round(log(($"cab".cast("double") / $"nb") /
+          (($"ca".cast("double") / $"n1") * ($"cb".cast("double") / $"n1"))), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"a".asc, $"b".asc)
+      .limit(25)
+  }
+
+  val q121_oracle: String =
+    s"""WITH tokl AS (SELECT ts FROM (SELECT $tokSql AS ts FROM documents)
+       |  WHERE len(ts) > 0),
+       |uni AS (SELECT t AS tok, count(*)::BIGINT AS c1
+       |  FROM (SELECT unnest(ts) AS t FROM tokl) GROUP BY 1),
+       |bi AS (SELECT ts[i] AS a, ts[i + 1] AS b, count(*)::BIGINT AS cab
+       |  FROM tokl, unnest(generate_series(1, len(ts) - 1)) u(i)
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |tot AS (SELECT sum(len(ts))::DOUBLE AS n1,
+       |    sum(CASE WHEN len(ts) >= 2 THEN len(ts) - 1 ELSE 0 END)::DOUBLE AS nb
+       |  FROM tokl)
+       |SELECT a, b, cab,
+       |  round(ln((cab::DOUBLE / nb) /
+       |    ((ca.c1::DOUBLE / n1) * (cb.c1::DOUBLE / n1))), 6) AS pmi
+       |FROM bi JOIN uni ca ON bi.a = ca.tok JOIN uni cb ON bi.b = cb.tok
+       |CROSS JOIN tot
+       |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q121_pmi_collocations" -> q121_pmi_collocations,
     "q115_gopher_rules" -> q115_gopher_rules,
     "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
@@ -994,6 +1054,7 @@ object TextQueries {
     "q93_containment" -> q93_containment)
 
   val oracles: Map[String, String] = Map(
+    "q121_pmi_collocations" -> q121_oracle,
     "q115_gopher_rules" -> q115_oracle,
     "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,

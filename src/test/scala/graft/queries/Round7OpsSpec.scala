@@ -206,6 +206,31 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("q121 PMI: support floor holds, ranking sorted, scores recompute from raw counts") {
+    import spark.implicits._
+    val out = TextQueries.q121_pmi_collocations(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("cab") >= 5L))
+    val pmis = out.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
+    // independent recomputation of the top pair's score from first principles
+    val ws = graft.Tables(spark, sf, "documents")
+      .select(graft.functions.TextFunctions.tokens($"text").as("ws"))
+      .filter(size($"ws") > 0).cache()
+    val top = out.head
+    val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+    val n1 = ws.agg(sum(size($"ws"))).head.getLong(0).toDouble
+    val nb = ws.agg(sum(greatest(size($"ws") - 1, lit(0)))).head.getLong(0).toDouble
+    val ca = ws.select(explode($"ws").as("t")).filter($"t" === a).count().toDouble
+    val cb = ws.select(explode($"ws").as("t")).filter($"t" === b).count().toDouble
+    val cab = top.getAs[Long]("cab").toDouble
+    val want = math.log((cab / nb) / ((ca / n1) * (cb / n1)))
+    assert(math.abs(top.getAs[Double]("pmi") - want) < 1e-5,
+      s"pmi mismatch for ($a,$b): got ${top.getAs[Double]("pmi")} want $want")
+    ws.unpersist()
+    ()
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
