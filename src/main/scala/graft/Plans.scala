@@ -57,6 +57,7 @@ object Plans {
     "q110_mixture_sample" -> "mixture draw: one narrow tokenize pass materialized (text never moves), source-cardinality rate table broadcast back, row-local seeded accept test, one per-source agg",
     "q120_dsir_select" -> "DSIR selection: gram construction is row-local over the token array (no lag window); the only corpus-sized shuffle carries (doc_id, bucket, count) — text never moves; the fitted distributions are B=1024 rows broadcast back; top-k is a TakeOrdered",
     "q121_pmi_collocations" -> "PMI collocations: bigrams from a row-local transform over the token array (no lag window, text never shuffles); unigram/bigram aggs are vocabulary-bounded with map-side partials; totals broadcast; TakeOrdered top-25",
+    "q122_zipf_slope" -> "Zipf slope: one vocabulary-bounded count agg, source-keyed rank window over the VOCAB (not the corpus), 200-row-per-source ordered fold — output is source-cardinality-sized; text never shuffles",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -493,7 +493,63 @@ object CorpusQueries {
        |  coalesce(k.tokens_kept, 0) AS tokens_kept
        |FROM r LEFT JOIN k ON r.source = k.source""".stripMargin
 
+  // --------------------------------------------- q122 Zipf slope per source
+  /** Zipf rank-frequency slope per source: fit ln(freq) ~ ln(rank) by least
+    * squares over each source's top-200 token ranks. Natural text sits near
+    * slope -1; a source whose slope is far off (too flat = boilerplate/
+    * template spam, too steep = tiny degenerate vocabulary) is a corpus-mix
+    * red flag — the distributional health check that runs alongside the
+    * entropy/KL diagnostics (q92). Float discipline: x=ln(rank), y=ln(freq)
+    * round to 6dp per term (the q103 contract), the four moment sums fold in
+    * rank order, and the slope rounds at output.
+    *
+    * 100 TB shape: one vocabulary-bounded count agg, a source-keyed rank
+    * window over the vocab (not the corpus), a 200-row-per-source fold —
+    * output is source-cardinality-sized. Text never shuffles.
+    */
+  val q122_zipf_slope: Q = (s, dir) => {
+    import s.implicits._
+    val cnt = t(s, dir, "documents")
+      .select($"source", explode(T.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"c".desc, $"tok".asc)
+    val ranked = cnt.withColumn("r", row_number().over(w)).filter($"r" <= 200)
+      .select($"source", $"r",
+        round(log($"r".cast("double")), 6).as("x"),
+        round(log($"c".cast("double")), 6).as("y"))
+    ranked.groupBy($"source")
+      .agg(sort_array(collect_list(struct($"r", $"x", $"y"))).as("ps"))
+      .select($"source", size($"ps").cast("long").as("n_ranks"),
+        aggregate(transform($"ps", p => p("x")), lit(0.0), (a, b) => a + b).as("sx"),
+        aggregate(transform($"ps", p => p("y")), lit(0.0), (a, b) => a + b).as("sy"),
+        aggregate(transform($"ps", p => p("x") * p("x")), lit(0.0), (a, b) => a + b).as("sxx"),
+        aggregate(transform($"ps", p => p("x") * p("y")), lit(0.0), (a, b) => a + b).as("sxy"))
+      .select($"source", $"n_ranks",
+        round(($"n_ranks" * $"sxy" - $"sx" * $"sy") /
+          ($"n_ranks" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"))
+  }
+
+  val q122_oracle: String =
+    s"""WITH cnt AS (SELECT source, t AS tok, count(*)::BIGINT AS c
+       |  FROM (SELECT source, unnest($tokSql) AS t FROM documents) GROUP BY 1, 2),
+       |rk AS (SELECT source, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+       |  FROM cnt QUALIFY r <= 200),
+       |xy AS (SELECT source, r, round(ln(r::DOUBLE), 6) AS x,
+       |    round(ln(c::DOUBLE), 6) AS y FROM rk),
+       |fold AS (SELECT source, count(*)::BIGINT AS n_ranks,
+       |    list_reduce(list_prepend(0.0, list(x ORDER BY r)), (a, b) -> a + b) AS sx,
+       |    list_reduce(list_prepend(0.0, list(y ORDER BY r)), (a, b) -> a + b) AS sy,
+       |    list_reduce(list_prepend(0.0, list(x * x ORDER BY r)), (a, b) -> a + b) AS sxx,
+       |    list_reduce(list_prepend(0.0, list(x * y ORDER BY r)), (a, b) -> a + b) AS sxy
+       |  FROM xy GROUP BY source)
+       |SELECT source, n_ranks,
+       |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6)
+       |    AS zipf_slope
+       |FROM fold""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q122_zipf_slope" -> q122_zipf_slope,
     "q110_mixture_sample" -> q110_mixture_sample,
     "q82_sentence_dedup" -> q82_sentence_dedup,
     "q83_heavy_hitters" -> q83_heavy_hitters,
@@ -507,6 +563,7 @@ object CorpusQueries {
     "q95_mix_temperature" -> q95_mix_temperature)
 
   val oracles: Map[String, String] = Map(
+    "q122_zipf_slope" -> q122_oracle,
     "q110_mixture_sample" -> q110_oracle,
     "q82_sentence_dedup" -> q82_oracle,
     "q83_heavy_hitters" -> q83_oracle,

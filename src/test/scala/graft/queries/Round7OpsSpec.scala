@@ -231,6 +231,35 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("q122 Zipf: every source covered, slopes non-positive, top source recomputes") {
+    import spark.implicits._
+    val out = CorpusQueries.q122_zipf_slope(spark, sf).collect()
+    val nSources = graft.Tables(spark, sf, "documents")
+      .select($"source").distinct().count()
+    assert(out.length == nSources)
+    // frequency is non-increasing in rank by construction, so the fitted
+    // slope can never be positive
+    assert(out.forall(_.getAs[Double]("zipf_slope") <= 0.0))
+    // recompute one source's slope from an independent token count
+    val src0 = out.minBy(_.getAs[String]("source"))
+    val ranks = graft.Tables(spark, sf, "documents")
+      .filter($"source" === src0.getAs[String]("source"))
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").count()
+      .collect().map(r => r.getLong(1))
+      .sortBy(-_).take(200)
+    val xy = ranks.zipWithIndex.map { case (c, i) =>
+      (BigDecimal(math.log(i + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.log(c.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(src0.getAs[Double]("zipf_slope") - want) < 1e-5,
+      s"slope mismatch: got ${src0.getAs[Double]("zipf_slope")} want $want")
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
