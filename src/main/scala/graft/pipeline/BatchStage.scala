@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 final class BatchStage[T](val ds: Dataset[T]) {
 
+  /** Jet parity: `Pipeline.toDotString()` — GraphViz DOT of this stage's
+    * logical DAG (see [[PlanDot]]).
+    */
+  def toDotString: String = PlanDot.toDotString(ds)
+
   private def spark = ds.sparkSession
   def toDF: DataFrame = ds.toDF()
 

@@ -52,6 +52,11 @@ object StreamSourceStage {
   */
 final class StreamStage(val df: DataFrame, val tsCol: String) {
 
+  /** Jet parity: `Pipeline.toDotString()` — GraphViz DOT of this stage's
+    * logical DAG (see [[PlanDot]]).
+    */
+  def toDotString: String = PlanDot.toDotString(df)
+
   // ----------------------------------------------------- stateless ops (§2.3)
   def select(cols: Column*): StreamStage = new StreamStage(df.select(cols: _*), tsCol)
   def where(cond: Column): StreamStage = new StreamStage(df.filter(cond), tsCol)

@@ -20,6 +20,25 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out.head === 6 && out.length === 16)
   }
 
+  test("toDotString renders the stage DAG as GraphViz DOT (Jet Pipeline.toDotString parity)") {
+    val dim = p.readFrom(Sources.items(Seq((1, "a"), (2, "b")))).ds.toDF("k", "name")
+    val stage = p.readFrom(Sources.items(1 to 10))
+      .map(_ * 2)
+      .filter(_ > 4)
+    val joined = new BatchStage(stage.ds.toDF("k").join(broadcast(dim), "k"))
+    val dot = joined.toDotString
+    assert(dot.startsWith("digraph pipeline {"))
+    assert(dot.trim.endsWith("}"))
+    // one node per logical operator, one edge per data flow
+    assert(dot.contains("Join"), dot)
+    assert(dot.contains("->"), dot)
+    val nodes = "n\\d+ \\[label".r.findAllIn(dot).size
+    val edges = "n\\d+ -> n\\d+".r.findAllIn(dot).size
+    assert(nodes >= 3 && edges == nodes - 1, s"nodes=$nodes edges=$edges\n$dot")
+    // labels are quoted/escaped — a malformed label would break the quote pairing
+    assert(dot.count(_ == '"') % 2 == 0)
+  }
+
   test("fanOut: one stage, two sinks, the shared prefix runs ONCE (DAG fan-out)") {
     val evals = spark.sparkContext.longAccumulator("fanout_evals")
     val stage = p.readFrom(Sources.items(1 to 100))
