@@ -58,6 +58,7 @@ object Plans {
     "q120_dsir_select" -> "DSIR selection: gram construction is row-local over the token array (no lag window); the only corpus-sized shuffle carries (doc_id, bucket, count) — text never moves; the fitted distributions are B=1024 rows broadcast back; top-k is a TakeOrdered",
     "q121_pmi_collocations" -> "PMI collocations: bigrams from a row-local transform over the token array (no lag window, text never shuffles); unigram/bigram aggs are vocabulary-bounded with map-side partials; totals broadcast; TakeOrdered top-25",
     "q122_zipf_slope" -> "Zipf slope: one vocabulary-bounded count agg, source-keyed rank window over the VOCAB (not the corpus), 200-row-per-source ordered fold — output is source-cardinality-sized; text never shuffles",
+    "q123_hybrid_rrf" -> "hybrid RRF: lexical candidates via inverted-index join (query tokens broadcast, only shared-token pairs shuffle); dense side = q40's broadcast brute contract with q42/q44/q112 as the scale swap; fusion join touches 40 rows per query",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

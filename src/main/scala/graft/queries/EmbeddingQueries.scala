@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{SimilarityFunctions => S}
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -820,7 +820,84 @@ object EmbeddingQueries {
        |        FROM adc),
        |${pqRefineTailSql(32)}""".stripMargin
 
+  // ------------------------------------------- q123 hybrid retrieval (RRF)
+  /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al. 2009): each query document retrieves a top-20 lexical
+    * list (distinct-token overlap via an inverted-index join — candidates
+    * come from shared tokens, never an all-pairs scan) and a top-20 dense
+    * list (q40's brute cosine contract: broadcast queries, row-local
+    * normalized dot, rank on the 9dp-quantized score), then
+    * RRF(d) = sum over lists of 1/(60 + rank_d) — rank-only fusion is THE
+    * standard recipe precisely because lexical and dense scores are not
+    * calibrated against each other. Integer ranks make the fused score a
+    * sum of two exact rationals; 6dp-rounded for output and fused-rank
+    * ordering, doc_id tie-break.
+    *
+    * 100 TB shape: the lexical side shuffles only (query, candidate) pairs
+    * that SHARE a token (inverted index, query side broadcast); the dense
+    * side is the brute baseline whose drop-in scale path is q42/q44/q112
+    * (LSH/IVF/IVFADC); the fusion join touches 40 rows per query.
+    */
+  val q123_hybrid_rrf: Q = (s, dir) => {
+    import s.implicits._
+    val K = 60
+    val emb = t(s, dir, "embeddings")
+    val dense = S.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("r_dense"))
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(T.tokens($"text"))).as("tok"))
+    val qt = toks.filter($"doc_id" < 5).select($"doc_id".as("query_id"), $"tok")
+    val wl = Window.partitionBy($"query_id").orderBy($"overlap".desc, $"doc_id".asc)
+    val lex = toks.join(broadcast(qt), "tok")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("overlap"))
+      .withColumn("r_lex", row_number().over(wl)).filter($"r_lex" <= 20)
+      .select($"query_id", $"doc_id", $"r_lex")
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id".asc)
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when($"r_lex".isNotNull, lit(1.0) / ($"r_lex" + K)).otherwise(lit(0.0)) +
+          when($"r_dense".isNotNull, lit(1.0) / ($"r_dense" + K)).otherwise(lit(0.0)),
+        6))
+      .withColumn("rank", row_number().over(wf)).filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"doc_id", $"rrf")
+  }
+
+  val q123_oracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |    ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |dense AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY round(cosine, 9) DESC, doc_id ASC)
+       |    AS r_dense
+       |  FROM scored QUALIFY r_dense <= 20),
+       |toks AS (SELECT doc_id, unnest(list_distinct(${TextQueries.tokSql})) AS tok
+       |  FROM documents),
+       |lexs AS (SELECT qt.doc_id AS query_id, t.doc_id, count(*)::BIGINT AS overlap
+       |  FROM toks t JOIN toks qt ON t.tok = qt.tok
+       |  WHERE qt.doc_id < 5 AND t.doc_id <> qt.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY overlap DESC, doc_id ASC) AS r_lex
+       |  FROM lexs QUALIFY r_lex <= 20),
+       |fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    round(CASE WHEN l.r_lex IS NOT NULL
+       |        THEN 1.0::DOUBLE / (l.r_lex + 60) ELSE 0.0 END +
+       |      CASE WHEN d.r_dense IS NOT NULL
+       |        THEN 1.0::DOUBLE / (d.r_dense + 60) ELSE 0.0 END, 6) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, rank, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM fused) WHERE rank <= 5""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q123_hybrid_rrf" -> q123_hybrid_rrf,
     "q104_hard_negatives" -> q104_hard_negatives,
     "q39_dedup_embedding" -> q39_dedup_embedding,
     "q40_cosine_topk" -> q40_cosine_topk,
@@ -836,6 +913,7 @@ object EmbeddingQueries {
     "q112_ivfadc" -> q112_ivfadc)
 
   val oracles: Map[String, String] = Map(
+    "q123_hybrid_rrf" -> q123_oracle,
     "q104_hard_negatives" -> q104_oracle,
     "q39_dedup_embedding" -> q39_oracle,
     "q40_cosine_topk" -> q40_oracle,

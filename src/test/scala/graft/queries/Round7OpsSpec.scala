@@ -260,6 +260,44 @@ class Round7OpsSpec extends SparkSpec {
       s"slope mismatch: got ${src0.getAs[Double]("zipf_slope")} want $want")
   }
 
+  test("q123 RRF: 5x5 output, scores in range, fused score recomputes from component ranks") {
+    import spark.implicits._
+    val out = EmbeddingQueries.q123_hybrid_rrf(spark, sf).cache()
+    assert(out.count() == 25)
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).count() == 0)
+    // RRF of <=2 lists with rank >= 1 and K=60: score in (0, 2/61]
+    assert(out.filter($"rrf" <= 0.0 || $"rrf" > 2.0 / 61 + 1e-9).count() == 0)
+    // recompute the fused score of every output row from the two component
+    // rankings, built independently here
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val dense = graft.functions.SimilarityFunctions
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val toks = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.TextFunctions.tokens($"text"))).as("tok"))
+    val lex = toks.join(broadcast(
+        toks.filter($"doc_id" < 5).select($"doc_id".as("query_id"), $"tok")), "tok")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("ov"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"ov".desc, $"doc_id".asc)))
+      .filter($"r" <= 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("r")).toMap
+    out.collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      val want = lex.get(key).map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        dense.get(key).map(x => 1.0 / (x + 60)).getOrElse(0.0)
+      assert(want > 0.0, s"fused doc $key in neither component list")
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-5)
+    }
+    out.unpersist()
+    ()
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
