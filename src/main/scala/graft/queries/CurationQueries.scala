@@ -831,6 +831,51 @@ object CurationQueries {
        |    AS logw
        |FROM agg ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin
 
+  // ------------------------------------------ q124 vocab coverage curve
+  /** Vocabulary-size coverage curve: what fraction of corpus token
+    * OCCURRENCES the top-k vocabulary covers, for candidate sizes
+    * k in {10, 100, 1000} — the sizing curve a tokenizer budget decision
+    * reads (the complement of q100's fixed-vocab OOV audit). Integer-exact:
+    * covered and total are BIGINT occurrence sums; the ratio rounds at
+    * output. Rank tie-break (count desc, token asc) is total, so the curve
+    * is deterministic.
+    *
+    * 100 TB shape: one vocabulary-bounded count agg; the global rank window
+    * moves the VOCAB (not the corpus) to one partition — bounded by
+    * vocabulary size by construction; the k-membership join is a 3-row
+    * broadcast. Text never shuffles.
+    */
+  val q124_vocab_coverage: Q = (s, dir) => {
+    import s.implicits._
+    val cnt = t(s, dir, "documents")
+      .select(explode(T.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"c".desc, $"tok".asc)
+    val ranked = cnt.withColumn("r", row_number().over(w))
+    val total = cnt.agg(sum($"c").as("total_tokens"))
+    val ks = Seq(10L, 100L, 1000L).toDF("vocab_size")
+    ranked.crossJoin(broadcast(ks))
+      .groupBy($"vocab_size")
+      .agg(sum(when($"r" <= $"vocab_size", $"c").otherwise(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select($"vocab_size", $"covered_tokens", $"total_tokens",
+        round($"covered_tokens".cast("double") / $"total_tokens", 6).as("coverage"))
+  }
+
+  val q124_oracle: String =
+    s"""WITH cnt AS (SELECT t AS tok, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest($tokSql) AS t FROM documents) GROUP BY 1),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt),
+       |tot AS (SELECT sum(c)::BIGINT AS total_tokens FROM cnt),
+       |ks AS (SELECT unnest([10, 100, 1000])::BIGINT AS vocab_size)
+       |SELECT k.vocab_size,
+       |  sum(CASE WHEN rk.r <= k.vocab_size THEN rk.c ELSE 0 END)::BIGINT
+       |    AS covered_tokens,
+       |  (SELECT total_tokens FROM tot) AS total_tokens,
+       |  round(sum(CASE WHEN rk.r <= k.vocab_size THEN rk.c ELSE 0 END)::DOUBLE
+       |    / (SELECT total_tokens FROM tot), 6) AS coverage
+       |FROM ks k CROSS JOIN rk GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -846,7 +891,8 @@ object CurationQueries {
     "q111_length_batches" -> q111_length_batches,
     "q117_bpe_merges" -> q117_bpe_merges,
     "q119_bpe_encode" -> q119_bpe_encode,
-    "q120_dsir_select" -> q120_dsir_select)
+    "q120_dsir_select" -> q120_dsir_select,
+    "q124_vocab_coverage" -> q124_vocab_coverage)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -862,5 +908,6 @@ object CurationQueries {
     "q111_length_batches" -> q111_oracle,
     "q117_bpe_merges" -> q117_oracle,
     "q119_bpe_encode" -> q119_oracle,
-    "q120_dsir_select" -> q120_oracle)
+    "q120_dsir_select" -> q120_oracle,
+    "q124_vocab_coverage" -> q124_oracle)
 }

@@ -298,6 +298,22 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("q124 coverage curve: monotone in vocab size, bounded by total, saturates at full vocab") {
+    import spark.implicits._
+    val out = CurationQueries.q124_vocab_coverage(spark, sf)
+      .orderBy($"vocab_size").collect()
+    assert(out.length == 3)
+    val cov = out.map(r => (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_tokens"),
+      r.getAs[Long]("total_tokens")))
+    assert(cov.forall { case (_, c, t) => c >= 0 && c <= t })
+    assert(cov.map(_._2).zip(cov.map(_._2).tail).forall { case (a, b) => a <= b })
+    // once k >= |vocab|, coverage is exactly total
+    val vocabSize = graft.Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .distinct().count()
+    cov.filter(_._1 >= vocabSize).foreach { case (_, c, t) => assert(c == t) }
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
