@@ -548,7 +548,69 @@ object CorpusQueries {
        |    AS zipf_slope
        |FROM fold""".stripMargin
 
+  // ------------------------------- q125 stratified split + leakage audit
+  /** Deterministic stratified train/val/test split with a cross-split
+    * leakage audit — the two things every training pipeline must get right
+    * before a single step runs. Split: per-source rank over a seeded md5
+    * (q101's shuffle recipe) with integer cross-multiplied cuts
+    * (10r <= n -> test, 10r <= 2n -> val, else train), so every source lands
+    * EXACT 10/10/80 proportions, not just in expectation. Audit: any
+    * fingerprint (md5 of the raw text) that appears in more than one split
+    * is counted as leaked in every split it touches — the exact-dup
+    * cross-split contamination a random split silently admits (near-dup
+    * escalation = q86's cross-corpus MinHash with splits as the corpora).
+    *
+    * 100 TB shape: the rank window sorts each SOURCE's (hkey, doc_id) pairs
+    * -- 48 bytes/doc, text never shuffles; sources bigger than a partition
+    * sort fall back to the rank-free hash-threshold split (proportions then
+    * exact only in expectation — the documented trade). The leak audit
+    * shuffles fingerprints (32 hex chars), min/max-over-fp window, one agg.
+    */
+  val q125_split_manifest: Q = (s, dir) => {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        md5(concat(lit("split42:"), $"doc_id".cast("string"))).as("hkey"),
+        md5($"text").as("fp"))
+    val wS = Window.partitionBy($"source").orderBy($"hkey", $"doc_id")
+    val wN = Window.partitionBy($"source")
+    val sp = base
+      .withColumn("r", row_number().over(wS))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("split",
+        when($"r" * 10 <= $"n", "test")
+          .when($"r" * 10 <= $"n" * 2, "val")
+          .otherwise("train"))
+    val wF = Window.partitionBy($"fp")
+    sp.withColumn("leaked", min($"split").over(wF) =!= max($"split").over(wF))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"leaked", 1L).otherwise(0L)).as("n_leaked"))
+  }
+
+  val q125_oracle: String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |    md5('split42:' || doc_id::VARCHAR) AS hkey, md5(text) AS fp
+       |  FROM documents),
+       |rk AS (SELECT doc_id, source, fp,
+       |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM base),
+       |sp AS (SELECT doc_id, source, fp,
+       |    CASE WHEN r * 10 <= n THEN 'test'
+       |         WHEN r * 10 <= n * 2 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM rk),
+       |lk AS (SELECT split, source,
+       |    min(split) OVER (PARTITION BY fp) <> max(split) OVER (PARTITION BY fp)
+       |      AS leaked
+       |  FROM sp)
+       |SELECT split, source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN leaked THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+       |FROM lk GROUP BY 1, 2""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q125_split_manifest" -> q125_split_manifest,
     "q122_zipf_slope" -> q122_zipf_slope,
     "q110_mixture_sample" -> q110_mixture_sample,
     "q82_sentence_dedup" -> q82_sentence_dedup,
@@ -563,6 +625,7 @@ object CorpusQueries {
     "q95_mix_temperature" -> q95_mix_temperature)
 
   val oracles: Map[String, String] = Map(
+    "q125_split_manifest" -> q125_oracle,
     "q122_zipf_slope" -> q122_oracle,
     "q110_mixture_sample" -> q110_oracle,
     "q82_sentence_dedup" -> q82_oracle,

@@ -314,6 +314,31 @@ class Round7OpsSpec extends SparkSpec {
     cov.filter(_._1 >= vocabSize).foreach { case (_, c, t) => assert(c == t) }
   }
 
+  test("q125 split: exact integer proportions per source, conservation, determinism") {
+    import spark.implicits._
+    val out = CorpusQueries.q125_split_manifest(spark, sf).cache()
+    val bySrc = out.collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap)
+    val srcN = graft.Tables(spark, sf, "documents")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, m) =>
+      val n = srcN(src)
+      assert(m.getOrElse("test", 0L) == n / 10, s"$src test")
+      assert(m.getOrElse("val", 0L) == 2 * n / 10 - n / 10, s"$src val")
+      assert(m.values.sum == n, s"$src conservation")
+    }
+    // leak counts are symmetric facts about fingerprints: re-running must agree
+    val again = CorpusQueries.q125_split_manifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val first = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(first == again)
+    out.unpersist()
+    ()
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
