@@ -876,6 +876,51 @@ object CurationQueries {
        |    / (SELECT total_tokens FROM tot), 6) AS coverage
        |FROM ks k CROSS JOIN rk GROUP BY 1""".stripMargin
 
+  // --------------------------------------------- q126 curriculum manifest
+  /** Curriculum-learning order manifest: every document gets a deterministic
+    * training step so the corpus streams easy-to-hard (length as the
+    * difficulty proxy — the standard starting curriculum) with sources
+    * INTERLEAVED so no domain clumps. The step is a closed-form formula,
+    * not a global sort: step = (r - 1) * S + src_idx, where r = the doc's
+    * difficulty rank within its source (n_tokens asc, doc_id tie-break),
+    * S = source count, src_idx = the source's dense index — an exact
+    * round-robin whose step numbers simply leave gaps once a smaller source
+    * exhausts. Fully integer-exact.
+    *
+    * 100 TB shape: ONE source-keyed rank window (per-source sort of
+    * (n_tokens, doc_id) pairs — text never shuffles) + a broadcast
+    * source-index table; there is deliberately NO corpus-wide ordering
+    * window — the formula replaces the global sort that would funnel 100 TB
+    * through one partition.
+    */
+  val q126_curriculum: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", size(T.tokens($"text")).cast("long").as("n_tokens"))
+    val srcIdx = docs.select($"source").distinct()
+      .withColumn("src_idx", row_number().over(Window.orderBy($"source")).cast("long"))
+    val nSrc = srcIdx.count()
+    val wR = Window.partitionBy($"source").orderBy($"n_tokens".asc, $"doc_id".asc)
+    docs.withColumn("r", row_number().over(wR).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .select((($"r" - 1L) * nSrc + $"src_idx").as("step"),
+        $"doc_id", $"source", $"n_tokens")
+  }
+
+  val q126_oracle: String =
+    s"""WITH d AS (SELECT doc_id, source, len($tokSql)::BIGINT AS n_tokens
+       |  FROM documents),
+       |si AS (SELECT source, row_number() OVER (ORDER BY source)::BIGINT AS src_idx
+       |  FROM (SELECT DISTINCT source FROM d)),
+       |ns AS (SELECT count(*)::BIGINT AS s FROM si),
+       |rk AS (SELECT doc_id, source, n_tokens,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tokens ASC, doc_id ASC)::BIGINT AS r
+       |  FROM d)
+       |SELECT (rk.r - 1) * ns.s + si.src_idx AS step,
+       |  rk.doc_id, rk.source, rk.n_tokens
+       |FROM rk JOIN si ON rk.source = si.source CROSS JOIN ns""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q97_token_budget" -> q97_token_budget,
@@ -892,7 +937,8 @@ object CurationQueries {
     "q117_bpe_merges" -> q117_bpe_merges,
     "q119_bpe_encode" -> q119_bpe_encode,
     "q120_dsir_select" -> q120_dsir_select,
-    "q124_vocab_coverage" -> q124_vocab_coverage)
+    "q124_vocab_coverage" -> q124_vocab_coverage,
+    "q126_curriculum" -> q126_curriculum)
 
   val oracles: Map[String, String] = Map(
     "q97_token_budget" -> q97_oracle,
@@ -909,5 +955,6 @@ object CurationQueries {
     "q117_bpe_merges" -> q117_oracle,
     "q119_bpe_encode" -> q119_oracle,
     "q120_dsir_select" -> q120_oracle,
-    "q124_vocab_coverage" -> q124_oracle)
+    "q124_vocab_coverage" -> q124_oracle,
+    "q126_curriculum" -> q126_oracle)
 }

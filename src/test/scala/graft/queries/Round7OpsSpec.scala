@@ -339,6 +339,25 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("q126 curriculum: unique steps, difficulty monotone per source, sources interleave") {
+    import spark.implicits._
+    val out = CurationQueries.q126_curriculum(spark, sf).collect()
+    val total = graft.Tables(spark, sf, "documents").count()
+    assert(out.length == total)
+    val steps = out.map(_.getAs[Long]("step"))
+    assert(steps.distinct.length == steps.length, "steps must be unique")
+    // per source: n_tokens non-decreasing as step grows
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("n_tokens"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+    // interleaving: among the first S steps taken in order, every source
+    // appears exactly once (equal-sized fixture sources => exact round-robin)
+    val s = out.map(_.getAs[String]("source")).distinct.length
+    val firstCycle = out.sortBy(_.getAs[Long]("step")).take(s).map(_.getAs[String]("source"))
+    assert(firstCycle.distinct.length == s, s"first cycle not a permutation: ${firstCycle.toSeq}")
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
