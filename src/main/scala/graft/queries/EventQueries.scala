@@ -321,7 +321,59 @@ object EventQueries {
       |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------ q127 funnel analysis
+  /** Strict-sequence funnel: how many users progress view -> click ->
+    * purchase in TIME ORDER, each stage strictly after the user's earliest
+    * completion of the previous one AND within a 24-hour conversion window
+    * of it — the conversion query behind every product-analytics dashboard,
+    * and the eventually-follows complement of q27's adjacency CEP. Per
+    * user: earliest view, earliest qualifying click, earliest qualifying
+    * purchase; output = users surviving each stage. Integer counts,
+    * timestamp comparisons only.
+    *
+    * 100 TB shape: each stage is a user-keyed min-agg (map-side partial)
+    * followed by a user-keyed join — the three shuffles share the
+    * user_id key so AQE/bucketing co-locates them; no per-user event-list
+    * materialization and no window over the full event stream.
+    */
+  val q127_funnel: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val pu = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t_click" && $"ts" <= $"t_click" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("users")).select(lit(1L).as("stage"),
+        lit("view").as("event_type"), $"users")
+      .unionByName(c.agg(count(lit(1)).as("users")).select(lit(2L).as("stage"),
+        lit("click_after_view").as("event_type"), $"users"))
+      .unionByName(pu.agg(count(lit(1)).as("users")).select(lit(3L).as("stage"),
+        lit("purchase_after_click").as("event_type"), $"users"))
+  }
+
+  val q127_oracle: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOURS GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 24 HOURS GROUP BY 1)
+      |SELECT 1::BIGINT AS stage, 'view' AS event_type,
+      |  (SELECT count(*) FROM v)::BIGINT AS users
+      |UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM c)::BIGINT
+      |UNION ALL SELECT 3, 'purchase_after_click',
+      |  (SELECT count(*) FROM p)::BIGINT""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q127_funnel" -> q127_funnel,
     "q20_tumbling_window" -> q20_tumbling_window,
     "q21_sliding_window" -> q21_sliding_window,
     "q22_sessionize" -> q22_sessionize,
@@ -335,6 +387,7 @@ object EventQueries {
     "q80_windowed_coagg" -> q80_windowed_coagg)
 
   val oracles: Map[String, String] = Map(
+    "q127_funnel" -> q127_oracle,
     "q20_tumbling_window" -> q20_oracle,
     "q21_sliding_window" -> q21_oracle,
     "q22_sessionize" -> q22_oracle,

@@ -358,6 +358,23 @@ class Round7OpsSpec extends SparkSpec {
     assert(firstCycle.distinct.length == s, s"first cycle not a permutation: ${firstCycle.toSeq}")
   }
 
+  test("q127 funnel: stages monotone non-increasing; stage-2 recomputes via exists") {
+    import spark.implicits._
+    val out = EventQueries.q127_funnel(spark, sf).orderBy($"stage").collect()
+    val users = out.map(_.getAs[Long]("users"))
+    assert(users.length == 3 && users(0) >= users(1) && users(1) >= users(2))
+    assert(users(0) > users(1), "window must discriminate on this fixture")
+    // independent stage-2 recomputation: users with a click in
+    // (first_view, first_view + 24h]
+    val ev = graft.Tables(spark, sf, "events")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("tv"))
+    val want = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"tv" && $"ts" <= $"tv" + expr("INTERVAL 24 HOURS"))
+      .select($"user_id").distinct().count()
+    assert(users(1) == want)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
