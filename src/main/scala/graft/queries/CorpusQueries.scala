@@ -134,6 +134,59 @@ object CorpusQueries {
        |  round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps), 6) AS logprob
        |FROM agg""".stripMargin
 
+  // ------------------------------------------- q128 CCNet quality buckets
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, rank documents by LM score (q84's order-pinned unigram
+    * logprob — higher = more fluent) and cut the ranking into head/middle/
+    * tail TERTILES with integer cross-multiplied cuts (3r <= n -> head,
+    * 3r <= 2n -> middle, else tail). The per-language relative cut is the
+    * point: an absolute perplexity threshold would judge every language by
+    * the majority language's fluency scale (the same argument as q102's
+    * per-source gate). Output = per (lang, bucket) doc counts and the
+    * bucket's logprob range — the thresholds a production filter would
+    * freeze and reuse.
+    *
+    * 100 TB shape: q84's score (vocab-bounded aggs + broadcast total,
+    * text never shuffles) + ONE lang-keyed rank window over
+    * (logprob, doc_id) pairs + a lang-bucket agg — output is
+    * #langs x 3 rows.
+    */
+  val q128_ccnet_buckets: Q = (s, dir) => {
+    import s.implicits._
+    val scored = q84_unigram_logprob(s, dir)
+      .join(t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+    val wR = Window.partitionBy($"lang").orderBy($"logprob".desc, $"doc_id".asc)
+    val wN = Window.partitionBy($"lang")
+    scored.withColumn("r", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("bucket", when($"r" * 3 <= $"n", "head")
+        .when($"r" * 3 <= $"n" * 2, "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"logprob"), 6).as("min_lp"),
+        round(max($"logprob"), 6).as("max_lp"))
+  }
+
+  val q128_oracle: String =
+    s"""WITH base AS (
+       |$q84_oracle
+       |),
+       |d AS (SELECT b.doc_id, doc.lang, b.logprob
+       |  FROM base b JOIN documents doc USING (doc_id)),
+       |rk AS (SELECT doc_id, lang, logprob,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY logprob DESC, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM d),
+       |bk AS (SELECT lang, logprob,
+       |    CASE WHEN 3 * r <= n THEN 'head'
+       |         WHEN 3 * r <= 2 * n THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM rk)
+       |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+       |  round(min(logprob), 6) AS min_lp, round(max(logprob), 6) AS max_lp
+       |FROM bk GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- q85 NFC clean
   /** Unicode-clean pass: NFC-normalize (native `graft_nfc` codegen
     * expression), strip control characters to spaces, collapse space runs,
@@ -611,6 +664,7 @@ object CorpusQueries {
 
   val entries: Map[String, Q] = Map(
     "q125_split_manifest" -> q125_split_manifest,
+    "q128_ccnet_buckets" -> q128_ccnet_buckets,
     "q122_zipf_slope" -> q122_zipf_slope,
     "q110_mixture_sample" -> q110_mixture_sample,
     "q82_sentence_dedup" -> q82_sentence_dedup,
@@ -626,6 +680,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q125_split_manifest" -> q125_oracle,
+    "q128_ccnet_buckets" -> q128_oracle,
     "q122_zipf_slope" -> q122_oracle,
     "q110_mixture_sample" -> q110_oracle,
     "q82_sentence_dedup" -> q82_oracle,

@@ -375,6 +375,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(users(1) == want)
   }
 
+  test("q128 CCNet buckets: tertile sizes, conservation, ordered score ranges per lang") {
+    import spark.implicits._
+    val out = CorpusQueries.q128_ccnet_buckets(spark, sf).collect()
+    val langN = graft.Tables(spark, sf, "documents")
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) > 0)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val m = rows.map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("min_lp"), r.getAs[Double]("max_lp")))).toMap
+      val n = langN(lang)
+      assert(m("head")._1 == n / 3, s"$lang head size")
+      assert(m("middle")._1 == 2 * n / 3 - n / 3, s"$lang middle size")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == n, s"$lang conservation")
+      // head holds the highest scores, tail the lowest; ranges stack
+      assert(m("head")._2 >= m("middle")._3 - 1e-9, s"$lang head/middle overlap")
+      assert(m("middle")._2 >= m("tail")._3 - 1e-9, s"$lang middle/tail overlap")
+    }
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
