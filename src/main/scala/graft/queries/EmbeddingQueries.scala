@@ -820,6 +820,75 @@ object EmbeddingQueries {
        |        FROM adc),
        |${pqRefineTailSql(32)}""".stripMargin
 
+  // --------------------------------------- q129 margin-based bitext mining
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019) — the parallel-
+    * corpus construction recipe behind CCMatrix/LASER: a cross-lingual pair
+    * (x, y) scores by its cosine RELATIVE to each side's neighborhood,
+    * margin(x,y) = cos(x,y) / (0.5 * (avgNN_k(x) + avgNN_k(y))), because an
+    * absolute cosine threshold can't separate true translations from hubs
+    * (vectors near everything). Queries = the first 10 en-language
+    * vectors; candidates = every non-en vector; k = 4. Float discipline:
+    * cosines quantize to 9dp before ranking AND folding (the q40 rank
+    * contract extended to the mean), neighborhood means fold in rank order,
+    * the margin rounds at output; ties break on (qid, cid). Top-10 pairs.
+    *
+    * 100 TB shape: the query side broadcasts (model-scale); candidate
+    * cosines are row-local; each side's kNN mean is a keyed window over the
+    * scored pairs, never the corpus; at scale the candidate generation
+    * swaps to the ANN family (q42/q44/q112) exactly as in q123.
+    */
+  val q129_bitext_margin: Q = (s, dir) => {
+    import s.implicits._
+    val vecs = t(s, dir, "embeddings").as("e")
+      .join(t(s, dir, "documents").select($"doc_id", $"lang").as("d"),
+        $"e.vec_id" === $"d.doc_id")
+      .select($"vec_id", $"lang", $"embedding")
+    val qn = S.withNormalized(vecs.filter($"lang" === "en" && $"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("__q")), "__q", "qv").drop("__q")
+    val cn = S.withNormalized(vecs.filter($"lang" =!= "en")
+      .select($"vec_id".as("cid"), $"embedding".as("__c")), "__c", "cv").drop("__c")
+    val scored = cn.crossJoin(broadcast(qn))
+      .select($"qid", $"cid", round(S.dotAuto($"qv", $"cv"), 9).as("cos"))
+    def knnMean(key: String, other: String, out: String) = scored
+      .withColumn("r", row_number().over(Window.partitionBy(col(key))
+        .orderBy($"cos".desc, col(other).asc)))
+      .filter($"r" <= 4)
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct($"r", $"cos"))).as("cs"))
+      .select(col(key), (aggregate(transform($"cs", x => x.getField("cos")),
+        lit(0.0), (a, b) => a + b) / 4.0).as(out))
+    scored
+      .join(broadcast(knnMean("qid", "cid", "aq")), "qid")
+      .join(broadcast(knnMean("cid", "qid", "ac")), "cid")
+      .select($"qid", $"cid",
+        round($"cos" / (lit(0.5) * ($"aq" + $"ac")), 6).as("margin"))
+      .orderBy($"margin".desc, $"qid".asc, $"cid".asc)
+      .limit(10)
+  }
+
+  val q129_oracle: String =
+    s"""WITH v AS (SELECT e.vec_id, d.lang, e.embedding
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM v
+       |  WHERE lang = 'en' AND vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE lang <> 'en'),
+       |scored AS (SELECT q.qid, c.cid,
+       |    round(${cosSql("q.qv", "c.cv")}, 9) AS cos
+       |  FROM c CROSS JOIN q),
+       |aq AS (SELECT qid, list_reduce(list_prepend(0.0, list(cos ORDER BY r)),
+       |      (a, b) -> a + b) / 4.0 AS aq
+       |  FROM (SELECT qid, cos, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, cid ASC) AS r FROM scored QUALIFY r <= 4)
+       |  GROUP BY qid),
+       |ac AS (SELECT cid, list_reduce(list_prepend(0.0, list(cos ORDER BY r)),
+       |      (a, b) -> a + b) / 4.0 AS ac
+       |  FROM (SELECT cid, cos, row_number() OVER (PARTITION BY cid
+       |      ORDER BY cos DESC, qid ASC) AS r FROM scored QUALIFY r <= 4)
+       |  GROUP BY cid)
+       |SELECT s.qid, s.cid, round(s.cos / (0.5 * (aq.aq + ac.ac)), 6) AS margin
+       |FROM scored s JOIN aq ON s.qid = aq.qid JOIN ac ON s.cid = ac.cid
+       |ORDER BY margin DESC, s.qid, s.cid LIMIT 10""".stripMargin
+
   // ------------------------------------------- q123 hybrid retrieval (RRF)
   /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
     * (Cormack et al. 2009): each query document retrieves a top-20 lexical
@@ -898,6 +967,7 @@ object EmbeddingQueries {
 
   val entries: Map[String, Q] = Map(
     "q123_hybrid_rrf" -> q123_hybrid_rrf,
+    "q129_bitext_margin" -> q129_bitext_margin,
     "q104_hard_negatives" -> q104_hard_negatives,
     "q39_dedup_embedding" -> q39_dedup_embedding,
     "q40_cosine_topk" -> q40_cosine_topk,
@@ -914,6 +984,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "q123_hybrid_rrf" -> q123_oracle,
+    "q129_bitext_margin" -> q129_oracle,
     "q104_hard_negatives" -> q104_oracle,
     "q39_dedup_embedding" -> q39_oracle,
     "q40_cosine_topk" -> q40_oracle,

@@ -394,6 +394,25 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q129 bitext margin: pairs are cross-lingual, margins sorted, top margin beats 1") {
+    import spark.implicits._
+    val out = EmbeddingQueries.q129_bitext_margin(spark, sf).collect()
+    assert(out.length == 10)
+    val margins = out.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a >= b })
+    // margin > 1 means the pair's cosine exceeds its neighborhood average —
+    // the selection criterion the method exists for; the top pair must clear it
+    assert(margins.head > 1.0)
+    // every mined pair joins an en query to a non-en candidate
+    val langs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(langs(r.getAs[Long]("qid")) == "en")
+      assert(langs(r.getAs[Long]("cid")) != "en")
+    }
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
