@@ -211,6 +211,80 @@ object TextQueries {
 
   val q36_oracle: String = s"WITH $lshPairsCtes\n$lshPairsSelect"
 
+  // ------------------------------------ q130 dedup-graph PageRank centrality
+  /** PageRank centrality over the near-dup graph — the principled way to pick
+    * each dup cluster's REPRESENTATIVE: the doc most connected to the rest of
+    * its cluster (q73 keeps "best by quality score"; this keeps "most
+    * central", which survives when quality metadata is missing or gamed).
+    * Edges = q36's source-scoped LSH candidate pairs (Jaccard >= 0.9),
+    * undirected; 3 damped iterations (d = 0.85) restricted to nodes with at
+    * least one edge. Float discipline: per-node neighbor contributions fold
+    * in neighbor-id order, each iteration's rank rounds to 12dp (so
+    * cross-engine ulp drift cannot compound), output rounds to 6dp. Output =
+    * top-10 most-central docs with degree.
+    *
+    * 100 TB shape: the edge list (already bounded by the LSH band join — no
+    * all-pairs) is localCheckpointed once and reused; every iteration is one
+    * edge-keyed join + one node-keyed fold agg — graph-sized, not
+    * corpus-sized; node count broadcasts. The iterative-loop pattern matches
+    * q47's CC (pointer jumping) with rank flowing instead of labels.
+    */
+  val q130_dedup_pagerank: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    val pairs = D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
+        minJaccard = 0.9, scopeCols = Seq("source"))
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select($"src".as("node")).distinct()
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var p = nodes.crossJoin(nDf).select($"node", (lit(1.0) / $"n").as("p"))
+    for (_ <- 1 to 3) {
+      p = edges.join(p.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select($"dst", $"src", ($"p" / $"deg").as("w"))
+        .groupBy($"dst")
+        .agg(sort_array(collect_list(struct($"src", $"w"))).as("ws"))
+        .crossJoin(nDf)
+        .select($"dst".as("node"),
+          round(lit(0.15) / $"n" + lit(0.85) *
+            aggregate(transform($"ws", x => x.getField("w")),
+              lit(0.0), (a, b) => a + b), 12).as("p"))
+    }
+    p.join(deg, p("node") === deg("src"))
+      .select($"node".as("doc_id"), $"deg".as("degree"),
+        round($"p", 6).as("pagerank"))
+      .orderBy($"pagerank".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  val q130_oracle: String = {
+    def iter(nxt: String, prev: String) =
+      s"""$nxt AS (SELECT e.dst AS node,
+         |    round(0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE *
+         |      list_reduce(list_prepend(0.0, list(pp.p / deg.deg ORDER BY e.src)),
+         |        (a, b) -> a + b), 12) AS p
+         |  FROM e JOIN $prev pp ON e.src = pp.node JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH $lshPairsCtes,
+       |pairs AS ($lshPairsSelect),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS p FROM nodes),
+       |${iter("p1", "p0")},
+       |${iter("p2", "p1")},
+       |${iter("p3", "p2")}
+       |SELECT p3.node AS doc_id, deg.deg AS degree, round(p3.p, 6) AS pagerank
+       |FROM p3 JOIN deg ON p3.node = deg.src
+       |ORDER BY pagerank DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------ q93 near-containment
   /** Asymmetric near-dup: containment(A in B) = |A∩B|/|A| in BOTH directions
     * over the same source-scoped LSH candidates as q36 — catches "small doc
@@ -1028,6 +1102,7 @@ object TextQueries {
 
   val entries: Map[String, Q] = Map(
     "q121_pmi_collocations" -> q121_pmi_collocations,
+    "q130_dedup_pagerank" -> q130_dedup_pagerank,
     "q115_gopher_rules" -> q115_gopher_rules,
     "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
@@ -1055,6 +1130,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q121_pmi_collocations" -> q121_oracle,
+    "q130_dedup_pagerank" -> q130_oracle,
     "q115_gopher_rules" -> q115_oracle,
     "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,

@@ -413,6 +413,30 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q130 PageRank: ranks positive and sorted, every ranked doc sits in the dup graph") {
+    import spark.implicits._
+    val got = TextQueries.q130_dedup_pagerank(spark, sf).collect()
+    assert(got.length == 10)
+    val pr = got.map(_.getAs[Double]("pagerank"))
+    assert(pr.forall(_ > 0.0))
+    assert(pr.zip(pr.tail).forall { case (a, b) => a >= b })
+    // cross-check membership + degree against the same candidate-pair builder
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", graft.functions.TextFunctions.tokenSet($"text").as("toks"))
+    val pairs = graft.functions.DedupFunctions
+      .candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
+        minJaccard = 0.9, scopeCols = Seq("source"))
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degrees = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { r =>
+      val (id, d) = (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"))
+      assert(degrees.getOrElse(id, 0L) == d, s"degree mismatch for $id")
+    }
+    // the most central doc should not be a leaf of its cluster
+    assert(got.head.getAs[Long]("degree") >= 2)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
