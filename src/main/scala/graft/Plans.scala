@@ -66,6 +66,7 @@ object Plans {
     "q128_ccnet_buckets" -> "CCNet buckets: q84's vocab-bounded scoring (text never shuffles) + one lang-keyed rank window over (logprob, doc_id) pairs + a #langs x 3 agg",
     "q129_bitext_margin" -> "bitext margin: broadcast query side, row-local cosines, each side's kNN mean is a keyed window over SCORED PAIRS (never the corpus); ANN family is the candidate-generation swap at scale",
     "q130_dedup_pagerank" -> "dedup PageRank: LSH-bounded edge list localCheckpointed once; each iteration = one edge-keyed join + one node-keyed ordered fold — graph-sized, never corpus-sized; the iterative twin of q47's CC",
+    "q131_skew_audit" -> "skew audit: one key-cardinality-bounded count agg per audited column, map-side partials, single stats row out — the measurement feeding the salted-join recipe; fact payload never shuffles",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -520,7 +520,49 @@ object TpchQueries {
       |FROM r GROUP BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ---------------------------------------------- q131 join-key skew audit
+  /** Join-key skew profiler: for each candidate shuffle key of the fact
+    * table, the key-cardinality facts that decide the join strategy —
+    * row count, distinct keys, the heaviest key's row count, and
+    * skew_factor = max_key_rows / mean_rows_per_key. This is the
+    * measurement that feeds the salted-skew-join recipe
+    * (BatchStage.saltedJoin / ScaleRecipesSpec): skew_factor near 1 means
+    * hash-partitioning balances; a large factor names the key that will
+    * straggle a 1000-executor shuffle and by how much. All inputs are
+    * integer counts; the ratio rounds at output.
+    *
+    * 100 TB shape: one key-cardinality-bounded count agg per audited column
+    * (map-side partials), each collapsed to a single stats row — the audit
+    * costs a fraction of the join it de-risks and never shuffles the fact
+    * table's payload columns.
+    */
+  val q131_skew_audit: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    def audit(keyCol: String) = li.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+        max($"c").as("max_key_rows"))
+      .select(lit(keyCol).as("key_col"), $"n_rows", $"n_keys", $"max_key_rows",
+        round($"max_key_rows".cast("double") * $"n_keys" / $"n_rows", 6)
+          .as("skew_factor"))
+    audit("l_orderkey").unionByName(audit("l_partkey"))
+      .unionByName(audit("l_suppkey"))
+  }
+
+  val q131_oracle: String = {
+    def audit(c: String) =
+      s"""SELECT '$c' AS key_col, sum(cnt)::BIGINT AS n_rows,
+         |  count(*)::BIGINT AS n_keys, max(cnt)::BIGINT AS max_key_rows,
+         |  round(max(cnt)::DOUBLE * count(*) / sum(cnt), 6) AS skew_factor
+         |FROM (SELECT $c, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1)""".stripMargin
+    s"""${audit("l_orderkey")}
+       |UNION ALL ${audit("l_partkey")}
+       |UNION ALL ${audit("l_suppkey")}""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
+    "q131_skew_audit" -> q131_skew_audit,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_project" -> q02_filter_project,
     "q03_global_agg" -> q03_global_agg,
@@ -543,6 +585,7 @@ object TpchQueries {
     "q17_typed_topn" -> q17_typed_topn)
 
   val oracles: Map[String, String] = Map(
+    "q131_skew_audit" -> q131_oracle,
     "q01_pricing_summary" -> q01_oracle,
     "q02_filter_project" -> q02_oracle,
     "q03_global_agg" -> q03_oracle,

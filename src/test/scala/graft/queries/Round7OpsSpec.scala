@@ -437,6 +437,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("degree") >= 2)
   }
 
+  test("q131 skew audit: conservation, skew >= 1, heaviest key verified for one column") {
+    import spark.implicits._
+    val out = TpchQueries.q131_skew_audit(spark, sf).collect()
+      .map(r => r.getAs[String]("key_col") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("max_key_rows"), r.getAs[Double]("skew_factor")))).toMap
+    assert(out.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = graft.Tables(spark, sf, "lineitem")
+    val n = li.count()
+    out.values.foreach { case (rows, keys, mx, skew) =>
+      assert(rows == n)
+      assert(mx >= (rows + keys - 1) / keys, "max below ceiling of the mean")
+      assert(skew >= 1.0 - 1e-9)
+    }
+    val heaviest = li.groupBy($"l_suppkey").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(out("l_suppkey")._3 == heaviest)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
