@@ -50,12 +50,23 @@ object ScaleTrend {
     "q107_span_excision", "q108_nb_classifier", "q109_pq_ann",
     "q110_mixture_sample", "q111_length_batches", "q112_ivfadc",
     "q114_stream_ingest_dedup", "q115_gopher_rules", "q116_image_phash",
-    "q117_bpe_merges", "q118_audio_decode")
+    "q117_bpe_merges", "q118_audio_decode",
+    // round-7 continuation-2 batch: tokenizer encode, learned selection,
+    // collocations/Zipf diagnostics, hybrid/bitext retrieval, split/
+    // curriculum manifests, funnel, graph centrality, skew audit
+    "q119_bpe_encode", "q120_dsir_select", "q121_pmi_collocations",
+    "q122_zipf_slope", "q123_hybrid_rrf", "q124_vocab_coverage",
+    "q125_split_manifest", "q126_curriculum", "q127_funnel",
+    "q128_ccnet_buckets", "q129_bitext_margin", "q130_dedup_pagerank",
+    "q131_skew_audit")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated name prefixes to run a subset
+    val only: Option[Seq[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSeq) else None
     val spark = GraftSession.tune(
       SparkSession.builder().master("local[32]").appName("graft-scaletrend"),
       shufflePartitions = 32).getOrCreate()
@@ -77,7 +88,8 @@ object ScaleTrend {
 
     println(f"| query | t_1x (s) | t_${factor}x (s) | growth |")
     println("|---|---|---|---|")
-    val rows = trendQueries.map { name =>
+    val rows = trendQueries
+      .filter(n => only.forall(_.exists(n.startsWith))).map { name =>
       val t1 = time(reg(name), src)
       val tN = time(reg(name), out)
       val g = tN / t1
@@ -87,16 +99,21 @@ object ScaleTrend {
     }
 
     // the q39 planes recipe: fixed planes vs planes grown with the corpus
+    // (skipped on subset runs unless q39 is selected)
+    if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
     val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
     val fixed1 = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), src)
     val fixedN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), out)
     val grownN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4 + extraPlanes), out)
     println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
     println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
-
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_trend","factor":$factor,"queries":$qs,""" +
       s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
+    } else {
+      val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_trend","factor":$factor,"queries":$qs}""")
+    }
     spark.stop()
   }
 
