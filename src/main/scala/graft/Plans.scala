@@ -67,6 +67,7 @@ object Plans {
     "q129_bitext_margin" -> "bitext margin: broadcast query side, row-local cosines, each side's kNN mean is a keyed window over SCORED PAIRS (never the corpus); ANN family is the candidate-generation swap at scale",
     "q130_dedup_pagerank" -> "dedup PageRank: LSH-bounded edge list localCheckpointed once; each iteration = one edge-keyed join + one node-keyed ordered fold — graph-sized, never corpus-sized; the iterative twin of q47's CC",
     "q131_skew_audit" -> "skew audit: one key-cardinality-bounded count agg per audited column, map-side partials, single stats row out — the measurement feeding the salted-join recipe; fact payload never shuffles",
+    "q132_tpch_q3" -> "TPC-H Q3: selective dim filter broadcasts through orders into lineitem, date filters pushed to both scans, one keyed revenue agg, TakeOrdered 10",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -561,8 +561,87 @@ object TpchQueries {
        |UNION ALL ${audit("l_suppkey")}""".stripMargin
   }
 
+  // ----------------------------------------- q132 TPC-H Q3 shipping priority
+  /** TPC-H Q3 (shipping priority), adapted to the fixture schema
+    * (o_orderpriority stands in for o_shippriority): top-10 unshipped
+    * BUILDING-segment orders by revenue as of the 1998-07-01 cutoff.
+    * The canonical 3-table star join: customer (selective dim filter)
+    * broadcasts into orders, the result broadcasts/AQE-joins into lineitem,
+    * one (orderkey)-keyed revenue agg, TakeOrdered 10. Rank is decided on
+    * the 4dp-rounded revenue with the orderkey tie-break on both engines
+    * (the README quantized-rank contract).
+    */
+  val q132_tpch_q3: Q = (s, dir) => {
+    import s.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = t(s, dir, "orders").filter($"o_orderdate" < cut)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q132_oracle: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------- q133 TPC-H Q10 returned items
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue lost
+    * to returns in a one-quarter order window, with nation context. The
+    * 4-table shape: the quarter filter prunes orders at the scan, lineitem
+    * joins on orderkey keeping only returnflag='R' rows, customer + nation
+    * broadcast in for the report columns. Same quantized-rank contract as
+    * q132.
+    */
+  val q133_tpch_q10: Q = (s, dir) => {
+    import s.implicits._
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val rev = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+    rev.join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q133_oracle: String =
+    """SELECT c_custkey, c_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q131_skew_audit" -> q131_skew_audit,
+    "q132_tpch_q3" -> q132_tpch_q3,
+    "q133_tpch_q10" -> q133_tpch_q10,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_project" -> q02_filter_project,
     "q03_global_agg" -> q03_global_agg,
@@ -586,6 +665,8 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q131_skew_audit" -> q131_oracle,
+    "q132_tpch_q3" -> q132_oracle,
+    "q133_tpch_q10" -> q133_oracle,
     "q01_pricing_summary" -> q01_oracle,
     "q02_filter_project" -> q02_oracle,
     "q03_global_agg" -> q03_oracle,

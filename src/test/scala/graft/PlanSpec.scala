@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join in:\n$plan")
   }
 
+  test("TPC-H Q3/Q10: date filters pushed to the scans, dims broadcast (q132/q133)") {
+    val p3 = planOf(queries.TpchQueries.q132_tpch_q3(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), s"no broadcast in Q3:\n$p3")
+    assert(p3.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"o_orderdate filter not pushed in Q3:\n$p3")
+    val p10 = planOf(queries.TpchQueries.q133_tpch_q10(spark, sf))
+    assert(p10.contains("BroadcastHashJoin"), s"no broadcast in Q10:\n$p10")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag filter not pushed in Q10:\n$p10")
+  }
+
   test("keyed aggregation is two-phase (partial + final HashAggregate)") {
     val plan = planOf(queries.TpchQueries.q01_pricing_summary(spark, sf))
     val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
