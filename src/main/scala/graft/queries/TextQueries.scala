@@ -285,6 +285,62 @@ object TextQueries {
        |ORDER BY pagerank DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------ q134 LSH dedup recall audit
+  /** LSH recall audit for the dedup family — the q74 (ANN) discipline
+    * applied to MinHash banding: ground truth = EXACT token-set Jaccard over
+    * all source-scoped pairs with an integer cross-multiplied threshold
+    * (10|A∩B| >= 9|A∪B|, no float boundary); detected = q36's banded
+    * candidate pipeline. Reports true pairs, detected pairs, hits, and
+    * recall — the measured answer to "how many dups does banding miss at
+    * these (hashes, bands) settings", which turns the LSH sizing arithmetic
+    * (planesForCorpus / ScaleSizingSpec) from theory into a number.
+    *
+    * 100 TB shape: ground truth is an ALL-PAIRS join, affordable only
+    * because the source scope bounds each bucket (here: fixture-sized; at
+    * scale the audit runs on a deterministic hash-sample of scopes — the
+    * documented recipe); the detected side is exactly q36's plan. The audit
+    * costs one sample; silent recall decay is the alternative.
+    */
+  val q134_lsh_recall_audit: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("ts"))
+    val a = docs.select($"source", $"doc_id".as("da"), $"ts".as("tsa"))
+    val b = docs.select($"source", $"doc_id".as("db"), $"ts".as("tsb"))
+    val truth = a.join(b, Seq("source")).filter($"da" < $"db")
+      .filter(size(array_intersect($"tsa", $"tsb")) * 10 >=
+        size(array_union($"tsa", $"tsb")) * 9)
+      .select($"da", $"db").localCheckpoint(true)
+    val det = D.candidatePairs(docs.withColumnRenamed("ts", "toks"),
+        "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9,
+        scopeCols = Seq("source"))
+      .select($"id_a".as("da"), $"id_b".as("db")).localCheckpoint(true)
+    val nTrue = truth.count()
+    val nDet = det.count()
+    val nHit = truth.join(det, Seq("da", "db")).count()
+    Seq((nTrue, nDet, nHit,
+      BigDecimal(if (nTrue == 0) 1.0 else nHit.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_true_pairs", "n_detected_pairs", "n_hit", "recall")
+  }
+
+  val q134_oracle: String =
+    s"""WITH $lshPairsCtes,
+       |det AS ($lshPairsSelect),
+       |tt AS (SELECT doc_id, source, ts FROM toks),
+       |truth AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM tt a JOIN tt b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.ts, b.ts)) >=
+       |        9 * len(list_distinct(list_concat(a.ts, b.ts)))),
+       |hit AS (SELECT count(*)::BIGINT AS n FROM truth t
+       |  JOIN det d ON t.da = d.doc_a AND t.db = d.doc_b)
+       |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+       |  (SELECT count(*) FROM det)::BIGINT AS n_detected_pairs,
+       |  (SELECT n FROM hit) AS n_hit,
+       |  round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0::DOUBLE
+       |    ELSE (SELECT n FROM hit)::DOUBLE / (SELECT count(*) FROM truth)
+       |    END, 6) AS recall""".stripMargin
+
   // ------------------------------------------------ q93 near-containment
   /** Asymmetric near-dup: containment(A in B) = |A∩B|/|A| in BOTH directions
     * over the same source-scoped LSH candidates as q36 — catches "small doc
@@ -1103,6 +1159,7 @@ object TextQueries {
   val entries: Map[String, Q] = Map(
     "q121_pmi_collocations" -> q121_pmi_collocations,
     "q130_dedup_pagerank" -> q130_dedup_pagerank,
+    "q134_lsh_recall_audit" -> q134_lsh_recall_audit,
     "q115_gopher_rules" -> q115_gopher_rules,
     "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
@@ -1131,6 +1188,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q121_pmi_collocations" -> q121_oracle,
     "q130_dedup_pagerank" -> q130_oracle,
+    "q134_lsh_recall_audit" -> q134_oracle,
     "q115_gopher_rules" -> q115_oracle,
     "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,

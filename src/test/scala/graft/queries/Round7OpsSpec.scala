@@ -456,6 +456,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(out("l_suppkey")._3 == heaviest)
   }
 
+  test("q134 LSH recall audit: counts consistent, no false survivors, recall near theory") {
+    val r = TextQueries.q134_lsh_recall_audit(spark, sf).head()
+    val (nTrue, nDet, nHit, recall) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nTrue > 0, "fixture must contain true near-dup pairs for the audit to mean anything")
+    assert(nHit <= nDet && nHit <= nTrue)
+    // candidates that survive the exact-Jaccard verify are true pairs
+    // (modulo 32-bit hash collisions, absent at this vocabulary)
+    assert(nHit == nDet, s"false survivors: detected=$nDet hit=$nHit")
+    // banding theory at s=0.9, 2 bands x 6 rows: p = 1-(1-0.9^6)^2 ~ 0.78;
+    // pin a 0.5 floor so a banding regression (wrong band count, broken
+    // signature) fails loudly without chasing the exact fixture value
+    assert(recall >= 0.5 && recall <= 1.0, s"recall $recall out of band")
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
