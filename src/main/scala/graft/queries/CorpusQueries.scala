@@ -662,7 +662,74 @@ object CorpusQueries {
        |  sum(CASE WHEN leaked THEN 1 ELSE 0 END)::BIGINT AS n_leaked
        |FROM lk GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------ q135 end-to-end corpus assembly funnel
+  /** The full corpus-assembly chain as ONE composable query — quality gate,
+    * exact dedup, token-budget selection — with a per-source funnel report
+    * (rows surviving each stage), the shape a data team reviews before a
+    * training run. Stages: (1) integer-exact quality gate (>= 20 tokens,
+    * lexical diversity 10*distinct >= 3*total — the q115/q102 style, no
+    * float boundary); (2) exact dedup keeping the smallest doc_id per text
+    * fingerprint (q35's recipe); (3) q97's per-source token budget (600,
+    * longest-first). Every stage is deterministic and integer-exact, so the
+    * oracle replays the entire chain and a divergence ANYWHERE in the
+    * composition fails the hash — this is the composability proof, not a
+    * new primitive.
+    *
+    * 100 TB shape: stage 1 is row-local; stage 2 shuffles 32-hex
+    * fingerprints; stage 3 is q97's source-keyed window; the report joins
+    * are source-cardinality-sized. Text never shuffles.
+    */
+  val q135_assembly_funnel: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        size(T.tokens($"text")).cast("long").as("nt"),
+        size(T.tokenSet($"text")).cast("long").as("nd"))
+    val filtered = docs.filter($"nt" >= 20 && $"nd" * 10 >= $"nt" * 3)
+    val deduped = filtered
+      .withColumn("fp", md5($"text"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rk" === 1)
+    val wB = Window.partitionBy($"source").orderBy($"nt".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selected = deduped.withColumn("cum", sum($"nt").over(wB))
+      .filter($"cum" <= 600L)
+    val f = filtered.groupBy($"source").agg(count(lit(1)).as("n_after_filter"))
+    val d = deduped.groupBy($"source").agg(count(lit(1)).as("n_after_dedup"))
+    val sel = selected.groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"), sum($"nt").as("tokens_selected"))
+    f.join(d, Seq("source"), "left").join(sel, Seq("source"), "left")
+      .select($"source", $"n_after_filter",
+        coalesce($"n_after_dedup", lit(0L)).as("n_after_dedup"),
+        coalesce($"n_selected", lit(0L)).as("n_selected"),
+        coalesce($"tokens_selected", lit(0L)).as("tokens_selected"))
+  }
+
+  val q135_oracle: String =
+    s"""WITH d0 AS (SELECT doc_id, source, text, len($tokSql)::BIGINT AS nt,
+       |    len(list_distinct($tokSql))::BIGINT AS nd FROM documents),
+       |f AS (SELECT * FROM d0 WHERE nt >= 20 AND nd * 10 >= nt * 3),
+       |dd AS (SELECT * FROM (SELECT f.*, row_number() OVER (
+       |    PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f)
+       |  WHERE rk = 1),
+       |sel AS (SELECT * FROM (SELECT dd.*, sum(nt) OVER (PARTITION BY source
+       |      ORDER BY nt DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dd)
+       |  WHERE cum <= 600),
+       |fc AS (SELECT source, count(*)::BIGINT AS n_after_filter FROM f GROUP BY 1),
+       |dc AS (SELECT source, count(*)::BIGINT AS n_after_dedup FROM dd GROUP BY 1),
+       |sc AS (SELECT source, count(*)::BIGINT AS n_selected,
+       |    sum(nt)::BIGINT AS tokens_selected FROM sel GROUP BY 1)
+       |SELECT fc.source, fc.n_after_filter,
+       |  coalesce(dc.n_after_dedup, 0) AS n_after_dedup,
+       |  coalesce(sc.n_selected, 0) AS n_selected,
+       |  coalesce(sc.tokens_selected, 0) AS tokens_selected
+       |FROM fc LEFT JOIN dc ON fc.source = dc.source
+       |LEFT JOIN sc ON fc.source = sc.source""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q135_assembly_funnel" -> q135_assembly_funnel,
     "q125_split_manifest" -> q125_split_manifest,
     "q128_ccnet_buckets" -> q128_ccnet_buckets,
     "q122_zipf_slope" -> q122_zipf_slope,
@@ -680,6 +747,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q125_split_manifest" -> q125_oracle,
+    "q135_assembly_funnel" -> q135_oracle,
     "q128_ccnet_buckets" -> q128_oracle,
     "q122_zipf_slope" -> q122_oracle,
     "q110_mixture_sample" -> q110_oracle,

@@ -470,6 +470,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0, s"recall $recall out of band")
   }
 
+  test("q135 assembly funnel: stage counts monotone, budget respected, filter verified") {
+    import spark.implicits._
+    val out = CorpusQueries.q135_assembly_funnel(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (f, d, sel, tok) = (r.getAs[Long]("n_after_filter"),
+        r.getAs[Long]("n_after_dedup"), r.getAs[Long]("n_selected"),
+        r.getAs[Long]("tokens_selected"))
+      assert(f >= d && d >= sel, s"funnel must narrow: $f >= $d >= $sel")
+      assert(tok <= 600L, s"budget breached: $tok")
+    }
+    // stage-1 count for one source recomputed from the raw table
+    val src = out.head.getAs[String]("source")
+    val want = graft.Tables(spark, sf, "documents").filter($"source" === src)
+      .select(size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("nt"),
+        size(graft.functions.TextFunctions.tokenSet($"text")).cast("long").as("nd"))
+      .filter($"nt" >= 20 && $"nd" * 10 >= $"nt" * 3).count()
+    assert(out.head.getAs[Long]("n_after_filter") == want)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
