@@ -58,7 +58,8 @@ object ScaleTrend {
     "q122_zipf_slope", "q123_hybrid_rrf", "q124_vocab_coverage",
     "q125_split_manifest", "q126_curriculum", "q127_funnel",
     "q128_ccnet_buckets", "q129_bitext_margin", "q130_dedup_pagerank",
-    "q131_skew_audit")
+    "q131_skew_audit", "q132_tpch_q3", "q133_tpch_q10",
+    "q134_lsh_recall_audit", "q135_assembly_funnel")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
