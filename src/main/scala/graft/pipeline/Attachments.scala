@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.SparkFiles
+import org.apache.spark.sql.SparkSession
+
+/** Jet resource attachment (reference: config/JobConfig.java:586-700
+  * `attachFile`/`attachDirectory` + core/ProcessorSupplier.java
+  * `Context.attachedFile`/`attachedDirectory`): ship a file with the job and
+  * resolve it inside tasks — the standard way a `mapUsingService` transform
+  * gets its model file, lookup table, or license next to the code.
+  *
+  * Spark-native mapping: `SparkContext.addFile` distributes the file to every
+  * executor's work directory once per job (torrent-style at cluster scale, a
+  * local copy on local[*]); `SparkFiles.get(name)` resolves the local path
+  * inside any task. No custom distribution machinery — the 100 TB story is
+  * Spark's own file server.
+  */
+object Attachments {
+
+  /** Driver side: attach a file by path; tasks resolve it via
+    * [[attachedFile]] under its basename (or pass `id` to rename, matching
+    * Jet's `attachFile(file, id)` overload — Spark keys by basename, so the
+    * id is realized as a hard copy with the requested name).
+    */
+  def attachFile(spark: SparkSession, path: String): Unit =
+    spark.sparkContext.addFile(path)
+
+  def attachFile(spark: SparkSession, path: String, id: String): Unit = {
+    val src = new java.io.File(path)
+    val renamed = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir")), id)
+    java.nio.file.Files.copy(src.toPath, renamed.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.sparkContext.addFile(renamed.getAbsolutePath)
+  }
+
+  /** Driver side: attach a directory tree (Jet `attachDirectory`). */
+  def attachDirectory(spark: SparkSession, path: String): Unit =
+    spark.sparkContext.addFile(path, true)
+
+  /** Task side (valid inside any task or service `create` fn): local path of
+    * an attached file, by name.
+    */
+  def attachedFile(name: String): java.io.File =
+    new java.io.File(SparkFiles.get(name))
+
+  /** Task side: local path of an attached directory, by name. */
+  def attachedDirectory(name: String): java.io.File = attachedFile(name)
+}

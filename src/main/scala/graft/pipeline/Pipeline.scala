@@ -26,6 +26,20 @@ final class Pipeline(val spark: SparkSession) {
   def readFrom(source: StreamSource): StreamSourceStage =
     new StreamSourceStage(source.read(spark))
 
+  /** Jet `JobConfig.attachFile` (config/JobConfig.java:586): ship a resource
+    * file with the job; tasks resolve it with `Attachments.attachedFile`.
+    */
+  def attachFile(path: String): Pipeline = { Attachments.attachFile(spark, path); this }
+
+  def attachFile(path: String, id: String): Pipeline = {
+    Attachments.attachFile(spark, path, id); this
+  }
+
+  /** Jet `JobConfig.attachDirectory`. */
+  def attachDirectory(path: String): Pipeline = {
+    Attachments.attachDirectory(spark, path); this
+  }
+
   /** Escape hatch: wrap an existing Dataset. */
   def wrap[T](ds: Dataset[T]): BatchStage[T] = new BatchStage[T](ds)
 

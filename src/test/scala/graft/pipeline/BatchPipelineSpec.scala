@@ -20,6 +20,22 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out.head === 6 && out.length === 16)
   }
 
+  test("attachFile ships a resource readable from inside a service (JobConfig.attachFile parity)") {
+    val f = java.io.File.createTempFile("graft_attach", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, "offset=7")
+    p.attachFile(f.getAbsolutePath, "lookup.txt")
+    val svc = ServiceFactories.service(() => {
+      val txt = java.nio.file.Files
+        .readString(Attachments.attachedFile("lookup.txt").toPath)
+      txt.stripPrefix("offset=").trim.toInt
+    })
+    val out = p.readFrom(Sources.items(1 to 5))
+      .mapUsingService(svc)((off, x) => x + off)
+      .ds.collect().sorted
+    assert(out.toSeq == Seq(8, 9, 10, 11, 12))
+  }
+
   test("toDotString renders the stage DAG as GraphViz DOT (Jet Pipeline.toDotString parity)") {
     val dim = p.readFrom(Sources.items(Seq((1, "a"), (2, "b")))).ds.toDF("k", "name")
     val stage = p.readFrom(Sources.items(1 to 10))
