@@ -70,6 +70,7 @@ object Plans {
     "q132_tpch_q3" -> "TPC-H Q3: selective dim filter broadcasts through orders into lineitem, date filters pushed to both scans, one keyed revenue agg, TakeOrdered 10",
     "q134_lsh_recall_audit" -> "LSH recall audit: truth = source-scoped all-pairs (bucket bounded by scope; hash-sampled scopes at 100 TB), detected = exactly q36's banded plan — the measured miss rate behind the sizing arithmetic",
     "q135_assembly_funnel" -> "assembly funnel: row-local gate, 32-hex fingerprint dedup shuffle, q97's source-keyed budget window, source-cardinality report joins — text never shuffles through the whole chain",
+    "q136_tpch_q18" -> "TPC-H Q18: the HAVING aggregate runs FIRST, its tiny key set broadcasts into orders before the wide join — aggregate-pushdown a naive 3-table join misses",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

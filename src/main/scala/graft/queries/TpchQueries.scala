@@ -638,8 +638,71 @@ object TpchQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ------------------------------------- q136 TPC-H Q18 large-volume orders
+  /** TPC-H Q18 (large-volume customer): orders whose total quantity exceeds
+    * the threshold, reported with customer context — the HAVING-semi-join
+    * shape (an aggregate filters which orders may enter the main join).
+    * Quantities are integer-valued doubles, so the sums are exact and the
+    * HAVING boundary has no float risk; ranks order on (o_totalprice desc,
+    * o_orderkey) with the quantized-rank contract.
+    *
+    * Plan shape: the HAVING aggregate runs FIRST and produces a tiny key
+    * set that semi-joins (broadcast) into lineitem before the wide join —
+    * the aggregate-pushdown a naive 3-table join would miss.
+    */
+  val q136_tpch_q18: Q = (s, dir) => {
+    import s.implicits._
+    val big = t(s, dir, "lineitem").groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 330.0)
+    val ord = t(s, dir, "orders")
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+    ord.select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", round($"sum_qty", 4).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  val q136_oracle: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  round(sum_qty, 4) AS sum_qty
+      |FROM customer, orders,
+      |  (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      |   GROUP BY 1 HAVING sum(l_quantity) > 330) big
+      |WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- q137 pivot matrix
+  /** Pivoted event matrix: event counts by type x day-of-week — the
+    * `DataFrame.pivot` surface (dynamic column generation from data values,
+    * which plain GROUP BY can't express) with an explicit value list so the
+    * schema is static and plannable. Integer counts only.
+    */
+  val q137_event_pivot: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", dayofweek($"ts").as("dow"))
+      .groupBy($"event_type")
+      .pivot("dow", 1 to 7)
+      .agg(count(lit(1)))
+      .select($"event_type" +: (1 to 7).map(d => coalesce(col(s"$d"), lit(0L))
+        .as(s"dow_$d")): _*)
+  }
+
+  val q137_oracle: String = {
+    val cols = (1 to 7).map(d =>
+      s"sum(CASE WHEN dayofweek(ts) + 1 = $d THEN 1 ELSE 0 END)::BIGINT AS dow_$d")
+      .mkString(",\n|  ")
+    s"""SELECT event_type,
+       |  $cols
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q131_skew_audit" -> q131_skew_audit,
+    "q136_tpch_q18" -> q136_tpch_q18,
+    "q137_event_pivot" -> q137_event_pivot,
     "q132_tpch_q3" -> q132_tpch_q3,
     "q133_tpch_q10" -> q133_tpch_q10,
     "q01_pricing_summary" -> q01_pricing_summary,
@@ -665,6 +728,8 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q131_skew_audit" -> q131_oracle,
+    "q136_tpch_q18" -> q136_oracle,
+    "q137_event_pivot" -> q137_oracle,
     "q132_tpch_q3" -> q132_oracle,
     "q133_tpch_q10" -> q133_oracle,
     "q01_pricing_summary" -> q01_oracle,

@@ -490,6 +490,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_after_filter") == want)
   }
 
+  test("q136 Q18: every reported order clears the quantity threshold (recount)") {
+    import spark.implicits._
+    val out = TpchQueries.q136_tpch_q18(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getAs[Double]("sum_qty") > 330.0))
+    val li = graft.Tables(spark, sf, "lineitem")
+    val want = li.filter($"l_orderkey" === out.head.getAs[Long]("o_orderkey"))
+      .agg(sum($"l_quantity")).head.getDouble(0)
+    assert(out.head.getAs[Double]("sum_qty") == want)
+  }
+
+  test("q137 pivot: one row per event type, cells sum to the table count") {
+    import spark.implicits._
+    val out = TpchQueries.q137_event_pivot(spark, sf).collect()
+    val ev = graft.Tables(spark, sf, "events")
+    assert(out.length == ev.select($"event_type").distinct().count())
+    val total = out.map(r => (1 to 7).map(d => r.getAs[Long](s"dow_$d")).sum).sum
+    assert(total == ev.count())
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
