@@ -71,6 +71,7 @@ object Plans {
     "q134_lsh_recall_audit" -> "LSH recall audit: truth = source-scoped all-pairs (bucket bounded by scope; hash-sampled scopes at 100 TB), detected = exactly q36's banded plan — the measured miss rate behind the sizing arithmetic",
     "q135_assembly_funnel" -> "assembly funnel: row-local gate, 32-hex fingerprint dedup shuffle, q97's source-keyed budget window, source-cardinality report joins — text never shuffles through the whole chain",
     "q136_tpch_q18" -> "TPC-H Q18: the HAVING aggregate runs FIRST, its tiny key set broadcasts into orders before the wide join — aggregate-pushdown a naive 3-table join misses",
+    "q138_asof_snapshot" -> "as-of snapshot: cutoff filter pushed to the scan, ONE user-keyed window supplies both latest-row rank and change count — no self-join, no second pass",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -372,8 +372,45 @@ object EventQueries {
       |UNION ALL SELECT 3, 'purchase_after_click',
       |  (SELECT count(*) FROM p)::BIGINT""".stripMargin
 
+  // -------------------------------------------- q138 as-of journal snapshot
+  /** Temporal as-of snapshot: treat the event stream as an upsert journal
+    * and reconstruct each key's state AS OF a cutoff — the latest event per
+    * user at/before T plus the change count to that point. This is the
+    * query form of mapJournal materialization (KeyedStore) and the
+    * table-side half of stream-table duality: any keyed journal replays to
+    * a snapshot with one window. Tie-break (ts desc, event_id desc) makes
+    * "latest" total.
+    *
+    * Plan shape: cutoff filter pushed to the scan, ONE user-keyed window
+    * supplying both the latest-row rank and the change count — no
+    * self-join, no second aggregation pass.
+    */
+  val q138_asof_snapshot: Q = (s, dir) => {
+    import s.implicits._
+    val cut = lit("2024-01-15").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val wAll = Window.partitionBy($"user_id")
+    t(s, dir, "events").filter($"ts" <= cut)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wAll))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"), $"value".as("last_value"),
+        $"n_changes")
+  }
+
+  val q138_oracle: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value, n_changes
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rk,
+      |    count(*) OVER (PARTITION BY user_id)::BIGINT AS n_changes
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-15')
+      |WHERE rk = 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q127_funnel" -> q127_funnel,
+    "q138_asof_snapshot" -> q138_asof_snapshot,
     "q20_tumbling_window" -> q20_tumbling_window,
     "q21_sliding_window" -> q21_sliding_window,
     "q22_sessionize" -> q22_sessionize,
@@ -388,6 +425,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q127_funnel" -> q127_oracle,
+    "q138_asof_snapshot" -> q138_oracle,
     "q20_tumbling_window" -> q20_oracle,
     "q21_sliding_window" -> q21_oracle,
     "q22_sessionize" -> q22_oracle,

@@ -510,6 +510,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(total == ev.count())
   }
 
+  test("q138 as-of snapshot: one row per active key, latest event verified for one user") {
+    import spark.implicits._
+    val got = EventQueries.q138_asof_snapshot(spark, sf).collect()
+    val ev = graft.Tables(spark, sf, "events")
+      .filter($"ts" <= lit("2024-01-15").cast("timestamp"))
+    assert(got.length == ev.select($"user_id").distinct().count())
+    assert(got.map(_.getAs[Long]("n_changes")).sum == ev.count())
+    val u = got.head.getAs[Long]("user_id")
+    val latest = ev.filter($"user_id" === u)
+      .orderBy($"ts".desc, $"event_id".desc).limit(1).head()
+    assert(got.head.getAs[Long]("last_event_id") == latest.getAs[Long]("event_id"))
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
