@@ -72,6 +72,9 @@ object Plans {
     "q135_assembly_funnel" -> "assembly funnel: row-local gate, 32-hex fingerprint dedup shuffle, q97's source-keyed budget window, source-cardinality report joins — text never shuffles through the whole chain",
     "q136_tpch_q18" -> "TPC-H Q18: the HAVING aggregate runs FIRST, its tiny key set broadcasts into orders before the wide join — aggregate-pushdown a naive 3-table join misses",
     "q138_asof_snapshot" -> "as-of snapshot: cutoff filter pushed to the scan, ONE user-keyed window supplies both latest-row rank and change count — no self-join, no second pass",
+    "q133_tpch_q10" -> "TPC-H Q10: quarter filter prunes orders at the scan, returnflag filter prunes lineitem, customer+nation broadcast for report columns only",
+    "q137_event_pivot" -> "pivot: one keyed agg with a static pivoted column list — no per-value scan, schema known at plan time",
+    "q139_cohort_retention" -> "cohorts: purchase-filtered min-agg builds the user-keyed cohort table, joined back on the user key; matrix agg is (cohort, week)-keyed, sizes broadcast — output is #cohorts x #weeks",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -408,8 +408,54 @@ object EventQueries {
       |  FROM events WHERE ts <= TIMESTAMP '2024-01-15')
       |WHERE rk = 1""".stripMargin
 
+  // ------------------------------------------- q139 cohort retention matrix
+  /** Cohort retention: users cohorted by their first-purchase day, activity
+    * bucketed into week offsets from that day — the (cohort, week) matrix of
+    * distinct active users over cohort size that every growth dashboard
+    * draws. Pure integer counts over date arithmetic; DISTINCT de-dupes
+    * multi-event weeks.
+    *
+    * Plan shape: one purchase-filtered min-agg builds the cohort table
+    * (user-keyed, map-side partial), joined back user-keyed; the matrix agg
+    * is (cohort_day, wk)-keyed — output is #cohorts x #weeks, cohort sizes
+    * broadcast for the denominator.
+    */
+  val q139_cohort_retention: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val fp = ev.filter($"event_type" === "purchase").groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("cohort_day"))
+    val size = fp.groupBy($"cohort_day")
+      .agg(countDistinct($"user_id").as("n_cohort"))
+    ev.join(fp, "user_id")
+      .filter(to_date($"ts") >= $"cohort_day")
+      .select($"user_id", $"cohort_day",
+        floor(datediff(to_date($"ts"), $"cohort_day") / 7.0).cast("long").as("wk"))
+      .distinct()
+      .groupBy($"cohort_day", $"wk")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(size), "cohort_day")
+      .select($"cohort_day", $"wk", $"n_active", $"n_cohort")
+  }
+
+  val q139_oracle: String =
+    """WITH fp AS (SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort_day
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |sz AS (SELECT cohort_day, count(DISTINCT user_id)::BIGINT AS n_cohort
+      |  FROM fp GROUP BY 1),
+      |act AS (SELECT DISTINCT e.user_id, fp.cohort_day,
+      |    floor(date_diff('day', fp.cohort_day, date_trunc('day', e.ts)::DATE)
+      |      / 7.0)::BIGINT AS wk
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE date_trunc('day', e.ts)::DATE >= fp.cohort_day)
+      |SELECT a.cohort_day, a.wk, count(DISTINCT a.user_id)::BIGINT AS n_active,
+      |  sz.n_cohort
+      |FROM act a JOIN sz ON a.cohort_day = sz.cohort_day
+      |GROUP BY a.cohort_day, a.wk, sz.n_cohort""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q127_funnel" -> q127_funnel,
+    "q139_cohort_retention" -> q139_cohort_retention,
     "q138_asof_snapshot" -> q138_asof_snapshot,
     "q20_tumbling_window" -> q20_tumbling_window,
     "q21_sliding_window" -> q21_sliding_window,
@@ -426,6 +472,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q127_funnel" -> q127_oracle,
     "q138_asof_snapshot" -> q138_oracle,
+    "q139_cohort_retention" -> q139_oracle,
     "q20_tumbling_window" -> q20_oracle,
     "q21_sliding_window" -> q21_oracle,
     "q22_sessionize" -> q22_oracle,

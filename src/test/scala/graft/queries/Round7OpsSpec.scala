@@ -523,6 +523,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("last_event_id") == latest.getAs[Long]("event_id"))
   }
 
+  test("q139 cohorts: week-0 full retention, actives bounded, cohort sizes conserve") {
+    import spark.implicits._
+    val out = EventQueries.q139_cohort_retention(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort")))
+    // week 0 contains the cohort-defining purchase, so retention is 1 by construction
+    out.filter(_.getAs[Long]("wk") == 0L)
+      .foreach(r => assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_cohort")))
+    val cohortTotal = out.filter(_.getAs[Long]("wk") == 0L)
+      .map(_.getAs[Long]("n_cohort")).sum
+    val purchasers = graft.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase").select($"user_id").distinct().count()
+    assert(cohortTotal == purchasers)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
