@@ -104,6 +104,14 @@ object Plans {
         "throughput is scan-bound and scales with executors. Beyond broadcast scale " +
         "the model ships as a keyed store (mapUsingIMap). Oracle = q108's: stream " +
         "scoring reproduces the batch classifier bit-for-bit."),
+    "q140_stream_journal" ->
+      ("streaming journal materialization (StreamingQueries.scala): the stream " +
+        "half of stream-table duality — mapGroupsWithState folds each user's " +
+        "latest-(ts,event_id) state + additive change count (order-independent " +
+        "by construction, so micro-batch boundaries can't change the answer); " +
+        "oracle = q138's batch window query, so the state machine must " +
+        "reproduce the table half bit-for-bit. State per key is one row; " +
+        "shuffle = the single keyed exchange into the state store."),
     "q114_stream_ingest_dedup" ->
       ("streaming ingestion-time near-dup gate (StreamingQueries.scala): arriving " +
         "documents signature-band row-locally inside the micro-batch (no state), " +

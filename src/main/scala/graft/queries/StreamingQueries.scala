@@ -440,7 +440,55 @@ object StreamingQueries {
   }
 
   // ------------------------------------------------------------- registry
+  // ----------------------------------- q140 streaming journal materialization
+  /** The STREAM half of stream-table duality (q138 is the table half, and
+    * the two share one oracle): replay the cutoff-filtered event journal as
+    * a real stream and materialize per-user latest-state + change-count in
+    * `mapGroupsWithState`. State transition is ORDER-INDEPENDENT by
+    * construction — "latest" folds by (ts, event_id) max, the count is
+    * additive — so micro-batch boundaries and within-batch iterator order
+    * cannot change the answer; the final snapshot is each user's last
+    * emission (largest n_changes). A divergence between the streaming state
+    * machine and the batch window query fails the shared hash.
+    *
+    * This is mapJournal -> IMap materialization (KeyedStore) expressed as a
+    * gate query: the journal IS the stream, the snapshot IS the table.
+    */
+  val q140_stream_journal: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"ts" <= lit("2024-01-15").cast("timestamp"))
+      .select($"ts", $"user_id", $"event_id", $"event_type", $"value")
+    val emitted = StreamRunner.replayFiles(s, ev, "ts", "update") { df =>
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      df.filter($"ts".isNotNull && $"user_id".isNotNull)
+        .as[(Timestamp, Long, Long, String, Double)]
+        .groupByKey(_._2)
+        .mapGroupsWithState[(Long, String, Double, Timestamp, Long),
+          (Long, Long, String, Double, Long)](GroupStateTimeout.NoTimeout()) {
+          case (user, events, state) =>
+            var (lid, ltyp, lval, lts, n) = state.getOption
+              .getOrElse((0L, "", 0.0, new Timestamp(0L), 0L))
+            events.foreach { case (ts, _, id, typ, v) =>
+              n += 1
+              if (ts.after(lts) || (ts.equals(lts) && id > lid)) {
+                lid = id; ltyp = typ; lval = v; lts = ts
+              }
+            }
+            state.update((lid, ltyp, lval, lts, n))
+            (user, lid, ltyp, lval, n)
+        }.toDF("user_id", "last_event_id", "last_event_type", "last_value",
+          "n_changes")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_changes".desc)
+    emitted.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"last_event_id", $"last_event_type",
+        $"last_value", $"n_changes")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q140_stream_journal" -> q140_stream_journal,
     "q113_stream_classify" -> q113_stream_classify,
     "q114_stream_ingest_dedup" -> q114_stream_ingest_dedup,
     "q50_stream_tumbling" -> q50_stream_tumbling,
@@ -453,6 +501,7 @@ object StreamingQueries {
     "q96_stream_static_join" -> q96_stream_static_join)
 
   val oracles: Map[String, String] = Map(
+    "q140_stream_journal" -> EventQueries.q138_oracle,
     // stream scoring must reproduce the batch classifier exactly
     "q113_stream_classify" -> CurationQueries.q108_oracle,
     // in-stream dedup must find exactly the pairs the batch pass finds
