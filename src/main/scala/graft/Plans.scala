@@ -75,6 +75,7 @@ object Plans {
     "q133_tpch_q10" -> "TPC-H Q10: quarter filter prunes orders at the scan, returnflag filter prunes lineitem, customer+nation broadcast for report columns only",
     "q137_event_pivot" -> "pivot: one keyed agg with a static pivoted column list — no per-value scan, schema known at plan time",
     "q139_cohort_retention" -> "cohorts: purchase-filtered min-agg builds the user-keyed cohort table, joined back on the user key; matrix agg is (cohort, week)-keyed, sizes broadcast — output is #cohorts x #weeks",
+    "q141_dedup_graph_stats" -> "triangle census: LSH-bounded edge list; the 3-way join keys on edge endpoints (degree-bounded by the upstream mega-bucket cap); wedge count is one degree agg — all graph-sized",
     "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
 
   // Streaming queries whose result frame is a memory-sink table (the

@@ -60,7 +60,7 @@ object ScaleTrend {
     "q128_ccnet_buckets", "q129_bitext_margin", "q130_dedup_pagerank",
     "q131_skew_audit", "q132_tpch_q3", "q133_tpch_q10",
     "q134_lsh_recall_audit", "q135_assembly_funnel", "q136_tpch_q18",
-    "q137_event_pivot", "q138_asof_snapshot", "q139_cohort_retention")
+    "q137_event_pivot", "q138_asof_snapshot", "q139_cohort_retention", "q141_dedup_graph_stats")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

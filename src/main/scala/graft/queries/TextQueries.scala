@@ -352,6 +352,62 @@ object TextQueries {
        |    ELSE (SELECT n FROM hit)::DOUBLE / (SELECT count(*) FROM truth)
        |    END, 6) AS recall""".stripMargin
 
+  // ---------------------------------------- q141 dedup-graph triangle census
+  /** Triangle census + global transitivity of the near-dup graph — the
+    * structural health check for dedup clustering: near-dup relations are
+    * approximately transitive, so a HIGH transitivity says the LSH graph is
+    * capturing coherent duplicate groups, while a low value says the
+    * threshold is admitting accidental bridges that q47's connected
+    * components would then over-merge. Triangles via the canonical
+    * ordered 3-way edge join (every edge stored a<b, each triangle counted
+    * once); wedges = sum over nodes of C(deg, 2), integer-exact;
+    * transitivity = 3T / W rounded at output.
+    *
+    * 100 TB shape: the edge list is LSH-bounded (never all-pairs); the
+    * triangle join keys on edge endpoints — worst case is bounded by the
+    * max per-node degree, which the mega-bucket cap already bounds
+    * upstream; wedge counting is one degree agg. All graph-sized.
+    */
+  val q141_dedup_graph_stats: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
+    val pairs = D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
+        minJaccard = 0.9, scopeCols = Seq("source"))
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    val nEdges = pairs.count()
+    val deg = pairs.select($"id_a".as("v")).unionByName(pairs.select($"id_b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val nNodes = deg.count()
+    val wedges = deg.agg(sum($"d" * ($"d" - 1L) / lit(2L)).cast("long")).head.getLong(0)
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), $"e1.id_b" === $"e2.id_a")
+      .join(pairs.as("e3"),
+        $"e3.id_a" === $"e1.id_a" && $"e3.id_b" === $"e2.id_b")
+      .count()
+    Seq((nNodes, nEdges, tri,
+      BigDecimal(if (wedges == 0) 0.0 else 3.0 * tri / wedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_nodes", "n_edges", "n_triangles", "transitivity")
+  }
+
+  val q141_oracle: String =
+    s"""WITH $lshPairsCtes,
+       |p AS ($lshPairsSelect),
+       |deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+       |    SELECT doc_a AS v FROM p UNION ALL SELECT doc_b FROM p) GROUP BY 1),
+       |w AS (SELECT sum(d * (d - 1) / 2)::BIGINT AS wedges FROM deg),
+       |tri AS (SELECT count(*)::BIGINT AS t FROM p e1
+       |  JOIN p e2 ON e1.doc_b = e2.doc_a
+       |  JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+       |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       |  (SELECT count(*) FROM p)::BIGINT AS n_edges,
+       |  (SELECT t FROM tri) AS n_triangles,
+       |  round(CASE WHEN (SELECT wedges FROM w) = 0 THEN 0.0::DOUBLE
+       |    ELSE 3.0::DOUBLE * (SELECT t FROM tri) / (SELECT wedges FROM w)
+       |    END, 6) AS transitivity
+       |FROM (SELECT 1)""".stripMargin
+
   // ------------------------------------------------ q93 near-containment
   /** Asymmetric near-dup: containment(A in B) = |A∩B|/|A| in BOTH directions
     * over the same source-scoped LSH candidates as q36 — catches "small doc
@@ -1171,6 +1227,7 @@ object TextQueries {
     "q121_pmi_collocations" -> q121_pmi_collocations,
     "q130_dedup_pagerank" -> q130_dedup_pagerank,
     "q134_lsh_recall_audit" -> q134_lsh_recall_audit,
+    "q141_dedup_graph_stats" -> q141_dedup_graph_stats,
     "q115_gopher_rules" -> q115_gopher_rules,
     "q107_span_excision" -> q107_span_excision,
     "q29_tfidf" -> q29_tfidf,
@@ -1200,6 +1257,7 @@ object TextQueries {
     "q121_pmi_collocations" -> q121_oracle,
     "q130_dedup_pagerank" -> q130_oracle,
     "q134_lsh_recall_audit" -> q134_oracle,
+    "q141_dedup_graph_stats" -> q141_oracle,
     "q115_gopher_rules" -> q115_oracle,
     "q107_span_excision" -> q107_oracle,
     "q29_tfidf" -> q29_oracle,

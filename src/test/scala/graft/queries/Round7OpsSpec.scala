@@ -538,6 +538,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(cohortTotal == purchasers)
   }
 
+  test("q141 graph census: transitivity in range and high, edges cross-checked") {
+    import spark.implicits._
+    val r = TextQueries.q141_dedup_graph_stats(spark, sf).head()
+    val (nodes, edges, tris, trans) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nodes > 0 && edges > 0)
+    assert(trans >= 0.0 && trans <= 1.0)
+    // near-dup relations are approximately transitive: a dup graph whose
+    // transitivity collapses means the threshold admits accidental bridges
+    assert(trans >= 0.2, s"dedup graph unexpectedly un-clustered: $trans")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", graft.functions.TextFunctions.tokenSet($"text").as("toks"))
+    val wantEdges = graft.functions.DedupFunctions
+      .candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
+        minJaccard = 0.9, scopeCols = Seq("source")).count()
+    assert(edges == wantEdges)
+    assert(tris >= 0L)
+  }
+
   test("q118 decodeAudio parses real WAV frames and skips junk payloads") {
     import spark.implicits._
     val wav = graft.functions.Multimodal.syntheticWav(250, 8000, seed = 9L)
