@@ -329,6 +329,18 @@ final class BatchStage[T](val ds: Dataset[T]) {
   /** Jet `rebalance()` / `rebalance(keyFn)` (GeneralStage.java:1031):
     * round-robin or key-partitioned redistribution.
     */
+  /** Jet `setName` (GeneralStage.java:1323): names the stage — surfaces as a
+    * SubqueryAlias in the plan and in `toDotString` output.
+    */
+  def setName(name: String): BatchStage[T] = new BatchStage(ds.as(name))
+
+  /** Jet `setLocalParallelism` (GeneralStage.java:1320): Jet's unit is
+    * cooperative threads per vertex; Spark's unit of parallelism is the
+    * partition — this sets the stage's partition count (the honest analog;
+    * task scheduling stays Catalyst's).
+    */
+  def setLocalParallelism(n: Int): BatchStage[T] = rebalance(n)
+
   def rebalance(n: Int): BatchStage[T] = new BatchStage(ds.repartition(n))
   def rebalance(cols: Column*): BatchStage[T] = new BatchStage(ds.repartition(cols: _*))
 

@@ -36,6 +36,14 @@ class BatchPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(8, 9, 10, 11, 12))
   }
 
+  test("setName labels the stage in the DAG; setLocalParallelism sets partition count") {
+    val named = p.readFrom(Sources.items(1 to 4)).map(_ + 1).setName("adder")
+    assert(named.toDotString.contains("adder"))
+    val par = named.setLocalParallelism(3)
+    assert(par.ds.rdd.getNumPartitions == 3)
+    assert(par.ds.collect().sorted.toSeq == Seq(2, 3, 4, 5))
+  }
+
   test("toDotString renders the stage DAG as GraphViz DOT (Jet Pipeline.toDotString parity)") {
     val dim = p.readFrom(Sources.items(Seq((1, "a"), (2, "b")))).ds.toDF("k", "name")
     val stage = p.readFrom(Sources.items(1 to 10))
