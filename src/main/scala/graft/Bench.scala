@@ -130,12 +130,38 @@ object Bench {
     // need to know whether the box was contended (see jobs_tasks note above)
     val load = try java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
       s""""jobs_tasks":$jobsJson,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
       s""""stream_rows_per_sec_rocksdb":$streamRateRocks,""" +
       s""""stream_stateless_rows_per_sec":$statelessRate,""" +
-      s""""load_avg":$load,"sf":"$sfDir"}""")
+      s""""load_avg":$load,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The harness that captures this output keeps only a ~2000-char tail, so
+    // the full line above (>8 KB at 130+ queries) can never survive capture
+    // intact (BENCH_r01..r07 all have parsed:null for exactly this reason).
+    // Two-part fix: (a) persist the complete artifact to a file in the working
+    // directory where truncation can't touch it, (b) print a compact summary
+    // line LAST that fits the tail window whole and therefore parses.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val meanSec = if (results.nonEmpty) r2(total / results.size) else 0.0
+    println(
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",$marker""" +
+      s""""n_queries":${results.size},"mean_sec":$meanSec,"slowest":$slowest,""" +
+      s""""failed":$failedJson,"stream_rows_per_sec":${r2(streamRate)},""" +
+      s""""stream_rows_per_sec_rocksdb":${r2(streamRateRocks)},""" +
+      s""""stream_stateless_rows_per_sec":${r2(statelessRate)},""" +
+      s""""load_avg":${r2(load)},"full_artifact":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -26,12 +26,19 @@ object Attachments {
     spark.sparkContext.addFile(path)
 
   def attachFile(spark: SparkSession, path: String, id: String): Unit = {
+    // The id becomes a filename: a separator would escape the staging dir.
+    require(!id.contains('/') && !id.contains('\\') && id.nonEmpty &&
+      id != "." && id != "..", s"invalid attachment id: '$id'")
     val src = new java.io.File(path)
-    val renamed = new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir")), id)
-    java.nio.file.Files.copy(src.toPath, renamed.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    spark.sparkContext.addFile(renamed.getAbsolutePath)
+    // Fresh per-invocation staging dir: a fixed shared path would let two
+    // concurrent drivers on one machine race on the same id (one job
+    // attaching the other's content if an overwrite lands between the copy
+    // and addFile's snapshot) and clobber unrelated files.
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_attach_")
+    val renamed = stageDir.resolve(id)
+    java.nio.file.Files.copy(src.toPath, renamed)
+    renamed.toFile.deleteOnExit(); stageDir.toFile.deleteOnExit()
+    spark.sparkContext.addFile(renamed.toAbsolutePath.toString)
   }
 
   /** Driver side: attach a directory tree (Jet `attachDirectory`). */

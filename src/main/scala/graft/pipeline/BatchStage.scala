@@ -338,8 +338,19 @@ final class BatchStage[T](val ds: Dataset[T]) {
     * cooperative threads per vertex; Spark's unit of parallelism is the
     * partition — this sets the stage's partition count (the honest analog;
     * task scheduling stays Catalyst's).
+    *
+    * Jet's call is a pure scheduling hint with no data movement, so this maps
+    * to `coalesce(n)` — a NARROW dependency that never shuffles: it reduces
+    * to exactly n partitions when n < current, and is a no-op when
+    * n >= current (matching the hint semantics — asking for more parallelism
+    * than the data has never moves rows in Jet either). It preserves
+    * within-partition order but coarsens scheduling granularity and drops
+    * any hash co-partitioning guarantee downstream operators might have
+    * relied on. To force a real round-robin redistribution to MORE
+    * partitions (a full Exchange that discards ordering), call
+    * [[rebalance(n:Int)*]] explicitly.
     */
-  def setLocalParallelism(n: Int): BatchStage[T] = rebalance(n)
+  def setLocalParallelism(n: Int): BatchStage[T] = new BatchStage(ds.coalesce(n))
 
   def rebalance(n: Int): BatchStage[T] = new BatchStage(ds.repartition(n))
   def rebalance(cols: Column*): BatchStage[T] = new BatchStage(ds.repartition(cols: _*))

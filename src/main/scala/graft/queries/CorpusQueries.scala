@@ -577,6 +577,11 @@ object CorpusQueries {
         aggregate(transform($"ps", p => p("y")), lit(0.0), (a, b) => a + b).as("sy"),
         aggregate(transform($"ps", p => p("x") * p("x")), lit(0.0), (a, b) => a + b).as("sxx"),
         aggregate(transform($"ps", p => p("x") * p("y")), lit(0.0), (a, b) => a + b).as("sxy"))
+      // n_ranks == 1 makes the denominator exactly 0: Spark yields NaN while
+      // DuckDB's float-div-by-zero result is a setting-dependent NULL/NaN, so
+      // a degenerate single-token source would break the differential hash.
+      // A slope needs two points anyway.
+      .filter($"n_ranks" >= 2)
       .select($"source", $"n_ranks",
         round(($"n_ranks" * $"sxy" - $"sx" * $"sy") /
           ($"n_ranks" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"))
@@ -599,7 +604,7 @@ object CorpusQueries {
        |SELECT source, n_ranks,
        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6)
        |    AS zipf_slope
-       |FROM fold""".stripMargin
+       |FROM fold WHERE n_ranks >= 2""".stripMargin
 
   // ------------------------------- q125 stratified split + leakage audit
   /** Deterministic stratified train/val/test split with a cross-split

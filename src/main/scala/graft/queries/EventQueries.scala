@@ -390,7 +390,11 @@ object EventQueries {
     val cut = lit("2024-01-15").cast("timestamp")
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
     val wAll = Window.partitionBy($"user_id")
-    t(s, dir, "events").filter($"ts" <= cut)
+    // user_id IS NOT NULL matches the streaming twin q140 (a null key can't
+    // address mapGroupsWithState state); the ts <= cut predicate already
+    // drops null timestamps on both sides. Kept in the oracle too so the
+    // shared-hash contract holds even on a null-bearing fixture.
+    t(s, dir, "events").filter($"ts" <= cut && $"user_id".isNotNull)
       .withColumn("rk", row_number().over(w))
       .withColumn("n_changes", count(lit(1)).over(wAll))
       .filter($"rk" === 1)
@@ -405,7 +409,8 @@ object EventQueries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       |    ORDER BY ts DESC, event_id DESC) AS rk,
       |    count(*) OVER (PARTITION BY user_id)::BIGINT AS n_changes
-      |  FROM events WHERE ts <= TIMESTAMP '2024-01-15')
+      |  FROM events
+      |  WHERE ts <= TIMESTAMP '2024-01-15' AND user_id IS NOT NULL)
       |WHERE rk = 1""".stripMargin
 
   // ------------------------------------------- q139 cohort retention matrix

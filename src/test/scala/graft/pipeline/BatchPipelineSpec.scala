@@ -40,8 +40,12 @@ class BatchPipelineSpec extends SparkSpec {
     val named = p.readFrom(Sources.items(1 to 4)).map(_ + 1).setName("adder")
     assert(named.toDotString.contains("adder"))
     val par = named.setLocalParallelism(3)
-    assert(par.ds.rdd.getNumPartitions == 3)
+    // coalesce semantics: exactly n when reducing, no-op when n >= current
+    val before = named.ds.rdd.getNumPartitions
+    assert(par.ds.rdd.getNumPartitions == math.min(3, before))
     assert(par.ds.collect().sorted.toSeq == Seq(2, 3, 4, 5))
+    // the Jet hint must not insert a shuffle: no Exchange in the plan
+    assert(!par.ds.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("toDotString renders the stage DAG as GraphViz DOT (Jet Pipeline.toDotString parity)") {
