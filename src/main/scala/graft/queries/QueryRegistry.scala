@@ -15,11 +15,11 @@ object QueryRegistry {
     TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
       EmbeddingQueries.entries ++ MultimodalQueries.entries ++
       StreamingQueries.entries ++ SqlQueries.entries ++ CorpusQueries.entries ++
-      CurationQueries.entries
+      CurationQueries.entries ++ NexmarkQueries.entries
 
   def oracles: Map[String, String] =
     TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++
       StreamingQueries.oracles ++ SqlQueries.oracles ++ CorpusQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ NexmarkQueries.oracles
 }
