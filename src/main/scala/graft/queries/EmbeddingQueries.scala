@@ -16,6 +16,20 @@ object EmbeddingQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Run `body` with session confs temporarily set — for a MATERIALIZING
+    * action inside a query builder (a returned lazy frame would not see the
+    * conf at the caller's action time). Restores previous values on exit.
+    */
+  private def withConf[A](s: SparkSession, kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private val dims = 64
   // PQ family constants (q109/q112) — declared up top: vals lower in the
   // object would read as 0 from any earlier-declared oracle val (Scala
@@ -381,7 +395,17 @@ object EmbeddingQueries {
     * second cell only adds candidates) — the gap is what the second probe
     * buys; lsh vs ivf compares index families at equal audit cost.
     */
-  val q74_ann_recall: Q = (s, dir) => {
+  val q74_ann_recall: Q = (s, dir) => withConf(s,
+    // Job-count floor (BASELINE.md r7 ANN profile): under AQE this audit's
+    // deep plans materialize ~20 query stages as SEPARATE single-task driver
+    // jobs, and the ~0.2 s/job scheduling floor — not task time — dominated
+    // (24 jobs / 2.3 s summed task time / 4.7 s wall). Every frame here is
+    // query- or model-scale, so AQE's runtime re-planning buys nothing: run
+    // the audit's three actions (two checkpoints + the final materialize) as
+    // plain jobs with audit-sized shuffles. Production-scale ANN queries
+    // (q42/q44/q75/q112) keep AQE — this is the audit harness only.
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> "4") {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
@@ -414,12 +438,15 @@ object EmbeddingQueries {
       .unionByName(ivfMethod(2).withColumn("method", lit("ivf_p2")))
     val hits = exact.join(approxAll, Seq("query_id", "neighbor_id"))
       .groupBy($"query_id", $"method").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+    val result = exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
       .crossJoin(Seq("lsh", "ivf_p1", "ivf_p2").toDF("method"))
       .join(hits, Seq("query_id", "method"), "left")
       .select($"query_id", $"method",
         round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_exact", 6)
           .as("recall_at_3"))
+    // eager materialize: the caller's later action replays a trivial scan of
+    // the |queries|×|methods|-row checkpoint instead of the audit plan
+    result.localCheckpoint(true)
   }
 
   val q74_oracle: String = {
