@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+
+/** Kafka-shaped exactly-once sink adapter — the reference's Kafka EOS
+  * protocol (KafkaSinks.java:55-66: "guarantees are enforced using Kafka
+  * transactions tied to Jet snapshots"; per-processor producers in
+  * WriteKafkaP via TwoPhaseSnapshotCommitUtility) wired onto the 2PC seam
+  * [[TransactionalSinks]] already models over files, but through the exact
+  * call shape of Kafka's transactional producer:
+  *
+  *   - phase 1 (prepare)  = `beginTransaction()` + `send(...)` per record +
+  *     the batch-progress control record sent INSIDE the transaction (the
+  *     `sendOffsetsToTransaction` idiom — what makes progress atomic with
+  *     data, Kafka's actual exactly-once mechanism);
+  *   - phase 2 (commit)   = `commitTransaction()`;
+  *   - rollback           = `abortTransaction()`, or implicitly by producer
+  *     fencing: `initTransactions()` under the same transactional.id aborts
+  *     any in-flight transaction of a previous incarnation and bumps the
+  *     epoch so a zombie's later commit is rejected;
+  *   - recovery rule      = a replayed micro-batch whose id ≤ the committed
+  *     progress marker is skipped whole (its records were committed
+  *     atomically with the marker, so the check is exact).
+  *
+  * Transactional ids are PER SINK PARTITION (`<base>-p<partition>`) — the
+  * same id-per-processor scheme the reference uses, which is what lets N
+  * executor tasks commit independently without a global coordinator.
+  *
+  * The sandbox has no broker, so [[InMemoryTxnBroker]] implements the
+  * broker-side semantics (read_committed visibility, epoch fencing,
+  * abort-on-re-init) and the spec drives the adapter through crash/replay
+  * windows against it. A real deployment implements [[TxnProducerApi]] with
+  * a `KafkaProducer` (`transactional.id` = the id passed here) and reads
+  * progress back with a read_committed consumer of the control records —
+  * every call below maps 1:1 onto the producer API.
+  */
+trait TxnProducerApi {
+  /** Fences all previous incarnations of this transactional id (their
+    * in-flight transactions abort; their later calls throw) and returns the
+    * new epoch. KafkaProducer.initTransactions.
+    */
+  def initTransactions(): Long
+
+  def beginTransaction(): Unit
+  def send(topic: String, value: String): Unit
+
+  /** Progress marker sent inside the open transaction — atomic with the
+    * data records. KafkaProducer.sendOffsetsToTransaction analog with the
+    * micro-batch id as the "offset".
+    */
+  def sendProgress(batchId: Long): Unit
+
+  def commitTransaction(): Unit
+  def abortTransaction(): Unit
+
+  /** Highest batch id whose transaction committed (read_committed view of
+    * the control records); -1 before any commit.
+    */
+  def committedProgress(): Long
+}
+
+/** Thrown when a fenced (zombie) producer incarnation calls the broker —
+  * `org.apache.kafka.common.errors.ProducerFencedException` analog.
+  */
+final class ProducerFenced(id: String)
+  extends RuntimeException(s"producer fenced: $id")
+
+/** In-JVM broker with Kafka's transactional-visibility semantics: records
+  * belong to a transaction; read_committed readers see only committed ones;
+  * re-initTransactions aborts the previous incarnation's open transaction
+  * and bumps the epoch (zombie fencing). One broker instance per name via
+  * the registry — reachable from executor threads in local mode, which is
+  * the only mode the sandbox runs (a real cluster talks to a real broker).
+  */
+final class InMemoryTxnBroker {
+
+  private final case class Rec(topic: String, value: String)
+  private final class Txn(val id: String, val epoch: Long) {
+    val records = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var progress: Option[Long] = None
+  }
+
+  private val committed = scala.collection.mutable.ArrayBuffer.empty[Txn]
+  private val open = scala.collection.mutable.HashMap.empty[String, Txn]
+  private val epochs = scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** read_committed view of a topic. */
+  def visible(topic: String): Seq[String] = synchronized {
+    committed.flatMap(_.records.collect { case Rec(`topic`, v) => v }).toSeq
+  }
+
+  /** Committed progress marker for a transactional id (-1 = none). */
+  private def progressOf(id: String): Long = synchronized {
+    committed.filter(_.id == id).flatMap(_.progress).foldLeft(-1L)(math.max)
+  }
+
+  /** Producer handle bound to one incarnation (epoch) of a transactional id. */
+  def producer(transactionalId: String): TxnProducerApi = new TxnProducerApi {
+    private var myEpoch = -1L
+    private def checkFenced(): Unit = InMemoryTxnBroker.this.synchronized {
+      if (epochs.getOrElse(transactionalId, -1L) != myEpoch || myEpoch < 0)
+        throw new ProducerFenced(transactionalId)
+    }
+    def initTransactions(): Long = InMemoryTxnBroker.this.synchronized {
+      // abort the previous incarnation's in-flight transaction (Kafka's
+      // init semantics) and bump the epoch so its later calls are rejected
+      open.remove(transactionalId)
+      myEpoch = epochs.getOrElse(transactionalId, -1L) + 1
+      epochs(transactionalId) = myEpoch
+      myEpoch
+    }
+    def beginTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
+      checkFenced()
+      if (open.contains(transactionalId))
+        throw new IllegalStateException(s"transaction already open: $transactionalId")
+      open(transactionalId) = new Txn(transactionalId, myEpoch)
+    }
+    private def openTxn(): Txn = {
+      checkFenced()
+      open.getOrElse(transactionalId,
+        throw new IllegalStateException(s"no open transaction: $transactionalId"))
+    }
+    def send(topic: String, value: String): Unit =
+      InMemoryTxnBroker.this.synchronized { openTxn().records += Rec(topic, value); () }
+    def sendProgress(batchId: Long): Unit =
+      InMemoryTxnBroker.this.synchronized { openTxn().progress = Some(batchId) }
+    def commitTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
+      val t = openTxn()
+      open.remove(transactionalId)
+      committed += t
+      ()
+    }
+    def abortTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
+      checkFenced()
+      open.remove(transactionalId)
+      ()
+    }
+    def committedProgress(): Long = InMemoryTxnBroker.this.synchronized {
+      checkFenced()
+      progressOf(transactionalId)
+    }
+  }
+}
+
+object InMemoryTxnBroker {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, InMemoryTxnBroker]()
+  def named(name: String): InMemoryTxnBroker =
+    registry.computeIfAbsent(name, _ => new InMemoryTxnBroker)
+}
+
+object KafkaShapedSink {
+
+  /** One partition's micro-batch through the full Kafka transaction
+    * protocol. Idempotent under replay: a batch id ≤ the committed progress
+    * marker short-circuits (its records committed atomically with that
+    * marker). Crash windows: before commit → records invisible, next
+    * incarnation's initTransactions aborts them; after commit → the marker
+    * skips the replay.
+    */
+  def deliverPartition(producer: TxnProducerApi, topic: String,
+                       batchId: Long, rows: Iterator[String]): Unit = {
+    producer.initTransactions()
+    if (producer.committedProgress() >= batchId) return
+    producer.beginTransaction()
+    try {
+      rows.foreach(producer.send(topic, _))
+      producer.sendProgress(batchId)
+      producer.commitTransaction()
+    } catch {
+      case e: Throwable =>
+        try producer.abortTransaction() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** Write one micro-batch distributed: a producer per sink partition with
+    * transactional.id `<base>-p<partition>` (the reference's per-processor
+    * id scheme, KafkaSinks.java:101-195).
+    */
+  def writeBatch(brokerName: String, transactionalId: String, topic: String,
+                 batchId: Long, batch: DataFrame): Unit =
+    batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val pid = TaskContext.getPartitionId()
+      val producer = InMemoryTxnBroker.named(brokerName)
+        .producer(s"$transactionalId-p$pid")
+      deliverPartition(producer, topic, batchId, it)
+    }
+
+  /** Exactly-once kafka-shaped stream sink: 2PC per micro-batch per
+    * partition. Pair with a checkpoint location so batch ids replay
+    * deterministically (the same contract as [[TransactionalSinks.files]]).
+    */
+  def sink(brokerName: String, transactionalId: String, topic: String,
+           checkpoint: Option[String] = None): StreamSink =
+    StreamSinks.foreachBatch(
+      (batch, id) => writeBatch(brokerName, transactionalId, topic, id, batch),
+      outputMode = "append", checkpoint = checkpoint)
+}
