@@ -49,7 +49,15 @@ object MaxRate {
     // sessions (continuously firing keys) are fine — the probe exercises the
     // merge path, not emission
     Pipeline("session_window", "append", 250000L,
-      (s, r) => RateWorkloads.sessionAgg(RateWorkloads.shaped(s, r))))
+      (s, r) => RateWorkloads.sessionAgg(RateWorkloads.shaped(s, r))),
+    // the reference's hardest NEXMark query, as a fifth state shape: sliding
+    // windows write 5 states per event (see RateWorkloads.nexmarkQ5)
+    Pipeline("nexmark_q5_sliding", "update", 250000L,
+      (s, r) => RateWorkloads.nexmarkQ5(s, r)),
+    // same query, the reference's pane-based architecture (O(1) state
+    // writes/event) — measures what panes buy vs the native sliding window
+    Pipeline("nexmark_q5_panes", "update", 250000L,
+      (s, r) => RateWorkloads.nexmarkQ5Panes(s, r)))
 
   /** Run the workload at `rate` rows/s; Some((processed rows/s, state rows))
     * if sustained, else None.
@@ -97,7 +105,8 @@ object MaxRate {
     val only = sys.env.get("SPARK_GRAFT_MAXRATE_ONLY").map(_.split(',').toSet)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-maxrate"),
-      shufflePartitions = 8
+      shufflePartitions =
+        sys.env.getOrElse("SPARK_GRAFT_MAXRATE_PARTS", "8").toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

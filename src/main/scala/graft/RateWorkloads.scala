@@ -60,4 +60,68 @@ object RateWorkloads {
     shaped.withWatermark("ts", "10 seconds")
       .groupBy(session_window(col("ts"), "2 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** NEXMark Query 5 shape — the reference's own hardest benchmark query
+    * (hot auctions: sliding-window count per auction;
+    * site/website/blog/2021-03-17-billion-events-per-second.md:105-113, its
+    * single-node headline is 25 M events/s on this query with 10,000 keys).
+    * Scaled to probe seconds: 5 s window / 1 s slide, so every event updates
+    * 5 window states — state-write amplification is 5× input rate, which is
+    * exactly what makes Q5 the hard one. 10,000 auction keys as in the
+    * reference's benchmark 1 setup ("NEXMark doesn't define the number of
+    * distinct keys ... we set it to 10,000").
+    */
+  def nexmarkQ5(spark: SparkSession, rowsPerSecond: Long,
+                partitions: Int = 8): DataFrame = {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", partitions.toString)
+      .load()
+    src.select(col("timestamp").as("ts"), (col("value") % 10000).as("auction"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds", "1 second"), col("auction"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The same Q5 computed the way the REFERENCE computes it: pane-based
+    * sliding aggregation (its SlidingWindowP accumulates 1-slide tumbling
+    * panes and combines window/slide panes per emission — O(1) state writes
+    * per event instead of the native sliding window's window/slide = 5).
+    * Here the pane ring lives in one `flatMapGroupsWithState` state row per
+    * auction: each event increments exactly one pane counter; emission
+    * combines the live panes. This is the streaming analog of the batch
+    * `SlidingPanes.slidingAgg` (the deductFn answer) — kept as a rate-probe
+    * variant to measure what the pane architecture buys on the engine
+    * (BASELINE.md NEXMark section); the oracle-checked sliding semantics
+    * stay on the native `window()` path.
+    */
+  def nexmarkQ5Panes(spark: SparkSession, rowsPerSecond: Long,
+                     partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", partitions.toString)
+      .load()
+    src.select(col("timestamp").as("ts"), (col("value") % 10000).as("auction"))
+      .withWatermark("ts", "10 seconds")
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (auction, events, state) =>
+          var panes = state.getOption.getOrElse(Map.empty[Long, Long])
+          var maxPane = if (panes.isEmpty) Long.MinValue else panes.keysIterator.max
+          events.foreach { case (ts, _) =>
+            val pane = ts.getTime / 1000L // 1 s pane = the slide
+            panes = panes.updated(pane, panes.getOrElse(pane, 0L) + 1L)
+            if (pane > maxPane) maxPane = pane
+          }
+          panes = panes.filter(_._1 > maxPane - 5) // 5 s window / 1 s slide
+          state.update(panes)
+          // one combined emission per touched key per batch — the pane
+          // combine (Jet emits per slide; a micro-batch is our slide)
+          Iterator.single((auction, maxPane - 4, panes.valuesIterator.sum))
+      }.toDF("auction", "window_start_s", "n")
+  }
 }
