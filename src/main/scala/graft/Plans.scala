@@ -76,7 +76,15 @@ object Plans {
     "q137_event_pivot" -> "pivot: one keyed agg with a static pivoted column list — no per-value scan, schema known at plan time",
     "q139_cohort_retention" -> "cohorts: purchase-filtered min-agg builds the user-keyed cohort table, joined back on the user key; matrix agg is (cohort, week)-keyed, sizes broadcast — output is #cohorts x #weeks",
     "q141_dedup_graph_stats" -> "triangle census: LSH-bounded edge list; the 3-way join keys on edge endpoints (degree-bounded by the upstream mega-bucket cap); wedge count is one degree agg — all graph-sized",
-    "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101")
+    "q111_length_batches" -> "length-bucketed batching: single bucket-keyed ordering window is the only exchange; bucket count is log-bounded — at scale shard the ordering key (bucket, seeded shard) like q101",
+    "q142_nexmark_currency" -> "NEXMark Q1: pure row-local projection fused into the scan — zero exchanges at any scale",
+    "q143_nexmark_filter" -> "NEXMark Q2: row-local predicate; at scale the auction%123 filter pushes into whatever source carries the bid stream",
+    "q144_nexmark_local_item" -> "NEXMark Q3: persons (1/50th of the stream) filtered then BROADCAST into auctions — the big side never shuffles",
+    "q145_nexmark_avg_category" -> "NEXMark Q4: bids shuffle ONCE on auction id for the winning-bid max; the category agg is 10 rows; avg over exact integer sums",
+    "q146_nexmark_hot_items" -> "NEXMark Q5: sliding window() expands each bid into 3 covering windows BEFORE the single (window, auction) hash-agg; hot filter is a window max over window-cardinality counts",
+    "q147_nexmark_avg_seller" -> "NEXMark Q6: per-seller rank window runs over the WINS table (auction-cardinality, ~3/50 of the stream) — raw bids never enter the ranking shuffle",
+    "q148_nexmark_highest_bid" -> "NEXMark Q7: one 10-min tumbling max window + tie-keeping filter — a single exchange keyed on the window",
+    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle")
 
   // Streaming queries whose result frame is a memory-sink table (the
   // interesting plan is the in-flight streaming one, not the post-replay
@@ -119,7 +127,26 @@ object Plans {
         "stream-static join on the band key against the reference corpus's persisted " +
         "signatures — the 100 TB reference side is hashed ONCE, each batch pays only " +
         "its own row-local hashing + a band-keyed join. Oracle = q86's: in-stream " +
-        "dedup finds exactly the pairs the batch pass finds."))
+        "dedup finds exactly the pairs the batch pass finds."),
+    "q150_stream_nexmark_hot" ->
+      ("NEXMark Q5 as a real stream (NexmarkQueries.scala): sliding-window " +
+        "(window, auction) counts in update mode — each bid updates 3 window " +
+        "states; the hot-auction filter is the batch post-pass over the " +
+        "update-mode snapshot (q91 pattern). Oracle = q146's batch suite. " +
+        "Rate ceiling for this exact shape: BASELINE.md nexmark_q5_sliding " +
+        "(8 M rows/s; the pane-architecture A/B is measured there too)."),
+    "q151_stream_nexmark_maxbid" ->
+      ("NEXMark Q7 in Jet's own two-stage shape: the stream emits each " +
+        "10-minute window's max price (one keyed state row per window); the " +
+        "recover-the-bid stage joins the tiny (window, max) table back to " +
+        "the bid table BROADCAST — the bid side never shuffles. Oracle = " +
+        "q148's."),
+    "q152_stream_nexmark_users" ->
+      ("NEXMark Q8 as a stream-stream join: one replayed event stream forked " +
+        "into persons/auctions legs (q77 fork pattern), joined on (seller, " +
+        "12h-window-equality) — window equality is the state-cleanup " +
+        "condition, so each side's state evicts when the watermark passes " +
+        "the window. Oracle = q149's."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
