@@ -921,8 +921,132 @@ object CurationQueries {
        |  rk.doc_id, rk.source, rk.n_tokens
        |FROM rk JOIN si ON rk.source = si.source CROSS JOIN ns""".stripMargin
 
+  // ------------------------------------ q153 Bradley–Terry preference fit
+  /** Preference-strength aggregation for pairwise comparison data — the
+    * reward-modeling data-prep step of an RLHF pipeline: given (winner,
+    * loser) comparisons, fit Bradley–Terry strengths with the classic MM
+    * update (Hunter 2004): p_i ← W_i / Σ_j g_ij/(p_i+p_j), normalized to
+    * sum 1, fixed 10 iterations (no convergence float-compare — the q122/
+    * KMeansLite determinism discipline).
+    *
+    * Comparisons derive deterministically from the event journal: per user,
+    * each consecutive event pair (ts, event_id order) with differing types
+    * is one comparison, later type beating earlier — a behavioral
+    * "upgraded-to" preference signal.
+    *
+    * Execution shape: the DISTRIBUTED work is the per-user lag window + the
+    * (winner, loser) count agg — #types² output. The MM iteration runs on
+    * the driver over that model-scale matrix (the KMeansLite centroid
+    * boundary: #items² doubles, never corpus rows). Float discipline: every
+    * Σ_j and the normalizing total fold in sorted-item order with a 0.0
+    * seed, mirrored exactly by the oracle's list_reduce over ORDER BY
+    * lists, so the doubles match bit-for-bit; strengths round at output.
+    */
+  val q153_bradley_terry: Q = (s, dir) => {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val comps = t(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(wSeq))
+      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+      .select($"event_type".as("winner"), $"prev".as("loser"))
+    val winCount: Map[(String, String), Long] = comps
+      .groupBy($"winner", $"loser").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val items = winCount.keysIterator
+      .flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted.toArray
+    val nI = items.length
+    val wins = Array.tabulate(nI)(i =>
+      winCount.collect { case ((w, _), n) if w == items(i) => n }.sum)
+    val g = Array.tabulate(nI, nI)((i, j) =>
+      if (i == j) 0.0
+      else (winCount.getOrElse((items(i), items(j)), 0L) +
+        winCount.getOrElse((items(j), items(i)), 0L)).toDouble)
+    var p = Array.fill(nI)(1.0)
+    for (_ <- 1 to 10) {
+      val pn = Array.tabulate(nI) { i =>
+        var denom = 0.0
+        var j = 0
+        while (j < nI) {
+          denom += (if (j == i) 0.0 else g(i)(j) / (p(i) + p(j)))
+          j += 1
+        }
+        wins(i).toDouble / denom
+      }
+      var tot = 0.0
+      var j = 0
+      while (j < nI) { tot += pn(j); j += 1 }
+      p = pn.map(_ / tot)
+    }
+    val games = Array.tabulate(nI)(i =>
+      (0 until nI).map(j => g(i)(j).toLong).sum)
+    val rows = items.indices.map(i => (items(i), p(i), wins(i), games(i)))
+    s.createDataFrame(rows).toDF("item", "strength_raw", "wins", "games")
+      .select($"item", round($"strength_raw", 6).as("strength"),
+        $"wins", $"games")
+  }
+
+  val q153_oracle: String =
+    """WITH RECURSIVE
+      |seqd AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id IS NOT NULL),
+      |comps AS (SELECT event_type AS winner, prev AS loser FROM seqd
+      |          WHERE prev IS NOT NULL AND prev <> event_type),
+      |pairs AS (SELECT winner, loser, count(*)::BIGINT AS n
+      |          FROM comps GROUP BY 1, 2),
+      |idx AS (SELECT item, row_number() OVER (ORDER BY item) AS i FROM
+      |  (SELECT DISTINCT item FROM
+      |    (SELECT winner AS item FROM pairs
+      |     UNION SELECT loser FROM pairs))),
+      |gm AS (SELECT a.i AS ai, b.i AS bi,
+      |    CASE WHEN a.i = b.i THEN 0.0 ELSE
+      |      (coalesce((SELECT n FROM pairs
+      |         WHERE winner = a.item AND loser = b.item), 0)
+      |     + coalesce((SELECT n FROM pairs
+      |         WHERE winner = b.item AND loser = a.item), 0))::DOUBLE END AS g
+      |  FROM idx a CROSS JOIN idx b),
+      |state0 AS (SELECT
+      |    (SELECT list(item ORDER BY i) FROM idx) AS its,
+      |    (SELECT list(coalesce((SELECT sum(n) FROM pairs
+      |        WHERE winner = idx.item), 0)::DOUBLE ORDER BY i) FROM idx) AS ws,
+      |    (SELECT list(gr ORDER BY ai) FROM
+      |      (SELECT ai, list(g ORDER BY bi) AS gr FROM gm GROUP BY ai)) AS g),
+      |bt AS (
+      |  SELECT 0 AS k, its, ws, g,
+      |    list_transform(its, x -> 1.0::DOUBLE) AS p
+      |  FROM state0
+      |  UNION ALL
+      |  SELECT k + 1, its, ws, g,
+      |    list_transform(pn,
+      |      x -> x / list_reduce(list_prepend(0.0, pn), (a, b) -> a + b)) AS p
+      |  FROM (
+      |    SELECT k, its, ws, g,
+      |      list_transform(range(1, len(its) + 1),
+      |        i -> ws[i] / list_reduce(list_prepend(0.0,
+      |               list_transform(range(1, len(its) + 1),
+      |                 j -> CASE WHEN j = i THEN 0.0
+      |                      ELSE g[i][j] / (p[i] + p[j]) END)),
+      |               (a, b) -> a + b)) AS pn
+      |    FROM bt WHERE k < 10) s),
+      |fin AS (SELECT unnest(its) AS item,
+      |          unnest(list_transform(p, x -> round(x, 6))) AS strength
+      |        FROM bt WHERE k = 10),
+      |wtot AS (SELECT idx.item, coalesce((SELECT sum(n) FROM pairs
+      |           WHERE winner = idx.item), 0)::BIGINT AS wins FROM idx),
+      |gtot AS (SELECT a.item, coalesce((SELECT sum(n) FROM pairs
+      |           WHERE winner = a.item OR loser = a.item), 0)::BIGINT AS games
+      |         FROM idx a)
+      |SELECT f.item, f.strength, w.wins, gt.games
+      |FROM fin f JOIN wtot w ON w.item = f.item
+      |JOIN gtot gt ON gt.item = f.item""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
+    "q153_bradley_terry" -> q153_bradley_terry,
     "q97_token_budget" -> q97_token_budget,
     "q98_chunking" -> q98_chunking,
     "q99_bm25_topk" -> q99_bm25_topk,
@@ -941,6 +1065,7 @@ object CurationQueries {
     "q126_curriculum" -> q126_curriculum)
 
   val oracles: Map[String, String] = Map(
+    "q153_bradley_terry" -> q153_oracle,
     "q97_token_budget" -> q97_oracle,
     "q98_chunking" -> q98_oracle,
     "q99_bm25_topk" -> q99_oracle,
