@@ -1044,9 +1044,104 @@ object CurationQueries {
       |FROM fin f JOIN wtot w ON w.item = f.item
       |JOIN gtot gt ON gt.item = f.item""".stripMargin
 
+  // --------------------------------- q154 preference-cycle consistency audit
+  /** Consistency audit of the pairwise-preference data q153 fits: build the
+    * MAJORITY tournament (one directed edge per unordered item pair, won by
+    * the side with more comparisons; exact ties carry no edge), then count
+    * cyclic vs transitive triads. A high cycle rate means the comparisons
+    * are too inconsistent for a scalar strength model (Bradley–Terry
+    * assumes a total order) — the standard sanity gate before reward-model
+    * training. All-integer counts; one ratio at the end.
+    *
+    * Execution shape: the distributed pass is the same (winner, loser)
+    * count agg as q153 (#types² rows); edge/triad joins run on the
+    * model-scale majority graph.
+    */
+  val q154_preference_cycles: Q = (s, dir) => {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val comps = t(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(wSeq))
+      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+      .select($"event_type".as("winner"), $"prev".as("loser"))
+    val pc = comps.groupBy($"winner", $"loser").agg(count(lit(1)).as("n"))
+    val und = pc
+      .select(least($"winner", $"loser").as("a"),
+        greatest($"winner", $"loser").as("b"),
+        when($"winner" < $"loser", $"n").otherwise(0L).as("w_ab"),
+        when($"winner" > $"loser", $"n").otherwise(0L).as("w_ba"))
+      .groupBy($"a", $"b")
+      .agg(sum($"w_ab").as("n_ab"), sum($"w_ba").as("n_ba"))
+    val edges = und.filter($"n_ab" =!= $"n_ba")
+      .select(when($"n_ab" > $"n_ba", $"a").otherwise($"b").as("src"),
+        when($"n_ab" > $"n_ba", $"b").otherwise($"a").as("dst"))
+      .localCheckpoint(true) // model-scale (#types² edges), reused 6×
+    val eu = edges.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b"))
+    val nTriads = eu.as("p1")
+      .join(eu.as("p2"), col("p1.b") === col("p2.a"))
+      .join(eu.as("p3"),
+        col("p3.a") === col("p1.a") && col("p3.b") === col("p2.b"))
+      .count()
+    // each directed 3-cycle is found once per rotation start → count DIV 3
+    val nCycleRot = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+      .count()
+    val nCycles = nCycleRot / 3
+    val nItems = edges.select($"src".as("x"))
+      .unionAll(edges.select($"dst".as("x"))).distinct().count()
+    val nEdges = edges.count()
+    val nTrans = nTriads - nCycles
+    s.createDataFrame(Seq((nItems, nEdges, nTriads, nCycles, nTrans)))
+      .toDF("n_items", "n_edges", "n_triads", "n_cycles", "n_transitive")
+      // same round() as the oracle's (the engine-pair equivalence every
+      // float-emitting query relies on); NULL when no triad exists
+      .withColumn("transitivity",
+        when($"n_triads" =!= 0L,
+          round($"n_transitive".cast("double") / $"n_triads", 6)))
+  }
+
+  val q154_oracle: String =
+    """WITH seqd AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id IS NOT NULL),
+      |comps AS (SELECT event_type AS winner, prev AS loser FROM seqd
+      |          WHERE prev IS NOT NULL AND prev <> event_type),
+      |pc AS (SELECT winner, loser, count(*)::BIGINT AS n
+      |       FROM comps GROUP BY 1, 2),
+      |und AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+      |    sum(CASE WHEN winner < loser THEN n ELSE 0 END)::BIGINT AS n_ab,
+      |    sum(CASE WHEN winner > loser THEN n ELSE 0 END)::BIGINT AS n_ba
+      |  FROM pc GROUP BY 1, 2),
+      |edges AS (SELECT CASE WHEN n_ab > n_ba THEN a ELSE b END AS src,
+      |                 CASE WHEN n_ab > n_ba THEN b ELSE a END AS dst
+      |          FROM und WHERE n_ab <> n_ba),
+      |eu AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+      |triads AS (SELECT count(*)::BIGINT AS n FROM eu p1
+      |  JOIN eu p2 ON p1.b = p2.a
+      |  JOIN eu p3 ON p3.a = p1.a AND p3.b = p2.b),
+      |cyc AS (SELECT (count(*) // 3)::BIGINT AS n FROM edges e1
+      |  JOIN edges e2 ON e1.dst = e2.src
+      |  JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src),
+      |nodes AS (SELECT count(DISTINCT x)::BIGINT AS n FROM
+      |  (SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
+      |ne AS (SELECT count(*)::BIGINT AS n FROM edges)
+      |SELECT nodes.n AS n_items, ne.n AS n_edges, triads.n AS n_triads,
+      |  cyc.n AS n_cycles, (triads.n - cyc.n)::BIGINT AS n_transitive,
+      |  round((triads.n - cyc.n)::DOUBLE / nullif(triads.n, 0), 6)
+      |    AS transitivity
+      |FROM nodes, ne, triads, cyc""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q153_bradley_terry" -> q153_bradley_terry,
+    "q154_preference_cycles" -> q154_preference_cycles,
     "q97_token_budget" -> q97_token_budget,
     "q98_chunking" -> q98_chunking,
     "q99_bm25_topk" -> q99_bm25_topk,
@@ -1066,6 +1161,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q153_bradley_terry" -> q153_oracle,
+    "q154_preference_cycles" -> q154_oracle,
     "q97_token_budget" -> q97_oracle,
     "q98_chunking" -> q98_oracle,
     "q99_bm25_topk" -> q99_oracle,
