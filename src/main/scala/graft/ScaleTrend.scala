@@ -60,7 +60,12 @@ object ScaleTrend {
     "q128_ccnet_buckets", "q129_bitext_margin", "q130_dedup_pagerank",
     "q131_skew_audit", "q132_tpch_q3", "q133_tpch_q10",
     "q134_lsh_recall_audit", "q135_assembly_funnel", "q136_tpch_q18",
-    "q137_event_pivot", "q138_asof_snapshot", "q139_cohort_retention", "q141_dedup_graph_stats")
+    "q137_event_pivot", "q138_asof_snapshot", "q139_cohort_retention", "q141_dedup_graph_stats",
+    // round-8 batch: NEXMark suite + preference ops
+    "q142_nexmark_currency", "q144_nexmark_local_item", "q145_nexmark_avg_category",
+    "q146_nexmark_hot_items", "q147_nexmark_avg_seller", "q148_nexmark_highest_bid",
+    "q149_nexmark_new_users", "q150_stream_nexmark_hot", "q152_stream_nexmark_users",
+    "q153_bradley_terry", "q154_preference_cycles")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
