@@ -31,9 +31,17 @@ object Latency {
       shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the SAME pipeline MaxRate's ceiling was measured on (RateWorkloads) —
-    // the latency profile and the rate ladder calibrate one workload
-    val q = RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
+    // the SAME pipelines MaxRate's ceilings were measured on (RateWorkloads) —
+    // the latency profile and the rate ladder calibrate one workload.
+    // SPARK_GRAFT_LATENCY_WORKLOAD=nexmark_q5 profiles the reference's
+    // benchmark-1 shape instead (NEXMark Q5 at 1 M events/s is exactly the
+    // configuration its latency blog measures; blog:74-103).
+    val workload = sys.env.getOrElse("SPARK_GRAFT_LATENCY_WORKLOAD", "keyed_tumbling")
+    val df = workload match {
+      case "nexmark_q5" => RateWorkloads.nexmarkQ5(spark, rate)
+      case _ => RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
+    }
+    val q = df
       .writeStream.format("noop").outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .start()
@@ -53,7 +61,8 @@ object Latency {
 
     val d = durations.sorted
     def pct(p: Double): Long = if (d.isEmpty) -1 else d((p * (d.size - 1)).toInt)
-    println(s"""{"metric":"microbatch_latency_ms","rate_rows_per_sec":$rate,""" +
+    println(s"""{"metric":"microbatch_latency_ms","workload":"$workload",""" +
+      s""""rate_rows_per_sec":$rate,""" +
       s""""batches":${d.size},"p50":${pct(0.50)},"p95":${pct(0.95)},""" +
       s""""p99":${pct(0.99)},"max":${if (d.isEmpty) -1 else d.last}}""")
     spark.stop()
