@@ -429,6 +429,60 @@ object StatefulOps {
       }
   }
 
+  /** [[mapStateful]] on Spark 4's NATIVE arbitrary-state API
+    * (`transformWithState` / `StatefulProcessor`) instead of fMGWS — the
+    * closest structural analog of Jet's `TransformStatefulP` yet: explicit
+    * per-key `ValueState`, explicit registered TIMERS whose expiry callback
+    * is Jet's `onEvictFn` (`handleExpiredTimer` ↔ TransformStatefulP's
+    * wm-driven eviction emit), and state served by RocksDB (the API requires
+    * the RocksDB provider — its point is large-state operation with
+    * changelog checkpointing). Same contract and output as [[mapStateful]];
+    * prefer this variant when keyed state is large (it avoids fMGWS's full
+    * per-key object ser/de per batch) and the fMGWS one under the default
+    * HDFS-backed store.
+    */
+  def mapStatefulTws[K, V, S, O](
+      ds: Dataset[V], keyFn: V => K, ttlMillis: Long,
+      createFn: () => S, mapFn: (K, S, V) => (S, O),
+      onEvictFn: (K, S) => Option[O] = (_: K, _: S) => None)(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[O],
+      tupleEnc: Encoder[(K, V)]): Dataset[O] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues}
+    val proc = new StatefulProcessor[K, (K, V), O] {
+      @transient private var st: org.apache.spark.sql.streaming.ValueState[S] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[S]("s", se, TTLConfig.NONE)
+      override def handleInputRows(key: K, rows: Iterator[(K, V)],
+                                   timers: TimerValues): Iterator[O] = {
+        var s = if (st.exists()) st.get() else createFn()
+        val outs = rows.map { case (_, v) =>
+          val (s2, o) = mapFn(key, s, v)
+          s = s2
+          o
+        }.toList
+        st.update(s)
+        if (ttlMillis > 0) {
+          // one live timer per key: re-arm on every event (Jet's idle TTL)
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+          getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + ttlMillis)
+        }
+        outs.iterator
+      }
+      override def handleExpiredTimer(key: K, timers: TimerValues,
+                                      expired: ExpiredTimerInfo): Iterator[O] = {
+        val out = if (st.exists()) onEvictFn(key, st.get()) else None
+        st.clear()
+        out.iterator
+      }
+    }
+    ds.map(v => (keyFn(v), v))
+      .groupByKey(_._1)
+      .transformWithState[O](proc,
+        if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), oe)
+  }
+
   /** Jet keyed `filterStateful` (StreamStageWithKey.java:157): keep an event
     * iff the stateful predicate passes; the state still transitions on every
     * event (that is the point — e.g. "first N per key", change detection).
