@@ -436,10 +436,14 @@ object StatefulOps {
     * is Jet's `onEvictFn` (`handleExpiredTimer` ↔ TransformStatefulP's
     * wm-driven eviction emit), and state served by RocksDB (the API requires
     * the RocksDB provider — its point is large-state operation with
-    * changelog checkpointing). Same contract and output as [[mapStateful]];
-    * prefer this variant when keyed state is large (it avoids fMGWS's full
-    * per-key object ser/de per batch) and the fMGWS one under the default
-    * HDFS-backed store.
+    * changelog checkpointing). Same contract and output as [[mapStateful]].
+    *
+    * Measured guidance (StatefulApiScale, BASELINE.md r8): at equal
+    * provider the API choice does NOT move throughput (TWS 539k vs fMGWS
+    * 520k rows/s at 200 keys; 318k vs 332k at 1M keys on RocksDB) — choose
+    * this variant for its API surface (explicit timers, multiple named
+    * state variables, state TTL config, RocksDB alignment), not for speed;
+    * the provider decision stays the StateScale/BASELINE guidance.
     */
   def mapStatefulTws[K, V, S, O](
       ds: Dataset[V], keyFn: V => K, ttlMillis: Long,
