@@ -57,7 +57,10 @@ object MaxRate {
     // same query, the reference's pane-based architecture (O(1) state
     // writes/event) — measures what panes buy vs the native sliding window
     Pipeline("nexmark_q5_panes", "update", 250000L,
-      (s, r) => RateWorkloads.nexmarkQ5Panes(s, r)))
+      (s, r) => RateWorkloads.nexmarkQ5Panes(s, r)),
+    // declarative pane architecture: chained stateful aggs (append-only)
+    Pipeline("nexmark_q5_chained", "append", 250000L,
+      (s, r) => RateWorkloads.nexmarkQ5Chained(s, r)))
 
   /** Run the workload at `rate` rows/s; Some((processed rows/s, state rows))
     * if sustained, else None.

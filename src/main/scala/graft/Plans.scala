@@ -141,6 +141,15 @@ object Plans {
         "recover-the-bid stage joins the tiny (window, max) table back to " +
         "the bid table BROADCAST — the bid side never shuffles. Oracle = " +
         "q148's."),
+    "q155_stream_nexmark_chained" ->
+      ("NEXMark Q5 through the PANE ARCHITECTURE: chained stateful " +
+        "aggregations (SPARK-40925) — 20-min tumbling pane counts feeding a " +
+        "sliding window-of-window sum, the reference's SlidingWindowP " +
+        "two-stage frame design as two native windowed aggs. Stage 2's " +
+        "input is pane-cardinality, not bid-cardinality; rate ceiling 16 M " +
+        "rows/s = 2x the native sliding window (BASELINE.md r8 addendum). " +
+        "Append mode + sentinel watermark advance; oracle = q146's batch " +
+        "suite, and the final counts hash-match it."),
     "q152_stream_nexmark_users" ->
       ("NEXMark Q8 as a stream-stream join: one replayed event stream forked " +
         "into persons/auctions legs (q77 fork pattern), joined on (seller, " +

@@ -124,4 +124,27 @@ object RateWorkloads {
           Iterator.single((auction, maxPane - 4, panes.valuesIterator.sum))
       }.toDF("auction", "window_start_s", "n")
   }
+
+  /** The pane architecture expressed DECLARATIVELY: Spark 3.4+ chained
+    * stateful aggregations (SPARK-40925) — a 1-second tumbling PANE count
+    * (stateful op #1) feeding a sliding window-of-window sum (stateful op
+    * #2). Stage 2's input is pane-cardinality (keys × panes), not event-
+    * cardinality: the reference's SlidingWindowP two-stage frame design as
+    * two native windowed aggs. Chaining requires append mode, so results
+    * carry the pane-finalization latency (watermark + 1 pane) — the
+    * throughput/latency trade Jet's pane emission also makes.
+    */
+  def nexmarkQ5Chained(spark: SparkSession, rowsPerSecond: Long,
+                       partitions: Int = 8): DataFrame = {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", partitions.toString)
+      .load()
+    src.select(col("timestamp").as("ts"), (col("value") % 10000).as("auction"))
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "1 second"), col("auction"))
+      .agg(count(lit(1)).as("pane_n"))
+      .groupBy(window(col("window"), "5 seconds", "1 second"), col("auction"))
+      .agg(sum(col("pane_n")).as("n"))
+  }
 }

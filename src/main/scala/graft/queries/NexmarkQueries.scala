@@ -371,6 +371,41 @@ object NexmarkQueries {
     }
   }
 
+  // --------------- q155 Q5 via chained stateful aggs (the pane architecture)
+  /** Q5 through the PANE ARCHITECTURE, declaratively: Spark 3.4+ chained
+    * stateful aggregations (SPARK-40925) — a 20-minute tumbling PANE count
+    * feeding a sliding window-of-window sum, exactly the reference's
+    * SlidingWindowP two-stage frame design (panes = the slide; windows
+    * combine panes). The second stage's input is pane-cardinality, not
+    * bid-cardinality — measured at 2× the native sliding window's sustained
+    * rate (BASELINE.md r8: nexmark_q5_chained 16 M rows/s vs
+    * nexmark_q5_sliding 8 M). Chaining requires APPEND mode: two far-future
+    * sentinel chunks advance the watermark so both stages flush their final
+    * windows deterministically; the final counts must equal the batch
+    * suite's — shares q146's oracle.
+    */
+  val q155_stream_nexmark_chained: Q = (s, dir) => {
+    import s.implicits._
+    def sentinel(maxTs: java.sql.Timestamp, offsetSec: Long) =
+      Seq((-1L, -1L, 0L, new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)))
+        .toDF("auction", "bidder", "price", "ts")
+    val raw = StreamRunner.replayFiles(s, bids(s, dir), "ts", "append",
+      tails = Some(maxTs =>
+        Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60)))) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "20 minutes"), $"auction")
+        .agg(count(lit(1)).as("pane_n"))
+        .groupBy(window($"window", "1 hour", "20 minutes").as("w"), $"auction")
+        .agg(sum($"pane_n").as("n"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"auction", $"n")
+    }
+    val finals = raw.filter(!($"auction" <=> lit(-1L)))
+    val byW = Window.partitionBy($"window_start")
+    finals.withColumn("mx", max($"n").over(byW))
+      .filter($"n" === $"mx")
+      .select($"window_start", $"auction", $"n")
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q142_nexmark_currency" -> q142_nexmark_currency,
@@ -383,7 +418,8 @@ object NexmarkQueries {
     "q149_nexmark_new_users" -> q149_nexmark_new_users,
     "q150_stream_nexmark_hot" -> q150_stream_nexmark_hot,
     "q151_stream_nexmark_maxbid" -> q151_stream_nexmark_maxbid,
-    "q152_stream_nexmark_users" -> q152_stream_nexmark_users)
+    "q152_stream_nexmark_users" -> q152_stream_nexmark_users,
+    "q155_stream_nexmark_chained" -> q155_stream_nexmark_chained)
 
   val oracles: Map[String, String] = Map(
     "q142_nexmark_currency" -> q142_oracle,
@@ -397,5 +433,7 @@ object NexmarkQueries {
     // streaming twins must reproduce the batch suite exactly
     "q150_stream_nexmark_hot" -> q146_oracle,
     "q151_stream_nexmark_maxbid" -> q148_oracle,
-    "q152_stream_nexmark_users" -> q149_oracle)
+    "q152_stream_nexmark_users" -> q149_oracle,
+    // the chained-pane path must produce exactly the batch suite's counts
+    "q155_stream_nexmark_chained" -> q146_oracle)
 }
