@@ -14,7 +14,13 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply graft engine defaults to any builder (used by Verify/Bench/tests). */
-  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+  def tune(b0: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = {
+    // SPARK_GRAFT_ROCKSDB=1 forces the RocksDB state-store provider for the
+    // whole session — the provider-robustness sweep knob (run the full gate
+    // under the alternate provider; every stream/batch twin must still
+    // hash-match its oracle).
+    val b = if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+      rocksdbStateStore(b0) else b0
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -50,6 +56,7 @@ object GraftSession {
       // watermarkable column. `withTimestamps` additionally normalizes NTZ
       // from user-declared schemas (json/csv watchers) as a second fence.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
 
   /** Cluster-mode tuning for the 100 TB target (applied on top of `tune`) —
     * the knobs that matter when this engine runs on ~1000 executors instead of
