@@ -429,6 +429,54 @@ object StatefulOps {
       }
   }
 
+  /** [[mapStateful]] with EVENT-TIME TTL — the reference's actual eviction
+    * clock: `TransformStatefulP.java:48-120` evicts a key when the incoming
+    * WATERMARK passes its last event time + ttl, not when a wall clock does.
+    * `tsFn` extracts each event's time; the watermark is (re-)attached here
+    * AFTER the key projection, because event-time attribute metadata does
+    * not survive an object map — EventTimeTimeout requires the watermarked
+    * column to reach the stateful operator. Eviction fires when the
+    * watermark passes last-event + ttl. Replay-deterministic in a way
+    * processing-time TTL can never be: the evict decision depends only on
+    * event times and watermark progression, not on how fast batches
+    * execute.
+    */
+  def mapStatefulEventTime[K, V, S, O](
+      ds: Dataset[V], keyFn: V => K, tsFn: V => java.sql.Timestamp,
+      ttlMillis: Long, watermarkDelay: String,
+      createFn: () => S, mapFn: (K, S, V) => (S, O),
+      onEvictFn: (K, S) => Option[O])(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[O],
+      tripleEnc: Encoder[(K, java.sql.Timestamp, V)]): Dataset[O] =
+    ds.map(v => (keyFn(v), tsFn(v), v))
+      .withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (key, values, state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val out = onEvictFn(key, state.get)
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(createFn())
+            var maxTs = Long.MinValue
+            val outs = values.map { case (_, t, v) =>
+              if (t.getTime > maxTs) maxTs = t.getTime
+              val (s2, o) = mapFn(key, s, v)
+              s = s2
+              o
+            }.toList
+            state.update(s)
+            // deadline = last event + ttl; clamp above the current watermark
+            // (a deadline at/behind the wm is rejected by the API — the key
+            // is then evicted at the very next wm advance, Jet's behavior)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            outs.iterator
+          }
+      }
+
   /** [[mapStateful]] on Spark 4's NATIVE arbitrary-state API
     * (`transformWithState` / `StatefulProcessor`) instead of fMGWS — the
     * closest structural analog of Jet's `TransformStatefulP` yet: explicit

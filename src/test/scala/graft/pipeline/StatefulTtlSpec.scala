@@ -92,6 +92,40 @@ class StatefulTtlSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("mapStatefulEventTime: watermark-driven eviction (Jet's TTL clock), deterministic") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val out = StatefulOps.mapStatefulEventTime[
+        String, (String, java.sql.Timestamp, Long), Long, (String, Long)](
+      mem.toDS(), _._1, _._2, ttlMillis = 10000L, watermarkDelay = "0 seconds",
+      createFn = () => 0L,
+      mapFn = (k, acc, v) => { val a = acc + v._3; (a, (k, a)) },
+      onEvictFn = (k, acc) => Some((s"evicted:$k", acc)))
+    val job = StreamSinks.memory("evt_ttl", "append").start(out.toDF())
+    def rows = spark.table("evt_ttl").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // events at t=0s,2s for key a: running sums emit; no eviction yet
+    mem.addData(("a", ts(0), 1L), ("a", ts(2), 2L))
+    job.processAllAvailable()
+    assert(rows.contains(("a", 3L)))
+    assert(!rows.exists(_._1 == "evicted:a"), "no eviction before wm passes deadline")
+    // watermark advances to t=5s (still before a's 12s deadline): no eviction
+    mem.addData(("b", ts(5), 10L))
+    job.processAllAvailable()
+    assert(!rows.exists(_._1 == "evicted:a"))
+    // watermark jumps past a's last-event(2s)+ttl(10s)=12s: a evicts, b does not
+    mem.addData(("c", ts(14), 7L))
+    job.processAllAvailable()
+    // fMGWS fires event-time timeouts in the batch AFTER the wm-advancing one
+    mem.addData(("c", ts(14), 0L))
+    job.processAllAvailable()
+    assert(rows.contains(("evicted:a", 3L)), s"a not evicted: $rows")
+    assert(!rows.exists(_._1 == "evicted:b"), "b's deadline (15s) not passed")
+    job.cancel()
+  }
+
   test("mapStatefulGlobal: single global state across keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
