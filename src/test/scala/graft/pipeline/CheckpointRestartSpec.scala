@@ -51,4 +51,57 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(rows.filter(_._1 == "a").map(_._2).sorted === Seq(1L, 3L, 7L))
     assert(rows.filter(_._1 == "b").map(_._2).sorted === Seq(10L, 15L))
   }
+
+  test("chained stateful aggs (pane architecture) restart from checkpoint exactly-once") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ckpt_chain_").toString
+    val (out, ckpt) = (s"$dir/out", s"$dir/checkpoint")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+
+    // the q155/nexmark_q5_chained shape: 10 s tumbling pane counts feeding a
+    // 30 s / 10 s sliding window-of-window sum — TWO stateful operators whose
+    // state must BOTH restore across the restart
+    def chained(src: MemoryStream[(java.sql.Timestamp, String)]) =
+      src.toDF().toDF("ts", "k").withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 seconds"), col("k"))
+        .agg(count(lit(1)).as("pane_n"))
+        .groupBy(window(col("window"), "30 seconds", "10 seconds").as("w"), col("k"))
+        .agg(sum(col("pane_n")).as("n"))
+        .select(((unix_timestamp(col("w.start")) - 1700000000L)).as("w_start_s"),
+          col("k"), col("n"))
+
+    // run 1: panes 0 s (two events) and 10 s (one event), then a crash
+    mem.addData((ts(1), "a"), (ts(2), "a"))
+    val job1 = StreamSinks.files(out, ckpt).start(chained(mem))
+    job1.processAllAvailable()
+    mem.addData((ts(11), "a"))
+    job1.processAllAvailable()
+    job1.cancel()
+
+    // run 2 from the checkpoint: pane 20 s, then staggered far-future
+    // sentinels to march the watermark through BOTH operators' flushes
+    mem.addData((ts(25), "a"))
+    val job2 = StreamSinks.files(out, ckpt).start(chained(mem))
+    job2.processAllAvailable()
+    mem.addData((ts(100), "z"))
+    job2.processAllAvailable()
+    mem.addData((ts(200), "z"))
+    job2.processAllAvailable()
+    mem.addData((ts(210), "z"))
+    job2.processAllAvailable()
+    job2.cancel()
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._2 == "a").sortBy(_._1)
+    // panes: 0 s→2 events, 10 s→1, 20 s→1; each pane feeds 3 sliding windows.
+    // If stage-1 state had RESET at the restart, pane 20 s would still be
+    // right but the windows overlapping panes 0/10 s would double-emit or
+    // lose counts — the exact sums below certify both stores restored.
+    assert(rows === Seq(
+      (-20L, "a", 2L), (-10L, "a", 3L), (0L, "a", 4L),
+      (10L, "a", 2L), (20L, "a", 1L)), s"got: ${rows.toSeq}")
+  }
 }
