@@ -389,15 +389,15 @@ object NexmarkQueries {
     def sentinel(maxTs: java.sql.Timestamp, offsetSec: Long) =
       Seq((-1L, -1L, 0L, new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)))
         .toDF("auction", "bidder", "price", "ts")
+    import graft.operators.SlidingPanes
     val raw = StreamRunner.replayFiles(s, bids(s, dir), "ts", "append",
       tails = Some(maxTs =>
         Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60)))) { df =>
-      df.withWatermark("ts", "1 hour")
-        .groupBy(window($"ts", "20 minutes"), $"auction")
-        .agg(count(lit(1)).as("pane_n"))
-        .groupBy(window($"window", "1 hour", "20 minutes").as("w"), $"auction")
-        .agg(sum($"pane_n").as("n"))
-        .select(unix_timestamp($"w.start").as("window_start"), $"auction", $"n")
+      SlidingPanes.slidingAggStream(df.withWatermark("ts", "1 hour"), "ts",
+          size = "1 hour", slide = "20 minutes", keys = Seq($"auction"),
+          aggs = Seq(SlidingPanes.PaneAgg(count(lit(1)), sum, "n")))
+        .select(unix_timestamp($"window_start").as("window_start"),
+          $"auction", $"n")
     }
     val finals = raw.filter(!($"auction" <=> lit(-1L)))
     val byW = Window.partitionBy($"window_start")
