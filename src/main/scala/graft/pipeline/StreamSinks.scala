@@ -56,7 +56,10 @@ final class JobHandle(val name: String, val query: StreamingQuery) {
         "lateEventsDropped" ->
           p.stateOperators.map(_.numRowsDroppedByWatermark).sum.toDouble)
     }.getOrElse(Map.empty)
-    fallback ++ last ++ life
+    // user-defined counters (Jet Metrics.metric), `user.`-prefixed
+    val user = UserMetrics.snapshot(query.sparkSession)
+      .map { case (k, v) => k -> v.toDouble }
+    fallback ++ last ++ life ++ user
   }
 }
 
