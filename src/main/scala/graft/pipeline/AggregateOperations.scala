@@ -179,6 +179,15 @@ object AggregateOperations {
   def toSet(c: Column, as: String = "set"): AggOp =
     one(array_sort(collect_set(c)).as(as))
 
+  /** toCollection (:758): Jet takes a collection supplier; the Spark analog
+    * collects the array column and lets the caller shape it with a
+    * `finish` transform (e.g. `array_sort` for a TreeSet-like, identity for
+    * ArrayList — which is exactly [[toList]]).
+    */
+  def toCollection(c: Column, finish: Column => Column = identity,
+                   as: String = "collection"): AggOp =
+    one(finish(collect_list(c)).as(as))
+
   /** sorting (:1286): ascending list of the group's values. */
   def sorting(c: Column, as: String = "sorted"): AggOp =
     one(sort_array(collect_list(c)).as(as))
@@ -213,6 +222,22 @@ object AggregateOperations {
   def countingDistinct(c: Column, as: String = "count_distinct"): AggOp =
     one(count_distinct(c).as(as))
 
-  /** allOf (:1337, :1419): compose any number of ops into one pass. */
+  /** allOf (:1337, :1419): compose any number of ops into one pass. The
+    * varargs form IS the `allOfBuilder` — Jet's builder exists to thread
+    * Java tag types through; Scala varargs + named columns need none.
+    */
   def allOf(ops: AggOp*): AggOp = AggOp(ops.flatMap(_.columns))
+
+  /** toAggregator / toCollector (:1519/:1478) — Jet's JDK-interop escape
+    * hatches (wrap a java.util.stream.Collector / expose the op as one).
+    * The Spark analog of "bring your own accumulation contract" is a typed
+    * `org.apache.spark.sql.expressions.Aggregator` registered via
+    * `functions.udaf` — see `graft.pipeline.typed.TypedAggs` (topN,
+    * linearTrend, etc. are implemented exactly that way); this wraps one
+    * as an AggOp column.
+    */
+  def fromAggregator[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      c: Column, as: String = "agg"): AggOp =
+    one(org.apache.spark.sql.functions.udaf(agg).apply(c).as(as))
 }

@@ -19,6 +19,25 @@ object ServiceFactories {
   def service[S](create: () => S, destroy: S => Unit = (_: S) => ()): ServiceFactory[S] =
     ServiceFactory(create, destroy)
 
+  /** Jet `ServiceFactories.sharedService(createFn[, destroyFn])`
+    * (ServiceFactories.java:116,149) — name-parity alias: one service
+    * instance per task (Spark's unit of parallelism), shared by every row
+    * that task processes.
+    */
+  def sharedService[S](create: () => S,
+                       destroy: S => Unit = (_: S) => ()): ServiceFactory[S] =
+    service(create, destroy)
+
+  /** Jet `ServiceFactories.nonSharedService` (ServiceFactories.java:183) —
+    * name-parity alias. Jet distinguishes per-member (shared) from
+    * per-processor (non-shared) instances; here both are per-task — the
+    * finer granularity, always safe (a non-thread-safe client never sees
+    * concurrent use).
+    */
+  def nonSharedService[S](create: () => S,
+                          destroy: S => Unit = (_: S) => ()): ServiceFactory[S] =
+    service(create, destroy)
+
   /** Wrap a partition's output iterator with the service teardown contract:
     * destroy runs EXACTLY ONCE, on exhaustion OR task completion — a consumer
     * that re-checks hasNext after false must not double-close the handle, and
