@@ -39,10 +39,14 @@ object Latency {
     val workload = sys.env.getOrElse("SPARK_GRAFT_LATENCY_WORKLOAD", "keyed_tumbling")
     val df = workload match {
       case "nexmark_q5" => RateWorkloads.nexmarkQ5(spark, rate)
+      // the 2×-throughput pane path — append mode (chaining requires it), so
+      // its figures INCLUDE the pane-finalization wait the trade costs
+      case "nexmark_q5_chained" => RateWorkloads.nexmarkQ5Chained(spark, rate)
       case _ => RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
     }
     val q = df
-      .writeStream.format("noop").outputMode("update")
+      .writeStream.format("noop")
+      .outputMode(if (workload == "nexmark_q5_chained") "append" else "update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .start()
 
