@@ -65,6 +65,7 @@ object ScaleTrend {
     "q142_nexmark_currency", "q144_nexmark_local_item", "q145_nexmark_avg_category",
     "q146_nexmark_hot_items", "q147_nexmark_avg_seller", "q148_nexmark_highest_bid",
     "q149_nexmark_new_users", "q150_stream_nexmark_hot", "q152_stream_nexmark_users",
+    "q143_nexmark_filter", "q151_stream_nexmark_maxbid", "q155_stream_nexmark_chained",
     "q153_bradley_terry", "q154_preference_cycles")
 
   def main(args: Array[String]): Unit = {
