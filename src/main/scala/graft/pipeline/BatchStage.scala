@@ -101,6 +101,12 @@ final class BatchStage[T](val ds: Dataset[T]) {
         it.grouped(batchSize).flatMap(b => f(svc, b.toSeq)))
     })
 
+  /** Name-parity alias for Jet's exact method name. */
+  def mapUsingServiceAsyncBatched[S, U: Encoder](
+      factory: ServiceFactory[S], batchSize: Int = 128)(
+      f: (S, Seq[T]) => Seq[U]): BatchStage[U] =
+    mapUsingServiceBatched(factory, batchSize)(f)
+
   /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
     * AsyncTransformUsingServiceOrderedP): up to `maxConcurrent` in-flight
     * async calls per partition, results emitted in INPUT order — the
