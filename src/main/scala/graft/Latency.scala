@@ -42,7 +42,11 @@ object Latency {
       // the 2×-throughput pane path — append mode (chaining requires it), so
       // its figures INCLUDE the pane-finalization wait the trade costs
       case "nexmark_q5_chained" => RateWorkloads.nexmarkQ5Chained(spark, rate)
-      case _ => RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
+      case "keyed_tumbling" => RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, rate))
+      // fail loudly: a silent fallback would record the default pipeline's
+      // percentiles under the requested workload's name
+      case other => sys.error(s"unknown SPARK_GRAFT_LATENCY_WORKLOAD '$other' " +
+        "(known: keyed_tumbling, nexmark_q5, nexmark_q5_chained)")
     }
     val q = df
       .writeStream.format("noop")

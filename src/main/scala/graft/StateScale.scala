@@ -99,13 +99,19 @@ object StateScale {
         }
       }
     val t0 = System.nanoTime()
+    var elapsed = 0.0
     val stateRows =
-      try { q.processAllAvailable(); Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L) }
-      finally {
+      try {
+        q.processAllAvailable()
+        // clock stops before q.stop()/checkpoint deletion — RocksDB's larger
+        // checkpoint teardown must not bias the provider comparison (same
+        // fix as StatefulApiScale.measure)
+        elapsed = (System.nanoTime() - t0) / 1e9
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      } finally {
         q.stop()
         pipeline.TempFiles.deleteTree(ckpt)
       }
-    val rate = NRows / ((System.nanoTime() - t0) / 1e9)
-    (rate, stateRows)
+    (NRows / elapsed, stateRows)
   }
 }

@@ -94,13 +94,20 @@ object StatefulApiScale {
         }
       }
     val t0 = System.nanoTime()
+    var elapsed = 0.0
     val stateRows =
-      try { q.processAllAvailable(); Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L) }
-      finally {
+      try {
+        q.processAllAvailable()
+        // stop the clock BEFORE q.stop() and the checkpoint-tree delete:
+        // RocksDB modes leave far larger checkpoints (SSTs + changelog) than
+        // the HDFS store, and timing their teardown would bias the exact
+        // cross-provider comparison this tool exists to make
+        elapsed = (System.nanoTime() - t0) / 1e9
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      } finally {
         q.stop()
         pipeline.TempFiles.deleteTree(ckpt)
       }
-    val rate = NRows / ((System.nanoTime() - t0) / 1e9)
-    (rate, stateRows)
+    (NRows / elapsed, stateRows)
   }
 }

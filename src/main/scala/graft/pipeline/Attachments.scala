@@ -37,7 +37,10 @@ object Attachments {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_attach_")
     val renamed = stageDir.resolve(id)
     java.nio.file.Files.copy(src.toPath, renamed)
-    renamed.toFile.deleteOnExit(); stageDir.toFile.deleteOnExit()
+    // DeleteOnExitHook runs in REVERSE registration order: register the
+    // directory FIRST so the file inside it is deleted before the (then
+    // empty) directory — the other order leaks a graft_attach_* dir per call
+    stageDir.toFile.deleteOnExit(); renamed.toFile.deleteOnExit()
     spark.sparkContext.addFile(renamed.toAbsolutePath.toString)
   }
 

@@ -101,11 +101,54 @@ final class BatchStage[T](val ds: Dataset[T]) {
         it.grouped(batchSize).flatMap(b => f(svc, b.toSeq)))
     })
 
-  /** Name-parity alias for Jet's exact method name. */
+  /** Jet `mapUsingServiceAsyncBatched` with its ACTUAL async semantics
+    * (GeneralStage.java:459: the service call returns a future of the
+    * batch's results and up to `maxConcurrent` batches are in flight
+    * concurrently per processor): the same sliding in-flight ring as
+    * [[mapUsingServiceAsync]], over `batchSize`-item groups, results
+    * emitted in input order and flattened. For a synchronous service call
+    * use [[mapUsingServiceBatched]].
+    */
   def mapUsingServiceAsyncBatched[S, U: Encoder](
-      factory: ServiceFactory[S], batchSize: Int = 128)(
-      f: (S, Seq[T]) => Seq[U]): BatchStage[U] =
-    mapUsingServiceBatched(factory, batchSize)(f)
+      factory: ServiceFactory[S], batchSize: Int = 128, maxConcurrent: Int = 4)(
+      f: (S, Seq[T]) => scala.concurrent.Future[Seq[U]]): BatchStage[U] =
+    new BatchStage(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val svc = factory.create()
+      val batches = it.grouped(batchSize)
+      val ring = new scala.collection.mutable.Queue[Future[Seq[U]]]()
+      val refill: () => Unit = () =>
+        while (ring.size < maxConcurrent && batches.hasNext) {
+          ring.enqueue(f(svc, batches.next().toSeq))
+        }
+      refill()
+      var destroyed = false
+      val drainAndDestroy: () => Unit = () => if (!destroyed) {
+        destroyed = true
+        ring.foreach(fu => try Await.ready(fu, Duration.Inf)
+          catch { case _: Throwable => () })
+        ring.clear()
+        factory.destroy(svc)
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => drainAndDestroy()))
+      new Iterator[Seq[U]] {
+        def hasNext: Boolean = {
+          val h = ring.nonEmpty
+          if (!h) drainAndDestroy()
+          h
+        }
+        def next(): Seq[U] = {
+          val head = ring.dequeue()
+          refill() // keep the window full while awaiting the head
+          try Await.result(head, Duration.Inf)
+          catch { case e: Throwable => drainAndDestroy(); throw e }
+        }
+      }.flatten
+    })
 
   /** Jet `mapUsingServiceAsync` ordered (GeneralStage.java:354-401,
     * AsyncTransformUsingServiceOrderedP): up to `maxConcurrent` in-flight

@@ -110,12 +110,13 @@ object Connectors {
     * The closures ship to executors: they must be Serializable and build
     * the JMS objects INSIDE `connect` (never capture them).
     */
-  def jmsSink[S](name: String, connect: String => S)(
+  def jmsSink[S](name: String, connect: String => S,
+                 checkpoint: Option[String] = None)(
       sendRow: (S, Row) => Unit)(
       close: S => Unit = (_: S) => ()): StreamSink =
     StreamSinks.foreachBatch((batch, _) =>
       batch.foreachPartition { (it: Iterator[Row]) =>
         val session = connect(name)
         try it.foreach(r => sendRow(session, r)) finally close(session)
-      }, outputMode = "append")
+      }, outputMode = "append", checkpoint = checkpoint)
 }

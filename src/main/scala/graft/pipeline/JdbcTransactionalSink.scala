@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcTransactionalSink {
 
-  /** DDL for the progress table (idempotent create-if-missing). */
+  /** DDL for the progress tables (idempotent create-if-missing). */
   def ensureProgressTable(url: String): Unit = {
     val c = java.sql.DriverManager.getConnection(url)
     try {
@@ -43,7 +43,46 @@ object JdbcTransactionalSink {
           "job_id VARCHAR(128) NOT NULL, part INT NOT NULL, " +
           "batch_id BIGINT NOT NULL, PRIMARY KEY (job_id, part))")
       catch { case _: java.sql.SQLException => () } // exists
+      try st.executeUpdate(
+        "CREATE TABLE graft_progress_meta (" +
+          "job_id VARCHAR(128) NOT NULL PRIMARY KEY, parts INT NOT NULL)")
+      catch { case _: java.sql.SQLException => () } // exists
       st.close()
+    } finally c.close()
+  }
+
+  /** Per-partition markers are only exactly-once if a REPLAYED batch lands
+    * in the same partitions — so [[writeBatch]] repartitions every batch
+    * deterministically to the sink's own fixed width, and this guard makes
+    * a width change across restarts (which would silently mix committed and
+    * uncommitted rows within a partition) a LOUD error instead.
+    */
+  private def assertParts(url: String, jobId: String, parts: Int): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val q = c.prepareStatement(
+        "SELECT parts FROM graft_progress_meta WHERE job_id = ?")
+      q.setString(1, jobId)
+      val rs = q.executeQuery()
+      val existing = if (rs.next()) Some(rs.getInt(1)) else None
+      rs.close(); q.close()
+      existing match {
+        case Some(p) if p != parts =>
+          throw new IllegalStateException(
+            s"JdbcTransactionalSink '$jobId' was written with $parts-way " +
+              s"partitioning but its progress records $p-way: changing the " +
+              "sink width across a restart breaks the per-partition " +
+              "exactly-once markers. Keep the width, or use a new jobId " +
+              "with a fresh output table.")
+        case Some(_) => ()
+        case None =>
+          val ins = c.prepareStatement(
+            "INSERT INTO graft_progress_meta (job_id, parts) VALUES (?, ?)")
+          ins.setString(1, jobId); ins.setInt(2, parts)
+          try ins.executeUpdate()
+          catch { case _: java.sql.SQLException => () } // concurrent first-writer
+          ins.close()
+      }
     } finally c.close()
   }
 
@@ -90,23 +129,36 @@ object JdbcTransactionalSink {
     } finally c.close()
   }
 
-  /** Write one micro-batch distributed: a transaction per sink partition. */
+  /** Write one micro-batch distributed: a transaction per sink partition.
+    * The batch is REPARTITIONED here, deterministically by a hash of every
+    * column into the sink's own fixed `parts` width — upstream partitioning
+    * (shuffle-partition config, source splits) is NOT replay-stable, and the
+    * per-partition markers are only exactly-once when a replayed batch's
+    * partition contents are identical. Same row multiset → same partitions,
+    * regardless of how the batch arrived.
+    */
   def writeBatch(url: String, insertSql: String, jobId: String,
-                 batchId: Long, batch: DataFrame): Unit =
-    batch.foreachPartition { (it: Iterator[Row]) =>
-      deliverPartition(url, insertSql, jobId,
-        TaskContext.getPartitionId(), batchId, it)
-    }
+                 batchId: Long, batch: DataFrame, parts: Int = 8): Unit = {
+    assertParts(url, jobId, parts)
+    import org.apache.spark.sql.functions.col
+    batch.repartition(parts, batch.columns.map(col).toIndexedSeq: _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        deliverPartition(url, insertSql, jobId,
+          TaskContext.getPartitionId(), batchId, it)
+      }
+  }
 
   /** Exactly-once streaming JDBC sink. `jobId` must be stable across
     * restarts and pair with a checkpoint location so batch ids replay
-    * deterministically (same contract as [[TransactionalSinks.files]]).
+    * deterministically (same contract as [[TransactionalSinks.files]]);
+    * `parts` (the sink's fixed partition width) must also stay stable — a
+    * change across restarts is detected and rejected.
     */
   def sink(url: String, insertSql: String, jobId: String,
-           checkpoint: Option[String] = None): StreamSink = {
+           checkpoint: Option[String] = None, parts: Int = 8): StreamSink = {
     ensureProgressTable(url)
     StreamSinks.foreachBatch(
-      (batch, id) => writeBatch(url, insertSql, jobId, id, batch),
+      (batch, id) => writeBatch(url, insertSql, jobId, id, batch, parts),
       outputMode = "append", checkpoint = checkpoint)
   }
 }

@@ -84,6 +84,20 @@ final class InMemoryTxnBroker {
   private val committed = scala.collection.mutable.ArrayBuffer.empty[Txn]
   private val open = scala.collection.mutable.HashMap.empty[String, Txn]
   private val epochs = scala.collection.mutable.HashMap.empty[String, Long]
+  private val sinkParts = scala.collection.mutable.HashMap.empty[String, Int]
+
+  /** Reject a sink-width change for a transactional-id base (see
+    * [[KafkaShapedSink.writeBatch]]).
+    */
+  def assertParts(transactionalIdBase: String, parts: Int): Unit = synchronized {
+    sinkParts.get(transactionalIdBase) match {
+      case Some(p) if p != parts => throw new IllegalStateException(
+        s"sink '$transactionalIdBase' was written $p-way; changing the " +
+          "partition width across restarts breaks per-partition exactly-once")
+      case Some(_) => ()
+      case None => sinkParts(transactionalIdBase) = parts; ()
+    }
+  }
 
   /** read_committed view of a topic. */
   def visible(topic: String): Seq[String] = synchronized {
@@ -177,24 +191,35 @@ object KafkaShapedSink {
 
   /** Write one micro-batch distributed: a producer per sink partition with
     * transactional.id `<base>-p<partition>` (the reference's per-processor
-    * id scheme, KafkaSinks.java:101-195).
+    * id scheme, KafkaSinks.java:101-195). The batch is repartitioned
+    * deterministically (hash of every column) to the sink's own fixed
+    * `parts` width: per-partition progress markers are only exactly-once
+    * when a REPLAYED batch's partition contents are identical, and upstream
+    * partitioning is not replay-stable. A width change across restarts is
+    * rejected by the broker ([[InMemoryTxnBroker.assertParts]]) — with a
+    * real broker, encode the width in the transactional-id base.
     */
   def writeBatch(brokerName: String, transactionalId: String, topic: String,
-                 batchId: Long, batch: DataFrame): Unit =
-    batch.toJSON.foreachPartition { (it: Iterator[String]) =>
-      val pid = TaskContext.getPartitionId()
-      val producer = InMemoryTxnBroker.named(brokerName)
-        .producer(s"$transactionalId-p$pid")
-      deliverPartition(producer, topic, batchId, it)
-    }
+                 batchId: Long, batch: DataFrame, parts: Int = 8): Unit = {
+    InMemoryTxnBroker.named(brokerName).assertParts(transactionalId, parts)
+    import org.apache.spark.sql.functions.col
+    batch.repartition(parts, batch.columns.map(col).toIndexedSeq: _*)
+      .toJSON.foreachPartition { (it: Iterator[String]) =>
+        val pid = TaskContext.getPartitionId()
+        val producer = InMemoryTxnBroker.named(brokerName)
+          .producer(s"$transactionalId-p$pid")
+        deliverPartition(producer, topic, batchId, it)
+      }
+  }
 
   /** Exactly-once kafka-shaped stream sink: 2PC per micro-batch per
     * partition. Pair with a checkpoint location so batch ids replay
-    * deterministically (the same contract as [[TransactionalSinks.files]]).
+    * deterministically (the same contract as [[TransactionalSinks.files]]);
+    * `parts` must stay stable across restarts (see [[writeBatch]]).
     */
   def sink(brokerName: String, transactionalId: String, topic: String,
-           checkpoint: Option[String] = None): StreamSink =
+           checkpoint: Option[String] = None, parts: Int = 8): StreamSink =
     StreamSinks.foreachBatch(
-      (batch, id) => writeBatch(brokerName, transactionalId, topic, id, batch),
+      (batch, id) => writeBatch(brokerName, transactionalId, topic, id, batch, parts),
       outputMode = "append", checkpoint = checkpoint)
 }

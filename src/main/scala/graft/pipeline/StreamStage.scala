@@ -451,31 +451,34 @@ object StatefulOps {
     ds.map(v => (keyFn(v), tsFn(v), v))
       .withWatermark("_2", watermarkDelay)
       .groupByKey(_._1)
-      .flatMapGroupsWithState[S, O](OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout()) {
-        case (key, values, state: GroupState[S]) =>
+      .flatMapGroupsWithState[(S, Long), O](OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: K, values: Iterator[(K, java.sql.Timestamp, V)],
+         state: GroupState[(S, Long)]) =>
           if (state.hasTimedOut) {
-            val out = onEvictFn(key, state.get)
+            val out = onEvictFn(key, state.get._1)
             state.remove()
             out.iterator
           } else {
-            var s = state.getOption.getOrElse(createFn())
-            var maxTs = Long.MinValue
+            // the deadline tracks the max event time EVER seen for the key
+            // (carried in the state), not just this batch's max: a late but
+            // in-watermark event must never SHORTEN the ttl and evict early
+            var (s, seenMax) = state.getOption.getOrElse((createFn(), Long.MinValue))
             val outs = values.map { case (_, t, v) =>
-              if (t.getTime > maxTs) maxTs = t.getTime
+              if (t.getTime > seenMax) seenMax = t.getTime
               val (s2, o) = mapFn(key, s, v)
               s = s2
               o
             }.toList
-            state.update(s)
+            state.update((s, seenMax))
             // deadline = last event + ttl; clamp above the current watermark
             // (a deadline at/behind the wm is rejected by the API — the key
             // is then evicted at the very next wm advance, Jet's behavior)
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
+              math.max(seenMax + ttlMillis, state.getCurrentWatermarkMs() + 1))
             outs.iterator
-          }
-      }
+          })(org.apache.spark.sql.Encoders.tuple(se,
+            org.apache.spark.sql.Encoders.scalaLong), oe)
 
   /** [[mapStateful]] on Spark 4's NATIVE arbitrary-state API
     * (`transformWithState` / `StatefulProcessor`) instead of fMGWS — the

@@ -76,6 +76,19 @@ class JdbcTransactionalSinkSpec extends SparkSpec {
     assert(visible() == Seq(10L, 11L, 20L))
   }
 
+  test("a sink-width change across restarts is rejected loudly") {
+    exec("DELETE FROM sums") // unrelated table; just ensure db is up
+    exec("DELETE FROM graft_progress"); exec("DELETE FROM graft_progress_meta")
+    val batch = Seq(1L).toDF("v")
+    JdbcTransactionalSink.writeBatch(url, insertSql, "wjob", 0L, batch, parts = 4)
+    val e = intercept[IllegalStateException] {
+      JdbcTransactionalSink.writeBatch(url, insertSql, "wjob", 1L, batch, parts = 8)
+    }
+    assert(e.getMessage.contains("partition"))
+    // same width continues fine
+    JdbcTransactionalSink.writeBatch(url, insertSql, "wjob", 1L, batch, parts = 4)
+  }
+
   test("partitions track progress independently (per-processor id scheme)") {
     exec("DELETE FROM sink_rows"); exec("DELETE FROM graft_progress")
     JdbcTransactionalSink.deliverPartition(url, insertSql, "pjob", 0, 0L,

@@ -66,6 +66,29 @@ class ServiceOpsSpec extends SparkSpec {
     }
   }
 
+  test("mapUsingServiceAsyncBatched: concurrent batches in flight, ordered flattened output") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    AsyncOrderedProbe.done.clear()
+    val t0 = System.nanoTime()
+    val factory = ServiceFactories.service[String](() => "svc")
+    val out = p.wrap(spark.createDataset(Seq(0, 1, 2, 3, 4, 5)).coalesce(1))
+      .mapUsingServiceAsyncBatched(factory, batchSize = 2, maxConcurrent = 3)(
+        (_, batch) => Future {
+          Thread.sleep(if (batch.head == 0) 500L else 5L)
+          AsyncOrderedProbe.done.put(batch.head, System.nanoTime() - t0)
+          batch.map(_ * 10)
+        })
+      .ds.collect()
+    // ordered, flattened: batches [0,1],[2,3],[4,5] in input order
+    assert(out.toSeq === Seq(0, 10, 20, 30, 40, 50))
+    // the later batches completed WHILE the slow head batch was in flight
+    val headDone = AsyncOrderedProbe.done.get(0)
+    Seq(2, 4).foreach { b =>
+      assert(AsyncOrderedProbe.done.get(b) < headDone,
+        s"batch starting at $b completed after the slow head — not concurrent")
+    }
+  }
+
   test("async early-exit (limit) drains in-flight calls before destroying the service") {
     import scala.concurrent.ExecutionContext.Implicits.global
     AsyncOrderedProbe.done.clear()

@@ -126,6 +126,42 @@ class StatefulTtlSpec extends SparkSpec {
     job.cancel()
   }
 
+  test("mapStatefulEventTime: a late in-watermark event must not shorten the deadline") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val out = StatefulOps.mapStatefulEventTime[
+        String, (String, java.sql.Timestamp, Long), Long, (String, Long)](
+      mem.toDS(), _._1, _._2, ttlMillis = 10000L, watermarkDelay = "30 seconds",
+      createFn = () => 0L,
+      mapFn = (k, acc, v) => { val a = acc + v._3; (a, (k, a)) },
+      onEvictFn = (k, acc) => Some((s"evicted:$k", acc)))
+    val job = StreamSinks.memory("evt_late", "append").start(out.toDF())
+    def rows = spark.table("evt_late").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    mem.addData(("a", ts(100), 1L)) // deadline = 110 s
+    job.processAllAvailable()
+    mem.addData(("a", ts(75), 2L)) // LATE but within the 30 s watermark
+    job.processAllAvailable()
+    // wm -> 125-30 = 95 s: before a's 110 s deadline. The pre-fix code set
+    // the deadline from the batch max (75+10=85 s) and evicted here.
+    mem.addData(("z", ts(125), 0L))
+    job.processAllAvailable()
+    mem.addData(("z", ts(126), 0L))
+    job.processAllAvailable()
+    assert(rows.contains(("a", 3L)), s"late event must fold into state: $rows")
+    assert(!rows.exists(_._1 == "evicted:a"),
+      s"evicted before wm passed last-event+ttl: $rows")
+    // wm -> 145-30 = 115 s > 110 s: now a evicts, with BOTH events' sum
+    mem.addData(("z", ts(145), 0L))
+    job.processAllAvailable()
+    mem.addData(("z", ts(146), 0L))
+    job.processAllAvailable()
+    assert(rows.contains(("evicted:a", 3L)), s"not evicted after deadline: $rows")
+    job.cancel()
+  }
+
   test("mapStatefulGlobal: single global state across keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
