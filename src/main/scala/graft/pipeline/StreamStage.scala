@@ -220,6 +220,23 @@ final class StreamStageWithKey(
     else agged
   }
 
+  /** The sliding aggregate through the PANE path (chained stateful aggs —
+    * the reference's SlidingWindowP frame architecture; 2× the native
+    * sliding window's sustained rate, BASELINE.md r8). Only meaningful with
+    * a Sliding window definition; takes the pane vocabulary (partial +
+    * combine per aggregate) because an arbitrary AggOp column cannot be
+    * decomposed automatically. APPEND-mode results (watermark-finalized
+    * windows), unlike [[aggregate]]'s update-capable native plan.
+    */
+  def aggregatePaned(aggs: Seq[graft.operators.SlidingPanes.PaneAgg]): DataFrame =
+    windowDef match {
+      case Some(WindowDefinition.Sliding(size, slide)) =>
+        graft.operators.SlidingPanes.slidingAggStream(
+          df, tsCol, size, slide, keys, aggs)
+      case other => throw new IllegalArgumentException(
+        s"aggregatePaned requires a Sliding window definition, got $other")
+    }
+
   private def window(c: Column, size: String): Column =
     org.apache.spark.sql.functions.window(c, size)
   private def window(c: Column, size: String, slide: String): Column =

@@ -278,4 +278,51 @@ class StreamingSpec extends SparkSpec {
     assert(!job.isRunning)
     assert(job.status === "COMPLETED")
   }
+  test("aggregatePaned (chained pane path) matches the native sliding window aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = Seq(
+      (ts("2024-01-01 00:01:00"), "a", 1.0),
+      (ts("2024-01-01 00:07:00"), "a", 2.0),
+      (ts("2024-01-01 00:13:00"), "b", 3.0),
+      (ts("2024-01-01 00:21:00"), "a", 4.0),
+      // far-future sentinel advances the watermark so append-mode panes and
+      // windows all finalize
+      (ts("2024-01-02 10:00:00"), "z", 0.0),
+      (ts("2024-01-02 10:01:00"), "z", 0.0))
+    mem.addData(events.take(4))
+    val stage = new StreamSourceStage(mem.toDF.toDF("ts", "k", "v"))
+      .withTimestamps("ts", "0 seconds")
+    import graft.operators.SlidingPanes.PaneAgg
+    val paned = stage.groupingKey(col("k"))
+      .window(WindowDefinition.sliding("30 minutes", "10 minutes"))
+      .aggregatePaned(Seq(
+        PaneAgg(count(lit(1)), sum, "n"),
+        PaneAgg(sum(col("v")), sum, "s")))
+      .select(col("window_start"), col("k"), col("n"), col("s"))
+    val job = StreamSinks.memory("paned_test", "append").start(paned)
+    job.processAllAvailable()
+    mem.addData(events.drop(4))
+    job.processAllAvailable()
+    mem.addData((ts("2024-01-02 10:02:00"), "z", 0.0))
+    job.processAllAvailable()
+    job.cancel()
+    val got = spark.table("paned_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 != "z").toSet
+    // batch ground truth: the NATIVE sliding window over the same events
+    val expected = spark.createDataset(events.filter(_._2 != "z"))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.TIMESTAMP,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("ts", "k", "v")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "30 minutes", "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("window.start"), col("k"), col("n"), col("s"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, s"paned=$got\nexpected=$expected")
+  }
 }
