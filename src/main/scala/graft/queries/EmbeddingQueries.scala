@@ -383,6 +383,77 @@ object EmbeddingQueries {
        |  round(sqrt(list_sum(list_transform(c2.cv, x -> x*x))), 6) AS centroid_norm
        |FROM c2""".stripMargin
 
+  // ------------------------------------- q156 k-center diversity selection
+  /** Greedy k-center coreset selection — diversity sampling for training
+    * data (the classic 2-approximation farthest-point traversal used for
+    * embedding-space coverage): seed with the smallest vec_id, then k-1
+    * rounds of "pick the point farthest (squared L2) from everything
+    * selected so far". Deterministic: distances quantize to 9dp before the
+    * argmax, vec_id breaks ties (the repo's rank discipline).
+    *
+    * Execution shape: selected vectors are DRIVER-held literals (k×dims
+    * doubles — the KMeansLite model-scale boundary); each round is ONE
+    * distributed pass (row-local min-distance against ≤k literal vectors,
+    * then a TakeOrdered(1)). k rounds total, independent of corpus size —
+    * at 100 TB this is k scans, each embarrassingly parallel; the standard
+    * scale refinement (pre-bucket by coarse cells, run k-center per cell)
+    * composes with q65's trained cells.
+    */
+  val q156_kcenter_select: Q = (s, dir) => {
+    import s.implicits._
+    val k = 8
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", S.toDouble($"embedding").as("v"))
+      .localCheckpoint(true)
+    val seedRow = emb.orderBy($"vec_id".asc).limit(1).head
+    var selectedIds = Vector(seedRow.getLong(0))
+    var selectedVecs = Vector(seedRow.getSeq[Double](1).toArray)
+    var out = Vector[(Int, Long, Option[Double])]((1, seedRow.getLong(0), None))
+    for (r <- 2 to k) {
+      val distCols = selectedVecs.map { sv =>
+        val svLit = array(sv.map(lit).toIndexedSeq: _*)
+        aggregate(zip_with($"v", svLit, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, b) => a + b)
+      }
+      // least() needs >1 args; the first round has a single selected vector
+      val minDist =
+        if (distCols.size == 1) distCols.head else least(distCols: _*)
+      val d = round(minDist, 9)
+      val pick = emb.filter(!$"vec_id".isin(selectedIds: _*))
+        .select($"vec_id", d.as("d"), $"v")
+        .orderBy($"d".desc, $"vec_id".asc).limit(1).head
+      selectedIds :+= pick.getLong(0)
+      selectedVecs :+= pick.getSeq[Double](2).toArray
+      out :+= ((r, pick.getLong(0), Some(pick.getDouble(1))))
+    }
+    s.createDataFrame(out).toDF("rank", "vec_id", "d9")
+      .select($"rank", $"vec_id", round($"d9", 6).as("dist2"))
+  }
+
+  val q156_oracle: String =
+    s"""WITH RECURSIVE emb2 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |seed AS (SELECT vec_id, v FROM emb2 ORDER BY vec_id LIMIT 1),
+       |kc AS (
+       |  SELECT 1 AS r, (SELECT list(vec_id) FROM seed) AS ids,
+       |    (SELECT list(v) FROM seed) AS vs,
+       |    (SELECT vec_id FROM seed) AS picked, NULL::DOUBLE AS d
+       |  UNION ALL
+       |  SELECT r + 1, list_append(ids, c.vec_id), list_append(vs, c.v),
+       |    c.vec_id, c.d
+       |  FROM kc, LATERAL (
+       |    SELECT e.vec_id, e.v,
+       |      round(list_reduce(
+       |        list_transform(vs, sv -> list_sum(list_transform(
+       |          list_zip(e.v, sv), p -> (p[1] - p[2]) * (p[1] - p[2])))),
+       |        (a, b) -> least(a, b)), 9) AS d
+       |    FROM emb2 e WHERE NOT list_contains(ids, e.vec_id)
+       |    ORDER BY d DESC, e.vec_id ASC LIMIT 1) c
+       |  WHERE r < 8)
+       |SELECT r AS rank, picked AS vec_id, round(d, 6) AS dist2
+       |FROM kc""".stripMargin
+
   // ------------------------------------------------- q74 ANN recall audit
   /** ANN quality evaluation: recall@3 of every approximate search path (LSH
     * buckets, IVF single-probe, IVF multi-probe) against the exact brute-force
@@ -1004,6 +1075,7 @@ object EmbeddingQueries {
     "q44_ann_ivf_topk" -> q44_ann_ivf_topk,
     "q65_kmeans_ivf" -> q65_kmeans_ivf,
     "q74_ann_recall" -> q74_ann_recall,
+    "q156_kcenter_select" -> q156_kcenter_select,
     "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe,
     "q81_semantic_dedup" -> q81_semantic_dedup,
     "q109_pq_ann" -> q109_pq_ann,
@@ -1021,6 +1093,7 @@ object EmbeddingQueries {
     "q44_ann_ivf_topk" -> q44_oracle,
     "q65_kmeans_ivf" -> q65_oracle,
     "q74_ann_recall" -> q74_oracle,
+    "q156_kcenter_select" -> q156_oracle,
     "q75_ann_ivf_multiprobe" -> q75_oracle,
     "q81_semantic_dedup" -> q81_oracle,
     "q109_pq_ann" -> q109_oracle,
