@@ -40,6 +40,15 @@ object SimilarityFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** Squared L2 distance as the ORDER-PINNED sequential fold — the one
+    * definition of the float contract KMeansLite's assignment/fit and
+    * q156's k-center selection (and their oracles' `list_sum` replays)
+    * all share; change it in one place or not at all.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize `vecCol` into `outCol`, computing the norm ONCE per row as a

@@ -50,8 +50,7 @@ object KMeansLite {
               x * x
             }.reduce(_ + _)
           else
-            aggregate(zip_with(col(vecCol), cv, (x, cc) => (x - cc) * (x - cc)),
-              lit(0.0), (acc, v) => acc + v)
+            graft.functions.SimilarityFunctions.sqDist(col(vecCol), cv)
         struct(d.as("d"), lit(c).as("cid"))
       }
       array_min(array(scored: _*)).getField("cid")
@@ -102,8 +101,7 @@ object KMeansLite {
       val sliced = transform(slice(col(vecCol), mm * sub + 1, sub), x => x.cast("double"))
       val scored = (0 until books(mm).length).map { c =>
         val cv = array(books(mm)(c).map(lit): _*)
-        val d = aggregate(zip_with(sliced, cv, (x, cc) => (x - cc) * (x - cc)),
-          lit(0.0), (acc, v) => acc + v)
+        val d = graft.functions.SimilarityFunctions.sqDist(sliced, cv)
         struct(d.as("d"), lit(c).as("cid"))
       }
       array_min(array(scored: _*)).getField("cid")

@@ -37,8 +37,36 @@ object SlidingPanes {
     */
   final case class PaneAgg(partial: Column, combine: Column => Column, name: String)
 
+  /** Parse a Spark interval string ("20 minutes", "1 hour") to millis for
+    * the size/slide divisibility check — misaligned frames would bin into
+    * windows they only partially overlap, silently corrupting aggregates.
+    */
+  private def intervalMillis(s: String): Long = {
+    val m = """\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
+    s.toLowerCase match {
+      case m(n, u) => n.toLong * (u match {
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+      })
+      case other => throw new IllegalArgumentException(
+        s"unsupported interval '$other' (use '<n> seconds|minutes|hours|days')")
+    }
+  }
+
+  private def requireAligned(size: String, slide: String): Unit = {
+    val (sz, sl) = (intervalMillis(size), intervalMillis(slide))
+    require(sl > 0 && sz % sl == 0,
+      s"sliding pane aggregation requires size ('$size') to be an integer " +
+        s"multiple of slide ('$slide') — misaligned frames would silently " +
+        "corrupt window aggregates (SlidingWindowDefinition.java:41-56 has " +
+        "the same constraint)")
+  }
+
   def slidingAgg(df: DataFrame, tsCol: String, size: String, slide: String,
                  keys: Seq[Column], aggs: Seq[PaneAgg]): DataFrame = {
+    requireAligned(size, slide)
     val sizeIv = expr(s"INTERVAL $size")
     val slideIv = expr(s"INTERVAL $slide")
     // stage 1: reduce to frame partials (tumbling slide-sized windows) —
@@ -81,6 +109,7 @@ object SlidingPanes {
     */
   def slidingAggStream(df: DataFrame, tsCol: String, size: String, slide: String,
                        keys: Seq[Column], aggs: Seq[PaneAgg]): DataFrame = {
+    requireAligned(size, slide)
     val partialCols = aggs.map(a => a.partial.as(s"__p_${a.name}"))
     val panes = df
       .groupBy(window(col(tsCol), slide).as("__frame") +: keys: _*)

@@ -397,34 +397,49 @@ object EmbeddingQueries {
     * then a TakeOrdered(1)). k rounds total, independent of corpus size —
     * at 100 TB this is k scans, each embarrassingly parallel; the standard
     * scale refinement (pre-bucket by coarse cells, run k-center per cell)
-    * composes with q65's trained cells.
+    * composes with q65's trained cells. Distances recompute against the
+    * whole selected set each round (k² folds total) rather than carrying a
+    * running-min column: a running min needs a corpus-wide materialization
+    * per round, a bad trade at k=8 — switch to it when k is large.
     */
+  private val kCenterK = 8
+
   val q156_kcenter_select: Q = (s, dir) => {
     import s.implicits._
-    val k = 8
     val emb = t(s, dir, "embeddings")
       .select($"vec_id", S.toDouble($"embedding").as("v"))
       .localCheckpoint(true)
-    val seedRow = emb.orderBy($"vec_id".asc).limit(1).head
-    var selectedIds = Vector(seedRow.getLong(0))
-    var selectedVecs = Vector(seedRow.getSeq[Double](1).toArray)
-    var out = Vector[(Int, Long, Option[Double])]((1, seedRow.getLong(0), None))
-    for (r <- 2 to k) {
-      val distCols = selectedVecs.map { sv =>
-        val svLit = array(sv.map(lit).toIndexedSeq: _*)
-        aggregate(zip_with($"v", svLit, (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, b) => a + b)
+    // graceful truncation below k selections (mirrors the oracle's recursive
+    // termination): an empty table yields an empty frame, a small one stops
+    // when every row is selected
+    var out = Vector.empty[(Int, Long, Option[Double])]
+    var selectedIds = Vector.empty[Long]
+    var selectedVecs = Vector.empty[Array[Double]]
+    emb.orderBy($"vec_id".asc).limit(1).collect().headOption.foreach { seedRow =>
+      selectedIds :+= seedRow.getLong(0)
+      selectedVecs :+= seedRow.getSeq[Double](1).toArray
+      out :+= ((1, seedRow.getLong(0), None))
+      var r = 2
+      var exhausted = false
+      while (r <= kCenterK && !exhausted) {
+        val distCols = selectedVecs.map { sv =>
+          S.sqDist($"v", array(sv.map(lit).toIndexedSeq: _*))
+        }
+        // least() needs >1 args; the first round has a single selected vector
+        val minDist =
+          if (distCols.size == 1) distCols.head else least(distCols: _*)
+        val d = round(minDist, 9)
+        emb.filter(!$"vec_id".isin(selectedIds: _*))
+          .select($"vec_id", d.as("d"), $"v")
+          .orderBy($"d".desc, $"vec_id".asc).limit(1).collect().headOption match {
+          case None => exhausted = true
+          case Some(pick) =>
+            selectedIds :+= pick.getLong(0)
+            selectedVecs :+= pick.getSeq[Double](2).toArray
+            out :+= ((r, pick.getLong(0), Some(pick.getDouble(1))))
+            r += 1
+        }
       }
-      // least() needs >1 args; the first round has a single selected vector
-      val minDist =
-        if (distCols.size == 1) distCols.head else least(distCols: _*)
-      val d = round(minDist, 9)
-      val pick = emb.filter(!$"vec_id".isin(selectedIds: _*))
-        .select($"vec_id", d.as("d"), $"v")
-        .orderBy($"d".desc, $"vec_id".asc).limit(1).head
-      selectedIds :+= pick.getLong(0)
-      selectedVecs :+= pick.getSeq[Double](2).toArray
-      out :+= ((r, pick.getLong(0), Some(pick.getDouble(1))))
     }
     s.createDataFrame(out).toDF("rank", "vec_id", "d9")
       .select($"rank", $"vec_id", round($"d9", 6).as("dist2"))
@@ -450,7 +465,7 @@ object EmbeddingQueries {
        |        (a, b) -> least(a, b)), 9) AS d
        |    FROM emb2 e WHERE NOT list_contains(ids, e.vec_id)
        |    ORDER BY d DESC, e.vec_id ASC LIMIT 1) c
-       |  WHERE r < 8)
+       |  WHERE r < $kCenterK)
        |SELECT r AS rank, picked AS vec_id, round(d, 6) AS dist2
        |FROM kc""".stripMargin
 
