@@ -40,14 +40,22 @@ object SimilarityFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Squared L2 distance as the ORDER-PINNED sequential fold — the one
-    * definition of the float contract KMeansLite's assignment/fit and
-    * q156's k-center selection (and their oracles' `list_sum` replays)
-    * all share; change it in one place or not at all.
+  /** Squared L2 distance with the ORDER-PINNED sequential-sum contract —
+    * the one definition KMeansLite's assignment/fit and q156's k-center
+    * selection (and their oracles' `list_sum` replays) all share. Hot path
+    * is the native codegen expression (one tight loop, bit-identical sum
+    * order); GRAFT_SQDIST_FOLD switches back to the higher-order fold (the
+    * dotAuto A/B pattern).
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+    if (sys.env.contains("GRAFT_SQDIST_FOLD"))
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    else {
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.SquaredDistance(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
