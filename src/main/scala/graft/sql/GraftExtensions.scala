@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist",
+        "graft_sqdist(a, b) - squared L2 distance of two double arrays (codegen)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_sqdist(a, b) takes exactly 2 arguments")
+        graft.functions.expr.SquaredDistance(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hash_pairs, k) - k min-hash signature over an " +
