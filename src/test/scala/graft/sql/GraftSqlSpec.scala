@@ -107,6 +107,10 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .collect().head.getDouble(0)
     assert(dot === 32.0)
+    val sq = sql.execute(
+      "SELECT graft_sqdist(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(sq === 8.0)
     val sig = sql.execute(
       """SELECT graft_minhash(array(
         |  named_struct('h1', 9L, 'h2', 1L),
