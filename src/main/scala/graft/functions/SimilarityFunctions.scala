@@ -40,22 +40,36 @@ object SimilarityFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** Squared L2 distance as the higher-order fold — the ORDER-PINNED
+    * sequential-sum contract (see [[sqDist]]).
+    */
+  def sqDistFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 distance as the native codegen expression — bit-identical
+    * to [[sqDistFold]] (SquaredDistanceSpec pins it). Inputs are cast to
+    * array<double> first (a no-op for double arrays) so ARRAY<FLOAT>
+    * columns keep working exactly as the fold's per-element coercion
+    * allowed — KMeansLite.fit documents float-array inputs.
+    */
+  def sqDistNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftops.Bridge
+    Bridge.column(graft.functions.expr.SquaredDistance(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+  }
+
   /** Squared L2 distance with the ORDER-PINNED sequential-sum contract —
-    * the one definition KMeansLite's assignment/fit and q156's k-center
-    * selection (and their oracles' `list_sum` replays) all share. Hot path
-    * is the native codegen expression (one tight loop, bit-identical sum
-    * order); GRAFT_SQDIST_FOLD switches back to the higher-order fold (the
-    * dotAuto A/B pattern).
+    * the one definition KMeansLite's assignment/fit, the PQ/ADC tables and
+    * q156's k-center selection (and their oracles' `list_sum` replays) all
+    * share. Hot path is [[sqDistNative]] (24–32% faster warm on the
+    * k-means family, BASELINE.md r8); GRAFT_SQDIST_FOLD switches back to
+    * [[sqDistFold]] (the dotAuto A/B pattern).
     */
   def sqDist(a: Column, b: Column): Column =
-    if (sys.env.contains("GRAFT_SQDIST_FOLD"))
-      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
-    else {
-      import org.apache.spark.sql.graftops.Bridge
-      Bridge.column(graft.functions.expr.SquaredDistance(
-        Bridge.expression(a), Bridge.expression(b)))
-    }
+    if (sys.env.contains("GRAFT_SQDIST_FOLD")) sqDistFold(a, b)
+    else sqDistNative(a, b)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

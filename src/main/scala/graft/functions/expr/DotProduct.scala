@@ -1,10 +1,7 @@
 package graft.functions.expr
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 
 /** Native codegen dot product over two `ARRAY<DOUBLE>` columns — the one spot
   * in the engine where a custom Catalyst `Expression` beats every alternative
@@ -17,76 +14,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *    (measured 2-3× slower, see SimilarityFunctions.withNormalized);
   *  - this expression emits ONE tight Java loop inside whole-stage codegen.
   *
-  * Summation order is left-to-right like the fold, so results are
-  * bit-identical to `SimilarityFunctions.dot` (and to the DuckDB oracle's
-  * `list_sum(list_transform(...))`). Null handling matches the fold in every
-  * case: null arrays propagate null (`nullSafeEval`), length-mismatched
-  * arrays return NULL (zip_with pads with nulls), and a NULL ELEMENT returns
-  * NULL (the fold's sum absorbs the null product). The element checks are
-  * schema-driven — when both inputs declare `containsNull=false` the loop
-  * carries no null branches at all.
+  * Contract (summation order, null handling): see [[PairedDoubleArrayFold]]
+  * — bit-identical to `SimilarityFunctions.dot` and to the DuckDB oracle's
+  * `list_sum(list_transform(...))`.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends PairedDoubleArrayFold {
 
-  // mismatched lengths yield null even over non-null inputs
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
-    }
-  override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  private def mayHaveNullElements: Boolean = (left.dataType, right.dataType) match {
-    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
-    case _ => true
-  }
+  override protected def termEval(x: Double, y: Double): Double = x * y
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
-    else {
-      val n = x.numElements()
-      val checkNulls = mayHaveNullElements
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
-        s += x.getDouble(i) * y.getDouble(i)
-        i += 1
-      }
-      s
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      val nullCheck = if (mayHaveNullElements)
-        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
-      else ""
-      s"""
-         |if ($x.numElements() != $y.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int $n = $x.numElements();
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    $s += $x.getDouble($i) * $y.getDouble($i);
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $s; }
-         |}
-       """.stripMargin
-    })
+  override protected def termJava(ctx: CodegenContext, s: String,
+                                  x: String, y: String, i: String): String =
+    s"$s += $x.getDouble($i) * $y.getDouble($i);"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -711,7 +711,7 @@ object EmbeddingQueries {
     * the subspace index (q84's contract) — never by aggregation order.
     */
   private def pqSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    S.sqDist(a, b) // the shared order-pinned contract (native codegen path)
 
   /** Shared PQ fit + search artifacts (q109/q112): fused per-subspace k-means
     * (KMeansLite.fitProduct — bit-identical per subspace to M separate fits,
