@@ -84,7 +84,10 @@ object Plans {
     "q146_nexmark_hot_items" -> "NEXMark Q5: sliding window() expands each bid into 3 covering windows BEFORE the single (window, auction) hash-agg; hot filter is a window max over window-cardinality counts",
     "q147_nexmark_avg_seller" -> "NEXMark Q6: per-seller rank window runs over the WINS table (auction-cardinality, ~3/50 of the stream) — raw bids never enter the ranking shuffle",
     "q148_nexmark_highest_bid" -> "NEXMark Q7: one 10-min tumbling max window + tie-keeping filter — a single exchange keyed on the window",
-    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle")
+    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle",
+    "q153_bradley_terry" -> "Bradley-Terry fit: the distributed pass is a per-user lag window + (winner, loser) count agg (#types^2 rows out); the 10 MM iterations run driver-side at the model-scale boundary with sorted-item zero-seeded folds mirrored by the oracle's recursive CTE",
+    "q154_preference_cycles" -> "preference-cycle audit: same comparison agg as q153; majority-edge build and triad/cycle joins run on the model-scale tournament graph (#types nodes)",
+    "q156_kcenter_select" -> "k-center selection: selected vectors ride as driver-held literals (model-scale); each of k rounds is one row-local native-sqdist pass + TakeOrdered(1) — k scans, no shuffle of the corpus")
 
   // Streaming queries whose result frame is a memory-sink table (the
   // interesting plan is the in-flight streaming one, not the post-replay
