@@ -942,15 +942,14 @@ object CurationQueries {
     * seed, mirrored exactly by the oracle's list_reduce over ORDER BY
     * lists, so the doubles match bit-for-bit; strengths round at output.
     */
-  val q153_bradley_terry: Q = (s, dir) => {
+  /** The MM fit over a (winner, loser) comparison frame — shared by the
+    * batch derivation (q153) and the streaming journal derivation (q157),
+    * which must produce bit-identical strengths because they share one
+    * oracle.
+    */
+  private[queries] def bradleyTerryFit(s: SparkSession,
+                                       comps: DataFrame): DataFrame = {
     import s.implicits._
-    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val comps = t(s, dir, "events")
-      .filter($"user_id".isNotNull)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("prev", lag($"event_type", 1).over(wSeq))
-      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
-      .select($"event_type".as("winner"), $"prev".as("loser"))
     val winCount: Map[(String, String), Long] = comps
       .groupBy($"winner", $"loser").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -985,6 +984,18 @@ object CurationQueries {
     s.createDataFrame(rows).toDF("item", "strength_raw", "wins", "games")
       .select($"item", round($"strength_raw", 6).as("strength"),
         $"wins", $"games")
+  }
+
+  val q153_bradley_terry: Q = (s, dir) => {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val comps = t(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(wSeq))
+      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+      .select($"event_type".as("winner"), $"prev".as("loser"))
+    bradleyTerryFit(s, comps)
   }
 
   val q153_oracle: String =

@@ -487,7 +487,51 @@ object StreamingQueries {
         $"last_value", $"n_changes")
   }
 
+  // ------------------------- q157 streaming preference-journal derivation
+  /** The STREAM half of q153: the pairwise comparisons are derived
+    * IN-STREAM by a per-user state machine (`mapGroupsWithState` keeping
+    * each user's last event) instead of a batch lag window, then the same
+    * shared Bradley–Terry fit runs over the emitted comparison stream —
+    * the "preference data lands as a stream, reward-model prep consumes
+    * it" production shape. Within a micro-batch each user's events fold in
+    * (ts, event_id) order; the state carries the last event across
+    * batches, so the comparison chain equals the batch lag window's
+    * EXACTLY regardless of chunking (replayFiles' time-ranged chunks keep
+    * equal timestamps together). Shares q153's oracle: the stream must
+    * derive exactly the batch comparisons, and the strengths must match
+    * bit-for-bit.
+    */
+  val q157_stream_preferences: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"ts", $"user_id", $"event_id", $"event_type")
+    val comps = StreamRunner.replayFiles(s, ev, "ts", "append") { df =>
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      df.as[(Timestamp, Long, Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[(Timestamp, Long, String), (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+          case (_, events, state) =>
+            var prev = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            // fold in event order within the batch; state continues the
+            // chain across batches
+            events.toSeq.sortBy(e => (e._1.getTime, e._3)).foreach {
+              case (ts, _, id, typ) =>
+                if (prev != null && prev._3 != typ) out += ((typ, prev._3))
+                prev = (ts, id, typ)
+            }
+            if (prev != null) state.update(prev)
+            out.iterator
+        }.toDF("winner", "loser")
+    }
+    CurationQueries.bradleyTerryFit(s, comps)
+  }
+
   val entries: Map[String, Q] = Map(
+    "q157_stream_preferences" -> q157_stream_preferences,
     "q140_stream_journal" -> q140_stream_journal,
     "q113_stream_classify" -> q113_stream_classify,
     "q114_stream_ingest_dedup" -> q114_stream_ingest_dedup,
@@ -501,6 +545,8 @@ object StreamingQueries {
     "q96_stream_static_join" -> q96_stream_static_join)
 
   val oracles: Map[String, String] = Map(
+    // the in-stream comparison derivation must reproduce the batch fit
+    "q157_stream_preferences" -> CurationQueries.q153_oracle,
     "q140_stream_journal" -> EventQueries.q138_oracle,
     // stream scoring must reproduce the batch classifier exactly
     "q113_stream_classify" -> CurationQueries.q108_oracle,
