@@ -84,10 +84,7 @@ object Plans {
     "q146_nexmark_hot_items" -> "NEXMark Q5: sliding window() expands each bid into 3 covering windows BEFORE the single (window, auction) hash-agg; hot filter is a window max over window-cardinality counts",
     "q147_nexmark_avg_seller" -> "NEXMark Q6: per-seller rank window runs over the WINS table (auction-cardinality, ~3/50 of the stream) — raw bids never enter the ranking shuffle",
     "q148_nexmark_highest_bid" -> "NEXMark Q7: one 10-min tumbling max window + tie-keeping filter — a single exchange keyed on the window",
-    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle",
-    "q153_bradley_terry" -> "Bradley-Terry fit: the distributed pass is a per-user lag window + (winner, loser) count agg (#types^2 rows out); the 10 MM iterations run driver-side at the model-scale boundary with sorted-item zero-seeded folds mirrored by the oracle's recursive CTE",
-    "q154_preference_cycles" -> "preference-cycle audit: same comparison agg as q153; majority-edge build and triad/cycle joins run on the model-scale tournament graph (#types nodes)",
-    "q156_kcenter_select" -> "k-center selection: selected vectors ride as driver-held literals (model-scale); each of k rounds is one row-local native-sqdist pass + TakeOrdered(1) — k scans, no shuffle of the corpus")
+    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle")
 
   // Streaming queries whose result frame is a memory-sink table (the
   // interesting plan is the in-flight streaming one, not the post-replay
@@ -160,6 +157,35 @@ object Plans {
         "condition, so each side's state evicts when the watermark passes " +
         "the window. Oracle = q149's."))
 
+  // Driver-composed queries: the distributed pass is consumed by a
+  // driver-side collect INSIDE the query (model-scale iteration — the
+  // KMeansLite boundary), so the RETURNED frame's physical plan is a
+  // LocalTableScan and a headline plan dump would be evidence-free; the
+  // shuffle shape is documented as prose instead (the streamingNotes
+  // treatment).
+  private val driverComposedNotes = Seq(
+    "q153_bradley_terry" ->
+      ("Bradley-Terry fit: the distributed pass is a per-user lag window + " +
+        "(winner, loser) count agg (#types^2 rows collected); the 10 MM " +
+        "iterations run driver-side with sorted-item zero-seeded folds " +
+        "mirrored by the oracle's recursive CTE."),
+    "q154_preference_cycles" ->
+      ("preference-cycle audit: same distributed comparison agg as q153; " +
+        "majority-edge build and triad/cycle joins run on the model-scale " +
+        "tournament graph (#types nodes)."),
+    "q156_kcenter_select" ->
+      ("k-center selection: selected vectors ride as driver-held literals " +
+        "(model-scale); each of k rounds is one row-local native-sqdist " +
+        "pass + TakeOrdered(1) — k corpus scans, no shuffle of the corpus."),
+    "q157_stream_preferences" ->
+      ("q153's STREAM half: comparisons derive in-stream via a per-user " +
+        "flatMapGroupsWithState last-event state machine (one state row per " +
+        "user; events fold in full-microsecond (ts, event_id) order within " +
+        "a batch, state continues the chain across batches), then the " +
+        "shared driver-side BT fit runs over the emitted comparison " +
+        "stream. Oracle = q153's — the stream must reproduce the batch " +
+        "fit bit-for-bit."))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("8", "graft-plans")
@@ -177,12 +203,17 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode).take(8000))
       sb.append("\n```\n")
     }
+    sb.append("\n# Driver-composed queries (distributed pass consumed pre-collect)\n")
+    driverComposedNotes.foreach { case (name, note) =>
+      sb.append(s"\n## $name\n\n$note\n")
+    }
     sb.append("\n# Streaming queries (micro-batch plans)\n")
     streamingNotes.foreach { case (name, note) =>
       sb.append(s"\n## $name\n\n$note\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${headline.size} batch + ${streamingNotes.size} streaming)")
+    println(s"[plans] wrote PLANS.md (${headline.size} batch + " +
+      s"${driverComposedNotes.size} driver-composed + ${streamingNotes.size} streaming)")
     spark.stop()
   }
 }

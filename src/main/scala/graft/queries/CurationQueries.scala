@@ -942,6 +942,22 @@ object CurationQueries {
     * seed, mirrored exactly by the oracle's list_reduce over ORDER BY
     * lists, so the doubles match bit-for-bit; strengths round at output.
     */
+  /** The (winner, loser) comparison derivation q153/q154 share (and whose
+    * stream-batch equivalence q157 is gated on): per user, each consecutive
+    * event pair (full-microsecond ts, event_id order) with differing types,
+    * later type beating earlier.
+    */
+  private[queries] def comparisons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(wSeq))
+      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+      .select($"event_type".as("winner"), $"prev".as("loser"))
+  }
+
   /** The MM fit over a (winner, loser) comparison frame — shared by the
     * batch derivation (q153) and the streaming journal derivation (q157),
     * which must produce bit-identical strengths because they share one
@@ -986,17 +1002,8 @@ object CurationQueries {
         $"wins", $"games")
   }
 
-  val q153_bradley_terry: Q = (s, dir) => {
-    import s.implicits._
-    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val comps = t(s, dir, "events")
-      .filter($"user_id".isNotNull)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("prev", lag($"event_type", 1).over(wSeq))
-      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
-      .select($"event_type".as("winner"), $"prev".as("loser"))
-    bradleyTerryFit(s, comps)
-  }
+  val q153_bradley_terry: Q = (s, dir) =>
+    bradleyTerryFit(s, comparisons(s, dir))
 
   val q153_oracle: String =
     """WITH RECURSIVE
@@ -1070,14 +1077,8 @@ object CurationQueries {
     */
   val q154_preference_cycles: Q = (s, dir) => {
     import s.implicits._
-    val wSeq = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val comps = t(s, dir, "events")
-      .filter($"user_id".isNotNull)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("prev", lag($"event_type", 1).over(wSeq))
-      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
-      .select($"event_type".as("winner"), $"prev".as("loser"))
-    val pc = comps.groupBy($"winner", $"loser").agg(count(lit(1)).as("n"))
+    val pc = comparisons(s, dir)
+      .groupBy($"winner", $"loser").agg(count(lit(1)).as("n"))
     val und = pc
       .select(least($"winner", $"loser").as("a"),
         greatest($"winner", $"loser").as("b"),

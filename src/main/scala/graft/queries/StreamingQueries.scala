@@ -489,7 +489,7 @@ object StreamingQueries {
 
   // ------------------------- q157 streaming preference-journal derivation
   /** The STREAM half of q153: the pairwise comparisons are derived
-    * IN-STREAM by a per-user state machine (`mapGroupsWithState` keeping
+    * IN-STREAM by a per-user state machine (`flatMapGroupsWithState` keeping
     * each user's last event) instead of a batch lag window, then the same
     * shared Bradley–Terry fit runs over the emitted comparison stream —
     * the "preference data lands as a stream, reward-model prep consumes
@@ -518,7 +518,13 @@ object StreamingQueries {
             val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
             // fold in event order within the batch; state continues the
             // chain across batches
-            events.toSeq.sortBy(e => (e._1.getTime, e._3)).foreach {
+            // FULL-microsecond order — Timestamp.getTime truncates to ms,
+            // and the batch lag window / oracle order by the microsecond ts
+            // (the fixture carries sub-ms precision); ms truncation would
+            // let event_id decide ties the oracle resolves by time
+            events.toSeq.sortBy(e =>
+              (org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .fromJavaTimestamp(e._1), e._3)).foreach {
               case (ts, _, id, typ) =>
                 if (prev != null && prev._3 != typ) out += ((typ, prev._3))
                 prev = (ts, id, typ)
