@@ -37,26 +37,30 @@ object SlidingPanes {
     */
   final case class PaneAgg(partial: Column, combine: Column => Column, name: String)
 
-  /** Parse a Spark interval string ("20 minutes", "1 hour") to millis for
+  /** Parse any interval string Spark's own `window()` accepts ("20 minutes",
+    * "1 hour 30 minutes", "500 milliseconds", "2 weeks") to microseconds for
     * the size/slide divisibility check — misaligned frames would bin into
     * windows they only partially overlap, silently corrupting aggregates.
+    * Month/year units are rejected: they are not fixed-length, so frame
+    * alignment is undefined for them (Spark's `window()` rejects them too).
     */
-  private def intervalMillis(s: String): Long = {
-    val m = """\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
-    s.toLowerCase match {
-      case m(n, u) => n.toLong * (u match {
-        case "second" => 1000L
-        case "minute" => 60000L
-        case "hour" => 3600000L
-        case "day" => 86400000L
-      })
-      case other => throw new IllegalArgumentException(
-        s"unsupported interval '$other' (use '<n> seconds|minutes|hours|days')")
-    }
+  private def intervalMicros(s: String): Long = {
+    import org.apache.spark.sql.catalyst.util.IntervalUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    val iv =
+      try IntervalUtils.stringToInterval(UTF8String.fromString(s))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"unparseable interval '$s': ${e.getMessage}", e)
+      }
+    require(iv.months == 0,
+      s"interval '$s' uses month/year units, which are not fixed-length — " +
+        "sliding pane frames cannot align to them")
+    iv.days * 86400000000L + iv.microseconds
   }
 
   private def requireAligned(size: String, slide: String): Unit = {
-    val (sz, sl) = (intervalMillis(size), intervalMillis(slide))
+    val (sz, sl) = (intervalMicros(size), intervalMicros(slide))
     require(sl > 0 && sz % sl == 0,
       s"sliding pane aggregation requires size ('$size') to be an integer " +
         s"multiple of slide ('$slide') — misaligned frames would silently " +

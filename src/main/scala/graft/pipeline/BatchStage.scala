@@ -395,7 +395,17 @@ final class BatchStage[T](val ds: Dataset[T]) {
     * than the data has never moves rows in Jet either). It preserves
     * within-partition order but coarsens scheduling granularity and drops
     * any hash co-partitioning guarantee downstream operators might have
-    * relied on. To force a real round-robin redistribution to MORE
+    * relied on.
+    *
+    * CAUTION — upstream collapse: because `coalesce` is narrow, the reduced
+    * width propagates UP through the whole narrow stage, so every map/filter
+    * upstream of this call (until the previous shuffle boundary) also runs
+    * at n tasks — unlike Jet's per-vertex hint, a small n can serialize
+    * expensive upstream work (the classic `coalesce(1)` gotcha). When only
+    * the DOWNSTREAM vertex should narrow, either call [[rebalance(n:Int)*]]
+    * (a real Exchange — upstream keeps its width, at the cost of a shuffle)
+    * or materialize a barrier first (`cache()`/`localCheckpoint()`) before
+    * coalescing. To force a real round-robin redistribution to MORE
     * partitions (a full Exchange that discards ordering), call
     * [[rebalance(n:Int)*]] explicitly.
     */

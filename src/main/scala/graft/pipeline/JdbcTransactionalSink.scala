@@ -95,7 +95,14 @@ object JdbcTransactionalSink {
     val c = java.sql.DriverManager.getConnection(url)
     try {
       c.setAutoCommit(false)
-      // progress check INSIDE the transaction scope (reads its own snapshot)
+      // Progress check inside the transaction scope. Under READ_COMMITTED
+      // (Derby's default) this is NOT a stable snapshot — a zombie or
+      // speculative duplicate attempt of the same (job, partition, batch)
+      // can read a stale marker concurrently. The marker WRITE below is
+      // therefore guarded (`batch_id < ?` predicate / PK conflict) so that
+      // exactly one attempt's commit can advance the marker; the loser
+      // observes update-count 0 (or a PK violation) and rolls back its data
+      // rows — the JDBC analog of the Kafka-shaped sink's epoch fencing.
       val q = c.prepareStatement(
         "SELECT batch_id FROM graft_progress WHERE job_id = ? AND part = ?")
       q.setString(1, jobId); q.setInt(2, partition)
@@ -117,10 +124,20 @@ object JdbcTransactionalSink {
         if (last < 0) c.prepareStatement(
           "INSERT INTO graft_progress (job_id, part, batch_id) VALUES (?, ?, ?)")
         else c.prepareStatement(
-          "UPDATE graft_progress SET batch_id = ? WHERE job_id = ? AND part = ?")
+          "UPDATE graft_progress SET batch_id = ? " +
+            "WHERE job_id = ? AND part = ? AND batch_id < ?")
       if (last < 0) { up.setString(1, jobId); up.setInt(2, partition); up.setLong(3, batchId) }
-      else { up.setLong(1, batchId); up.setString(2, jobId); up.setInt(3, partition) }
-      up.executeUpdate(); up.close()
+      else { up.setLong(1, batchId); up.setString(2, jobId); up.setInt(3, partition); up.setLong(4, batchId) }
+      val advanced =
+        try up.executeUpdate()
+        catch {
+          case _: java.sql.SQLIntegrityConstraintViolationException =>
+            // A concurrent duplicate attempt inserted the marker first — its
+            // data rows committed atomically with it; ours must not.
+            0
+        }
+      up.close()
+      if (advanced == 0) { c.rollback(); return } // fenced: the other attempt won
       c.commit() // data + progress atomically
     } catch {
       case e: Throwable =>

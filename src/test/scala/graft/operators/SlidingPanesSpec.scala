@@ -43,4 +43,26 @@ class SlidingPanesSpec extends SparkSpec {
       .select($"window_start", $"lo", $"hi")
     assert(panes.exceptAll(builtin).isEmpty && builtin.exceptAll(panes).isEmpty)
   }
+
+  test("alignment check accepts every interval grammar Spark's window() does") {
+    val events = Tables(spark, sf, "events")
+    // multi-unit, sub-second, and week units must parse (r8 regression:
+    // the single-unit regex rejected these even when correctly aligned)
+    SlidingPanes.slidingAgg(events, "ts", "1 hour 30 minutes", "30 minutes",
+      keys = Seq.empty, aggs = Seq(PaneAgg(count(lit(1)), sum(_), "n"))).count()
+    SlidingPanes.slidingAgg(events, "ts", "1 second", "500 milliseconds",
+      keys = Seq.empty, aggs = Seq(PaneAgg(count(lit(1)), sum(_), "n"))).count()
+    SlidingPanes.slidingAgg(events, "ts", "2 weeks", "1 week",
+      keys = Seq.empty, aggs = Seq(PaneAgg(count(lit(1)), sum(_), "n"))).count()
+    // misalignment still rejected, including across mixed units
+    intercept[IllegalArgumentException] {
+      SlidingPanes.slidingAgg(events, "ts", "1 hour 30 minutes", "20 minutes",
+        keys = Seq.empty, aggs = Seq(PaneAgg(count(lit(1)), sum(_), "n")))
+    }
+    // month/year units have no fixed length → frames cannot align
+    intercept[IllegalArgumentException] {
+      SlidingPanes.slidingAgg(events, "ts", "1 month", "1 week",
+        keys = Seq.empty, aggs = Seq(PaneAgg(count(lit(1)), sum(_), "n")))
+    }
+  }
 }

@@ -76,6 +76,35 @@ class JdbcTransactionalSinkSpec extends SparkSpec {
     assert(visible() == Seq(10L, 11L, 20L))
   }
 
+  test("a zombie duplicate attempt is fenced: only one attempt's rows commit") {
+    import org.apache.spark.sql.Row
+    exec("DELETE FROM sink_rows"); exec("DELETE FROM graft_progress")
+    // --- UPDATE path: marker exists at batch 0; two concurrent attempts of
+    // batch 1. Attempt A reads the stale marker (0), then mid-iteration the
+    // duplicate attempt B delivers the SAME batch and commits first. A's
+    // guarded UPDATE (`batch_id < 1`) matches nothing → A rolls back.
+    JdbcTransactionalSink.deliverPartition(url, insertSql, "zjob", 0, 0L,
+      Iterator(Row(1L)))
+    val rowsA = Iterator(Row(30L)) ++ {
+      JdbcTransactionalSink.deliverPartition(url, insertSql, "zjob", 0, 1L,
+        Iterator(Row(31L)))
+      Iterator(Row(32L))
+    }
+    JdbcTransactionalSink.deliverPartition(url, insertSql, "zjob", 0, 1L, rowsA)
+    assert(visible() == Seq(1L, 31L),
+      "exactly one of the duplicate attempts may commit batch 1's rows")
+    // --- INSERT path: no marker yet for partition 1; the duplicate commits
+    // first, so A's marker INSERT hits the PK and A rolls back its rows.
+    val rowsFirst = Iterator(Row(40L)) ++ {
+      JdbcTransactionalSink.deliverPartition(url, insertSql, "zjob", 1, 0L,
+        Iterator(Row(41L)))
+      Iterator(Row(42L))
+    }
+    JdbcTransactionalSink.deliverPartition(url, insertSql, "zjob", 1, 0L, rowsFirst)
+    assert(visible() == Seq(1L, 31L, 41L),
+      "PK-fenced first-write race must also commit exactly one attempt")
+  }
+
   test("a sink-width change across restarts is rejected loudly") {
     exec("DELETE FROM sums") // unrelated table; just ensure db is up
     exec("DELETE FROM graft_progress"); exec("DELETE FROM graft_progress_meta")
