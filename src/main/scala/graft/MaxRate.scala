@@ -60,7 +60,10 @@ object MaxRate {
       (s, r) => RateWorkloads.nexmarkQ5Panes(s, r)),
     // declarative pane architecture: chained stateful aggs (append-only)
     Pipeline("nexmark_q5_chained", "append", 250000L,
-      (s, r) => RateWorkloads.nexmarkQ5Chained(s, r)))
+      (s, r) => RateWorkloads.nexmarkQ5Chained(s, r)),
+    // the full in-stream Q5: chained panes + 3rd argmax stage (q158's plan)
+    Pipeline("nexmark_q5_instream", "append", 250000L,
+      (s, r) => RateWorkloads.nexmarkQ5Instream(s, r)))
 
   /** Run the workload at `rate` rows/s; Some((processed rows/s, state rows))
     * if sustained, else None.

@@ -150,6 +150,21 @@ object Plans {
         "rows/s = 2x the native sliding window (BASELINE.md r8 addendum). " +
         "Append mode + sentinel watermark advance; oracle = q146's batch " +
         "suite, and the final counts hash-match it."),
+    "q158_stream_nexmark_hot_instream" ->
+      ("NEXMark Q5 fully IN-STREAM (NexmarkQueries.scala / SlidingPanes" +
+        ".slidingHotKeysStream): THREE chained stateful aggs — slide-sized " +
+        "pane counts (event-cardinality in), sliding window-of-window sum " +
+        "(pane-cardinality in), per-window argmax-with-ties grouped by a " +
+        "slide-sized tumbling window over window_time(stage-2 window) (a " +
+        "bijective window-to-bucket mapping; key-cardinality in) — then a " +
+        "STATELESS explode+filter emits the tied hot items, so the streamed " +
+        "rows ARE the answer, no batch post-pass. Exchange count: 3 keyed " +
+        "exchanges, each into state-store partitioning, each stage's input " +
+        "one cardinality class smaller. Stage-3 state per live window = the " +
+        "(key, n) pairs the batch plan's window-max also materializes; " +
+        "evicts at watermark + slide. Rate ceiling measured as the " +
+        "nexmark_q5_instream MaxRate rung (BASELINE.md r9). Oracle = " +
+        "q146's batch suite, hash-matched."),
     "q152_stream_nexmark_users" ->
       ("NEXMark Q8 as a stream-stream join: one replayed event stream forked " +
         "into persons/auctions legs (q77 fork pattern), joined on (seller, " +

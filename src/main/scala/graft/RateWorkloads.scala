@@ -147,4 +147,26 @@ object RateWorkloads {
       .groupBy(window(col("window"), "5 seconds", "1 second"), col("auction"))
       .agg(sum(col("pane_n")).as("n"))
   }
+
+  /** The FULL in-stream Q5 — the chained-pane plan plus the third chained
+    * stage (per-window argmax with ties) so the stream emits the hot items
+    * themselves, not the per-auction counts (the reference's complete Q5
+    * topology; gate query q158 pins its correctness). Rates calibrate what
+    * the extra stateful stage costs on top of [[nexmarkQ5Chained]]: its
+    * input is key-cardinality per closed window (10,000 rows/slide here),
+    * so the delta should be state-commit overhead, not data volume.
+    */
+  def nexmarkQ5Instream(spark: SparkSession, rowsPerSecond: Long,
+                        partitions: Int = 8): DataFrame = {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", partitions.toString)
+      .load()
+    val shaped = src.select(col("timestamp").as("ts"),
+        (col("value") % 10000).as("auction"))
+      .withWatermark("ts", "2 seconds")
+    graft.operators.SlidingPanes.slidingHotKeysStream(shaped, "ts",
+      size = "5 seconds", slide = "1 second",
+      key = col("auction"), keyName = "auction", nName = "n")
+  }
 }

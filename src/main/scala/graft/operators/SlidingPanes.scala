@@ -126,4 +126,61 @@ object SlidingPanes {
       .withColumn("window_end", col("window.end"))
       .drop("window")
   }
+
+  /** NEXMark Q5 fully IN-STREAM: per-sliding-window hot keys (the keys whose
+    * pane-combined count ties the window maximum) emitted by the stream
+    * itself — no batch post-pass over collected output. Three chained
+    * stateful stages (Spark 3.4+ multi-stateful-operator support), the
+    * stream analog of the reference's Q5 pipeline (slidingWindow →
+    * aggregate counts → maxBy stage):
+    *
+    *   1. slide-sized tumbling PANE counts per key      (event-cardinality in)
+    *   2. sliding window-of-window sum                  (pane-cardinality in)
+    *   3. per-window argmax WITH TIES                   (key-cardinality in)
+    *
+    * Stage 3 groups by a slide-sized tumbling window over
+    * `window_time(stage-2 window)` (= window end − 1 µs). Sliding windows
+    * start on the slide grid, so their ends do too — each sliding window
+    * maps to EXACTLY one slide-sized bucket and no two share one: the
+    * grouping is per-sliding-window without leaving event-time semantics
+    * (grouping by a bare timestamp column would lose the watermark). The
+    * tie set comes from `collect_list(struct(n, key))` + `max(n)` and a
+    * STATELESS explode-filter after the final agg — still inside the
+    * streaming query, so emitted rows ARE the answer.
+    *
+    * Scale: stage 3's state is the (key, n) pairs of windows the watermark
+    * has not yet closed — the same per-window working set as the batch
+    * plan's `max().over(partitionBy(window))` and as the reference's
+    * per-window accumulator map (SlidingWindowP keeps a key→acc map per
+    * live frame); it is bounded by key-cardinality × live windows, never by
+    * event count, and each window's state evicts at watermark + slide.
+    *
+    * Output (append, on window close): window_start, window_end (timestamps),
+    * `keyName`, `nName`.
+    */
+  def slidingHotKeysStream(df: DataFrame, tsCol: String, size: String,
+                           slide: String, key: Column, keyName: String = "key",
+                           nName: String = "n"): DataFrame = {
+    requireAligned(size, slide)
+    val panes = df
+      .groupBy(window(col(tsCol), slide).as("__frame"), key.as(keyName))
+      .agg(count(lit(1)).as("__pn"))
+    val winCounts = panes
+      .groupBy(window(col("__frame"), size, slide).as("__w"), col(keyName))
+      .agg(sum(col("__pn")).as(nName))
+    val perWindow = winCounts
+      .groupBy(window(window_time(col("__w")), slide).as("__w3"))
+      .agg(max(col(nName)).as("__mx"),
+        collect_list(struct(col(nName), col(keyName))).as("__cands"),
+        // every row in a __w3 group shares the same __w (the mapping is
+        // bijective); max() is just a deterministic pick
+        max(col("__w.start")).as("window_start"),
+        max(col("__w.end")).as("window_end"))
+    perWindow
+      .select(col("window_start"), col("window_end"), col("__mx"),
+        explode(col("__cands")).as("__c"))
+      .filter(col("__c")(nName) === col("__mx"))
+      .select(col("window_start"), col("window_end"),
+        col("__c")(keyName).as(keyName), col("__c")(nName).as(nName))
+  }
 }

@@ -406,6 +406,44 @@ object NexmarkQueries {
       .select($"window_start", $"auction", $"n")
   }
 
+  // ------- q158 Q5 fully in-stream (3 chained stages, hot items in-band)
+  /** Q5 with the hot-items argmax INSIDE the stream — closing the honest
+    * delta q150/q155 left: those streamed the (window, auction) counts but
+    * found the per-window max in a batch post-pass over the collected
+    * output. Here [[graft.operators.SlidingPanes.slidingHotKeysStream]]
+    * chains a THIRD stateful stage (per-window argmax with ties, grouped by
+    * a slide-sized tumbling window over `window_time` of the stage-2 window
+    * — a bijective window↔bucket mapping) so the streamed rows ARE the hot
+    * items; the reference's own Q5 topology (sliding count → maxBy vertex,
+    * benchmark blog:105-113) as three chained declarative aggs. The
+    * watermark-advancing sentinel rows flow through the stages (their
+    * far-future windows never close) and are dropped by a STATELESS filter
+    * on the streamed output — still inside the streaming query. The filter
+    * must sit ABOVE the final stage: a pre-aggregation `auction != -1`
+    * predicate gets pushed below the EventTimeWatermark node by Catalyst
+    * (it does not reference the event-time column), silently stopping the
+    * sentinels from ever advancing the watermark — measured as exactly the
+    * last 2h/slide windows never flushing. Above the explode it cannot
+    * push down (predicate on a Generate output). Shares q146's oracle.
+    */
+  val q158_stream_nexmark_hot_instream: Q = (s, dir) => {
+    import s.implicits._
+    def sentinel(maxTs: java.sql.Timestamp, offsetSec: Long) =
+      Seq((-1L, -1L, 0L, new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)))
+        .toDF("auction", "bidder", "price", "ts")
+    import graft.operators.SlidingPanes
+    StreamRunner.replayFiles(s, bids(s, dir), "ts", "append",
+      tails = Some(maxTs =>
+        Seq(sentinel(maxTs, 4 * 3600), sentinel(maxTs, 4 * 3600 + 60)))) { df =>
+      SlidingPanes.slidingHotKeysStream(df.withWatermark("ts", "1 hour"), "ts",
+          size = "1 hour", slide = "20 minutes",
+          key = $"auction", keyName = "auction", nName = "n")
+        .filter($"auction" =!= -1L) // sentinel windows, in-stream (see above)
+        .select(unix_timestamp($"window_start").as("window_start"),
+          $"auction", $"n")
+    }
+  }
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q142_nexmark_currency" -> q142_nexmark_currency,
@@ -419,7 +457,8 @@ object NexmarkQueries {
     "q150_stream_nexmark_hot" -> q150_stream_nexmark_hot,
     "q151_stream_nexmark_maxbid" -> q151_stream_nexmark_maxbid,
     "q152_stream_nexmark_users" -> q152_stream_nexmark_users,
-    "q155_stream_nexmark_chained" -> q155_stream_nexmark_chained)
+    "q155_stream_nexmark_chained" -> q155_stream_nexmark_chained,
+    "q158_stream_nexmark_hot_instream" -> q158_stream_nexmark_hot_instream)
 
   val oracles: Map[String, String] = Map(
     "q142_nexmark_currency" -> q142_oracle,
@@ -435,5 +474,7 @@ object NexmarkQueries {
     "q151_stream_nexmark_maxbid" -> q148_oracle,
     "q152_stream_nexmark_users" -> q149_oracle,
     // the chained-pane path must produce exactly the batch suite's counts
-    "q155_stream_nexmark_chained" -> q146_oracle)
+    "q155_stream_nexmark_chained" -> q146_oracle,
+    // the fully in-stream 3-stage plan must stream exactly the hot items
+    "q158_stream_nexmark_hot_instream" -> q146_oracle)
 }
