@@ -555,6 +555,75 @@ object StatefulOps {
         OutputMode.Append(), oe)
   }
 
+  /** [[mapStatefulTws]] with EVENT-TIME TTL — the large-state
+    * (`transformWithState`/RocksDB) path on the reference's ACTUAL eviction
+    * clock: `TransformStatefulP.java:100-120` evicts a key when the incoming
+    * WATERMARK passes its last event time + ttl. The timer is registered in
+    * `TimeMode.EventTime()` at max(last event + ttl, watermark + 1) — the
+    * same deadline derivation as [[mapStatefulEventTime]] (the fMGWS
+    * variant), so the two APIs are drop-in equivalents and replay-
+    * deterministic: eviction depends only on event times and watermark
+    * progression, never on batch pacing. The max-event-time high-water mark
+    * is carried IN the state so a late-but-in-watermark event can never
+    * shorten a key's ttl and evict it early.
+    */
+  def mapStatefulTwsEventTime[K, V, S, O](
+      ds: Dataset[V], keyFn: V => K, tsFn: V => java.sql.Timestamp,
+      ttlMillis: Long, watermarkDelay: String,
+      createFn: () => S, mapFn: (K, S, V) => (S, O),
+      onEvictFn: (K, S) => Option[O])(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[O],
+      tripleEnc: Encoder[(K, java.sql.Timestamp, V)]): Dataset[O] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues}
+    require(ttlMillis > 0, "event-time TTL requires a positive ttlMillis " +
+      "(with no eviction clock, use mapStatefulTws(ttlMillis = 0))")
+    val stateEnc = org.apache.spark.sql.Encoders.tuple(se,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val proc = new StatefulProcessor[K, (K, java.sql.Timestamp, V), O] {
+      @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(S, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(S, Long)]("s", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(key: K,
+                                   rows: Iterator[(K, java.sql.Timestamp, V)],
+                                   timers: TimerValues): Iterator[O] = {
+        var (s, seenMax) =
+          if (st.exists()) st.get() else (createFn(), Long.MinValue)
+        val outs = rows.map { case (_, t, v) =>
+          if (t.getTime > seenMax) seenMax = t.getTime
+          val (s2, o) = mapFn(key, s, v)
+          s = s2
+          o
+        }.toList
+        st.update((s, seenMax))
+        // one live timer per key, re-armed per batch: deadline = last event
+        // + ttl, clamped above the current watermark so a key whose deadline
+        // the watermark already passed evicts at the very next advance
+        // (Jet's behavior) instead of registering an already-dead timer
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(
+          math.max(seenMax + ttlMillis, timers.getCurrentWatermarkInMs() + 1))
+        outs.iterator
+      }
+      override def handleExpiredTimer(key: K, timers: TimerValues,
+                                      expired: ExpiredTimerInfo): Iterator[O] = {
+        val out = if (st.exists()) onEvictFn(key, st.get()._1) else None
+        st.clear()
+        out.iterator
+      }
+    }
+    // watermark re-attached AFTER the key projection: event-time metadata
+    // does not survive an object map, and TimeMode.EventTime requires the
+    // watermarked column to reach the stateful operator (same reason as
+    // mapStatefulEventTime)
+    ds.map(v => (keyFn(v), tsFn(v), v))
+      .withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)
+      .transformWithState[O](proc, TimeMode.EventTime(), OutputMode.Append(), oe)
+  }
+
   /** Jet keyed `filterStateful` (StreamStageWithKey.java:157): keep an event
     * iff the stateful predicate passes; the state still transitions on every
     * event (that is the point — e.g. "first N per key", change detection).
