@@ -68,6 +68,115 @@ object Cdc {
       .filter(col("op").isNotNull)
   }
 
+  // ------------------------------------------------- connector dialects
+  //
+  // The reference ships per-database source modules (extensions/cdc-mysql
+  // `MySqlCdcSources.java`, extensions/cdc-postgres `PostgresCdcSources.java`)
+  // whose envelopes differ in the `source` block: MySQL's change position is
+  // the binlog (file, pos) pair and snapshot rows carry a snapshot marker;
+  // Postgres' position is the WAL LSN with a txId. Both parse to the SAME
+  // flat change-record frame as [[parseDebezium]] — Jet likewise funnels both
+  // into one ChangeRecord with a dialect-specific sequence().
+
+  /** MySQL connector source block (Debezium `io.debezium.connector.mysql`):
+    * binlog coordinates + snapshot marker.
+    */
+  def mySqlEnvelopeSchema(valueSchema: StructType): StructType = StructType(Seq(
+    StructField("before", valueSchema),
+    StructField("after", valueSchema),
+    StructField("source", StructType(Seq(
+      StructField("version", StringType),
+      StructField("connector", StringType),
+      StructField("name", StringType),
+      StructField("ts_ms", LongType),
+      StructField("snapshot", StringType),
+      StructField("db", StringType),
+      StructField("table", StringType),
+      StructField("server_id", LongType),
+      StructField("gtid", StringType),
+      StructField("file", StringType),
+      StructField("pos", LongType),
+      StructField("row", IntegerType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Postgres connector source block (`io.debezium.connector.postgresql`):
+    * WAL LSN + transaction id.
+    */
+  def postgresEnvelopeSchema(valueSchema: StructType): StructType = StructType(Seq(
+    StructField("before", valueSchema),
+    StructField("after", valueSchema),
+    StructField("source", StructType(Seq(
+      StructField("version", StringType),
+      StructField("connector", StringType),
+      StructField("name", StringType),
+      StructField("ts_ms", LongType),
+      StructField("snapshot", StringType),
+      StructField("db", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("txId", LongType),
+      StructField("lsn", LongType),
+      StructField("xmin", LongType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Shared dialect core: parse with `schema`, emit `(op, seq, <value>)`.
+    * Snapshot-marked rows (`source.snapshot` ∈ true/last/incremental) map to
+    * SYNC regardless of op code — the reference's cdc connectors expose
+    * snapshot reads as `Operation.SYNC` while some connector versions stamp
+    * them `"c"` on re-snapshot.
+    */
+  private def parseDialect(df: DataFrame, valueSchema: StructType,
+                           schema: StructType, jsonCol: String,
+                           payloadWrapped: Boolean, seq: Column): DataFrame = {
+    val envelope =
+      if (payloadWrapped) {
+        val outer = StructType(Seq(StructField("payload", schema)))
+        from_json(col(jsonCol), outer).getField("payload")
+      } else from_json(col(jsonCol), schema)
+    val withEnv = df.withColumn("__env", envelope)
+    val row = when(col("__env.op") === "d", col("__env.before"))
+      .otherwise(col("__env.after"))
+    val op = when(lower(col("__env.source.snapshot"))
+        .isin("true", "last", "incremental"), "SYNC")
+      .otherwise(opName)
+    val valueCols = valueSchema.fieldNames.toSeq.map(f => row.getField(f).as(f))
+    withEnv.select((op.as("op") +: seq.as("seq") +: valueCols): _*)
+      .filter(col("op").isNotNull)
+  }
+
+  /** MySQL envelope → change records. `seq` is the binlog position encoded
+    * monotonically: (numeric suffix of the binlog file) · 2³² + pos — binlog
+    * files rotate at ≤ 1 GiB so pos fits well under 2³², and file indexes
+    * are strictly increasing, making seq totally ordered across rotations
+    * (the reference's cdc-mysql sequence contract: later binlog coordinates
+    * compare greater). Falls back to source.ts_ms when coordinates are
+    * absent (e.g. snapshot rows from very old connector versions).
+    */
+  def parseMySql(df: DataFrame, valueSchema: StructType,
+                 jsonCol: String = "value",
+                 payloadWrapped: Boolean = false): DataFrame = {
+    val fileIdx = regexp_extract(col("__env.source.file"), "(\\d+)$", 1)
+    val binlogSeq = when(col("__env.source.file").isNotNull &&
+        col("__env.source.pos").isNotNull,
+      fileIdx.cast(LongType) * lit(4294967296L) + col("__env.source.pos"))
+    parseDialect(df, valueSchema, mySqlEnvelopeSchema(valueSchema), jsonCol,
+      payloadWrapped,
+      coalesce(binlogSeq, col("__env.source.ts_ms"), col("__env.ts_ms")))
+  }
+
+  /** Postgres envelope → change records. `seq` is the WAL LSN (already a
+    * monotone 64-bit position), falling back to txId, then timestamps.
+    */
+  def parsePostgres(df: DataFrame, valueSchema: StructType,
+                    jsonCol: String = "value",
+                    payloadWrapped: Boolean = false): DataFrame =
+    parseDialect(df, valueSchema, postgresEnvelopeSchema(valueSchema), jsonCol,
+      payloadWrapped,
+      coalesce(col("__env.source.lsn"), col("__env.source.txId"),
+        col("__env.source.ts_ms"), col("__env.ts_ms")))
+
   /** File-watcher CDC feed: tail a directory of Debezium envelope json-lines
     * (the shape a Debezium server's file/topic dump produces) as a streaming
     * change-record frame. Pair with `StreamSinks.cdcMapSink` for the full
