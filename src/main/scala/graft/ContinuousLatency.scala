@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** END-TO-END per-event latency, continuous vs micro-batch — probing the one
+  * axis where the reference is categorically ahead: Jet publishes 26 ms p99
+  * at 1 M events/s (site/website/blog/2021-03-17-billion-events-per-second
+  * .md:42) from an event-at-a-time engine, while a micro-batch engine's
+  * per-event floor is trigger interval + batch execution (~300 ms in the
+  * replay gate). Spark's continuous processing mode (SPARK-20928,
+  * `Trigger.Continuous`) IS an event-at-a-time execution path — long-running
+  * tasks, per-epoch checkpointing — but supports only stateless map/filter/
+  * project pipelines. That is exactly the NEXMark Q1/Q2 shape, so the probe
+  * measures those two.
+  *
+  * Method: rate source stamps each event's generation time; a foreach sink
+  * records (now − event ts) into a shared in-JVM histogram (local mode: the
+  * writer threads share the driver JVM). After a settle period, ~30 s of
+  * samples → p50/p95/p99/max per (mode, shape). The SAME pipeline + sink
+  * measured under `Trigger.ProcessingTime(100ms)` is the honest micro-batch
+  * comparison column — end-to-end event latency, not per-batch duration
+  * (which `graft.Latency` reports).
+  *
+  * Output equivalence between the two modes is spec-pinned
+  * (ContinuousEquivalenceSpec): both run the same pure column transform, so
+  * rows differ only in delivery timing, never content.
+  *
+  * Env: SPARK_GRAFT_LATENCY_RATE (default 1 M rows/s — the reference's
+  * latency-benchmark configuration), SPARK_GRAFT_CONT_SHAPES to filter.
+  */
+object ContinuousLatency {
+
+  /** Shared latency histogram: 1 ms buckets to 20 s + saturation bucket.
+    * Static because local-mode executor threads share the JVM — the same
+    * trick the MaxRate/Latency instruments rely on for progress polling.
+    */
+  object Hist {
+    private val Max = 20000
+    val buckets = new java.util.concurrent.atomic.AtomicLongArray(Max + 1)
+    @volatile var recordFrom: Long = Long.MaxValue
+    def reset(settleMs: Long): Unit = {
+      var i = 0
+      while (i <= Max) { buckets.set(i, 0L); i += 1 }
+      recordFrom = System.currentTimeMillis + settleMs
+    }
+    def record(latMs: Long): Unit =
+      if (System.currentTimeMillis >= recordFrom) {
+        val b = if (latMs < 0) 0 else math.min(latMs, Max.toLong).toInt
+        buckets.incrementAndGet(b)
+      }
+    def count: Long = {
+      var (i, n) = (0, 0L)
+      while (i <= Max) { n += buckets.get(i); i += 1 }
+      n
+    }
+    def percentile(p: Double): Int = {
+      val total = count
+      if (total == 0) return -1
+      val target = math.ceil(p * total).toLong
+      var (i, seen) = (0, 0L)
+      while (i <= Max) {
+        seen += buckets.get(i)
+        if (seen >= target) return i
+        i += 1
+      }
+      Max
+    }
+  }
+
+  /** Foreach sink recording end-to-end latency of the `ts` column. */
+  private final class LatWriter(tsIdx: Int) extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(r: Row): Unit =
+      Hist.record(System.currentTimeMillis - r.getTimestamp(tsIdx).getTime)
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** NEXMark Q1 (currency map) and Q2 (selection) — the stateless shapes
+    * continuous mode supports; ts kept for the sink. The full pipeline
+    * processes EVERY row; a 1-in-`Sample` in-query filter then thins what
+    * reaches the foreach sink, so the measurement never pays the sink's
+    * per-row Row materialization at the full rate (the r9 first run showed
+    * that overhead dominating the micro-batch column at 1 M rows/s).
+    * Sampling on `value` is uniform in time, so percentiles are unbiased.
+    *
+    * Source: continuous mode uses [[graft.streaming.PacedRateSource]]
+    * (emission-stamped, properly paced — see its scaladoc for why the
+    * built-in rate source cannot measure this); micro-batch uses the
+    * built-in rate source, correct in that mode.
+    */
+  private val Sample = 97L
+
+  private def shape(spark: SparkSession, name: String, rate: Long,
+                    continuous: Boolean): DataFrame = {
+    val raw =
+      if (continuous) spark.readStream.format("graft.streaming.PacedRateSource")
+        .option("rowsPerSecond", rate.toString)
+        .option("numPartitions", "8").load()
+      else spark.readStream.format("rate")
+        .option("rowsPerSecond", rate.toString)
+        .option("numPartitions", "8").load()
+    val src = raw.select(col("timestamp").as("ts"), col("value"),
+      (col("value") % 10000).as("auction"),
+      (col("value") % 1000 * 100 + 100).as("price"))
+    val out = name match {
+      case "q1_map" =>
+        src.select(col("ts"), col("value"), col("auction"),
+          (col("price").cast("double") * 0.89).as("price_eur"))
+      case "q2_filter" =>
+        src.filter(col("auction") % 123 === 0)
+          .select(col("ts"), col("value"), col("auction"), col("price"))
+      case other => sys.error(s"unknown shape '$other'")
+    }
+    out.filter(pmod(col("value"), lit(Sample)) === 0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rate = sys.env.getOrElse("SPARK_GRAFT_LATENCY_RATE", "1000000").toLong
+    val shapes = sys.env.getOrElse("SPARK_GRAFT_CONT_SHAPES", "q1_map,q2_filter")
+      .split(',').filter(_.nonEmpty).toSeq
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[32]").appName("graft-cont-latency"),
+      shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val modes = Seq(
+      "continuous" -> Trigger.Continuous("1 second"),
+      "microbatch_100ms" -> Trigger.ProcessingTime("100 milliseconds"))
+
+    val results = for (sh <- shapes; (modeName, trigger) <- modes) yield {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_contlat_").toString
+      val df = shape(spark, sh, rate, continuous = modeName == "continuous")
+      Hist.reset(settleMs = 8000)
+      val q = df.writeStream.foreach(new LatWriter(0))
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      Thread.sleep(8000 + 30000)
+      q.stop()
+      pipeline.TempFiles.deleteTree(ckpt)
+      val (p50, p95, p99, mx) = (Hist.percentile(0.50), Hist.percentile(0.95),
+        Hist.percentile(0.99), Hist.percentile(1.0))
+      val n = Hist.count
+      System.err.println(s"[contlat] $sh/$modeName n=$n p50=$p50 p95=$p95 p99=$p99 max=$mx")
+      s""""${sh}_$modeName":{"n":$n,"p50":$p50,"p95":$p95,"p99":$p99,"max":$mx}"""
+    }
+    println(s"""{"metric":"event_latency_ms","rate_rows_per_sec":$rate,""" +
+      s""""sampled_1_in":$Sample,""" + results.mkString(",") + "}")
+    spark.stop()
+  }
+}
