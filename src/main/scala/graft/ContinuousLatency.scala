@@ -4,31 +4,41 @@ import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** END-TO-END per-event latency, continuous vs micro-batch — probing the one
-  * axis where the reference is categorically ahead: Jet publishes 26 ms p99
-  * at 1 M events/s (site/website/blog/2021-03-17-billion-events-per-second
-  * .md:42) from an event-at-a-time engine, while a micro-batch engine's
-  * per-event floor is trigger interval + batch execution (~300 ms in the
-  * replay gate). Spark's continuous processing mode (SPARK-20928,
-  * `Trigger.Continuous`) IS an event-at-a-time execution path — long-running
-  * tasks, per-epoch checkpointing — but supports only stateless map/filter/
-  * project pipelines. That is exactly the NEXMark Q1/Q2 shape, so the probe
-  * measures those two.
+/** END-TO-END per-event latency across Spark's three streaming execution
+  * paths — probing the one axis where the reference is categorically ahead:
+  * Jet publishes 26 ms p99 at 1 M events/s
+  * (site/website/blog/2021-03-17-billion-events-per-second.md:42) from an
+  * event-at-a-time engine, while a micro-batch engine's per-event floor is
+  * trigger interval + batch execution (~300 ms in the replay gate).
   *
-  * Method: rate source stamps each event's generation time; a foreach sink
+  * Two event-at-a-time paths exist on Spark 4.1:
+  *
+  *   - `Trigger.Continuous` (SPARK-20928): long-running tasks, per-epoch
+  *     checkpoints; supports ONLY stateless map/filter/project — the
+  *     NEXMark Q1/Q2 shape.
+  *   - `Trigger.RealTime` (Spark 4.1 real-time mode): long-running per-batch
+  *     tasks fed by `SupportsRealTimeRead.nextWithTimeout`; its operator
+  *     allowlist adds BROADCAST HASH JOIN (+ explode/union/range) to the
+  *     stateless set — so stream-static enrichment (the reference's
+  *     `mapUsingIMap`/hash-join-enrich latency shape) runs event-at-a-time
+  *     too. Measured here as `q3_enrich`.
+  *
+  * Method: a paced source stamps each event's emission time; a foreach sink
   * records (now − event ts) into a shared in-JVM histogram (local mode: the
   * writer threads share the driver JVM). After a settle period, ~30 s of
-  * samples → p50/p95/p99/max per (mode, shape). The SAME pipeline + sink
+  * samples → p50/p95/p99/max per (shape, mode). The SAME pipeline + sink
   * measured under `Trigger.ProcessingTime(100ms)` is the honest micro-batch
   * comparison column — end-to-end event latency, not per-batch duration
   * (which `graft.Latency` reports).
   *
-  * Output equivalence between the two modes is spec-pinned
-  * (ContinuousEquivalenceSpec): both run the same pure column transform, so
-  * rows differ only in delivery timing, never content.
+  * Output equivalence across modes is spec-pinned (ContinuousEquivalenceSpec
+  * for continuous, RealTimeModeSpec for real-time): all modes run the same
+  * pure column transform, so rows differ only in delivery timing, never
+  * content.
   *
   * Env: SPARK_GRAFT_LATENCY_RATE (default 1 M rows/s — the reference's
-  * latency-benchmark configuration), SPARK_GRAFT_CONT_SHAPES to filter.
+  * latency-benchmark configuration), SPARK_GRAFT_CONT_SHAPES to filter
+  * shapes, SPARK_GRAFT_CONT_MODES to filter modes.
   */
 object ContinuousLatency {
 
@@ -77,25 +87,27 @@ object ContinuousLatency {
     override def close(errorOrNull: Throwable): Unit = ()
   }
 
-  /** NEXMark Q1 (currency map) and Q2 (selection) — the stateless shapes
-    * continuous mode supports; ts kept for the sink. The full pipeline
-    * processes EVERY row; a 1-in-`Sample` in-query filter then thins what
-    * reaches the foreach sink, so the measurement never pays the sink's
-    * per-row Row materialization at the full rate (the r9 first run showed
-    * that overhead dominating the micro-batch column at 1 M rows/s).
+  /** NEXMark Q1 (currency map), Q2 (selection), and Q3-style stream-static
+    * enrichment (broadcast hash join against a 10k-row auctions dim) — the
+    * shapes the event-at-a-time paths support; ts kept for the sink. The
+    * full pipeline processes EVERY row; a 1-in-`Sample` in-query filter then
+    * thins what reaches the foreach sink, so the measurement never pays the
+    * sink's per-row Row materialization at the full rate (the r9 first run
+    * showed that overhead dominating the micro-batch column at 1 M rows/s).
     * Sampling on `value` is uniform in time, so percentiles are unbiased.
     *
-    * Source: continuous mode uses [[graft.streaming.PacedRateSource]]
+    * Source: the event-at-a-time modes use [[graft.streaming.PacedRateSource]]
     * (emission-stamped, properly paced — see its scaladoc for why the
     * built-in rate source cannot measure this); micro-batch uses the
-    * built-in rate source, correct in that mode.
+    * built-in rate source, whose pacing and per-row timestamps are correct
+    * in that mode.
     */
   private val Sample = 97L
 
-  private def shape(spark: SparkSession, name: String, rate: Long,
-                    continuous: Boolean): DataFrame = {
+  def shape(spark: SparkSession, name: String, rate: Long,
+            paced: Boolean): DataFrame = {
     val raw =
-      if (continuous) spark.readStream.format("graft.streaming.PacedRateSource")
+      if (paced) spark.readStream.format("graft.streaming.PacedRateSource")
         .option("rowsPerSecond", rate.toString)
         .option("numPartitions", "8").load()
       else spark.readStream.format("rate")
@@ -111,6 +123,16 @@ object ContinuousLatency {
       case "q2_filter" =>
         src.filter(col("auction") % 123 === 0)
           .select(col("ts"), col("value"), col("auction"), col("price"))
+      case "q3_enrich" =>
+        // stream-static enrichment: Jet's mapUsingIMap / hashJoin shape.
+        // spark.range is RangeExec and the join plans as
+        // BroadcastHashJoin — both on the real-time allowlist.
+        val dim = spark.range(10000).select(col("id").as("auction"),
+          (col("id") % 50).as("category"),
+          concat(lit("seller_"), col("id") % 1000).as("seller"))
+        src.join(broadcast(dim), "auction")
+          .select(col("ts"), col("value"), col("auction"), col("category"),
+            col("seller"), col("price"))
       case other => sys.error(s"unknown shape '$other'")
     }
     out.filter(pmod(col("value"), lit(Sample)) === 0)
@@ -118,8 +140,9 @@ object ContinuousLatency {
 
   def main(args: Array[String]): Unit = {
     val rate = sys.env.getOrElse("SPARK_GRAFT_LATENCY_RATE", "1000000").toLong
-    val shapes = sys.env.getOrElse("SPARK_GRAFT_CONT_SHAPES", "q1_map,q2_filter")
-      .split(',').filter(_.nonEmpty).toSeq
+    val shapes = sys.env.getOrElse("SPARK_GRAFT_CONT_SHAPES",
+      "q1_map,q2_filter,q3_enrich").split(',').filter(_.nonEmpty).toSeq
+    val modeFilter = sys.env.get("SPARK_GRAFT_CONT_MODES").map(_.split(',').toSet)
     val spark = GraftSession.tune(
       SparkSession.builder().master("local[32]").appName("graft-cont-latency"),
       shufflePartitions = 8).getOrCreate()
@@ -127,13 +150,25 @@ object ContinuousLatency {
 
     val modes = Seq(
       "continuous" -> Trigger.Continuous("1 second"),
+      "realtime" -> Trigger.RealTime("5 seconds"),
       "microbatch_100ms" -> Trigger.ProcessingTime("100 milliseconds"))
 
-    val results = for (sh <- shapes; (modeName, trigger) <- modes) yield {
+    def supported(sh: String, mode: String): Boolean =
+      mode != "continuous" || sh != "q3_enrich" // continuous mode: no joins
+
+    val results = for {
+      sh <- shapes
+      (modeName, trigger) <- modes
+      if supported(sh, modeName) && modeFilter.forall(_.contains(modeName))
+    } yield {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_contlat_").toString
-      val df = shape(spark, sh, rate, continuous = modeName == "continuous")
+      val df = shape(spark, sh, rate, paced = modeName != "microbatch_100ms")
       Hist.reset(settleMs = 8000)
-      val q = df.writeStream.foreach(new LatWriter(0))
+      // real-time mode requires Update output mode (Append rejected in 4.1);
+      // for these stateless shapes the two modes emit identical rows
+      val q = df.writeStream
+        .outputMode(if (modeName == "realtime") "update" else "append")
+        .foreach(new LatWriter(0))
         .option("checkpointLocation", ckpt)
         .trigger(trigger).start()
       Thread.sleep(8000 + 30000)

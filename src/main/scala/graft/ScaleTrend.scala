@@ -66,7 +66,9 @@ object ScaleTrend {
     "q146_nexmark_hot_items", "q147_nexmark_avg_seller", "q148_nexmark_highest_bid",
     "q149_nexmark_new_users", "q150_stream_nexmark_hot", "q152_stream_nexmark_users",
     "q143_nexmark_filter", "q151_stream_nexmark_maxbid", "q155_stream_nexmark_chained",
-    "q153_bradley_terry", "q154_preference_cycles", "q156_kcenter_select")
+    "q153_bradley_terry", "q154_preference_cycles", "q156_kcenter_select",
+    // round-9: the fully in-stream Q5 (3 chained stateful stages)
+    "q158_stream_nexmark_hot_instream")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
