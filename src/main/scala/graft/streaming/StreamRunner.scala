@@ -210,6 +210,18 @@ object StreamRunner {
                   tails: Option[java.sql.Timestamp => Seq[DataFrame]] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // SPARK_GRAFT_REPLAY_CHUNKS: scale-run override. More chunks = more
+    // watermark advances = BOUNDED live state (each batch evicts windows the
+    // watermark passed), mirroring production where the watermark moves
+    // continuously — the 100× replica with chunks=2 holds ~half the stream's
+    // windows live at once, which is a fixture artifact, not an engine
+    // property. Output is chunk-count-invariant for these queries (watermark
+    // only moves forward between batches; append emits on close, update
+    // snapshots converge to final values) — verified by running the gate
+    // oracles under an overridden chunk count. Default stays 2 so gate runs
+    // exercise multi-batch state updates at fixed cost.
+    val chunkCount = sys.env.get("SPARK_GRAFT_REPLAY_CHUNKS")
+      .map(_.toInt).getOrElse(chunks)
     val name = s"graft_freplay_${counter.incrementAndGet()}"
     val debug = sys.env.contains("GRAFT_REPLAY_DEBUG")
     var t0 = System.nanoTime()
@@ -219,7 +231,7 @@ object StreamRunner {
     }
     def stage(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_freplay_base_").toString + "/in"
-      input.repartitionByRange(chunks, col(tsCol))
+      input.repartitionByRange(chunkCount, col(tsCol))
         .withColumn("__chunk", spark_partition_id())
         .write.partitionBy("__chunk").parquet(dir)
       dir
@@ -248,7 +260,7 @@ object StreamRunner {
       }
       else {
         val cacheKey = input.queryExecution.analyzed.canonicalized.toString +
-          srcPaths.mkString("[", "|", "]") + s";$tsCol;$chunks;" +
+          srcPaths.mkString("[", "|", "]") + s";$tsCol;$chunkCount;" +
           sourceStamp(srcPaths)
         // stage OUTSIDE the map lock (CHM.compute must not run long Spark
         // jobs), publish via putIfAbsent: on a lost race the NEW staging is
@@ -312,7 +324,7 @@ object StreamRunner {
       mk(lastChunk.getTimestamp(0))
     }
     tailFrames.zipWithIndex.foreach { case (df, i) =>
-      df.coalesce(1).write.parquet(s"$inDir/__chunk=${chunks + i}")
+      df.coalesce(1).write.parquet(s"$inDir/__chunk=${chunkCount + i}")
     }
     // chunk i's files get modtime base + i minutes → trigger k reads chunk k
     val base = System.currentTimeMillis() - 6L * 3600 * 1000
