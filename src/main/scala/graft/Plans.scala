@@ -165,6 +165,16 @@ object Plans {
         "evicts at watermark + slide. Rate ceiling measured as the " +
         "nexmark_q5_instream MaxRate rung (BASELINE.md r9). Oracle = " +
         "q146's batch suite, hash-matched."),
+    "q159_cdc_mysql_parse" ->
+      ("CDC MySQL dialect parse (Cdc.parseMySql): envelope build (to_json) " +
+        "and parse (from_json + binlog (file,pos)->monotone-sequence " +
+        "encoding + snapshot->SYNC mapping) are both narrow row-local " +
+        "projections — ZERO exchanges, scan-bound at any scale; the gate " +
+        "oracle derives expected rows independently from orders."),
+    "q160_cdc_postgres_parse" ->
+      ("CDC Postgres dialect parse (Cdc.parsePostgres): WAL-LSN sequence, " +
+        "txId/ts fallbacks, snapshot marker mapping — same zero-exchange " +
+        "row-local shape as q159."),
     "q152_stream_nexmark_users" ->
       ("NEXMark Q8 as a stream-stream join: one replayed event stream forked " +
         "into persons/auctions legs (q77 fork pattern), joined on (seller, " +

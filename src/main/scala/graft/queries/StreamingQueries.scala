@@ -249,6 +249,87 @@ object StreamingQueries {
       |  round(e.value, 4) AS value
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
+  // ------------------------- q159/q160 CDC dialect envelope parse, oracled
+  /** The MySQL/Postgres CDC dialect parsers (`Cdc.parseMySql`/`parsePostgres`,
+    * the reference's `MySqlCdcSources`/`PostgresCdcSources` split) under the
+    * gate: a deterministic envelope feed is BUILT from `orders` (to_json of
+    * the full connector source block), parsed back through the dialect
+    * parser, and the oracle computes the expected (op, seq, id, v) rows
+    * DIRECTLY from `orders` — an independent derivation, so the JSON
+    * round-trip, snapshot→SYNC mapping and sequence encoding are all
+    * checked against first principles rather than against the parser
+    * itself. At 100 TB both build and parse are narrow row-local maps.
+    */
+  private val cdcValueSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+
+  val q159_cdc_mysql_parse: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val valueRow = struct($"o_orderkey".as("id"),
+      $"o_custkey".cast("string").as("v"))
+    val opCode = when($"o_orderstatus" === "O", "c")
+      .when($"o_orderstatus" === "F", "u").otherwise("d")
+    val env = o.select(to_json(struct(
+      when(opCode === "d", valueRow).as("before"),
+      when(opCode =!= "d", valueRow).as("after"),
+      struct(lit("1.9.7.Final").as("version"), lit("mysql").as("connector"),
+        lit("g").as("name"), lit(0L).as("ts_ms"),
+        when($"o_orderkey" % 97 === 0, "true").otherwise("false").as("snapshot"),
+        lit("gdb").as("db"), lit("orders").as("table"), lit(1L).as("server_id"),
+        lit(null).cast("string").as("gtid"),
+        format_string("mysql-bin.%06d", ($"o_orderkey" / 1000).cast("int")).as("file"),
+        ($"o_orderkey" % 1000).as("pos"), lit(0).as("row")).as("source"),
+      opCode.as("op"), lit(0L).as("ts_ms"))).as("value"))
+    graft.pipeline.Cdc.parseMySql(env, cdcValueSchema)
+  }
+
+  val q159_oracle: String =
+    """SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'SYNC'
+      |            WHEN o_orderstatus = 'O' THEN 'INSERT'
+      |            WHEN o_orderstatus = 'F' THEN 'UPDATE'
+      |            ELSE 'DELETE' END AS op,
+      |  CAST(o_orderkey // 1000 AS BIGINT) * 4294967296
+      |    + o_orderkey % 1000 AS seq,
+      |  o_orderkey AS id, CAST(o_custkey AS VARCHAR) AS v
+      |FROM orders""".stripMargin
+
+  val q160_cdc_postgres_parse: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val valueRow = struct($"o_orderkey".as("id"),
+      $"o_custkey".cast("string").as("v"))
+    val opCode = when($"o_orderstatus" === "O", "c")
+      .when($"o_orderstatus" === "F", "u").otherwise("d")
+    val env = o.select(to_json(struct(
+      when(opCode === "d", valueRow).as("before"),
+      when(opCode =!= "d", valueRow).as("after"),
+      struct(lit("1.9.7.Final").as("version"),
+        lit("postgresql").as("connector"), lit("g").as("name"),
+        lit(0L).as("ts_ms"),
+        when($"o_orderkey" % 89 === 0, "last").otherwise("false").as("snapshot"),
+        lit("gdb").as("db"), lit("public").as("schema"),
+        lit("orders").as("table"), ($"o_orderkey" % 100000).as("txId"),
+        ($"o_orderkey" * 16 + 8).as("lsn"),
+        lit(null).cast("long").as("xmin")).as("source"),
+      opCode.as("op"), lit(0L).as("ts_ms"))).as("value"))
+    graft.pipeline.Cdc.parsePostgres(env, cdcValueSchema)
+  }
+
+  val q160_oracle: String =
+    """SELECT CASE WHEN o_orderkey % 89 = 0 THEN 'SYNC'
+      |            WHEN o_orderstatus = 'O' THEN 'INSERT'
+      |            WHEN o_orderstatus = 'F' THEN 'UPDATE'
+      |            ELSE 'DELETE' END AS op,
+      |  o_orderkey * 16 + 8 AS seq,
+      |  o_orderkey AS id, CAST(o_custkey AS VARCHAR) AS v
+      |FROM orders""".stripMargin
+
   val q94_oracle: String =
     """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
       |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
@@ -548,7 +629,9 @@ object StreamingQueries {
     "q87_stream_dedup" -> q87_stream_dedup,
     "q91_stream_window_topk" -> q91_stream_window_topk,
     "q94_stream_left_join" -> q94_stream_left_join,
-    "q96_stream_static_join" -> q96_stream_static_join)
+    "q96_stream_static_join" -> q96_stream_static_join,
+    "q159_cdc_mysql_parse" -> q159_cdc_mysql_parse,
+    "q160_cdc_postgres_parse" -> q160_cdc_postgres_parse)
 
   val oracles: Map[String, String] = Map(
     // the in-stream comparison derivation must reproduce the batch fit
@@ -565,5 +648,7 @@ object StreamingQueries {
     "q87_stream_dedup" -> q87_oracle,
     "q91_stream_window_topk" -> q91_oracle,
     "q94_stream_left_join" -> q94_oracle,
-    "q96_stream_static_join" -> q96_oracle)
+    "q96_stream_static_join" -> q96_oracle,
+    "q159_cdc_mysql_parse" -> q159_oracle,
+    "q160_cdc_postgres_parse" -> q160_oracle)
 }
