@@ -106,13 +106,14 @@ object ContinuousLatency {
 
   def shape(spark: SparkSession, name: String, rate: Long,
             paced: Boolean): DataFrame = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CONT_PARTS", "8")
     val raw =
       if (paced) spark.readStream.format("graft.streaming.PacedRateSource")
         .option("rowsPerSecond", rate.toString)
-        .option("numPartitions", "8").load()
+        .option("numPartitions", parts).load()
       else spark.readStream.format("rate")
         .option("rowsPerSecond", rate.toString)
-        .option("numPartitions", "8").load()
+        .option("numPartitions", parts).load()
     val src = raw.select(col("timestamp").as("ts"), col("value"),
       (col("value") % 10000).as("auction"),
       (col("value") % 1000 * 100 + 100).as("price"))
