@@ -134,6 +134,29 @@ object ContinuousLatency {
         src.join(broadcast(dim), "auction")
           .select(col("ts"), col("value"), col("auction"), col("category"),
             col("seller"), col("price"))
+      case "q4_service" =>
+        // the SERVICE-TRANSFORM path (Jet mapUsingService): our actual
+        // StreamStage operator — DeserializeToObject → MapPartitions →
+        // SerializeFromObject, supported by BOTH event-at-a-time modes.
+        // The service is a 10k-entry in-process dictionary (the local-cache
+        // analog of mapUsingIMap enrichment).
+        val dict: Map[Long, Long] = (0L until 10000L).map(k => k -> k % 50).toMap
+        val factory = pipeline.ServiceFactory(() => dict)
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("auction",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("category",
+            org.apache.spark.sql.types.LongType)))
+        new pipeline.StreamStage(
+          src.select(col("ts"), col("value"), col("auction")), "ts")
+          .mapUsingService(factory, outSchema) { (svc, r) =>
+            Row(r.getTimestamp(0), r.getLong(1), r.getLong(2),
+              svc(r.getLong(2)): java.lang.Long)
+          }.df
       case other => sys.error(s"unknown shape '$other'")
     }
     out.filter(pmod(col("value"), lit(Sample)) === 0)

@@ -100,6 +100,45 @@ class RealTimeModeSpec extends SparkSpec {
     }
   }
 
+  test("real-time mode runs StreamStage.mapUsingService (MapPartitions on the allowlist)") {
+    // the service-transform family (Jet's mapUsingService, GeneralStage.java
+    // :305) plans as DeserializeToObject → MapPartitions → SerializeFromObject
+    // — all on the real-time allowlist, so OUR operator surface (not just raw
+    // column expressions) runs event-at-a-time
+    RealTimeCollector.rows.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_svc_").toString
+    val dict: Map[Long, Long] = (0L until 10000L).map(k => k -> k % 50).toMap
+    val factory = ServiceFactory(() => dict)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("auction",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("category",
+        org.apache.spark.sql.types.LongType)))
+    val staged = new StreamStage(
+      pacedSource(1000).select(col("value"), (col("value") % 10000).as("auction")),
+      "value")
+      .mapUsingService(factory, outSchema) { (svc, r) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+          svc(r.getLong(1)): java.lang.Long)
+      }
+    val q = staged.df.writeStream.outputMode("update")
+      .foreach(new RealTimeCollector.W)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.RealTime("5 seconds")).start()
+    try awaitRows(500, 20000) finally q.stop()
+    TempFiles.deleteTree(ckpt)
+    val got = {
+      import scala.jdk.CollectionConverters._
+      RealTimeCollector.rows.asScala.toSet
+    }
+    assert(got.size >= 500, s"service transform delivered only ${got.size} rows")
+    got.foreach { case r @ (v, _, _) =>
+      assert(r == ((v, v % 10000, v % 10000 % 50)), s"row $r")
+    }
+  }
+
   test("real-time mode rejects stateful aggregation (the allowlist boundary)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_neg_").toString
     val agg = pacedSource(1000)
