@@ -165,6 +165,17 @@ object Plans {
         "evicts at watermark + slide. Rate ceiling measured as the " +
         "nexmark_q5_instream MaxRate rung (BASELINE.md r9). Oracle = " +
         "q146's batch suite, hash-matched."),
+    "q161_stream_ann_serve" ->
+      ("Streaming ANN serving (StreamingQueries.q161): query vectors replayed " +
+        "as a stream through flatMapUsingService — per-partition service " +
+        "holds the BROADCAST index (ids + vectors + precomputed norms), " +
+        "each event emits its top-5 cosine neighbors row-locally. ZERO " +
+        "exchanges on the serving path (Deserialize -> MapPartitions -> " +
+        "Serialize); stateless per event, so the same plan is eligible for " +
+        "Trigger.RealTime (measured p99 <= 1 ms for the service path, " +
+        "BASELINE.md r9). Index is model-scale state; at corpus scale the " +
+        "candidate set composes with the IVF cells (q44/q65), serving loop " +
+        "unchanged."),
     "q159_cdc_mysql_parse" ->
       ("CDC MySQL dialect parse (Cdc.parseMySql): envelope build (to_json) " +
         "and parse (from_json + binlog (file,pos)->monotone-sequence " +

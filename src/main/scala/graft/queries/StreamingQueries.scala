@@ -330,6 +330,112 @@ object StreamingQueries {
       |  o_orderkey AS id, CAST(o_custkey AS VARCHAR) AS v
       |FROM orders""".stripMargin
 
+  // ---------------------------- q161 streaming ANN serving (model service)
+  /** Per-EVENT vector search through the service-transform path — the
+    * reference's model-serving pattern (`mapUsingService` with a loaded
+    * model, SURVEY §2.4) applied to ANN: query vectors stream in, a
+    * per-partition service holds the broadcast index (ids + vectors +
+    * precomputed norms), and each event emits its top-5 cosine neighbors.
+    * Entirely STATELESS per event, which is what makes this same plan
+    * eligible for the event-at-a-time paths (RealTimeModeSpec pins the
+    * operator shape; BASELINE.md r9 measures the service path at
+    * p99 ≤ 1 ms) — streaming vector search with per-event latency, not
+    * batch-scan latency.
+    *
+    * Determinism contract: the service mirrors the oracle's arithmetic
+    * EXACTLY (sequential double dot over dims, separate norms, divide) so
+    * cosines are bit-identical; ranking quantizes to 9 dp HALF_UP with the
+    * neighbor-id tiebreak, same as `SimilarityFunctions.bruteForceTopK`.
+    *
+    * Scale: the broadcast index is model-scale state (the same boundary as
+    * q108's classifier and q129's query set); at corpus scale the index
+    * side composes with the IVF cells (q44/q65) — the per-event serving
+    * loop is unchanged, only the candidate set shrinks.
+    */
+  val q161_stream_ann_serve: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val idx: Array[(Long, Array[Float])] = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = s.sparkContext.broadcast(idx)
+    val k = 5
+    final case class Index(ids: Array[Long], vecs: Array[Array[Float]],
+                           norms: Array[Double])
+    val factory = graft.pipeline.ServiceFactory(() => {
+      val data = bc.value
+      val norms = data.map { case (_, v) =>
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(n)
+      }
+      Index(data.map(_._1), data.map(_._2), norms)
+    })
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType)))
+    def quant9(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    val queries = emb.filter($"vec_id" % 40 === 1)
+      .withColumn("ts", timestamp_seconds($"vec_id"))
+      .select($"ts", $"vec_id", $"embedding")
+    val served = StreamRunner.replayFiles(s, queries, "ts", "append") { df =>
+      new graft.pipeline.StreamStage(df, "ts")
+        .flatMapUsingService(factory, outSchema) { (svc, r) =>
+          val qid = r.getLong(1)
+          val qv = r.getSeq[Float](2).toArray
+          var qn = 0.0
+          var i = 0
+          while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          qn = math.sqrt(qn)
+          val scored = new scala.collection.mutable.ArrayBuffer[(Long, Double)](
+            svc.ids.length)
+          var j = 0
+          while (j < svc.ids.length) {
+            if (svc.ids(j) != qid) {
+              val v = svc.vecs(j)
+              var d = 0.0
+              var t = 0
+              while (t < v.length) { d += qv(t).toDouble * v(t).toDouble; t += 1 }
+              scored += ((svc.ids(j), d / (qn * svc.norms(j))))
+            }
+            j += 1
+          }
+          scored.sortInPlaceBy { case (id, c) => (quant9(c).negate, id) }(
+            Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal],
+              Ordering.Long))
+          scored.take(k).zipWithIndex.map { case ((id, c), rank) =>
+            org.apache.spark.sql.Row(qid, rank + 1, id, c)
+          }
+        }.df
+    }
+    served.select($"query_id", $"rank", $"neighbor_id",
+      round($"cosine", 6).as("cosine"))
+  }
+
+  val q161_oracle: String = {
+    val dims = 64
+    val cos =
+      s"""(list_sum(list_transform(range(1, ${dims + 1}), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         | / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 40 = 1),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, $cos AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   val q94_oracle: String =
     """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
       |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_ts_us,
@@ -631,7 +737,8 @@ object StreamingQueries {
     "q94_stream_left_join" -> q94_stream_left_join,
     "q96_stream_static_join" -> q96_stream_static_join,
     "q159_cdc_mysql_parse" -> q159_cdc_mysql_parse,
-    "q160_cdc_postgres_parse" -> q160_cdc_postgres_parse)
+    "q160_cdc_postgres_parse" -> q160_cdc_postgres_parse,
+    "q161_stream_ann_serve" -> q161_stream_ann_serve)
 
   val oracles: Map[String, String] = Map(
     // the in-stream comparison derivation must reproduce the batch fit
@@ -650,5 +757,6 @@ object StreamingQueries {
     "q94_stream_left_join" -> q94_oracle,
     "q96_stream_static_join" -> q96_oracle,
     "q159_cdc_mysql_parse" -> q159_oracle,
-    "q160_cdc_postgres_parse" -> q160_oracle)
+    "q160_cdc_postgres_parse" -> q160_oracle,
+    "q161_stream_ann_serve" -> q161_oracle)
 }
