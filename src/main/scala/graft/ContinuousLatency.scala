@@ -157,6 +157,53 @@ object ContinuousLatency {
             Row(r.getTimestamp(0), r.getLong(1), r.getLong(2),
               svc(r.getLong(2)): java.lang.Long)
           }.df
+      case "q5_ann" =>
+        // per-event VECTOR SEARCH (the q161 serving shape): each event's
+        // pseudo-query vector scans a 1024×64 in-service index for its
+        // best-dot neighbor — 65k multiply-adds per event, all row-local.
+        // Measures what ANN serving costs on the event-at-a-time paths.
+        val dims = 64
+        val nVecs = 1024
+        def fill(seed: Long, v: Array[Float]): Unit = {
+          var x = seed * 2654435761L + 12345L
+          var d = 0
+          while (d < dims) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            v(d) = ((x >>> 40) % 1000L) / 1000.0f
+            d += 1
+          }
+        }
+        val factory = pipeline.ServiceFactory(() =>
+          Array.tabulate(nVecs) { i =>
+            val v = new Array[Float](dims); fill(i.toLong, v); v
+          })
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("best",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType)))
+        new pipeline.StreamStage(src.select(col("ts"), col("value")), "ts")
+          .mapUsingService(factory, outSchema) { (idx, r) =>
+            val value = r.getLong(1)
+            val q = new Array[Float](dims)
+            fill(value, q)
+            var best = -1L
+            var bs = Double.MinValue
+            var i = 0
+            while (i < idx.length) {
+              val v = idx(i)
+              var d = 0.0
+              var t = 0
+              while (t < dims) { d += q(t).toDouble * v(t).toDouble; t += 1 }
+              if (d > bs) { bs = d; best = i.toLong }
+              i += 1
+            }
+            Row(r.getTimestamp(0), value, best, bs)
+          }.df
       case other => sys.error(s"unknown shape '$other'")
     }
     out.filter(pmod(col("value"), lit(Sample)) === 0)
