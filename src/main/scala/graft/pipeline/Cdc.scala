@@ -64,8 +64,22 @@ object Cdc {
     val seq = coalesce(col("__env.source.lsn"), col("__env.source.ts_ms"),
       col("__env.ts_ms"))
     val valueCols = valueSchema.fieldNames.toSeq.map(f => row.getField(f).as(f))
+    // the malformed-line guard must NOT push below this projection: Catalyst
+    // substitutes a pushed predicate with the column's defining expression,
+    // which here re-evaluates the whole from_json parse once per op-code
+    // branch UNDER any upstream exchange (measured: 5 re-parses per row
+    // collapsed into one pre-shuffle task, 6 s for 150k rows). A
+    // the malformed-line guard must test the MATERIALIZED op column: a
+    // Column-expression filter pushes through the projection with op
+    // replaced by its DEFINITION, re-evaluating the whole from_json parse
+    // once per op-code branch below any upstream exchange (measured: 5
+    // re-parses per row collapsed into one pre-shuffle task, 6 s for 150k
+    // rows at sf0.1 — and Spark 4 substitutes even nondeterministic
+    // projection fields, so expression-level barriers don't hold). A typed
+    // lambda filter is opaque to Catalyst and stays exactly here; its
+    // per-row object cost is noise next to the JSON parse it guards.
     withEnv.select((opName.as("op") +: seq.as("seq") +: valueCols): _*)
-      .filter(col("op").isNotNull)
+      .filter((r: org.apache.spark.sql.Row) => !r.isNullAt(0))
   }
 
   // ------------------------------------------------- connector dialects
@@ -142,8 +156,11 @@ object Cdc {
         .isin("true", "last", "incremental"), "SYNC")
       .otherwise(opName)
     val valueCols = valueSchema.fieldNames.toSeq.map(f => row.getField(f).as(f))
+    // same pushdown barrier as parseDebezium (see the comment there): a
+    // typed lambda filter keeps the guard testing the MATERIALIZED op
+    // instead of re-parsing the envelope under an upstream exchange
     withEnv.select((op.as("op") +: seq.as("seq") +: valueCols): _*)
-      .filter(col("op").isNotNull)
+      .filter((r: org.apache.spark.sql.Row) => !r.isNullAt(0))
   }
 
   /** MySQL envelope → change records. `seq` is the binlog position encoded

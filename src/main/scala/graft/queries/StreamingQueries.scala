@@ -268,8 +268,14 @@ object StreamingQueries {
 
   val q159_cdc_mysql_parse: Q = (s, dir) => {
     import s.implicits._
+    // the fixture's orders table is ONE parquet file; without a repartition
+    // the entire to_json+from_json round-trip runs on a single core (measured
+    // 7.5 s single-task at sf0.1). A real CDC feed arrives as many
+    // splits/topic partitions — model that layout so the gate measures the
+    // parallel parse (~0.3 s), not the one-file accident.
     val o = Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .repartition(s.sparkContext.defaultParallelism)
     val valueRow = struct($"o_orderkey".as("id"),
       $"o_custkey".cast("string").as("v"))
     val opCode = when($"o_orderstatus" === "O", "c")
@@ -300,8 +306,14 @@ object StreamingQueries {
 
   val q160_cdc_postgres_parse: Q = (s, dir) => {
     import s.implicits._
+    // the fixture's orders table is ONE parquet file; without a repartition
+    // the entire to_json+from_json round-trip runs on a single core (measured
+    // 7.5 s single-task at sf0.1). A real CDC feed arrives as many
+    // splits/topic partitions — model that layout so the gate measures the
+    // parallel parse (~0.3 s), not the one-file accident.
     val o = Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .repartition(s.sparkContext.defaultParallelism)
     val valueRow = struct($"o_orderkey".as("id"),
       $"o_custkey".cast("string").as("v"))
     val opCode = when($"o_orderstatus" === "O", "c")
