@@ -109,6 +109,41 @@ class ContinuousEquivalenceSpec extends SparkSpec {
       "constant-stamp regression (the builtin source's failure mode)")
   }
 
+  test("PacedRateSource plain micro-batch path: admission-paced, strided, gapless") {
+    // the source's third face (no real-time trigger): latestOffset admits
+    // rows on the wall-clock schedule, bounded readers emit the admitted
+    // range — pins the PacedBoundedReader surface the other modes never use
+    ContinuousCollector.rows.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_paced_mb_").toString
+    val src = spark.readStream.format("graft.streaming.PacedRateSource")
+      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+    val t0 = System.currentTimeMillis
+    val q = src.select(col("value"), (col("value") % 2).as("auction"),
+        col("value").cast("double").as("price_eur"))
+      .writeStream.foreach(new ContinuousCollector.W)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try Thread.sleep(5000) finally q.stop()
+    val elapsedSec = (System.currentTimeMillis - t0) / 1000.0
+    TempFiles.deleteTree(ckpt)
+    val got = {
+      import scala.jdk.CollectionConverters._
+      ContinuousCollector.rows.asScala.toSet
+    }
+    assert(got.size >= 500, s"micro-batch paced source delivered only ${got.size}")
+    assert(got.size <= 500 * elapsedSec * 1.5 + 100,
+      s"admission over-delivered: ${got.size} rows in $elapsedSec s")
+    got.foreach { case (v, stride, d) =>
+      assert(stride == v % 2 && d == v.toDouble, s"row ($v, $stride, $d)")
+    }
+    // gapless per stride below each stride's high-water mark
+    got.groupBy(_._1 % 2).foreach { case (stride, rows) =>
+      val vs = rows.map(_._1)
+      val missing = (stride to vs.max by 2).filterNot(vs.contains)
+      assert(missing.isEmpty, s"stride $stride lost ${missing.take(5)}")
+    }
+  }
+
   test("micro-batch execution of the same shape produces the same rows per value") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
