@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import javax.transaction.xa.{XAException, XAResource}
+
+/** Crash-window drive of the XA-shaped exactly-once protocol
+  * ([[XaShapedSink]]) against the in-JVM resource manager — the same
+  * discipline KafkaShapedSinkSpec applies to the kafka-shaped 2PC:
+  * every window of the prepare/commit split is entered deliberately and
+  * the visible-message set checked for exactly-once.
+  */
+class XaShapedSinkSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshRm(): (String, InMemoryXaResourceManager) = {
+    n += 1
+    val name = s"xa_spec_${System.nanoTime()}_$n"
+    (name, InMemoryXaResourceManager.named(name))
+  }
+  private def rows(vs: String*): Iterator[String] = vs.iterator
+
+  test("happy path: batch b commits at the start of b+1; visibility lags one batch") {
+    val (_, rm) = freshRm()
+    val s0 = rm.session("j-p0")
+    assert(XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
+      "j", 0, 0L, rows("a", "b")))
+    // prepared, not committed: nothing visible yet (Jet's one-snapshot lag)
+    assert(rm.visible("q") === Seq.empty)
+    val s1 = rm.session("j-p0")
+    assert(XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+      "j", 0, 1L, rows("c")))
+    assert(rm.visible("q") === Seq("a", "b"))
+    // graceful shutdown: the closing sweep flushes the final batch
+    XaShapedSink.commitPrepared(s1.xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a", "b", "c"))
+  }
+
+  test("crash BEFORE prepare: unfinished work dies with the session; replay re-sends once") {
+    val (_, rm) = freshRm()
+    val s0 = rm.session("j-p0")
+    // simulate a crash mid-batch: transaction started, rows sent, no prepare
+    val xid = XaShapedSink.GraftXid("j", 0, 0L)
+    s0.xaResource.start(xid, XAResource.TMNOFLAGS)
+    s0.send("q", "a")
+    rm.crashSession("j-p0")
+    assert(rm.visible("q") === Seq.empty, "uncommitted work must never be visible")
+    // replay of batch 0 on a new session: nothing prepared -> fresh send
+    val s1 = rm.session("j-p0")
+    assert(XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+      "j", 0, 0L, rows("a")))
+    XaShapedSink.commitPrepared(s1.xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a"), "exactly one copy after crash-replay")
+  }
+
+  test("crash AFTER prepare: replay finds the XID via recover() and commits WITHOUT re-sending") {
+    val (_, rm) = freshRm()
+    val s0 = rm.session("j-p0")
+    assert(XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
+      "j", 0, 0L, rows("a", "b")))
+    rm.crashSession("j-p0") // prepared txn SURVIVES (the XA property)
+    assert(rm.visible("q") === Seq.empty)
+    // replay of batch 0: the delivery reports nothing re-sent
+    val s1 = rm.session("j-p0")
+    val sent = XaShapedSink.deliverPartition(s1.xaResource,
+      v => { s1.send("q", v); fail(s"must not re-send, got $v") },
+      "j", 0, 0L, rows("a", "b"))
+    assert(!sent)
+    assert(rm.visible("q") === Seq("a", "b"), "prepared rows committed exactly once")
+  }
+
+  test("commit is idempotent across incarnations (XAER_NOTA treated as done)") {
+    val (_, rm) = freshRm()
+    val s0 = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _), "j", 0, 0L, rows("a"))
+    XaShapedSink.commitPrepared(s0.xaResource, "j", 0)
+    // a zombie incarnation sweeping again must not fail or duplicate
+    XaShapedSink.commitPrepared(rm.session("j-p0").xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a"))
+    // and a raw double-commit surfaces NOTA from the RM (the code the
+    // idempotent wrapper absorbs)
+    val e = intercept[XAException] {
+      s0.xaResource.commit(XaShapedSink.GraftXid("j", 0, 0L), false)
+    }
+    assert(e.errorCode == XAException.XAER_NOTA)
+  }
+
+  test("foreign prepared XIDs (other jobs) are never touched by the sweep") {
+    val (_, rm) = freshRm()
+    val other = rm.session("other-p0")
+    val foreign = XaShapedSink.GraftXid("otherjob", 0, 5L)
+    other.xaResource.start(foreign, XAResource.TMNOFLAGS)
+    other.send("q", "foreign")
+    other.xaResource.end(foreign, XAResource.TMSUCCESS)
+    other.xaResource.prepare(foreign)
+    val s = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s.xaResource, s.send("q", _), "j", 0, 0L, rows("a"))
+    XaShapedSink.commitPrepared(s.xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a"), "foreign txn neither committed nor rolled back")
+    assert(s.xaResource.recover(XAResource.TMSTARTRSCAN).length == 1)
+  }
+
+  test("end-to-end through a streaming query: crash after prepare, restart, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (rmName, rm) = freshRm()
+    val dir = java.nio.file.Files.createTempDirectory("graft_xa_ckpt_").toString
+    val mem = MemoryStream[Long]
+    def start() = XaShapedSink.sink(rmName, "xj", "q",
+      checkpoint = Some(s"$dir/ckpt"), parts = 2).start(mem.toDF())
+
+    mem.addData(1L, 2L, 3L)
+    val job1 = start()
+    job1.processAllAvailable()
+    job1.cancel() // batch 0 prepared on both partitions, nothing committed
+    assert(rm.visible("q") === Seq.empty)
+
+    // restart from the checkpoint: batch 1 delivers, committing batch 0;
+    // batch 0 is NOT replayed (Spark recorded it) but its prepared txns
+    // must become visible via the sweep
+    mem.addData(4L)
+    val job2 = start()
+    job2.processAllAvailable()
+    // closing sweep on both partitions (graceful shutdown)
+    (0 until 2).foreach { p =>
+      XaShapedSink.commitPrepared(rm.session(s"xj-p$p").xaResource, "xj", p)
+    }
+    job2.cancel()
+    assert(rm.visible("q").size == 4, s"exactly-once: ${rm.visible("q")}")
+    assert(rm.visible("q").distinct.size == 4, "no duplicate deliveries")
+  }
+}
