@@ -67,8 +67,9 @@ object ScaleTrend {
     "q149_nexmark_new_users", "q150_stream_nexmark_hot", "q152_stream_nexmark_users",
     "q143_nexmark_filter", "q151_stream_nexmark_maxbid", "q155_stream_nexmark_chained",
     "q153_bradley_terry", "q154_preference_cycles", "q156_kcenter_select",
-    // round-9: the fully in-stream Q5 (3 chained stateful stages)
-    "q158_stream_nexmark_hot_instream")
+    // round-9: the fully in-stream Q5 (3 chained stateful stages) and the
+    // service-path streaming ANN serving (broadcast index, row-local top-k)
+    "q158_stream_nexmark_hot_instream", "q161_stream_ann_serve")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
