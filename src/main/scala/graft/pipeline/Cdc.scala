@@ -64,11 +64,6 @@ object Cdc {
     val seq = coalesce(col("__env.source.lsn"), col("__env.source.ts_ms"),
       col("__env.ts_ms"))
     val valueCols = valueSchema.fieldNames.toSeq.map(f => row.getField(f).as(f))
-    // the malformed-line guard must NOT push below this projection: Catalyst
-    // substitutes a pushed predicate with the column's defining expression,
-    // which here re-evaluates the whole from_json parse once per op-code
-    // branch UNDER any upstream exchange (measured: 5 re-parses per row
-    // collapsed into one pre-shuffle task, 6 s for 150k rows). A
     // the malformed-line guard must test the MATERIALIZED op column: a
     // Column-expression filter pushes through the projection with op
     // replaced by its DEFINITION, re-evaluating the whole from_json parse
@@ -166,9 +161,12 @@ object Cdc {
   /** MySQL envelope → change records. `seq` is the binlog position encoded
     * monotonically: (numeric suffix of the binlog file) · 2³² + pos — binlog
     * files rotate at ≤ 1 GiB so pos fits well under 2³², and file indexes
-    * are strictly increasing, making seq totally ordered across rotations
-    * (the reference's cdc-mysql sequence contract: later binlog coordinates
-    * compare greater). Falls back to source.ts_ms when coordinates are
+    * are strictly increasing, making seq totally ordered across rotations.
+    * This STRENGTHENS the reference's contract: cdc-mysql's
+    * MySqlSequenceExtractor keeps sequence = pos scoped to a per-binlog-file
+    * source (hashed file name), so ordering there holds only within one
+    * file; the single packed seq here is totally ordered across rotations
+    * too. Falls back to source.ts_ms when coordinates are
     * absent (e.g. snapshot rows from very old connector versions).
     */
   def parseMySql(df: DataFrame, valueSchema: StructType,

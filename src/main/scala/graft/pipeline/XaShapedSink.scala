@@ -26,19 +26,30 @@ import org.apache.spark.sql.DataFrame
   *   - restart = `recover(TMSTARTRSCAN|TMENDRSCAN)`, then for each of OUR
   *     prepared XIDs (matched by formatId + jobId/partition prefix —
   *     `XaSinkProcessorBase` matches on its gtrid prefix the same way):
-  *     commit ids ≤ the replayed batch (their data must become visible,
-  *     and the replayed batch itself is NOT re-sent — that is the
-  *     exactly-once), roll back ids beyond it;
+  *     commit only ids STRICTLY BELOW the replayed batch — the engine
+  *     having advanced past them proves they are in its commit log, i.e.
+  *     durable (the reference restore-commits only transactions belonging
+  *     to a durable snapshot); roll back ids ≥ the replayed batch and
+  *     re-send. Rolling back the replayed batch's own prepared txn is the
+  *     load-bearing choice: its prepare happened, but the engine never
+  *     recorded the batch (that is WHY it is being replayed), so
+  *     sweep-committing it would open a double-crash duplicate window —
+  *     crash again after the sweep-commit but before the engine records
+  *     the batch, and the next replay finds no prepared XID and re-sends
+  *     rows that are already visible. Rollback is always safe here: a
+  *     rolled-back transaction's messages were never visible.
   *   - `XAER_NOTA` on commit = another incarnation already committed —
   *     success, not an error (commit idempotence across incarnations).
   *
   * Crash windows, each spec-driven (XaShapedSinkSpec):
   * before `prepare` → the resource manager rolls the unfinished transaction
   * back when the session dies, replay re-sends, nothing was visible;
-  * after `prepare`, before commit → replay finds the XID in `recover()` and
-  * commits it WITHOUT re-sending; after commit → the XID is gone and the
-  * batch is never replayed (commit only ever happens after Spark recorded
-  * the batch).
+  * after `prepare`, before the engine records the batch → replay finds the
+  * XID in `recover()`, ROLLS IT BACK (never visible) and re-sends — robust
+  * to any number of further crashes in the same window; after the engine
+  * records the batch → the next batch's sweep sees b < batchId and commits;
+  * after commit → the XID is gone and XAER_NOTA on a zombie's re-commit is
+  * success.
   *
   * The sandbox has no XA broker, so [[InMemoryXaResourceManager]] implements
   * the resource-manager semantics (prepared-state durability across session
@@ -64,14 +75,19 @@ object XaShapedSink {
   }
 
   /** Parse one of OUR xids back (None for foreign xids — other jobs or
-    * other software sharing the resource manager).
+    * other software sharing the resource manager). Split from the RIGHT:
+    * the last two fields are part and batch, everything before them is the
+    * job id — so a job id containing ':' still round-trips instead of its
+    * XIDs being mistaken for foreign and left prepared forever.
     */
   def parse(x: Xid, job: String, part: Int): Option[Long] = {
     if (x.getFormatId != FormatId) return None
-    new String(x.getGlobalTransactionId, "UTF-8").split(':') match {
-      case Array(`job`, p, b) if p.toIntOption.contains(part) => b.toLongOption
-      case _ => None
-    }
+    val s = new String(x.getGlobalTransactionId, "UTF-8")
+    val i2 = s.lastIndexOf(':')
+    val i1 = if (i2 < 0) -1 else s.lastIndexOf(':', i2 - 1)
+    if (i1 < 0 || s.substring(0, i1) != job) None
+    else if (!s.substring(i1 + 1, i2).toIntOption.contains(part)) None
+    else s.substring(i2 + 1).toLongOption
   }
 
   /** Commit that treats XAER_NOTA as success (already committed by a prior
@@ -81,22 +97,33 @@ object XaShapedSink {
     try res.commit(xid, false)
     catch { case e: XAException if e.errorCode == XAException.XAER_NOTA => () }
 
-  /** One partition's micro-batch through the XA protocol. Returns true if
-    * the batch's rows were sent in this call (false = replay of a prepared
-    * batch, nothing re-sent).
+  /** One partition's micro-batch through the XA protocol. Returns true iff
+    * a replayed prepared transaction for THIS batch was rolled back first
+    * (i.e. the call re-sent a batch a prior incarnation had prepared).
     */
   def deliverPartition(res: XAResource, send: String => Unit, job: String,
                        part: Int, batchId: Long, rows: Iterator[String]): Boolean = {
-    // restart/continuation sweep: finalize our prepared history first
+    // restart/continuation sweep: finalize our prepared history first.
+    // b < batchId  → the engine advanced past b, so b is in its commit log
+    //                (durable) → commit.
+    // b >= batchId → NOT durable: being handed batchId proves the engine's
+    //                log stops before it (including b == batchId — a replay
+    //                happens precisely because the batch was never
+    //                recorded) → roll back and (re-)send below. Committing
+    //                b == batchId here instead would leave a double-crash
+    //                window: die after that commit but before the engine
+    //                records the batch, and the NEXT replay finds no
+    //                prepared XID, re-sends, and duplicates the delivery.
     val prepared = res.recover(XAResource.TMSTARTRSCAN | XAResource.TMENDRSCAN)
       .toSeq.flatMap(x => parse(x, job, part).map(b => (b, x)))
-    var replayedThis = false
+    var rolledBackThis = false
     prepared.sortBy(_._1).foreach { case (b, xid) =>
-      if (b < batchId) commitIdempotent(res, xid) // durable in the engine log
-      else if (b == batchId) { commitIdempotent(res, xid); replayedThis = true }
-      else res.rollback(xid) // beyond the restart point: never became durable
+      if (b < batchId) commitIdempotent(res, xid)
+      else {
+        res.rollback(xid)
+        if (b == batchId) rolledBackThis = true
+      }
     }
-    if (replayedThis) return false
     val xid = GraftXid(job, part, batchId)
     res.start(xid, XAResource.TMNOFLAGS)
     try {
@@ -113,7 +140,7 @@ object XaShapedSink {
         catch { case _: Throwable => () }
         throw e
     }
-    true
+    rolledBackThis
   }
 
   /** Graceful-shutdown sweep: commit every prepared transaction of this

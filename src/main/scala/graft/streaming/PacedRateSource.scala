@@ -144,17 +144,35 @@ private[streaming] class PacedRateRealTimeStream(rowsPerSecond: Long, parts: Int
     extends MicroBatchStream with SupportsRealTimeMode {
   private val startMs = System.currentTimeMillis()
 
+  // Highest per-partition counts this stream has SEEN — restored from the
+  // checkpoint via deserializeOffset or produced by the readers via
+  // mergeOffsets. latestOffset clamps to it: counts are derived from
+  // wall-clock since CONSTRUCTION, so on a restart from an existing
+  // checkpoint the raw formula would regress below the committed start
+  // offset and the plain micro-batch path would re-emit delivered values.
+  @volatile private var floor: Seq[Long] = Seq.fill(parts)(0L)
+  private def lift(counts: Seq[Long]): Unit = synchronized {
+    floor = floor.zipAll(counts, 0L, 0L).map { case (a, b) => math.max(a, b) }
+  }
+
   override def initialOffset(): Offset = PacedOffset(Seq.fill(parts)(0L))
-  override def deserializeOffset(json: String): Offset = PacedOffsets.parse(json)
-  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
-    PacedOffsets.merge(parts, offsets)
+  override def deserializeOffset(json: String): Offset = {
+    val o = PacedOffsets.parse(json)
+    lift(o.counts)
+    o
+  }
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset = {
+    val o = PacedOffsets.merge(parts, offsets)
+    lift(o.counts)
+    o
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def latestOffset(): Offset = {
     val perPart = ((System.currentTimeMillis() - startMs) / 1000.0 *
       rowsPerSecond / parts).toLong
-    PacedOffset(Seq.fill(parts)(perPart))
+    PacedOffset(floor.map(f => math.max(f, perPart)))
   }
 
   // real-time path: open-ended partitions; the trigger duration bounds them

@@ -22,12 +22,12 @@ class XaShapedSinkSpec extends SparkSpec {
   test("happy path: batch b commits at the start of b+1; visibility lags one batch") {
     val (_, rm) = freshRm()
     val s0 = rm.session("j-p0")
-    assert(XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
-      "j", 0, 0L, rows("a", "b")))
+    assert(!XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
+      "j", 0, 0L, rows("a", "b")), "fresh batch, not a replay")
     // prepared, not committed: nothing visible yet (Jet's one-snapshot lag)
     assert(rm.visible("q") === Seq.empty)
     val s1 = rm.session("j-p0")
-    assert(XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+    assert(!XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
       "j", 0, 1L, rows("c")))
     assert(rm.visible("q") === Seq("a", "b"))
     // graceful shutdown: the closing sweep flushes the final batch
@@ -46,26 +46,57 @@ class XaShapedSinkSpec extends SparkSpec {
     assert(rm.visible("q") === Seq.empty, "uncommitted work must never be visible")
     // replay of batch 0 on a new session: nothing prepared -> fresh send
     val s1 = rm.session("j-p0")
-    assert(XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
-      "j", 0, 0L, rows("a")))
+    assert(!XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+      "j", 0, 0L, rows("a")), "nothing prepared -> not a prepared-replay")
     XaShapedSink.commitPrepared(s1.xaResource, "j", 0)
     assert(rm.visible("q") === Seq("a"), "exactly one copy after crash-replay")
   }
 
-  test("crash AFTER prepare: replay finds the XID via recover() and commits WITHOUT re-sending") {
+  test("crash AFTER prepare: replay ROLLS BACK the undurable prepared txn and re-sends") {
     val (_, rm) = freshRm()
     val s0 = rm.session("j-p0")
-    assert(XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
-      "j", 0, 0L, rows("a", "b")))
+    XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
+      "j", 0, 0L, rows("a", "b"))
     rm.crashSession("j-p0") // prepared txn SURVIVES (the XA property)
     assert(rm.visible("q") === Seq.empty)
-    // replay of batch 0: the delivery reports nothing re-sent
+    // batch 0 is being REPLAYED, which proves the engine never recorded it:
+    // the prepared txn must be rolled back (its rows were never visible)
+    // and the batch re-sent — NOT sweep-committed, which would leave a
+    // double-crash duplicate window (see the double-crash test below)
     val s1 = rm.session("j-p0")
-    val sent = XaShapedSink.deliverPartition(s1.xaResource,
-      v => { s1.send("q", v); fail(s"must not re-send, got $v") },
+    val replayed = XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
       "j", 0, 0L, rows("a", "b"))
-    assert(!sent)
-    assert(rm.visible("q") === Seq("a", "b"), "prepared rows committed exactly once")
+    assert(replayed, "must report the prepared replay rollback")
+    XaShapedSink.commitPrepared(s1.xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a", "b"), "rows visible exactly once")
+  }
+
+  test("double crash in the prepare window: repeated replays still deliver exactly once") {
+    val (_, rm) = freshRm()
+    // incarnation 1: prepare batch 0, crash before the engine records it
+    val s0 = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _), "j", 0, 0L, rows("a"))
+    rm.crashSession("j-p0")
+    // incarnation 2: replays batch 0 (rollback + re-send + prepare), then
+    // ALSO crashes before the engine records it — the window the old
+    // sweep-commit protocol turned into a duplicate
+    val s1 = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _), "j", 0, 0L, rows("a"))
+    rm.crashSession("j-p0")
+    assert(rm.visible("q") === Seq.empty, "nothing visible across both crashes")
+    // incarnation 3: replays batch 0 again, survives; batch 1 commits it
+    val s2 = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s2.xaResource, s2.send("q", _), "j", 0, 0L, rows("a"))
+    XaShapedSink.deliverPartition(s2.xaResource, s2.send("q", _), "j", 0, 1L, rows("b"))
+    XaShapedSink.commitPrepared(s2.xaResource, "j", 0)
+    assert(rm.visible("q") === Seq("a", "b"), "exactly one copy of the thrice-attempted batch")
+  }
+
+  test("XIDs of a job id containing ':' round-trip through parse (right-split)") {
+    val xid = XaShapedSink.GraftXid("ns:job", 3, 7L)
+    assert(XaShapedSink.parse(xid, "ns:job", 3) === Some(7L))
+    assert(XaShapedSink.parse(xid, "ns", 3) === None, "prefix job is foreign")
+    assert(XaShapedSink.parse(xid, "ns:job", 2) === None, "other partition is foreign")
   }
 
   test("commit is idempotent across incarnations (XAER_NOTA treated as done)") {
