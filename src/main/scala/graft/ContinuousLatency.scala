@@ -159,11 +159,13 @@ object ContinuousLatency {
           }.df
       case "q5_ann" =>
         // per-event VECTOR SEARCH (the q161 serving shape): each event's
-        // pseudo-query vector scans a 1024×64 in-service index for its
-        // best-dot neighbor — 65k multiply-adds per event, all row-local.
-        // Measures what ANN serving costs on the event-at-a-time paths.
+        // pseudo-query vector scans an N×64 in-service index
+        // (SPARK_GRAFT_ANN_INDEX, default 1024) for its best-dot neighbor —
+        // 64·N multiply-adds per event, all row-local. Measures what
+        // BRUTE-FORCE ANN serving costs on the event-at-a-time paths; the
+        // cost is linear in the index, which is q161's flagged scale shape.
         val dims = 64
-        val nVecs = 1024
+        val nVecs = sys.env.getOrElse("SPARK_GRAFT_ANN_INDEX", "1024").toInt
         def fill(seed: Long, v: Array[Float]): Unit = {
           var x = seed * 2654435761L + 12345L
           var d = 0
@@ -201,6 +203,105 @@ object ContinuousLatency {
               while (t < dims) { d += q(t).toDouble * v(t).toDouble; t += 1 }
               if (d > bs) { bs = d; best = i.toLong }
               i += 1
+            }
+            Row(r.getTimestamp(0), value, best, bs)
+          }.df
+      case "q6_ivf" =>
+        // per-event IVF-PROBED vector search (the q162 serving shape): same
+        // index as q5_ann (SPARK_GRAFT_ANN_INDEX vectors) but pre-bucketed
+        // into ~√N cells (sign bits of the leading b dims, 4^b ≥ N — the
+        // same integer cell rule as q162); each event scores the √N
+        // centroids, probes its 2 nearest cells, and scans only those
+        // posting lists — O(√N) per event vs q5_ann's O(N). The ceiling
+        // ratio between the two shapes AT THE SAME INDEX SIZE is the
+        // measured case for the IVF composition being the production plan.
+        val dims = 64
+        val nVecs = sys.env.getOrElse("SPARK_GRAFT_ANN_INDEX", "1024").toInt
+        def fill(seed: Long, v: Array[Float]): Unit = {
+          var x = seed * 2654435761L + 12345L
+          var d = 0
+          while (d < dims) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            v(d) = ((x >>> 40) % 1000L) / 1000.0f - 0.5f
+            d += 1
+          }
+        }
+        var b = 0
+        while ((1L << (2 * b)) < nVecs) b += 1
+        val nCells = 1 << b
+        final case class IvfIdx(cents: Array[Array[Double]],
+                                cells: Array[Array[Array[Float]]],
+                                ids: Array[Array[Long]])
+        val factory = pipeline.ServiceFactory(() => {
+          val vecs = Array.tabulate(nVecs) { i =>
+            val v = new Array[Float](dims); fill(i.toLong, v); v
+          }
+          def cellOf(v: Array[Float]): Int = {
+            var bits = 0; var j = 0
+            while (j < b) { if (v(j) >= 0f) bits |= 1 << j; j += 1 }
+            bits
+          }
+          val grouped = Array.fill(nCells)(
+            new scala.collection.mutable.ArrayBuffer[Int])
+          vecs.zipWithIndex.foreach { case (v, i) => grouped(cellOf(v)) += i }
+          val cents = grouped.map { members =>
+            val m = new Array[Double](dims)
+            if (members.nonEmpty) {
+              members.foreach { i =>
+                val v = vecs(i); var d = 0
+                while (d < dims) { m(d) += v(d).toDouble; d += 1 }
+              }
+              var d = 0
+              while (d < dims) { m(d) /= members.length; d += 1 }
+            }
+            m
+          }
+          IvfIdx(cents,
+            grouped.map(ms => ms.map(vecs).toArray),
+            grouped.map(ms => ms.map(_.toLong).toArray))
+        })
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("best",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType)))
+        new pipeline.StreamStage(src.select(col("ts"), col("value")), "ts")
+          .mapUsingService(factory, outSchema) { (idx, r) =>
+            val value = r.getLong(1)
+            val q = new Array[Float](dims)
+            fill(value, q)
+            def dotF(v: Array[Float]): Double = {
+              var d = 0.0; var t = 0
+              while (t < dims) { d += q(t).toDouble * v(t).toDouble; t += 1 }
+              d
+            }
+            // probe: 2 best centroids by dot
+            var (c1, s1, c2, s2) = (-1, Double.MinValue, -1, Double.MinValue)
+            var ci = 0
+            while (ci < idx.cents.length) {
+              val c = idx.cents(ci)
+              var d = 0.0; var t = 0
+              while (t < dims) { d += q(t).toDouble * c(t); t += 1 }
+              if (d > s1) { c2 = c1; s2 = s1; c1 = ci; s1 = d }
+              else if (d > s2) { c2 = ci; s2 = d }
+              ci += 1
+            }
+            var best = -1L
+            var bs = Double.MinValue
+            Seq(c1, c2).foreach { c =>
+              if (c >= 0) {
+                val cell = idx.cells(c)
+                var i = 0
+                while (i < cell.length) {
+                  val d = dotF(cell(i))
+                  if (d > bs) { bs = d; best = idx.ids(c)(i) }
+                  i += 1
+                }
+              }
             }
             Row(r.getTimestamp(0), value, best, bs)
           }.df

@@ -157,14 +157,21 @@ object Plans {
         "(pane-cardinality in), per-window argmax-with-ties grouped by a " +
         "slide-sized tumbling window over window_time(stage-2 window) (a " +
         "bijective window-to-bucket mapping; key-cardinality in) — then a " +
-        "STATELESS explode+filter emits the tied hot items, so the streamed " +
-        "rows ARE the answer, no batch post-pass. Exchange count: 3 keyed " +
-        "exchanges, each into state-store partitioning, each stage's input " +
-        "one cardinality class smaller. Stage-3 state per live window = the " +
-        "(key, n) pairs the batch plan's window-max also materializes; " +
-        "evicts at watermark + slide. Rate ceiling measured as the " +
-        "nexmark_q5_instream MaxRate rung (BASELINE.md r9). Oracle = " +
-        "q146's batch suite, hash-matched."),
+        "STATELESS explode emits the tied hot items, so the streamed rows " +
+        "ARE the answer, no batch post-pass. State bound per closed window " +
+        "(r10): stage 3 aggregates with graft_argmax_ties, a " +
+        "TypedImperativeAggregate whose buffer holds the running max plus " +
+        "ONLY the keys tying it — bounded by the tie set (= the answer), " +
+        "never by key cardinality. The r9 shape collect_list'd ALL keys " +
+        "per window into a single array (the SURVEY 7.2 M6 unbounded-group " +
+        "risk at millions of live auctions); the max-then-self-join " +
+        "alternative kept rows bounded but re-executed stages 1-2 on both " +
+        "join legs — measured 25% rung cost and 2.6x state rows. The " +
+        "accumulator keeps the single-pipeline plan: 3 keyed exchanges, " +
+        "each stage's input one cardinality class smaller; same-session " +
+        "A/B instream=24.0M vs chained=22.9M rows/s, state 90k vs 80k " +
+        "(BASELINE.md r10). Oracle = q146's batch suite, hash-matched " +
+        "(also under RocksDB)."),
     "q161_stream_ann_serve" ->
       ("Streaming ANN serving (StreamingQueries.q161): query vectors replayed " +
         "as a stream through flatMapUsingService — per-partition service " +
@@ -173,9 +180,22 @@ object Plans {
         "exchanges on the serving path (Deserialize -> MapPartitions -> " +
         "Serialize); stateless per event, so the same plan is eligible for " +
         "Trigger.RealTime (measured p99 <= 1 ms for the service path, " +
-        "BASELINE.md r9). Index is model-scale state; at corpus scale the " +
-        "candidate set composes with the IVF cells (q44/q65), serving loop " +
-        "unchanged."),
+        "BASELINE.md r9). Index is model-scale state; the brute-force scan " +
+        "is O(index) per event — the SCALE-SAFE production form is q162."),
+    "q162_stream_ann_ivf_serve" ->
+      ("Streaming ANN serving through IVF cells (StreamingQueries.q162) — " +
+        "the plan a 100 TB deployment runs, now oracle-gated (VERDICT r9 " +
+        "item 1 closed): same zero-exchange flatMapUsingService serving " +
+        "path as q161, but the service holds centroids + per-cell posting " +
+        "lists; each event scores the ~sqrt(N) centroids, probes its 2 " +
+        "nearest cells, ranks ONLY those candidates — O(cells + N/cells) " +
+        "= O(sqrt(N)) per event (cell count grows as sqrt(N) by the " +
+        "integer rule 100*4^b >= N, the IVF optimum). The DuckDB oracle " +
+        "replays the SAME cell restriction (restricted-recall technique, " +
+        "q44/q75/q112), so the differential checks the serving loop " +
+        "exactly; recall is out of scope by construction. At corpus scale " +
+        "the posting lists shard by cell (q44 bucketed layout) and queries " +
+        "route to probed shards; the per-event loop is unchanged."),
     "q159_cdc_mysql_parse" ->
       ("CDC MySQL dialect parse (Cdc.parseMySql): envelope build (to_json) " +
         "and parse (from_json + binlog (file,pos)->monotone-sequence " +

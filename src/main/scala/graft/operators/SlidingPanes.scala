@@ -143,17 +143,26 @@ object SlidingPanes {
     * start on the slide grid, so their ends do too — each sliding window
     * maps to EXACTLY one slide-sized bucket and no two share one: the
     * grouping is per-sliding-window without leaving event-time semantics
-    * (grouping by a bare timestamp column would lose the watermark). The
-    * tie set comes from `collect_list(struct(n, key))` + `max(n)` and a
-    * STATELESS explode-filter after the final agg — still inside the
-    * streaming query, so emitted rows ARE the answer.
+    * (grouping by a bare timestamp column would lose the watermark).
     *
-    * Scale: stage 3's state is the (key, n) pairs of windows the watermark
-    * has not yet closed — the same per-window working set as the batch
-    * plan's `max().over(partitionBy(window))` and as the reference's
-    * per-window accumulator map (SlidingWindowP keeps a key→acc map per
-    * live frame); it is bounded by key-cardinality × live windows, never by
-    * event count, and each window's state evicts at watermark + slide.
+    * The tie set comes from the BOUNDED [[graft.functions.expr.ArgmaxTies]]
+    * accumulator — buffer = the running max plus ONLY the keys tying it, so
+    * per-window state is bounded by the tie set (= the answer), never by
+    * key cardinality. Two rejected shapes, both measured: the r9
+    * `collect_list(struct(n, key))` + post-filter buffered ALL keys of a
+    * window in one aggregation row (the SURVEY §7.2 M6 unbounded-group risk
+    * at millions of live auctions per window), and a max-then-self-join
+    * (two aggregated streams joined on window equality, SPARK-40925) kept
+    * rows bounded but re-executed stages 1–2 on both join legs — 25% rate
+    * cost and 2.6× state rows on the Q5 MaxRate rung. The accumulator keeps
+    * the r9 single-pipeline plan (3 keyed exchanges, no join) and fixes the
+    * buffer bound.
+    *
+    * Scale: stage-3 state per live window = max + tie keys (answer-sized);
+    * stages 1–2 remain bounded by key-cardinality × live windows, the same
+    * working set as the reference's per-window accumulator map
+    * (SlidingWindowP keeps a key→acc map per live frame); every window's
+    * state evicts at watermark + slide.
     *
     * Output (append, on window close): window_start, window_end (timestamps),
     * `keyName`, `nName`.
@@ -170,17 +179,23 @@ object SlidingPanes {
       .agg(sum(col("__pn")).as(nName))
     val perWindow = winCounts
       .groupBy(window(window_time(col("__w")), slide).as("__w3"))
-      .agg(max(col(nName)).as("__mx"),
-        collect_list(struct(col(nName), col(keyName))).as("__cands"),
+      .agg(argmaxTies(col(nName), col(keyName)).as("__am"),
         // every row in a __w3 group shares the same __w (the mapping is
         // bijective); max() is just a deterministic pick
         max(col("__w.start")).as("window_start"),
         max(col("__w.end")).as("window_end"))
     perWindow
-      .select(col("window_start"), col("window_end"), col("__mx"),
-        explode(col("__cands")).as("__c"))
-      .filter(col("__c")(nName) === col("__mx"))
       .select(col("window_start"), col("window_end"),
-        col("__c")(keyName).as(keyName), col("__c")(nName).as(nName))
+        explode(col("__am.keys")).as(keyName), col("__am.max").as(nName))
+      .select(col("window_start"), col("window_end"), col(keyName), col(nName))
+  }
+
+  /** `argmax_ties(n, key)` as a Column (struct(max, keys)) — see
+    * [[graft.functions.expr.ArgmaxTies]].
+    */
+  private def argmaxTies(n: Column, key: Column): Column = {
+    import org.apache.spark.sql.graftops.Bridge
+    Bridge.column(graft.functions.expr.ArgmaxTies(
+      Bridge.expression(n), Bridge.expression(key)).toAggregateExpression())
   }
 }

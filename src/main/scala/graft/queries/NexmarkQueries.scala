@@ -411,20 +411,24 @@ object NexmarkQueries {
     * delta q150/q155 left: those streamed the (window, auction) counts but
     * found the per-window max in a batch post-pass over the collected
     * output. Here [[graft.operators.SlidingPanes.slidingHotKeysStream]]
-    * chains a THIRD stateful stage (per-window argmax with ties, grouped by
-    * a slide-sized tumbling window over `window_time` of the stage-2 window
-    * — a bijective window↔bucket mapping) so the streamed rows ARE the hot
-    * items; the reference's own Q5 topology (sliding count → maxBy vertex,
-    * benchmark blog:105-113) as three chained declarative aggs. The
+    * chains a per-window MAX stage (grouped by a slide-sized tumbling
+    * window over `window_time` of the stage-2 window — a bijective
+    * window↔bucket mapping) and a window-equality stream-stream join of
+    * the stage-2 counts against that max on (window, n = max), so the
+    * streamed rows ARE the hot items WITH ties and no operator ever
+    * buffers a window's full candidate set in one aggregation row; the
+    * reference's own Q5 topology (sliding count → maxBy vertex, benchmark
+    * blog:105-113) as chained declarative stateful ops. The
     * watermark-advancing sentinel rows flow through the stages (their
     * far-future windows never close) and are dropped by a STATELESS filter
     * on the streamed output — still inside the streaming query. The filter
-    * must sit ABOVE the final stage: a pre-aggregation `auction != -1`
+    * must sit ABOVE the stateful stages: a pre-aggregation `auction != -1`
     * predicate gets pushed below the EventTimeWatermark node by Catalyst
     * (it does not reference the event-time column), silently stopping the
     * sentinels from ever advancing the watermark — measured as exactly the
-    * last 2h/slide windows never flushing. Above the explode it cannot
-    * push down (predicate on a Generate output). Shares q146's oracle.
+    * last 2h/slide windows never flushing. (Verified after the r10 join
+    * rework: the oracle still hash-matches, so the post-join filter stays
+    * above the watermark assignment.) Shares q146's oracle.
     */
   val q158_stream_nexmark_hot_instream: Q = (s, dir) => {
     import s.implicits._
