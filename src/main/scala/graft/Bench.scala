@@ -97,6 +97,27 @@ object Bench {
       System.gc()
       (name, dt, jc, tc)
     }
+    // WARM second pass over the slowest 20 (full runs only): cold-order JIT/
+    // GC noise reads as 1.5-2× on individual queries (q74 r7, q34/q116 r9 —
+    // every one a false regression that WarmBench later cleared). Carrying
+    // cold+warm in the SAME artifact lets round-over-round diffs
+    // self-adjudicate: a real regression moves BOTH columns, cold-order
+    // noise leaves warm at the old value. Warm runs use identical
+    // isolation (store clear + cache drop + gc outside the timed window).
+    val warm: Map[String, Double] =
+      if (filter.isDefined || sys.env.contains("SPARK_GRAFT_NO_WARM_PASS")) Map.empty
+      else results.sortBy(-_._2).take(20).map { case (name, _, _, _) =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        pipeline.KeyedStore.clear()
+        spark.catalog.clearCache()
+        System.gc()
+        name -> dt
+      }.toMap
+
     // best-of-2 trials: throughput is floored by per-micro-batch fixed
     // overhead and swings ±40% with background machine load (BASELINE.md
     // round-3 post-mortem) — the MAX of two short runs is the stable estimate
@@ -130,8 +151,11 @@ object Bench {
     // need to know whether the box was contended (see jobs_tasks note above)
     val load = try java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage catch { case _: Throwable => -1.0 }
+    val warmJson = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",$marker"queries":$qs,""" +
+      s""""warm_queries":$warmJson,""" +
       s""""jobs_tasks":$jobsJson,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":$streamRate,""" +
       s""""stream_rows_per_sec_rocksdb":$streamRateRocks,""" +
@@ -152,8 +176,11 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
     def r2(v: Double): Double = math.round(v * 100) / 100.0
+    // slowest-20 as [cold, warm] pairs (warm = -1 when the pass was skipped)
     val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) =>
+        "\"" + k + "\":[" + r2(v) + "," + r2(warm.getOrElse(k, -1.0)) + "]"
+      }.mkString("{", ",", "}")
     val meanSec = if (results.nonEmpty) r2(total / results.size) else 0.0
     println(
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",$marker""" +

@@ -69,7 +69,10 @@ object ScaleTrend {
     "q153_bradley_terry", "q154_preference_cycles", "q156_kcenter_select",
     // round-9: the fully in-stream Q5 (3 chained stateful stages) and the
     // service-path streaming ANN serving (broadcast index, row-local top-k)
-    "q158_stream_nexmark_hot_instream", "q161_stream_ann_serve")
+    "q158_stream_nexmark_hot_instream", "q161_stream_ann_serve",
+    // round-10: the IVF-composed serving plan — cells ∝ √N, so per-event
+    // work must grow ~√-fashion where q161's brute scan grows linearly
+    "q162_stream_ann_ivf_serve")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
