@@ -30,15 +30,50 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
+def fresh_con(sfdir):
+    # one connection PER QUERY: DuckDB working memory accumulates across a
+    # long replay session (the r10 sf1 run cascade-OOM'd from one query on),
+    # and an OOM poisons every later query on the same connection. A bounded
+    # memory limit + disk spill keeps the big oracles honest out-of-core.
+    con = duckdb.connect()
+    try:
+        # GRAFT_CHECK_MEMLIMIT: per-query DuckDB cap (default 24GB; "none"
+        # = DuckDB's default 80%-of-RAM — needed by the heaviest oracles,
+        # e.g. q108's tokenizing NB replay at sf1)
+        lim = os.environ.get("GRAFT_CHECK_MEMLIMIT", "24GB")
+        if lim.lower() != "none":
+            con.execute(f"SET memory_limit='{lim}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:
+        pass
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        # driver testdata = single files; ScaleTrend replicas = Spark-written
+        # directories of part files — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query-name filter for re-runs
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     n_pass = n_fail = 0
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d)))
+    if only is not None:
+        names = [n for n in names if n in only]
     for name in names:
+        con = fresh_con(sfdir)
+        try:
+            n_pass, n_fail = check_one(con, outdir, name, oracles, n_pass, n_fail)
+        finally:
+            con.close()
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    sys.exit(1 if n_fail else 0)
+
+def check_one(con, outdir, name, oracles, n_pass, n_fail):
         spark_glob = os.path.join(outdir, name, "*.parquet")
         try:
             sq = con.execute(f"SELECT * FROM '{spark_glob}'")
@@ -46,20 +81,18 @@ def main():
             srows = sq.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
-            n_fail += 1
-            continue
+            return n_pass, n_fail + 1
         if name not in oracles:
             status = "ROWS-ONLY" if srows else "ROWS-ONLY-EMPTY?"
             print(f"{status} {name}: {len(srows)} rows (no oracle)")
-            continue
+            return n_pass, n_fail
         try:
             oq = con.execute(oracles[name])
             ocols = [d[0] for d in oq.description]
             orows = oq.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
+            return n_pass, n_fail + 1
         sc, sr = canon(srows, scols)
         oc, orr = canon(orows, ocols)
         if sc != oc:
@@ -83,8 +116,7 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name}: {len(sr)} rows")
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
-    sys.exit(1 if n_fail else 0)
+        return n_pass, n_fail
 
 if __name__ == "__main__":
     main()

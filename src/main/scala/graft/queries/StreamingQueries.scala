@@ -360,9 +360,11 @@ object StreamingQueries {
     * neighbor-id tiebreak, same as `SimilarityFunctions.bruteForceTopK`.
     *
     * Scale: the broadcast index is model-scale state (the same boundary as
-    * q108's classifier and q129's query set); at corpus scale the index
-    * side composes with the IVF cells (q44/q65) — the per-event serving
-    * loop is unchanged, only the candidate set shrinks.
+    * q108's classifier and q129's query set). The brute-force scan is
+    * O(index) per event — ScaleTrend-flagged SUPER-LINEAR on purpose (it
+    * is the exact oracle); the production serving plan is [[q162_stream_ann_ivf_serve]],
+    * which composes the IVF cells into this same service loop and is
+    * itself oracle-gated (sub-linear per-event work, BASELINE.md r10).
     */
   val q161_stream_ann_serve: Q = (s, dir) => {
     import s.implicits._
