@@ -104,6 +104,25 @@ final class InMemoryTxnBroker {
     committed.flatMap(_.records.collect { case Rec(`topic`, v) => v }).toSeq
   }
 
+  // ---- consumer side (KafkaShapedSource): offset-addressed read_committed
+  // log. Records enter the log at COMMIT time, so offsets are append-only
+  // and stable — the consumer-visible order a read_committed Kafka consumer
+  // sees (aborted transactions never enter; an open transaction's records
+  // are not yet readable, the LSO semantics collapsed to commit-time
+  // append).
+
+  /** Exclusive end offset of the read_committed log of `topic`. */
+  def endOffset(topic: String): Long = synchronized(visible(topic).size.toLong)
+
+  /** Read [from, until) of the read_committed log. Stable under replay:
+    * committed records never move or disappear.
+    */
+  def poll(topic: String, from: Long, until: Long): Seq[String] = synchronized {
+    val log = visible(topic)
+    log.slice(math.min(from, log.size.toLong).toInt,
+      math.min(until, log.size.toLong).toInt)
+  }
+
   /** Committed progress marker for a transactional id (-1 = none). */
   private def progressOf(id: String): Long = synchronized {
     committed.filter(_.id == id).flatMap(_.progress).foldLeft(-1L)(math.max)
