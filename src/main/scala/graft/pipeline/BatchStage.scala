@@ -359,6 +359,91 @@ final class BatchStage[T](val ds: Dataset[T]) {
   def aggregate(op: AggOp): BatchStage[Row] =
     new BatchStage(ds.agg(op.columns.head, op.columns.tail: _*))
 
+  // ------------------------------------ batch stateful family (§2.9, batch)
+  //
+  // Jet's BatchStage inherits the stateful trio + rollingAggregate from
+  // GeneralStage (GeneralStage.java:150-239, TransformStatefulP): per-key
+  // sequential state over items in encounter order (which Jet leaves
+  // UNDEFINED for batch sources unless the upstream is ordered). The Spark
+  // plan is the classic SECONDARY SORT: repartition by key, sort within
+  // partitions on (key, orderFn), then ONE streaming pass that resets state
+  // at each key boundary — per-key runs are contiguous, so no group is ever
+  // materialized and memory is O(state), not O(group). `orderFn` makes the
+  // fold DETERMINISTIC (Jet cannot offer that for batch); the default
+  // constant order reproduces Jet's arrival-order semantics.
+
+  /** Jet batch keyed `flatMapStateful` (GeneralStage.java:239): state
+    * transitions and zero-or-more outputs per item, per key, in `orderFn`
+    * order within the key.
+    */
+  def flatMapStateful[K, S, U: Encoder](keyFn: T => K, createFn: () => S,
+      orderFn: T => Long = (_: T) => 0L)(
+      fn: (K, S, T) => (S, IterableOnce[U]))(
+      implicit tripleEnc: Encoder[(K, Long, T)]): BatchStage[U] = {
+    val keyed = ds.map(t => (keyFn(t), orderFn(t), t))
+    val arranged = keyed
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+    new BatchStage(arranged.mapPartitions { it =>
+      var curKey: Option[K] = None
+      var state: S = null.asInstanceOf[S]
+      it.flatMap { case (k, _, t) =>
+        if (!curKey.contains(k)) { curKey = Some(k); state = createFn() }
+        val (s2, out) = fn(k, state, t)
+        state = s2
+        out
+      }
+    })
+  }
+
+  /** Jet batch keyed `mapStateful` (GeneralStage.java:150): one output per
+    * item — the running-fold form.
+    */
+  def mapStateful[K, S, U: Encoder](keyFn: T => K, createFn: () => S,
+      orderFn: T => Long = (_: T) => 0L)(mapFn: (K, S, T) => (S, U))(
+      implicit tripleEnc: Encoder[(K, Long, T)]): BatchStage[U] =
+    flatMapStateful(keyFn, createFn, orderFn) { (k, s, t) =>
+      val (s2, u) = mapFn(k, s, t)
+      (s2, Seq(u))
+    }
+
+  /** Jet batch keyed `filterStateful` (GeneralStage.java:197): keep/drop
+    * decided by evolving per-key state (e.g. emit-first-occurrence).
+    */
+  def filterStateful[K, S](keyFn: T => K, createFn: () => S,
+      orderFn: T => Long = (_: T) => 0L)(pred: (S, T) => (S, Boolean))(
+      implicit tripleEnc: Encoder[(K, Long, T)]): BatchStage[T] =
+    flatMapStateful(keyFn, createFn, orderFn) { (_, s, t) =>
+      val (s2, keep) = pred(s, t)
+      (s2, if (keep) Seq(t) else Nil)
+    }(ds.encoder, tripleEnc)
+
+  /** Jet batch keyed `rollingAggregate` (BatchStageWithKey.java:122): the
+    * running aggregate result emitted per item — `mapStateful` with an
+    * accumulate + export pair as the fold.
+    */
+  def rollingAggregate[K, A, R: Encoder](keyFn: T => K, zero: () => A,
+      orderFn: T => Long = (_: T) => 0L)(
+      accumulate: (A, T) => A, export: (K, A, T) => R)(
+      implicit tripleEnc: Encoder[(K, Long, T)]): BatchStage[R] =
+    mapStateful(keyFn, zero, orderFn) { (k, a, t) =>
+      val a2 = accumulate(a, t)
+      (a2, export(k, a2, t))
+    }
+
+  /** Jet GLOBAL batch `mapStateful`/`rollingAggregate`
+    * (GeneralStage.java:150, BatchStage.rollingAggregate): Jet forces local
+    * parallelism 1 for these — the Spark analog is the constant-key form of
+    * the same plan (all rows hash to one ordered partition), and the same
+    * scale warning applies: a global sequential fold is inherently serial;
+    * prefer the keyed forms.
+    */
+  def mapStatefulGlobal[S, U: Encoder](createFn: () => S,
+      orderFn: T => Long = (_: T) => 0L)(mapFn: (S, T) => (S, U))(
+      implicit tripleEnc: Encoder[(Int, Long, T)]): BatchStage[U] =
+    mapStateful[Int, S, U](_ => 0, createFn, orderFn)(
+      (_, s, t) => mapFn(s, t))
+
   // ------------------------------------------------- sort/limit/set (§2.10)
 
   /** Jet `sort` (BatchStage.java:84): global total order — range-partitioned

@@ -458,7 +458,44 @@ object EventQueries {
       |FROM act a JOIN sz ON a.cohort_day = sz.cohort_day
       |GROUP BY a.cohort_day, a.wk, sz.n_cohort""".stripMargin
 
+  // --------------------------- q163 BATCH stateful fold (secondary sort)
+  /** The r10 BATCH stateful family (BatchStage.mapStateful/rollingAggregate
+    * — Jet's GeneralStage stateful trio on batch stages) oracle-gated: a
+    * per-user running (count, sum) folded in event_id order through the
+    * SECONDARY-SORT plan (repartition by key, sortWithinPartitions on
+    * (key, order), one streaming pass with per-key-run state — memory is
+    * O(state), never O(group)). The explicit order makes the fold
+    * deterministic, so the oracle is the SQL cumulative window — the
+    * running-state analog of q23's final-state check, but verifying EVERY
+    * intermediate state, not just the last one.
+    */
+  val q163_batch_stateful_rolling: Q = (s, dir) => {
+    import s.implicits._
+    val events = t(s, dir, "events")
+      .filter($"user_id".isNotNull && $"value".isNotNull && $"event_id".isNotNull)
+      .select($"user_id", $"event_id", $"value")
+      .as[(Long, Long, Double)]
+    new graft.pipeline.BatchStage(events)
+      .rollingAggregate[Long, (Long, Double), (Long, Long, Long, Double)](
+        _._1, () => (0L, 0.0), _._2)(
+        accumulate = (a, t) => (a._1 + 1, a._2 + t._3),
+        export = (k, a, t) => (k, t._2, a._1, a._2))
+      .ds.toDF("user_id", "event_id", "running_n", "running_sum")
+      .select($"user_id", $"event_id", $"running_n",
+        round($"running_sum", 4).as("running_sum"))
+  }
+
+  val q163_oracle: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS running_n,
+      |  round(sum(value) OVER w, 4) AS running_sum
+      |FROM events
+      |WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q163_batch_stateful_rolling" -> q163_batch_stateful_rolling,
     "q127_funnel" -> q127_funnel,
     "q139_cohort_retention" -> q139_cohort_retention,
     "q138_asof_snapshot" -> q138_asof_snapshot,
@@ -475,6 +512,7 @@ object EventQueries {
     "q80_windowed_coagg" -> q80_windowed_coagg)
 
   val oracles: Map[String, String] = Map(
+    "q163_batch_stateful_rolling" -> q163_oracle,
     "q127_funnel" -> q127_oracle,
     "q138_asof_snapshot" -> q138_oracle,
     "q139_cohort_retention" -> q139_oracle,
