@@ -119,4 +119,51 @@ object Connectors {
         val session = connect(name)
         try it.foreach(r => sendRow(session, r)) finally close(session)
       }, outputMode = "append", checkpoint = checkpoint)
+
+  /** Jet `Sources.jmsQueueBuilder` / `jmsTopicBuilder`
+    * (JmsSourceBuilder.java): the fluent form of [[jmsQueue]]/[[jmsTopic]] —
+    * connectionFn / receiveFn / closeFn set separately, `build()` yields the
+    * same tested SourceBuilder pump.
+    */
+  def jmsQueueBuilder[S, T: Encoder](name: String): JmsSourceBuilder[S, T] =
+    new JmsSourceBuilder[S, T](name)
+  def jmsTopicBuilder[S, T: Encoder](name: String): JmsSourceBuilder[S, T] =
+    new JmsSourceBuilder[S, T](name)
+
+  /** Jet `Sinks.jmsQueueBuilder` / `jmsTopicBuilder` (JmsSinkBuilder.java):
+    * fluent form of [[jmsSink]].
+    */
+  def jmsSinkBuilder[S](name: String): JmsSinkBuilder[S] = new JmsSinkBuilder[S](name)
+}
+
+/** Fluent JMS source (Jet JmsSourceBuilder). */
+final class JmsSourceBuilder[S, T: Encoder] private[pipeline] (name: String) {
+  private var connectFn: String => S = _
+  private var receiveFn: S => Option[Seq[T]] = _
+  private var closeFn: S => Unit = (_: S) => ()
+  def connectionFn(f: String => S): JmsSourceBuilder[S, T] = { connectFn = f; this }
+  def receiveFn(f: S => Option[Seq[T]]): JmsSourceBuilder[S, T] = { receiveFn = f; this }
+  def closeFn(f: S => Unit): JmsSourceBuilder[S, T] = { closeFn = f; this }
+  def build(): org.apache.spark.sql.SparkSession => Sources.BuiltStream = {
+    require(connectFn != null && receiveFn != null,
+      "jms source builder needs connectionFn and receiveFn")
+    Connectors.jmsQueue[S, T](name, connectFn)(receiveFn)(closeFn)
+  }
+}
+
+/** Fluent JMS sink (Jet JmsSinkBuilder). */
+final class JmsSinkBuilder[S] private[pipeline] (name: String) {
+  private var connectFn: String => S = _
+  private var sendFn: (S, Row) => Unit = _
+  private var closeFn: S => Unit = (_: S) => ()
+  private var ckpt: Option[String] = None
+  def connectionFn(f: String => S): JmsSinkBuilder[S] = { connectFn = f; this }
+  def sendFn(f: (S, Row) => Unit): JmsSinkBuilder[S] = { sendFn = f; this }
+  def closeFn(f: S => Unit): JmsSinkBuilder[S] = { closeFn = f; this }
+  def checkpoint(path: String): JmsSinkBuilder[S] = { ckpt = Some(path); this }
+  def build(): StreamSink = {
+    require(connectFn != null && sendFn != null,
+      "jms sink builder needs connectionFn and sendFn")
+    Connectors.jmsSink[S](name, connectFn, ckpt)(sendFn)(closeFn)
+  }
 }

@@ -15,16 +15,49 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 final class Pipeline(val spark: SparkSession) {
 
+  // roots read through this pipeline, for isEmpty/toDotString (Jet's
+  // Pipeline tracks its Transform DAG; here each root IS a Catalyst plan)
+  private val roots = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private var preserveOrder = false
+
+  /** Jet `Pipeline.isEmpty` (Pipeline.java): no sources read yet. */
+  def isEmpty: Boolean = synchronized(roots.isEmpty)
+
+  /** Jet `setPreserveOrder` (Pipeline.java): request that stateless stages
+    * keep event order. The Spark mapping: NARROW chains (map/filter/flatMap/
+    * service transforms) preserve intra-partition order automatically —
+    * Spark never round-robins between narrow operators, so the constraint
+    * Jet's planner must enforce holds here by construction. Anything that
+    * shuffles (groupBy, join, `rebalance`, repartition) reorders in BOTH
+    * engines; Jet's flag does not survive those either. The flag is
+    * recorded for API parity and read back via `isPreserveOrder`.
+    */
+  def setPreserveOrder(value: Boolean): Pipeline = synchronized {
+    preserveOrder = value; this
+  }
+
+  def isPreserveOrder: Boolean = synchronized(preserveOrder)
+
+  /** Jet `Pipeline.toDotString()`: GraphViz DOT of every root's logical
+    * plan read through this pipeline (stage-level `toDotString` renders a
+    * single stage's DAG).
+    */
+  def toDotString: String = synchronized {
+    roots.map(PlanDot.toDotString).mkString("\n")
+  }
+
+  private def track[D <: Dataset[_]](d: D): D = synchronized { roots += d; d }
+
   /** Bounded input → BatchStage (Jet: `readFrom(BatchSource)`). */
   def readFrom[T](source: BatchSource[T]): BatchStage[T] =
-    new BatchStage[T](source.read(spark))
+    new BatchStage[T](track(source.read(spark)))
 
   /** Unbounded input → StreamSourceStage (Jet: `readFrom(StreamSource)`);
     * call `.withNativeTimestamps()` / `.withTimestamps(col, lag)` next, exactly
     * like Jet's `StreamSourceStage`.
     */
   def readFrom(source: StreamSource): StreamSourceStage =
-    new StreamSourceStage(source.read(spark))
+    new StreamSourceStage(track(source.read(spark)))
 
   /** Jet `JobConfig.attachFile` (config/JobConfig.java:586): ship a resource
     * file with the job; tasks resolve it with `Attachments.attachedFile`.
@@ -41,9 +74,10 @@ final class Pipeline(val spark: SparkSession) {
   }
 
   /** Escape hatch: wrap an existing Dataset. */
-  def wrap[T](ds: Dataset[T]): BatchStage[T] = new BatchStage[T](ds)
+  def wrap[T](ds: Dataset[T]): BatchStage[T] = new BatchStage[T](track(ds))
 
-  def wrapStream(df: DataFrame): StreamSourceStage = new StreamSourceStage(df)
+  def wrapStream(df: DataFrame): StreamSourceStage =
+    new StreamSourceStage(track(df))
 }
 
 object Pipeline {

@@ -186,4 +186,86 @@ object Sinks {
   def jdbc(url: String, table: String, props: java.util.Properties): Sink = new Sink {
     def write(df: DataFrame): Unit = df.write.mode("append").jdbc(url, table, props)
   }
+
+  /** Jet remote sink variants (Sinks.java:193-280, 421, 591, 731, 1109):
+    * remoteness is the store address, not an operator — same tested paths.
+    */
+  def remoteCache(name: String, keyCols: String*): Sink = map(name, keyCols: _*)
+  def remoteList(name: String): Sink = list(name)
+  def remoteReliableTopic(name: String): Sink = reliableTopic(name)
+  def remoteMapWithMerging(name: String, keyCols: Seq[String],
+                           merge: Map[String, (Column, Column) => Column]): Sink =
+    mapWithMerging(name, keyCols, merge)
+  def remoteMapWithUpdating(name: String, keyCols: Seq[String],
+                            update: Map[String, (Column, Column) => Column]): Sink =
+    mapWithUpdating(name, keyCols, update)
+  def remoteMapWithEntryProcessor(name: String, keyCols: Seq[String],
+                                  process: Map[String, (Column, Column) => Column]): Sink =
+    mapWithEntryProcessor(name, keyCols, process)
+
+  /** Jet `Sinks.fromProcessor` (Sinks.java:1370) — the custom-sink escape
+    * hatch: any DataFrame-consuming function is a sink.
+    */
+  def fromProcessor(name: String)(writeFn: DataFrame => Unit): Sink = new Sink {
+    def write(df: DataFrame): Unit = writeFn(df)
+  }
+
+  /** Jet `Sinks.filesBuilder` (Sinks.java:1026, FileSinkBuilder.java):
+    * format/options/mode fluently; `.build()` yields the same tested
+    * [[Sinks.files]] sink (rolling/exactly-once file semantics live on the
+    * STREAMING side — `StreamSinks.files` writes through Spark's
+    * transactional file commit protocol).
+    */
+  def filesBuilder(path: String): FileSinkBuilder = new FileSinkBuilder(path)
+
+  /** Jet `Sinks.jdbcBuilder` (Sinks.java:1296, JdbcSinkBuilder.java):
+    * url/table/batch fluently; `.exactlyOnce(jobId)` switches the built sink
+    * to the 2PC [[JdbcTransactionalSink]] micro-batch delivery (data +
+    * progress marker in one DB transaction) instead of plain appends.
+    */
+  def jdbcBuilder(url: String, table: String): JdbcSinkBuilder =
+    new JdbcSinkBuilder(url, table)
+}
+
+/** Fluent form of [[Sinks.files]] (Jet FileSinkBuilder). */
+final class FileSinkBuilder private[pipeline] (path: String) {
+  private var fmt = "parquet"
+  private var saveMode = "overwrite"
+  private var opts = Map.empty[String, String]
+  def format(f: String): FileSinkBuilder = { fmt = f; this }
+  def mode(m: String): FileSinkBuilder = { saveMode = m; this }
+  def option(k: String, v: String): FileSinkBuilder = { opts += (k -> v); this }
+  def build(): Sink = Sinks.files(path, fmt, saveMode, opts)
+}
+
+/** Fluent form of [[Sinks.jdbc]] (Jet JdbcSinkBuilder). */
+final class JdbcSinkBuilder private[pipeline] (url: String, table: String) {
+  private val props = new java.util.Properties()
+  private var exactlyOnceJob: Option[String] = None
+  private var insertSql: Option[String] = None
+  private var parts = 8
+  def property(k: String, v: String): JdbcSinkBuilder = { props.put(k, v); this }
+  /** Jet `JdbcSinkBuilder.exactlyOnce(true)` + jobName: use the 2PC
+    * transactional delivery; requires the insert statement (the reference's
+    * `updateQuery`) via [[updateQuery]].
+    */
+  def exactlyOnce(jobId: String): JdbcSinkBuilder = {
+    exactlyOnceJob = Some(jobId); this
+  }
+  /** Jet `updateQuery`: the parameterized INSERT/UPDATE the sink executes. */
+  def updateQuery(sql: String): JdbcSinkBuilder = { insertSql = Some(sql); this }
+  def partitions(n: Int): JdbcSinkBuilder = { parts = n; this }
+  def build(): Sink = exactlyOnceJob match {
+    case None => Sinks.jdbc(url, table, props)
+    case Some(job) => new Sink {
+      def write(df: DataFrame): Unit = {
+        val sql = insertSql.getOrElse(throw new IllegalArgumentException(
+          "exactlyOnce jdbc sink needs updateQuery(...)"))
+        JdbcTransactionalSink.ensureProgressTable(url)
+        // batch jobs deliver as batch 0: a retried job replays it and the
+        // committed progress marker skips already-delivered partitions
+        JdbcTransactionalSink.writeBatch(url, sql, job, batchId = 0L, df, parts)
+      }
+    }
+  }
 }

@@ -53,6 +53,54 @@ object Sources {
   def cache(name: String): BatchSource[Row] = map(name)
   def remoteMap(name: String): BatchSource[Row] = map(name)
   def remoteCache(name: String): BatchSource[Row] = map(name)
+  def remoteList(name: String): BatchSource[Row] = new BatchSource[Row] {
+    def read(spark: SparkSession): Dataset[Row] = KeyedStore.get(spark, name)
+  }
+
+  /** Jet `Sources.mapJournal` / `cacheJournal` and the remote variants
+    * (Sources.java:412,462,520,568): a store's change journal as an
+    * UNBOUNDED stream of change records. `startFromOldest` maps Jet's
+    * `JournalInitialPosition`: START_FROM_OLDEST = a SYNC snapshot of the
+    * current contents followed by changes; START_FROM_CURRENT (default) =
+    * changes only. Backed by [[KeyedStore.journal]] (per-subscriber
+    * journal dirs consumed as a file stream — MapJournalSpec, gate q138/q140
+    * family).
+    */
+  def mapJournal(name: String, startFromOldest: Boolean = false): StreamSource =
+    new StreamSource {
+      def read(spark: SparkSession): DataFrame =
+        KeyedStore.journal(spark, name, startFromOldest)
+    }
+  def cacheJournal(name: String, startFromOldest: Boolean = false): StreamSource =
+    mapJournal(name, startFromOldest)
+  def remoteMapJournal(name: String, startFromOldest: Boolean = false): StreamSource =
+    mapJournal(name, startFromOldest)
+  def remoteCacheJournal(name: String, startFromOldest: Boolean = false): StreamSource =
+    mapJournal(name, startFromOldest)
+
+  /** Jet `Sources.batchFromProcessor` (Sources.java:126) — the custom-source
+    * escape hatch. The Spark analog of "supply your own processors" is
+    * "supply your own plan": any Dataset-producing function becomes a
+    * first-class source (the DSv2 connector API is the heavier equivalent,
+    * see graft.streaming.PacedRateSource for a full example).
+    */
+  def batchFromProcessor[T](readFn: SparkSession => Dataset[T]): BatchSource[T] =
+    new BatchSource[T] { def read(spark: SparkSession): Dataset[T] = readFn(spark) }
+
+  /** Jet `Sources.streamFromProcessor` (Sources.java:151). */
+  def streamFromProcessor(readFn: SparkSession => DataFrame): StreamSource =
+    new StreamSource { def read(spark: SparkSession): DataFrame = readFn(spark) }
+
+  /** Jet `Sources.streamFromProcessorWithWatermarks` (Sources.java:103):
+    * the source declares its own event-time policy — here the watermark is
+    * attached to the produced stream directly.
+    */
+  def streamFromProcessorWithWatermarks(tsCol: String, delay: String)(
+      readFn: SparkSession => DataFrame): StreamSource =
+    new StreamSource {
+      def read(spark: SparkSession): DataFrame =
+        readFn(spark).withWatermark(tsCol, delay)
+    }
 
   /** Unified file source (FileSources.files, pipeline/file/FileSources.java:66):
     * format in {parquet, csv, json, text, avro, binaryFile}; options passthrough.
