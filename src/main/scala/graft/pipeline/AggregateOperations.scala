@@ -100,6 +100,31 @@ object AggregateOperations {
 
   /** averagingLong / averagingDouble (:364/:411) */
   def averaging(c: Column, as: String = "avg"): AggOp = one(avg(c).as(as))
+  def averagingLong(c: Column, as: String = "avg"): AggOp =
+    one(avg(c.cast("long")).as(as))
+  def averagingDouble(c: Column, as: String = "avg"): AggOp =
+    one(avg(c.cast("double")).as(as))
+
+  /** Jet `mapping` (:882): transform each item before the downstream op.
+    * Catalyst does this natively — ANY expression can be an aggregate's
+    * input — so this is pure name parity: `mapping(c, f)(summingLong(_))`
+    * ≡ `summingLong(f(c))`, and both stay in the same codegen'd pass.
+    */
+  def mapping(c: Column, f: Column => Column)(op: Column => AggOp): AggOp =
+    op(f(c))
+
+  /** Jet `flatMapping` (:919): each item expands to MANY downstream items.
+    * `expand` must yield an ARRAY column per row; `fold` reduces the
+    * group's flattened elements (e.g. `size(_)` for counting,
+    * `aggregate(_, lit(0L), (a, x) => a + x)` for summing). The group's
+    * expansions collect into one array before the fold — group-bound
+    * memory, the same bound as Jet's accumulator and as [[groupingByToList]];
+    * for unbounded groups explode upstream instead (the planner-visible
+    * form, one shuffle, no per-group array).
+    */
+  def flatMapping(c: Column, expand: Column => Column,
+                  fold: Column => Column, as: String = "flat_mapped"): AggOp =
+    one(fold(flatten(collect_list(expand(c)))).as(as))
 
   /** minBy / maxBy (:200/:237): argmin/argmax of `value` ordered by `by`.
     * Pass a `struct(...)` as `by` for deterministic tie-breaks.
@@ -159,6 +184,12 @@ object AggregateOperations {
     * group — the Jet accumulator is likewise group-bound; for huge groups
     * prefer a real two-level `groupBy` with a second key column.
     */
+  /** Jet `groupingBy(keyFn)` (:1026) — the default `toList` downstream;
+    * name-parity alias of [[groupingByToList]].
+    */
+  def groupingBy(k: Column, v: Column, as: String = "grouped"): AggOp =
+    groupingByToList(k, v, as)
+
   def groupingByToList(k: Column, v: Column, as: String = "grouped"): AggOp = {
     val entries = collect_list(when(k.isNotNull, struct(k.as("k"), v.as("v"))))
     one(map_from_entries(
@@ -227,6 +258,17 @@ object AggregateOperations {
     * Java tag types through; Scala varargs + named columns need none.
     */
   def allOf(ops: AggOp*): AggOp = AggOp(ops.flatMap(_.columns))
+
+  /** Jet `allOfBuilder` (AllOfAggregationBuilder): fluent `allOf` for
+    * arities past 3 — `add` any number of ops, `build()` fuses them into
+    * one aggregation pass.
+    */
+  def allOfBuilder(): AllOfBuilder = new AllOfBuilder(Vector.empty)
+
+  final class AllOfBuilder private[AggregateOperations] (ops: Vector[AggOp]) {
+    def add(op: AggOp): AllOfBuilder = new AllOfBuilder(ops :+ op)
+    def build(): AggOp = AggOp(ops.flatMap(_.columns))
+  }
 
   /** toAggregator / toCollector (:1519/:1478) — Jet's JDK-interop escape
     * hatches (wrap a java.util.stream.Collector / expose the op as one).

@@ -142,6 +142,20 @@ class AggregateOpsSpec extends SparkSpec {
     }
   }
 
+  test("mapping / flatMapping / averaging aliases / allOfBuilder (r10 name parity)") {
+    import graft.pipeline.AggregateOperations._
+    val df = Seq((1, "ab"), (1, "c"), (2, "defg")).toDF("k", "s")
+    val op = allOfBuilder()
+      .add(mapping(col("s"), length(_))(summingLong(_, "chars")))
+      .add(flatMapping(col("s"), split(_, ""), size(_).cast("long"), "n_letters"))
+      .add(averagingLong(length(col("s")), "avg_len"))
+      .build()
+    val out = new BatchStage(df).groupingKey(col("k")).aggregate(op)
+      .toDF.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) === ((3L, 3L, 1.5)))
+    assert(out(2) === ((4L, 4L, 4.0)))
+  }
+
   test("LAW: keyed aggregate equals map-side pre-aggregation (two-phase equivalence)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 5) {
