@@ -84,7 +84,15 @@ object Plans {
     "q146_nexmark_hot_items" -> "NEXMark Q5: sliding window() expands each bid into 3 covering windows BEFORE the single (window, auction) hash-agg; hot filter is a window max over window-cardinality counts",
     "q147_nexmark_avg_seller" -> "NEXMark Q6: per-seller rank window runs over the WINS table (auction-cardinality, ~3/50 of the stream) — raw bids never enter the ranking shuffle",
     "q148_nexmark_highest_bid" -> "NEXMark Q7: one 10-min tumbling max window + tie-keeping filter — a single exchange keyed on the window",
-    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle")
+    "q149_nexmark_new_users" -> "NEXMark Q8: join keyed (seller, 12h-window-equality); persons broadcast — auctions never shuffle",
+    "q163_batch_stateful_rolling" -> ("BATCH stateful fold (BatchStage" +
+      ".rollingAggregate, r10): SECONDARY SORT — one Exchange on the key, " +
+      "SortWithinPartitions on (key, order), then a single MapPartitions " +
+      "pass resetting state at key boundaries. Per-key runs are contiguous " +
+      "so memory is O(state), never O(group); exactly one shuffle at any " +
+      "scale, and the sort is partition-local (spillable). Oracle = the " +
+      "SQL cumulative window over the same order — every INTERMEDIATE " +
+      "state verified, not just finals."))
 
   // Streaming queries whose result frame is a memory-sink table (the
   // interesting plan is the in-flight streaming one, not the post-replay

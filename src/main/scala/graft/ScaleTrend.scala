@@ -71,8 +71,10 @@ object ScaleTrend {
     // service-path streaming ANN serving (broadcast index, row-local top-k)
     "q158_stream_nexmark_hot_instream", "q161_stream_ann_serve",
     // round-10: the IVF-composed serving plan — cells ∝ √N, so per-event
-    // work must grow ~√-fashion where q161's brute scan grows linearly
-    "q162_stream_ann_ivf_serve")
+    // work must grow ~√-fashion where q161's brute scan grows linearly —
+    // and the batch stateful fold (one shuffle + partition-local sort:
+    // expected ~linear)
+    "q162_stream_ann_ivf_serve", "q163_batch_stateful_rolling")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
