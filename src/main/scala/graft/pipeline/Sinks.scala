@@ -203,6 +203,13 @@ object Sinks {
                                   process: Map[String, (Column, Column) => Column]): Sink =
     mapWithEntryProcessor(name, keyCols, process)
 
+  /** Jet `Sinks.observable(name)` (Sinks.java:1357): publish results to the
+    * named client-side [[Observable]] channel — obtain it with
+    * `Observables.get(name)` (the `JetInstance.getObservable` analog) and
+    * subscribe or iterate.
+    */
+  def observable(name: String): Sink = ObservableSinks.sink(name)
+
   /** Jet `Sinks.fromProcessor` (Sinks.java:1370) — the custom-sink escape
     * hatch: any DataFrame-consuming function is a sink.
     */
