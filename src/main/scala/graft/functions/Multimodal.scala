@@ -238,6 +238,112 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- MP3
+  // The MPEG audio FRAME-HEADER walk: mp3 needs an external codec for PCM
+  // samples, but frames / sample-rate / channels / duration are all in the
+  // 4-byte frame headers (ISO/IEC 11172-3 §2.4.1.3, public tables) — the
+  // metadata every training-data audio pipeline actually filters on. This
+  // parse is REAL (it must walk every frame using the header's own
+  // bitrate/rate/padding arithmetic to count them); only PCM extraction
+  // stays on decodeStub.
+
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+  /** Walk the MPEG Layer III frame chain: skip an ID3v2 tag (syncsafe
+    * length), then per frame read version/bitrate/rate/padding, advance by
+    * the computed frame size, accumulate samples. Stops at trailing
+    * non-frame bytes (ID3v1 "TAG" etc.) once ≥1 frame parsed; null if the
+    * payload never syncs (falls through to the other container parsers).
+    */
+  private def parseMp3(b: Array[Byte]): AudioFeatures = {
+    var o = 0
+    if (b.length >= 10 && b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte) {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + size
+    }
+    var frames = 0L
+    var samples = 0L
+    var rate = 0
+    var channels = 0
+    var halt = false
+    while (!halt && o + 4 <= b.length) {
+      val h = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      val ver = (h >>> 19) & 3   // 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+      val layer = (h >>> 17) & 3 // 1 = Layer III
+      val bIdx = (h >>> 12) & 15
+      val rIdx = (h >>> 10) & 3
+      val pad = (h >>> 9) & 1
+      val mode = (h >>> 6) & 3
+      if ((h >>> 21) != 0x7ff || ver == 1 || layer != 1 ||
+          bIdx == 0 || bIdx == 15 || rIdx == 3) {
+        if (frames == 0) return null // never synced: not an mp3
+        halt = true                  // trailing tag/garbage after the chain
+      } else {
+        val rateHz = ver match {
+          case 3 => Mp3RateV1(rIdx)
+          case 2 => Mp3RateV2(rIdx)
+          case _ => Mp3RateV25(rIdx)
+        }
+        val kbps = if (ver == 3) Mp3BitrateV1L3(bIdx) else Mp3BitrateV2L3(bIdx)
+        val spf = if (ver == 3) 1152 else 576
+        val size = (if (ver == 3) 144000 * kbps / rateHz
+                    else 72000 * kbps / rateHz) + pad
+        if (frames == 0) { rate = rateHz; channels = if (mode == 3) 1 else 2 }
+        frames += 1
+        samples += spf
+        o += size
+      }
+    }
+    if (frames == 0) null
+    else AudioFeatures(0L, frames, rate, channels, samples * 1000000L / rate)
+  }
+
+  /** Deterministic MPEG1 Layer III mono frame-chain synthesizer (fixture,
+    * the mp3 analog of [[syntheticWav]]): valid 4-byte headers + seeded
+    * filler, per-frame padding alternating so the walk must honor the pad
+    * bit, optional ID3v2 prefix so the walk must skip it. `bitrateIdx` in
+    * 1..14, `rateIdx` in 0..2 — the arithmetic the oracle predicts is
+    * frames·1152·10⁶ / rate, independent of bitrate, but COUNTING the
+    * frames requires walking sizes that depend on it.
+    */
+  def syntheticMp3(nFrames: Int, bitrateIdx: Int, rateIdx: Int, seed: Long,
+                   id3Bytes: Int = 0): Array[Byte] = {
+    val rate = Mp3RateV1(rateIdx)
+    val kbps = Mp3BitrateV1L3(bitrateIdx)
+    val base = 144000 * kbps / rate
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // version 2.4, no flags
+      out.write(0); out.write(0)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      (0 until id3Bytes).foreach(i => out.write((seed + i).toInt & 0x7e))
+    }
+    var i = 0
+    while (i < nFrames) {
+      val pad = i & 1
+      val h = (0x7ff << 21) | (3 << 19) | (1 << 17) | (1 << 16) |
+        (bitrateIdx << 12) | (rateIdx << 10) | (pad << 9) | (3 << 6)
+      out.write((h >>> 24) & 0xff); out.write((h >>> 16) & 0xff)
+      out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+      var j = 4
+      val size = base + pad
+      while (j < size) { out.write(((seed + i * 131 + j) & 0x7f).toInt); j += 1 }
+      i += 1
+    }
+    // trailing ID3v1 tag: the walk must stop cleanly, not miscount
+    out.write('T'); out.write('A'); out.write('G')
+    out.toByteArray
+  }
+
   def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioFeatures] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
@@ -246,8 +352,19 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           if (bytes == null) None
           else {
-            val fast = try parseCanonicalWav(bytes)
-            catch { case scala.util.control.NonFatal(_) => null }
+            // mp3 sniff first (ID3 prefix or frame sync): the frame-header
+            // walk is lock-free like the canonical-RIFF path
+            val mp3 =
+              if (bytes.length >= 3 &&
+                  ((bytes(0) == 'I'.toByte && bytes(1) == 'D'.toByte && bytes(2) == '3'.toByte) ||
+                   ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0)))
+                try parseMp3(bytes)
+                catch { case scala.util.control.NonFatal(_) => null }
+              else null
+            val fast =
+              if (mp3 != null) mp3
+              else try parseCanonicalWav(bytes)
+              catch { case scala.util.control.NonFatal(_) => null }
             if (fast != null) Some(fast.copy(media_id = id))
             else {
               // non-canonical container → the JDK SPI stack (AIFF, AU,

@@ -165,7 +165,48 @@ object MultimodalQueries {
       |  ((doc_id % 1000 + 100) * 125)::BIGINT AS duration_us
       |FROM documents""".stripMargin
 
+  // -------------------------------------------- q164 mp3 frame-header walk
+  /** MP3 container metadata WITHOUT a codec (r10 — shrinking the decodeStub
+    * boundary): the MPEG Layer III frame-header walk (ISO/IEC 11172-3
+    * public tables) counts frames by advancing through per-frame sizes
+    * computed from each header's own bitrate/rate/padding bits, skipping a
+    * leading ID3v2 tag and stopping at the trailing ID3v1 tag. The oracle
+    * predicts (frames, rate, channels, duration) analytically from doc_id —
+    * but the PREDICTION is independent of bitrate while the WALK is not
+    * (frame sizes vary per doc by bitrate index and alternate padding), so
+    * a parser that didn't actually walk the chain miscounts and
+    * hash-mismatches. PCM sample extraction still needs an external codec
+    * and stays on decodeStub — the boundary is now "samples", not
+    * "metadata".
+    */
+  val q164_mp3_metadata: Q = (s, dir) => {
+    import s.implicits._
+    val withMp3 = graft.functions.Width.widen(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, Multimodal.syntheticMp3(
+            nFrames = (id % 200).toInt + 20,
+            bitrateIdx = (id % 14).toInt + 1,
+            rateIdx = (id % 3).toInt,
+            seed = id,
+            id3Bytes = if (id % 5 == 0) (id % 60).toInt + 4 else 0))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeAudio(withMp3, "doc_id", "payload").toDF()
+  }
+
+  val q164_oracle: String =
+    """SELECT doc_id AS media_id,
+      |  (doc_id % 200 + 20)::BIGINT AS n_frames,
+      |  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sample_rate,
+      |  1 AS channels,
+      |  ((doc_id % 200 + 20) * 1152 * 1000000)
+      |    // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) AS duration_us
+      |FROM documents""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q164_mp3_metadata" -> q164_mp3_metadata,
     "q118_audio_decode" -> q118_audio_decode,
     "q116_image_phash" -> q116_image_phash,
     "q45_multimodal_decode" -> q45_multimodal_decode,
@@ -173,6 +214,7 @@ object MultimodalQueries {
     "q64_multimodal_features" -> q64_multimodal_features)
 
   val oracles: Map[String, String] = Map(
+    "q164_mp3_metadata" -> q164_oracle,
     "q118_audio_decode" -> q118_oracle,
     "q116_image_phash" -> q116_oracle,
     "q45_multimodal_decode" -> q45_oracle,

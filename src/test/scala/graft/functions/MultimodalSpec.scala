@@ -60,4 +60,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.averageHash(decode(pngBytes)) ===
       Multimodal.averageHash(decode(bmpBytes2)))
   }
+
+  test("mp3 frame walk: MPEG1 fixture with ID3v2 + alternating padding, exact duration") {
+    val df = Seq(
+      (1L, Multimodal.syntheticMp3(30, bitrateIdx = 9, rateIdx = 1, seed = 7L, id3Bytes = 12)),
+      (2L, Multimodal.syntheticMp3(50, bitrateIdx = 1, rateIdx = 2, seed = 3L)))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "id", "payload").collect()
+      .map(a => a.media_id -> a).toMap
+    assert(out(1L).n_frames === 30 && out(1L).sample_rate === 48000 &&
+      out(1L).channels === 1 &&
+      out(1L).duration_us === 30L * 1152 * 1000000 / 48000)
+    assert(out(2L).n_frames === 50 && out(2L).sample_rate === 32000 &&
+      out(2L).duration_us === 50L * 1152 * 1000000 / 32000)
+  }
+
+  test("mp3 frame walk: hand-built MPEG2 Layer III stereo chain parses on its own tables") {
+    // ver=2 (spf 576, 72000*kbps/rate sizing), bitrateIdx 5 = 40 kbps on the
+    // MPEG2 table, rateIdx 1 = 24000 Hz, stereo mode bits 00 -> 120-byte frames
+    val h = (0x7ff << 21) | (2 << 19) | (1 << 17) | (1 << 16) |
+      (5 << 12) | (1 << 10) | (0 << 9) | (0 << 6)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 3).foreach { _ =>
+      out.write((h >>> 24) & 0xff); out.write((h >>> 16) & 0xff)
+      out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+      (4 until 120).foreach(j => out.write(j & 0x7f))
+    }
+    val df = Seq((9L, out.toByteArray)).toDF("id", "payload")
+    val a = Multimodal.decodeAudio(df, "id", "payload").collect().head
+    assert(a.n_frames === 3 && a.sample_rate === 24000 && a.channels === 2)
+    assert(a.duration_us === 3L * 576 * 1000000 / 24000)
+  }
+
+  test("mp3 sniff rejects sync-like junk without breaking the WAV/SPI fallbacks") {
+    val junk = Array[Byte](0xff.toByte, 0xf0.toByte, 1, 2, 3, 4, 5)
+    val wav = Multimodal.syntheticWav(80, 8000, 1L)
+    val df = Seq((1L, junk), (2L, wav)).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "id", "payload").collect()
+    assert(out.map(_.media_id).toSet === Set(2L), "junk skipped, WAV still decodes")
+    assert(out.head.n_frames === 80)
+  }
 }
