@@ -109,9 +109,14 @@ object Bench {
       else results.sortBy(-_._2).take(20).map { case (name, _, _, _) =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a FAILED warm rerun records the -1 sentinel, not its (tiny)
+        // elapsed time — a fast failure would otherwise read as a warm
+        // number that falsely "clears" a real cold regression in the diff
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}"); false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         pipeline.KeyedStore.clear()
         spark.catalog.clearCache()
         System.gc()

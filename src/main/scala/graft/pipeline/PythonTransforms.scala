@@ -83,9 +83,16 @@ object PythonTransforms {
     Files.write(host, hostScript(batchSize).getBytes(UTF_8))
     host.toFile.deleteOnExit()
     sc.addFile(host.toString)
-    sc.addFile(handlerFile)
+    // ship the handler under a UNIQUE name (like the host script): addFile
+    // keys on basename, so two invocations with same-named-but-different
+    // handlers in one session would either conflict or serve the stale file
+    val handlerCopy = Files.createTempFile("graft_py_handler_", ".py")
+    Files.copy(java.nio.file.Paths.get(handlerFile), handlerCopy,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    handlerCopy.toFile.deleteOnExit()
+    sc.addFile(handlerCopy.toString)
     val hostName = host.getFileName.toString
-    val handlerName = new File(handlerFile).getName
+    val handlerName = handlerCopy.getFileName.toString
     SubprocessTransforms.transformColumnWith(df, colName,
       () => Seq(pythonExec, "-u", SparkFiles.get(hostName),
         SparkFiles.get(handlerName), handlerFunction),

@@ -143,14 +143,43 @@ object XaShapedSink {
     rolledBackThis
   }
 
-  /** Graceful-shutdown sweep: commit every prepared transaction of this
-    * (job, part) — the reference does the same on job completion so the
-    * final snapshot's messages become visible without waiting for a next
-    * one.
+  /** Graceful-shutdown sweep: commit the prepared transactions of this
+    * (job, part) whose batch id the ENGINE has recorded as committed —
+    * the reference does the same on job completion so the final snapshot's
+    * messages become visible without waiting for a next batch.
+    *
+    * `upTo` is the last engine-recorded batch id (read it from the
+    * checkpoint commit log via [[lastEngineCommittedBatch]]). Prepared
+    * transactions ABOVE it are rolled back, not committed: `query.stop()`
+    * can interrupt after `prepare` but before Spark writes the batch to
+    * its commit log, and committing that batch here would reopen the
+    * double-crash duplicate window through the "graceful" path — the
+    * restart replays the unrecorded batch and re-sends it. The
+    * no-argument default (`upTo = Long.MaxValue`, commit everything) is
+    * ONLY sound after a batch-aligned stop (`processAllAvailable` +
+    * `stop` + `awaitTermination`), where every prepared batch is known
+    * recorded.
     */
-  def commitPrepared(res: XAResource, job: String, part: Int): Unit =
+  def commitPrepared(res: XAResource, job: String, part: Int,
+                     upTo: Long = Long.MaxValue): Unit =
     res.recover(XAResource.TMSTARTRSCAN | XAResource.TMENDRSCAN).toSeq
-      .foreach(x => parse(x, job, part).foreach(_ => commitIdempotent(res, x)))
+      .foreach(x => parse(x, job, part).foreach { b =>
+        if (b <= upTo) commitIdempotent(res, x)
+        else try res.rollback(x)
+        catch { case e: XAException if e.errorCode == XAException.XAER_NOTA => () }
+      })
+
+  /** Last batch id the engine durably recorded: the max numeric entry in
+    * the streaming checkpoint's `commits/` log (the file is written AFTER
+    * every sink partition delivered — Spark's micro-batch commit point).
+    * None for a checkpoint that never completed a batch.
+    */
+  def lastEngineCommittedBatch(checkpoint: String): Option[Long] = {
+    val dir = new java.io.File(checkpoint, "commits")
+    val ids = Option(dir.list()).getOrElse(Array.empty[String])
+      .flatMap(_.toLongOption)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
 
   /** Write one micro-batch distributed: one XA session per sink partition
     * (the reference's processor-owns-its-XAResource scheme), deterministic

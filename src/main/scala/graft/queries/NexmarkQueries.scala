@@ -411,14 +411,17 @@ object NexmarkQueries {
     * delta q150/q155 left: those streamed the (window, auction) counts but
     * found the per-window max in a batch post-pass over the collected
     * output. Here [[graft.operators.SlidingPanes.slidingHotKeysStream]]
-    * chains a per-window MAX stage (grouped by a slide-sized tumbling
-    * window over `window_time` of the stage-2 window — a bijective
-    * window↔bucket mapping) and a window-equality stream-stream join of
-    * the stage-2 counts against that max on (window, n = max), so the
-    * streamed rows ARE the hot items WITH ties and no operator ever
-    * buffers a window's full candidate set in one aggregation row; the
-    * reference's own Q5 topology (sliding count → maxBy vertex, benchmark
-    * blog:105-113) as chained declarative stateful ops. The
+    * chains a third stateful stage — grouped by a slide-sized tumbling
+    * window over `window_time` of the stage-2 window (a bijective
+    * window↔bucket mapping) — whose aggregate is the bounded
+    * `graft_argmax_ties` accumulator ([[graft.functions.expr.ArgmaxTies]]):
+    * per-window state = the running max plus ONLY the keys tying it, so
+    * the streamed rows ARE the hot items WITH ties and no operator ever
+    * buffers a window's full candidate set (and no stream-stream join
+    * re-executes stages 1–2 — that shape was measured and rejected, see
+    * SlidingPanes.scala); the reference's own Q5 topology (sliding count →
+    * maxBy vertex, benchmark blog:105-113) as chained declarative stateful
+    * ops in one pipeline. The
     * watermark-advancing sentinel rows flow through the stages (their
     * far-future windows never close) and are dropped by a STATELESS filter
     * on the streamed output — still inside the streaming query. The filter
@@ -426,9 +429,10 @@ object NexmarkQueries {
     * predicate gets pushed below the EventTimeWatermark node by Catalyst
     * (it does not reference the event-time column), silently stopping the
     * sentinels from ever advancing the watermark — measured as exactly the
-    * last 2h/slide windows never flushing. (Verified after the r10 join
-    * rework: the oracle still hash-matches, so the post-join filter stays
-    * above the watermark assignment.) Shares q146's oracle.
+    * last 2h/slide windows never flushing. (Verified after the r10
+    * ArgmaxTies rework: the oracle still hash-matches, so the
+    * post-aggregation filter stays above the watermark assignment.)
+    * Shares q146's oracle.
     */
   val q158_stream_nexmark_hot_instream: Q = (s, dir) => {
     import s.implicits._

@@ -16,6 +16,19 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cosine from a dot product and a norm product, scoring 0.0 when either
+    * norm is zero: a zero vector has no direction, and the NaN that a raw
+    * division produces would kill the streaming task downstream —
+    * `new java.math.BigDecimal(NaN)` in the rank quantizer throws
+    * NumberFormatException. (The gate data has no zero norms, so the guard
+    * never changes an oracle row; it keeps a degenerate query vector or
+    * centroid from failing the query instead of producing a rankable row.)
+    */
+  private def safeCosine(dot: Double, normProduct: Double): Double = {
+    val c = dot / normProduct
+    if (java.lang.Double.isFinite(c)) c else 0.0
+  }
+
   private def eventsDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events").select($"ts", $"user_id", $"event_type", $"value")
@@ -416,7 +429,7 @@ object StreamingQueries {
               var d = 0.0
               var t = 0
               while (t < v.length) { d += qv(t).toDouble * v(t).toDouble; t += 1 }
-              scored += ((svc.ids(j), d / (qn * svc.norms(j))))
+              scored += ((svc.ids(j), safeCosine(d, qn * svc.norms(j))))
             }
             j += 1
           }
@@ -570,7 +583,7 @@ object StreamingQueries {
           }
           // probe: rank ALL centroids (cells ≈ √N of them), take nprobe
           val probed = Array.tabulate(svc.cellIds.length) { ci =>
-            (ci, dotD(qv, svc.cents(ci)) / (qn * svc.centNorms(ci)))
+            (ci, safeCosine(dotD(qv, svc.cents(ci)), qn * svc.centNorms(ci)))
           }.sortBy { case (ci, c) => (quant9(c).negate, svc.cellIds(ci)) }(
             Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Long))
             .take(nprobe)
@@ -585,7 +598,7 @@ object StreamingQueries {
                 var d = 0.0
                 var t = 0
                 while (t < v.length) { d += qv(t).toDouble * v(t).toDouble; t += 1 }
-                scored += ((cell.ids(j), d / (qn * cell.norms(j))))
+                scored += ((cell.ids(j), safeCosine(d, qn * cell.norms(j))))
               }
               j += 1
             }

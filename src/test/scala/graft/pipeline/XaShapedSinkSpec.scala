@@ -92,6 +92,36 @@ class XaShapedSinkSpec extends SparkSpec {
     assert(rm.visible("q") === Seq("a", "b"), "exactly one copy of the thrice-attempted batch")
   }
 
+  test("interrupted stop: the upTo-gated sweep rolls back the unrecorded batch") {
+    val (_, rm) = freshRm()
+    val s0 = rm.session("j-p0")
+    XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _), "j", 0, 0L, rows("a"))
+    XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _), "j", 0, 1L, rows("b"))
+    // query.stop() landed after batch 1's prepare but BEFORE the engine
+    // wrote 1 to its commit log: the sweep must only commit <= 0 — a
+    // commit-everything sweep here would make "b" visible AND the restart
+    // replay batch 1 again (the graceful-path duplicate window)
+    XaShapedSink.commitPrepared(s0.xaResource, "j", 0, upTo = 0L)
+    assert(rm.visible("q") === Seq("a"), "recorded batch visible, unrecorded not")
+    // restart replays batch 1: nothing prepared for it anymore -> fresh send
+    val s1 = rm.session("j-p0")
+    assert(!XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+      "j", 0, 1L, rows("b")), "rolled-back batch replays as a fresh send")
+    XaShapedSink.commitPrepared(s1.xaResource, "j", 0, upTo = 1L)
+    assert(rm.visible("q") === Seq("a", "b"), "exactly once through the interrupted stop")
+  }
+
+  test("lastEngineCommittedBatch reads the checkpoint commit log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xa_cl_")
+    assert(XaShapedSink.lastEngineCommittedBatch(dir.toString).isEmpty)
+    val commits = new java.io.File(dir.toFile, "commits")
+    commits.mkdirs()
+    Seq("0", "1", "7", ".tmp_x", "metadata").foreach { n =>
+      new java.io.File(commits, n).createNewFile()
+    }
+    assert(XaShapedSink.lastEngineCommittedBatch(dir.toString) === Some(7L))
+  }
+
   test("XIDs of a job id containing ':' round-trip through parse (right-split)") {
     val xid = XaShapedSink.GraftXid("ns:job", 3, 7L)
     assert(XaShapedSink.parse(xid, "ns:job", 3) === Some(7L))
