@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.pipeline.ServiceFactory
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PARTITIONED streaming ANN serving over IVF coarse cells — the form that
+  * survives an index larger than one executor's heap (VERDICT r10 item 1).
+  *
+  * The in-service form (q162, `StreamingQueries.q162_stream_ann_ivf_serve`)
+  * holds centroids AND the full posting lists in one broadcast service
+  * object — fine to ~10⁷ vectors, impossible at 100 TB corpus scale. This
+  * operator splits the index the way the reference splits enrichment state
+  * into `mapUsingReplicatedMap` (replicated = broadcast-sized) vs
+  * `mapUsingIMap` (partitioned, key-routed) — reference
+  * hazelcast-jet-core/src/main/java/com/hazelcast/jet/pipeline/
+  * GeneralStage.java:582-734 draws exactly this distinction:
+  *
+  *   - centroids (O(√N) rows — model-scale) ride a broadcast service; each
+  *     event ranks them and picks its `nprobe` cells — sub-linear per-event
+  *     driver of the whole design;
+  *   - posting lists stay a cell-keyed TABLE; probes resolve via a
+  *     stream-static equi-join on cell id, so each micro-batch routes only
+  *     the (tiny) probe rows to the shards — the corpus is never collected,
+  *     never broadcast, and each join task holds only its own cells;
+  *   - the per-query top-k runs IN-STREAM as a windowed aggregation with
+  *     the bounded [[graft.functions.expr.TopKScored]] accumulator
+  *     (answer-sized buffer), not a batch post-pass.
+  *
+  * Shuffle accounting (the 100 TB story): the static side is re-planned per
+  * micro-batch, so the gate form pins a SHUFFLE_HASH join (no corpus-sized
+  * broadcast — asserted by ShardedAnnServeSpec). In production the postings
+  * are a table BUCKETED BY cell (written once per index build, see
+  * [[postingsAsBucketedTable]]): the bucketed scan already satisfies the
+  * join's hash distribution, the static-side exchange disappears from the
+  * per-batch plan, and the only moving data is probes-to-buckets.
+  *
+  * Arithmetic is term-for-term the q162 serving loop (sequential double
+  * dot, separate norms, 9-dp HALF_UP rank quantization with id tiebreaks),
+  * so the restricted-recall oracle replays it exactly.
+  */
+object IvfShardedServe {
+
+  /** Smallest b with 100 · 4^b ≥ n (integer arithmetic — replayed
+    * bit-identically by the oracle; see q162's doc for why no float log2).
+    */
+  def bBitsFor(n: Long): Int = {
+    var b0 = 0
+    while (100L * (1L << (2 * b0)) < n) b0 += 1
+    b0
+  }
+
+  /** The composite coarse-cell id as a CATALYST COLUMN — label × the sign
+    * bits of the leading `bBits` dimensions, evaluated inside codegen on
+    * the executors (the in-service form computes the same cell id from
+    * collected rows; this one never collects the corpus).
+    */
+  def cellColumn(embedding: Column, label: Column, bBits: Int): Column = {
+    val bits = (0 until bBits).foldLeft(lit(0L)) { (acc, j) =>
+      acc + when(element_at(embedding, j + 1) >= lit(0.0f), lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    label.cast("long") * lit(1L << bBits) + bits
+  }
+
+  /** Cell-keyed posting "lists" as a plain DataFrame:
+    * (vec_id, embedding, label, cell, nrm). At corpus scale this is the
+    * bucketed-by-cell table; the gate keeps it a derived view.
+    */
+  def buildPostings(emb: DataFrame, bBits: Int): DataFrame = {
+    import graft.functions.SimilarityFunctions.{dotAuto, toDouble}
+    emb.withColumn("cell", cellColumn(col("embedding"), col("label"), bBits))
+      .withColumn("nrm",
+        sqrt(dotAuto(toDouble(col("embedding")), toDouble(col("embedding")))))
+  }
+
+  /** Per-cell mean vectors, computed DISTRIBUTED but DETERMINISTIC: one
+    * shuffle by cell, then a sequential in-partition accumulation in
+    * (cell, vec_id) order — the exact summation order of the in-service
+    * index build (which sums vectors sorted by vec_id), so centroids are
+    * bit-identical to q162's and the shared oracle's 9-dp quantization
+    * sees the same values. A plain `avg` aggregate would partial-combine
+    * in nondeterministic partition order — harmless for analytics, fatal
+    * for a differential gate that compares doubles quantized at 9 dp.
+    *
+    * Output is cell-count-sized (O(√N)) — the ONLY thing this operator
+    * ever collects.
+    */
+  def buildCentroids(postings: DataFrame): Array[(Long, Array[Double])] = {
+    val s = postings.sparkSession
+    import s.implicits._
+    postings.select(col("cell"), col("vec_id"), col("embedding"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        var cur = 0L
+        var sum: Array[Double] = null
+        var cnt = 0L
+        def flush(): Unit = if (sum != null) {
+          val m = new Array[Double](sum.length)
+          var i = 0
+          while (i < sum.length) { m(i) = sum(i) / cnt; i += 1 }
+          out += ((cur, m.toSeq))
+        }
+        it.foreach { r =>
+          val c = r.getLong(0)
+          val v = r.getSeq[Float](2)
+          if (sum == null || c != cur) {
+            flush(); cur = c; sum = new Array[Double](v.length); cnt = 0L
+          }
+          var i = 0
+          while (i < v.length) { sum(i) += v(i).toDouble; i += 1 }
+          cnt += 1
+        }
+        flush()
+        out.iterator
+      }
+      .collect()
+      .map { case (c, m) => (c, m.toArray) }
+      .sortBy(_._1)
+  }
+
+  /** Centroid-only service state — what a replicated map would hold. */
+  final case class CentIndex(cellIds: Array[Long], cents: Array[Array[Double]],
+                             norms: Array[Double])
+
+  private def quant9(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
+
+  val probeSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("query_id", LongType),
+    StructField("qv", ArrayType(FloatType)),
+    StructField("qn", DoubleType),
+    StructField("probe_cell", LongType)))
+
+  /** The in-stream probe stage: each event ranks the broadcast centroids
+    * (quant9 DESC, cell ASC — the oracle's probe ordering) and fans out to
+    * `nprobe` (query, cell) rows. Events with query_id < 0 are watermark
+    * sentinels: they emit ONE row with probe_cell = -1 (matches no cell),
+    * so their event time still flows through the downstream watermark node
+    * while producing no candidates.
+    */
+  def probe(stream: DataFrame, tsCol: String,
+            cents: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val local = cents // serialize only centroids into the closure
+    val factory = ServiceFactory(() => {
+      val cellIds = local.map(_._1)
+      val cs = local.map(_._2)
+      val norms = cs.map { c =>
+        var s0 = 0.0; var i = 0
+        while (i < c.length) { s0 += c(i) * c(i); i += 1 }
+        math.sqrt(s0)
+      }
+      CentIndex(cellIds, cs, norms)
+    })
+    new graft.pipeline.StreamStage(stream, tsCol)
+      .flatMapUsingService(factory, probeSchema) { (svc, r) =>
+        val ts = r.getTimestamp(0)
+        val qid = r.getLong(1)
+        if (qid < 0L) {
+          Seq(Row(ts, qid, Seq.empty[Float], 0.0, -1L))
+        } else {
+          val qv = r.getSeq[Float](2).toArray
+          var qn = 0.0
+          var i = 0
+          while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          qn = math.sqrt(qn)
+          val probed = Array.tabulate(svc.cellIds.length) { ci =>
+            var d = 0.0
+            val c = svc.cents(ci)
+            var t = 0
+            while (t < c.length) { d += qv(t).toDouble * c(t); t += 1 }
+            val denom = qn * svc.norms(ci)
+            val cos = d / denom
+            (ci, if (java.lang.Double.isFinite(cos)) cos else 0.0)
+          }.sortBy { case (ci, c) => (quant9(c).negate, svc.cellIds(ci)) }(
+            Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Long))
+            .take(nprobe)
+          probed.toSeq.map { case (ci, _) =>
+            Row(ts, qid, r.getSeq[Float](2), qn, svc.cellIds(ci))
+          }
+        }
+      }.df
+  }
+
+  /** `graft_topk(score, id, k)` as a Column. */
+  def topkColumn(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftops.Bridge
+    Bridge.column(graft.functions.expr.TopKScored(
+      Bridge.expression(score), Bridge.expression(id),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+  }
+
+  /** The full sharded serving pipeline on an already-probed stream:
+    * stream-static SHUFFLE_HASH join on cell id (never broadcast — the
+    * static side at real scale is the corpus), per-candidate cosine in
+    * codegen, and the bounded in-stream top-k per query.
+    *
+    * `windowSize` groups candidates per query by event-time window; query
+    * ids are unique per window in the gate fixtures (ts = f(query_id)), so
+    * the (window, query_id) group IS the query.
+    */
+  def serveProbed(probes: DataFrame, postings: DataFrame, k: Int,
+                  watermarkDelay: String = "1 second",
+                  windowSize: String = "1 second"): DataFrame = {
+    import graft.functions.SimilarityFunctions.{dotAuto, toDouble}
+    val wm = probes.withWatermark("ts", watermarkDelay)
+    val cand = wm.join(postings.hint("shuffle_hash"),
+        wm("probe_cell") === postings("cell") &&
+          postings("vec_id") =!= wm("query_id"), "inner")
+      .select(wm("ts"), wm("query_id"),
+        nanvl(dotAuto(toDouble(wm("qv")), toDouble(postings("embedding"))) /
+          (wm("qn") * postings("nrm")), lit(0.0)).as("cosine"),
+        postings("vec_id").as("neighbor_id"))
+    cand.groupBy(window(col("ts"), windowSize), col("query_id"))
+      .agg(topkColumn(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
+  }
+
+  /** Production index layout: the postings persisted as a table BUCKETED BY
+    * cell, so the stream-static join's static side reads pre-hashed buckets
+    * and the per-micro-batch plan has NO static-side exchange (asserted by
+    * ShardedAnnServeSpec). Returns the bucketed table as a DataFrame.
+    */
+  def postingsAsBucketedTable(postings: DataFrame, table: String,
+                              buckets: Int = 32): DataFrame = {
+    val s = postings.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new java.net.URI(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsPath)) fs.delete(fsPath, true) // orphan dir from a dropped/failed build
+    postings.write.bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", path.toString)
+      .saveAsTable(table)
+    s.table(table)
+  }
+}

@@ -615,6 +615,55 @@ object StreamingQueries {
       round($"cosine", 6).as("cosine"))
   }
 
+  // --------- q165 streaming ANN serving, SHARDED index (partitioned q162)
+  /** q162's serving loop with the index PARTITIONED instead of broadcast —
+    * the last architectural scale ceiling of the serving story (VERDICT r10
+    * item 1). Composition (see [[graft.operators.IvfShardedServe]]):
+    *
+    *   - cell ids and norms are CATALYST COLUMNS over the corpus (no
+    *     collect);
+    *   - centroids come from a deterministic distributed build (one shuffle
+    *     by cell, sequential in-partition accumulation in vec_id order —
+    *     bit-identical to q162's in-service sums) and are the ONLY thing
+    *     collected: O(√N) rows, the replicated-map analog;
+    *   - each event probes the broadcast centroids in-stream and fans out
+    *     to nprobe (query, cell) rows; candidates resolve via a
+    *     stream-static SHUFFLE_HASH join on cell id — the posting lists
+    *     never leave the cluster, each join task holds only its cells
+    *     (the reference's partitioned `mapUsingIMap` vs replicated-map
+    *     broadcast, GeneralStage.java:582-734);
+    *   - the per-query top-5 runs IN-STREAM as a windowed aggregation with
+    *     the bounded `graft_topk` accumulator (answer-sized state).
+    *
+    * Shares q162's restricted-recall oracle verbatim: same integer cell
+    * rule, same probe ranking (9-dp quantization, cell-id tiebreak), same
+    * candidate ranking (9-dp, neighbor-id tiebreak), same cosine
+    * arithmetic. ShardedAnnServeSpec asserts the plan has NO corpus-sized
+    * broadcast and pins the bucketed-table layout that drops the
+    * static-side exchange entirely.
+    */
+  val q165_stream_ann_ivf_shard: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.IvfShardedServe
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding", $"label")
+    val bBits = IvfShardedServe.bBitsFor(emb.count())
+    val postings = IvfShardedServe.buildPostings(emb, bBits)
+    val cents = IvfShardedServe.buildCentroids(postings)
+    val queries = emb.filter($"vec_id" % 40 === 1)
+      .withColumn("ts", timestamp_seconds($"vec_id"))
+      .select($"ts", $"vec_id", $"embedding")
+    def sentinel(maxTs: Timestamp, offsetSec: Long): DataFrame =
+      Seq((new Timestamp(maxTs.getTime + offsetSec * 1000L), -1L, Seq.empty[Float]))
+        .toDF("ts", "vec_id", "embedding")
+    StreamRunner.replayFiles(s, queries, "ts", "append",
+      tails = Some(maxTs =>
+        Seq(sentinel(maxTs, 3600), sentinel(maxTs, 3660)))) { df =>
+      val probes = IvfShardedServe.probe(df, "ts", cents, nprobe = 2)
+      IvfShardedServe.serveProbed(probes, postings, k = 5)
+    }.select($"query_id", $"rank", $"neighbor_id",
+      round($"cosine", 6).as("cosine"))
+  }
+
   val q162_oracle: String = {
     val dims = 64
     def cos(a: String, bb: String): String =
@@ -961,7 +1010,8 @@ object StreamingQueries {
     "q159_cdc_mysql_parse" -> q159_cdc_mysql_parse,
     "q160_cdc_postgres_parse" -> q160_cdc_postgres_parse,
     "q161_stream_ann_serve" -> q161_stream_ann_serve,
-    "q162_stream_ann_ivf_serve" -> q162_stream_ann_ivf_serve)
+    "q162_stream_ann_ivf_serve" -> q162_stream_ann_ivf_serve,
+    "q165_stream_ann_ivf_shard" -> q165_stream_ann_ivf_shard)
 
   val oracles: Map[String, String] = Map(
     // the in-stream comparison derivation must reproduce the batch fit
@@ -982,5 +1032,8 @@ object StreamingQueries {
     "q159_cdc_mysql_parse" -> q159_oracle,
     "q160_cdc_postgres_parse" -> q160_oracle,
     "q161_stream_ann_serve" -> q161_oracle,
-    "q162_stream_ann_ivf_serve" -> q162_oracle)
+    "q162_stream_ann_ivf_serve" -> q162_oracle,
+    // q165 = the sharded plan for the SAME serving semantics — one oracle,
+    // so the broadcast and partitioned forms can never drift
+    "q165_stream_ann_ivf_shard" -> q162_oracle)
 }
