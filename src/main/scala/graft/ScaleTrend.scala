@@ -74,7 +74,12 @@ object ScaleTrend {
     // work must grow ~√-fashion where q161's brute scan grows linearly —
     // and the batch stateful fold (one shuffle + partition-local sort:
     // expected ~linear)
-    "q162_stream_ann_ivf_serve", "q163_batch_stateful_rolling")
+    "q162_stream_ann_ivf_serve", "q163_batch_stateful_rolling",
+    // round-11: MP3 frame walk (row-local: expected ~linear) and the
+    // SHARDED IVF serving plan — same √N cell growth as q162, but the
+    // posting lists stay a joined table instead of a broadcast service,
+    // so the 10×/100× runs exercise the no-corpus-broadcast path
+    "q164_mp3_metadata", "q165_stream_ann_ivf_shard")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -45,6 +45,12 @@ trait TxnProducerApi {
   def beginTransaction(): Unit
   def send(topic: String, value: String): Unit
 
+  /** Partition-addressed send — `KafkaProducer.send(new ProducerRecord(
+    * topic, partition, key, value))`. The no-partition overload goes to
+    * partition 0 (the single-log view the early specs use).
+    */
+  def send(topic: String, partition: Int, value: String): Unit
+
   /** Progress marker sent inside the open transaction — atomic with the
     * data records. KafkaProducer.sendOffsetsToTransaction analog with the
     * micro-batch id as the "offset".
@@ -75,7 +81,7 @@ final class ProducerFenced(id: String)
   */
 final class InMemoryTxnBroker {
 
-  private final case class Rec(topic: String, value: String)
+  private final case class Rec(topic: String, partition: Int, value: String)
   private final class Txn(val id: String, val epoch: Long) {
     val records = scala.collection.mutable.ArrayBuffer.empty[Rec]
     var progress: Option[Long] = None
@@ -85,6 +91,7 @@ final class InMemoryTxnBroker {
   private val open = scala.collection.mutable.HashMap.empty[String, Txn]
   private val epochs = scala.collection.mutable.HashMap.empty[String, Long]
   private val sinkParts = scala.collection.mutable.HashMap.empty[String, Int]
+  private val topicParts = scala.collection.mutable.HashMap.empty[String, Int]
 
   /** Reject a sink-width change for a transactional-id base (see
     * [[KafkaShapedSink.writeBatch]]).
@@ -99,10 +106,54 @@ final class InMemoryTxnBroker {
     }
   }
 
-  /** read_committed view of a topic. */
+  /** read_committed view of a topic (all partitions, commit order). */
   def visible(topic: String): Seq[String] = synchronized {
-    committed.flatMap(_.records.collect { case Rec(`topic`, v) => v }).toSeq
+    committed.flatMap(_.records.collect { case Rec(`topic`, _, v) => v }).toSeq
   }
+
+  // ---- partitioned-topic surface (the multi-partition StreamKafkaP
+  // contract): each partition is an independent append-only committed log
+  // with its own offsets; per-partition order is the send order of the
+  // committing transactions, cross-partition interleaving is unspecified —
+  // exactly Kafka's guarantee.
+
+  /** Declare (or grow) a topic's partition count — `kafka-topics
+    * --alter --partitions` / the admin-client analog. Growing mid-stream is
+    * how the partition-DISCOVERY path is exercised (the reference's
+    * StreamKafkaP re-checks partition counts on a schedule,
+    * extensions/kafka StreamKafkaP metadata refresh). Shrinking is
+    * rejected like Kafka rejects it.
+    */
+  def ensurePartitions(topic: String, n: Int): Unit = synchronized {
+    val cur = topicParts.getOrElse(topic, 1)
+    require(n >= cur, s"cannot shrink topic '$topic' from $cur to $n partitions")
+    topicParts(topic) = n
+    ()
+  }
+
+  /** Current partition count of a topic (1 until declared otherwise). */
+  def partitionsOf(topic: String): Int = synchronized {
+    topicParts.getOrElse(topic, 1)
+  }
+
+  /** read_committed view of ONE partition, in offset order. */
+  def visiblePartition(topic: String, partition: Int): Seq[String] = synchronized {
+    committed.flatMap(_.records.collect {
+      case Rec(`topic`, `partition`, v) => v
+    }).toSeq
+  }
+
+  /** Exclusive end offset of one partition's read_committed log. */
+  def endOffset(topic: String, partition: Int): Long =
+    synchronized(visiblePartition(topic, partition).size.toLong)
+
+  /** Read [from, until) of one partition's read_committed log. */
+  def poll(topic: String, partition: Int, from: Long, until: Long): Seq[String] =
+    synchronized {
+      val log = visiblePartition(topic, partition)
+      log.slice(math.min(from, log.size.toLong).toInt,
+        math.min(until, log.size.toLong).toInt)
+    }
 
   // ---- consumer side (KafkaShapedSource): offset-addressed read_committed
   // log. Records enter the log at COMMIT time, so offsets are append-only
@@ -154,8 +205,17 @@ final class InMemoryTxnBroker {
       open.getOrElse(transactionalId,
         throw new IllegalStateException(s"no open transaction: $transactionalId"))
     }
-    def send(topic: String, value: String): Unit =
-      InMemoryTxnBroker.this.synchronized { openTxn().records += Rec(topic, value); () }
+    def send(topic: String, value: String): Unit = send(topic, 0, value)
+    def send(topic: String, partition: Int, value: String): Unit =
+      InMemoryTxnBroker.this.synchronized {
+        require(partition >= 0, s"bad partition $partition")
+        // sending to a partition implies its existence (auto-grow mirrors
+        // what the explicit ensurePartitions declares)
+        if (partition >= topicParts.getOrElse(topic, 1))
+          topicParts(topic) = partition + 1
+        openTxn().records += Rec(topic, partition, value)
+        ()
+      }
     def sendProgress(batchId: Long): Unit =
       InMemoryTxnBroker.this.synchronized { openTxn().progress = Some(batchId) }
     def commitTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
@@ -193,12 +253,13 @@ object KafkaShapedSink {
     * skips the replay.
     */
   def deliverPartition(producer: TxnProducerApi, topic: String,
-                       batchId: Long, rows: Iterator[String]): Unit = {
+                       batchId: Long, rows: Iterator[String],
+                       topicPartition: Int = 0): Unit = {
     producer.initTransactions()
     if (producer.committedProgress() >= batchId) return
     producer.beginTransaction()
     try {
-      rows.foreach(producer.send(topic, _))
+      rows.foreach(producer.send(topic, topicPartition, _))
       producer.sendProgress(batchId)
       producer.commitTransaction()
     } catch {
@@ -219,15 +280,21 @@ object KafkaShapedSink {
     * real broker, encode the width in the transactional-id base.
     */
   def writeBatch(brokerName: String, transactionalId: String, topic: String,
-                 batchId: Long, batch: DataFrame, parts: Int = 8): Unit = {
+                 batchId: Long, batch: DataFrame, parts: Int = 8,
+                 topicPartitions: Int = 1): Unit = {
     InMemoryTxnBroker.named(brokerName).assertParts(transactionalId, parts)
+    if (topicPartitions > 1)
+      InMemoryTxnBroker.named(brokerName).ensurePartitions(topic, topicPartitions)
     import org.apache.spark.sql.functions.col
     batch.repartition(parts, batch.columns.map(col).toIndexedSeq: _*)
       .toJSON.foreachPartition { (it: Iterator[String]) =>
         val pid = TaskContext.getPartitionId()
         val producer = InMemoryTxnBroker.named(brokerName)
           .producer(s"$transactionalId-p$pid")
-        deliverPartition(producer, topic, batchId, it)
+        // sink partition → topic partition: the hash-routed ProducerRecord
+        // partition (each sink task owns its target partition, so
+        // per-partition order = the task's send order)
+        deliverPartition(producer, topic, batchId, it, pid % topicPartitions)
       }
   }
 

@@ -664,6 +664,71 @@ object StreamingQueries {
       round($"cosine", 6).as("cosine"))
   }
 
+  // ---------- q166 windowed agg over the MULTI-PARTITION kafka-shaped source
+  /** q50's tumbling-window aggregate consumed through the multi-partition
+    * kafka-shaped source instead of the file replay (VERDICT r10 item 2):
+    * the events fixture is produced DISTRIBUTED through the transactional
+    * sink into a 4-partition topic (8 sink tasks → hash-routed topic
+    * partitions, exactly-once per partition), then a real streaming query
+    * reads it back via [[graft.streaming.KafkaShapedSource]] — one reader
+    * per partition, per-partition offsets in the checkpoint — parses the
+    * JSON payload, and runs the watermarked windowed aggregate. Two produce
+    * rounds split at the time midpoint drive two micro-batches, so the
+    * second batch exercises the per-partition seek against live state.
+    *
+    * Hash-matches the SINGLE-partition q50/q20 oracle: partitioning the
+    * log cannot change a windowed aggregate — per-partition order is
+    * preserved by construction and the aggregate is order-insensitive
+    * across partitions (the reference's multi-consumer StreamKafkaP makes
+    * the same argument via per-partition watermark coalescing;
+    * KafkaShapedSourceSpec pins the ordering/seek/idle/discovery cases).
+    */
+  val q166_stream_kafka_windowed: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    val broker = s"q166_${System.nanoTime()}"
+    val topic = "events"
+    val payload = eventsDf(s, dir).select(
+      unix_micros($"ts").as("ts_us"), $"event_type", $"value")
+    val bounds = payload.agg(min($"ts_us"), max($"ts_us")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    // writeBatch JSON-encodes the row itself — the record value on the
+    // topic is {"ts_us":...,"event_type":...,"value":...}
+    def produce(batchId: Long, part: DataFrame): Unit =
+      graft.pipeline.KafkaShapedSink.writeBatch(broker, "q166", topic, batchId,
+        part, parts = 8, topicPartitions = 4)
+    // batch 0 = the early half (plus null-ts rows); batch 1 = the late half
+    // — time-ordered like the replay chunks, so no batch-2 row is late
+    produce(0L, payload.filter($"ts_us".isNull || $"ts_us" <= mid))
+    val jschema = new StructType().add("ts_us", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+    val name = s"q166_sink_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.format("graft.streaming.KafkaShapedSource")
+        .option("broker", broker).option("topic", topic).load()
+        .select(from_json($"value", jschema).as("j"))
+        .select(timestamp_micros($"j.ts_us").as("ts"),
+          $"j.event_type".as("event_type"), $"j.value".as("value"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select(unix_timestamp($"w.start").as("window_start"),
+          $"event_type", $"n", $"sum_value")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable()
+      produce(1L, payload.filter($"ts_us".isNotNull && $"ts_us" > mid))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode snapshot: keep each key's final update (q50's post-pass)
+    s.table(name).groupBy($"window_start", $"event_type")
+      .agg(max($"n").as("n"), max_by($"sum_value", $"n").as("sum_value"))
+  }
+
   val q162_oracle: String = {
     val dims = 64
     def cos(a: String, bb: String): String =
@@ -1011,7 +1076,8 @@ object StreamingQueries {
     "q160_cdc_postgres_parse" -> q160_cdc_postgres_parse,
     "q161_stream_ann_serve" -> q161_stream_ann_serve,
     "q162_stream_ann_ivf_serve" -> q162_stream_ann_ivf_serve,
-    "q165_stream_ann_ivf_shard" -> q165_stream_ann_ivf_shard)
+    "q165_stream_ann_ivf_shard" -> q165_stream_ann_ivf_shard,
+    "q166_stream_kafka_windowed" -> q166_stream_kafka_windowed)
 
   val oracles: Map[String, String] = Map(
     // the in-stream comparison derivation must reproduce the batch fit
@@ -1035,5 +1101,8 @@ object StreamingQueries {
     "q162_stream_ann_ivf_serve" -> q162_oracle,
     // q165 = the sharded plan for the SAME serving semantics — one oracle,
     // so the broadcast and partitioned forms can never drift
-    "q165_stream_ann_ivf_shard" -> q162_oracle)
+    "q165_stream_ann_ivf_shard" -> q162_oracle,
+    // multi-partition consume of the same windowed agg = q50's oracle:
+    // partitioning the log must not change the aggregate
+    "q166_stream_kafka_windowed" -> q50_oracle)
 }

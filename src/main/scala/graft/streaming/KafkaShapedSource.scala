@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -51,6 +51,7 @@ class KafkaShapedSource extends TableProvider {
 object KafkaShapedSource {
   val schema: StructType = new StructType()
     .add("offset", LongType).add("value", StringType)
+    .add("partition", IntegerType)
 }
 
 private[streaming] class KafkaShapedTable(broker: String, topic: String)
@@ -69,44 +70,87 @@ private[streaming] class KafkaShapedTable(broker: String, topic: String)
     }
 }
 
-private[streaming] case class KafkaLogOffset(offset: Long) extends Offset {
-  override def json(): String = offset.toString
+/** Per-partition offset map — the shape Spark's own Kafka source
+  * checkpoints ({"topic":{"0":5,"1":3}} there; partition→offset here).
+  * Serialized as `p:o,p:o` sorted by partition; a bare number (the
+  * pre-multi-partition format) deserializes as partition 0, so old
+  * checkpoints keep restoring.
+  */
+private[streaming] case class KafkaLogOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString(",")
+}
+
+private[streaming] object KafkaLogOffset {
+  def parse(json: String): KafkaLogOffset = {
+    val t = json.trim
+    if (t.isEmpty) KafkaLogOffset(Map.empty)
+    else if (!t.contains(':')) KafkaLogOffset(Map(0 -> t.toLong)) // legacy
+    else KafkaLogOffset(t.split(",").iterator.map { kv =>
+      val Array(p, o) = kv.split(":")
+      p.toInt -> o.toLong
+    }.toMap)
+  }
 }
 
 private[streaming] case class KafkaShapedRange(broker: String, topic: String,
+                                               partition: Int,
                                                from: Long, until: Long)
   extends InputPartition
 
+/** Multi-partition micro-batch stream over the stub broker: ONE reader per
+  * broker partition and per-partition offset ranges, so order is preserved
+  * WITHIN a partition and unspecified across partitions — Kafka's contract,
+  * and the reference's per-`KafkaConsumer`-assignment processing order
+  * (StreamKafkaP polls its assigned partitions). Partition DISCOVERY:
+  * `latestOffset` re-reads the broker's partition count every batch, so a
+  * partition added mid-job appears in the next offset map starting at 0 —
+  * the StreamKafkaP metadata-refresh behavior. An IDLE partition simply
+  * keeps `from == until`; it cannot hold back event-time progress because
+  * Spark's watermark is computed globally from rows that arrived (SURVEY
+  * §2.8) — the reference needs explicit idle-partition exclusion
+  * (EventTimeMapper.java:52-64) only because it coalesces per-partition
+  * watermarks by MIN. KafkaShapedSourceSpec demonstrates both.
+  */
 private[streaming] class KafkaShapedStream(broker: String, topic: String)
     extends MicroBatchStream {
-  override def initialOffset(): Offset = KafkaLogOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    KafkaLogOffset(json.trim.toLong)
+  private def b = InMemoryTxnBroker.named(broker)
+
+  override def initialOffset(): Offset =
+    KafkaLogOffset((0 until b.partitionsOf(topic)).map(_ -> 0L).toMap)
+  override def deserializeOffset(json: String): Offset = KafkaLogOffset.parse(json)
   override def latestOffset(): Offset =
-    KafkaLogOffset(InMemoryTxnBroker.named(broker).endOffset(topic))
+    KafkaLogOffset((0 until b.partitionsOf(topic))
+      .map(p => p -> b.endOffset(topic, p)).toMap)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(KafkaShapedRange(broker, topic,
-      start.asInstanceOf[KafkaLogOffset].offset,
-      end.asInstanceOf[KafkaLogOffset].offset))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaLogOffset].offsets
+    val e = end.asInstanceOf[KafkaLogOffset].offsets
+    // a partition present in `end` but absent from `start` was discovered
+    // this batch: read it from 0
+    e.toSeq.sortBy(_._1).map { case (p, until) =>
+      KafkaShapedRange(broker, topic, p, s.getOrElse(p, 0L), until)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[KafkaShapedRange]
         new PartitionReader[InternalRow] {
-          private val records =
-            InMemoryTxnBroker.named(p.broker).poll(p.topic, p.from, p.until)
+          private val records = InMemoryTxnBroker.named(p.broker)
+            .poll(p.topic, p.partition, p.from, p.until)
           private var i = -1
           private var row: InternalRow = _
           override def next(): Boolean = {
             i += 1
             if (i >= records.size) return false
-            val r = new GenericInternalRow(2)
+            val r = new GenericInternalRow(3)
             r.update(0, p.from + i)
             r.update(1, UTF8String.fromString(records(i)))
+            r.update(2, p.partition)
             row = r
             true
           }
