@@ -134,18 +134,76 @@ object SqlQueries {
     """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  // ------------------ q167 streaming SQL end-to-end: CREATE JOB + window agg
+  /** A WINDOWED STREAMING AGGREGATE authored entirely in SQL and run through
+    * `GraftSql.execute` (VERDICT r10 item 3) — the reference's
+    * `CREATE JOB … AS SINK INTO … SELECT … FROM TABLE(GENERATE_STREAM(n))`
+    * shape (SqlCreateJob.java + StreamGeneratorTableFunction): the rate
+    * stream is rewritten to Spark's rate source, the tumbling window and
+    * aggregate are planned by Catalyst from the SQL text, and the job
+    * upserts per-window rows into the KeyedStore keyed by window_start.
+    *
+    * Replay determinism is the gate's own teeth: the stream is capped at
+    * v < 1000 (each v delivered exactly once by the checkpointed rate
+    * offsets), the job is SUSPENDED and RESUMED mid-run — restarting the
+    * aggregation from its checkpoint against live state — and the query
+    * returns only once the store's total count converges to EXACTLY 1000.
+    * Offset replay double-counting, lost state on resume, or a re-started
+    * (rather than resumed) source would all make the hash differ from the
+    * batch oracle (`range(0,1000)` windowed in DuckDB).
+    */
+  val q167_sql_stream_job: Q = (s, _) => {
+    import org.apache.spark.sql.functions._
+    val sql = GraftSql(s)
+    val store = "q167_windows"
+    KeyedStore.drop(store)
+    sql.execute("DROP JOB IF EXISTS q167job")
+    def total(): Long =
+      if (!KeyedStore.exists(store)) 0L
+      else KeyedStore.get(s, store)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    sql.execute(
+      """CREATE JOB q167job OPTIONS('snapshotIntervalMillis'='200') AS
+        |SINK INTO q167_windows(window_start)
+        |SELECT unix_timestamp(window.start) AS window_start,
+        |  count(*) AS n, sum(v) AS sum_v
+        |FROM TABLE(GENERATE_STREAM(2000))
+        |WHERE v < 1000
+        |GROUP BY window(timestamp_seconds(v), '10 seconds')""".stripMargin)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    // let it make SOME progress, then suspend/resume mid-stream: the resumed
+    // job must CONTINUE from the checkpointed offsets + agg state
+    while (total() < 1L && System.nanoTime() < deadline) Thread.sleep(50)
+    sql.execute("ALTER JOB q167job SUSPEND")
+    val atSuspend = total()
+    sql.execute("ALTER JOB q167job RESUME")
+    while (total() < 1000L && System.nanoTime() < deadline) Thread.sleep(100)
+    sql.execute("DROP JOB q167job")
+    require(total() == 1000L,
+      s"q167: expected exactly 1000 aggregated values, got ${total()} " +
+        s"(at suspend: $atSuspend) — offset replay or state resume broke")
+    KeyedStore.get(s, store).select(col("window_start"), col("n"), col("sum_v"))
+  }
+
+  val q167_oracle: String =
+    """SELECT (v // 10) * 10 AS window_start, count(*) AS n,
+      |  sum(v)::BIGINT AS sum_v
+      |FROM range(0, 1000) t(v) GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
     "q61_generate_series" -> q61_generate_series,
     "q62_sql_sink_into" -> q62_sql_sink_into,
     "q66_sql_mapping_schema" -> q66_sql_mapping_schema,
-    "q67_merge_sink" -> q67_merge_sink)
+    "q67_merge_sink" -> q67_merge_sink,
+    "q167_sql_stream_job" -> q167_sql_stream_job)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
     "q61_generate_series" -> q61_oracle,
     "q62_sql_sink_into" -> q62_oracle,
     "q66_sql_mapping_schema" -> q66_oracle,
-    "q67_merge_sink" -> q67_oracle)
+    "q67_merge_sink" -> q67_oracle,
+    "q167_sql_stream_job" -> q167_oracle)
 }
