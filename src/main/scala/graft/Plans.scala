@@ -250,6 +250,43 @@ object Plans {
         "stream. Oracle = q153's — the stream must reproduce the batch " +
         "fit bit-for-bit."))
 
+  /** Cheap, stable fingerprint of a query's physical plan SHAPE: the md5 of
+    * the depth-annotated operator nodeName tree (AQE stages and reused
+    * subtrees walked through), computed on the PRE-EXECUTION plan. Node
+    * names carry the load-bearing facts — join strategy, exchange count,
+    * codegen spans — while expression ids, paths, and statistics (which
+    * differ per run) never enter the hash. Written into PLANS.md's
+    * fingerprint table and re-checked by `graft.Verify` (VERDICT r10 item
+    * 8): a silent plan regression surfaces as a `[verify] PLAN-DRIFT` line
+    * instead of a bench mystery; intentional changes regenerate PLANS.md.
+    */
+  def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      sb.append("  " * depth).append(p.nodeName).append('\n')
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      kids.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The headline (batch) query names covered by the fingerprint gate. */
+  def fingerprinted: Seq[String] = headline.map(_._1)
+
+  /** Parse the fingerprint table out of a PLANS.md text. */
+  def parseFingerprints(plansMd: String): Map[String, String] =
+    """\| (q\w+) \| ([0-9a-f]{32}) \|""".r.findAllMatchIn(plansMd)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("8", "graft-plans")
@@ -258,15 +295,22 @@ object Plans {
     sb.append(s"Generated by `graft.Plans` at $sfDir. The annotations are the\n")
     sb.append("scale property each plan is expected to show; `PlanSpec` asserts the\n")
     sb.append("load-bearing ones on every test run.\n")
+    val fingerprints = Seq.newBuilder[(String, String)]
     headline.foreach { case (name, note) =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)
+      fingerprints += (name -> fingerprint(df)) // BEFORE execution (Verify compares pre-execution too)
       df.collect() // let AQE finalize
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(8000))
       sb.append("\n```\n")
     }
+    sb.append("\n# Plan fingerprints\n\n")
+    sb.append("md5 of the pre-execution operator-shape tree (see `Plans.fingerprint`).\n")
+    sb.append("`graft.Verify` warns PLAN-DRIFT when a gate run's shape differs.\n\n")
+    sb.append("| query | fingerprint |\n|---|---|\n")
+    fingerprints.result().foreach { case (n, f) => sb.append(s"| $n | $f |\n") }
     sb.append("\n# Driver-composed queries (distributed pass consumed pre-collect)\n")
     driverComposedNotes.foreach { case (name, note) =>
       sb.append(s"\n## $name\n\n$note\n")

@@ -19,16 +19,37 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // plan-freshness gate (VERDICT r10 item 8): compare each headline
+    // query's pre-execution plan shape against PLANS.md's fingerprint table
+    // — a drifted plan is a silent perf regression until the bench notices;
+    // this turns it into a diff at correctness time. Drift WARNS (and is
+    // recorded in plan_drift.txt); intentional changes regenerate PLANS.md.
+    val knownFingerprints: Map[String, String] =
+      try Plans.parseFingerprints(Files.readString(Paths.get("PLANS.md")))
+      catch { case _: Throwable => Map.empty }
+    val drift = Seq.newBuilder[String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        knownFingerprints.get(name).foreach { expected =>
+          val got = Plans.fingerprint(df)
+          if (got != expected) {
+            System.err.println(
+              s"[verify] PLAN-DRIFT $name: $expected -> $got (regenerate PLANS.md or fix the plan)")
+            drift += s"$name $expected -> $got"
+          }
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // delete any PREVIOUS run's output for this query: a stale parquet
         // would make the differential check silently validate old results
         pipeline.TempFiles.deleteTree(s"$outDir/$name")
       }
     }
+    val drifted = drift.result()
+    Files.writeString(Paths.get(s"$outDir/plan_drift.txt"),
+      if (drifted.isEmpty) "none\n" else drifted.mkString("", "\n", "\n"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     spark.stop()
   }

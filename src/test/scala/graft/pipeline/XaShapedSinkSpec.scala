@@ -160,6 +160,43 @@ class XaShapedSinkSpec extends SparkSpec {
     assert(s.xaResource.recover(XAResource.TMSTARTRSCAN).length == 1)
   }
 
+  test("many-partition concurrent crash-replay: XID sweeps stay isolated per partition") {
+    // VERDICT r10 item 7: all partitions of one sink crash after preparing
+    // batch 0 against ONE resource manager, then replay SIMULTANEOUSLY.
+    // Every partition's recover() scan sees every other partition's
+    // prepared XIDs — the parse()-filtered sweep must roll back/commit ONLY
+    // its own, under full interleaving.
+    val (_, rm) = freshRm()
+    val P = 8
+    (0 until P).foreach { p =>
+      val s0 = rm.session(s"j-p$p")
+      XaShapedSink.deliverPartition(s0.xaResource, s0.send("q", _),
+        "j", p, 0L, rows(s"b0-p$p"))
+      rm.crashSession(s"j-p$p")
+    }
+    assert(rm.visible("q").isEmpty, "nothing visible after the fleet crash")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until P).map { p =>
+      new Thread(() => {
+        try {
+          val s1 = rm.session(s"j-p$p")
+          val replayed = XaShapedSink.deliverPartition(s1.xaResource,
+            s1.send("q", _), "j", p, 0L, rows(s"b0-p$p"))
+          assert(replayed, s"p$p must see its own prepared batch 0")
+          XaShapedSink.deliverPartition(s1.xaResource, s1.send("q", _),
+            "j", p, 1L, rows(s"b1-p$p"))
+          XaShapedSink.commitPrepared(s1.xaResource, "j", p, upTo = 1L)
+        } catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent replay must not cross partitions: ${errors.peek()}")
+    val vis = rm.visible("q").sorted
+    val want = (0 until P).flatMap(p => Seq(s"b0-p$p", s"b1-p$p")).sorted
+    assert(vis === want, s"exactly-once per partition under concurrency: $vis")
+  }
+
   test("end-to-end through a streaming query: crash after prepare, restart, exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
