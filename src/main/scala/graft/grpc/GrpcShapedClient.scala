@@ -1,0 +1,123 @@
+package graft.grpc
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+import scala.concurrent.{Future, Promise}
+
+/** gRPC client over real HTTP/2 — one TCP connection, one HTTP/2 stream per
+  * call (netty's multiplex handler), gRPC length-prefixed framing and
+  * `grpc-status` trailers. The call surface mirrors what grpc-java stubs
+  * give the reference's service factories (GrpcServices.java:103 unary,
+  * :164 bidirectional streaming):
+  *
+  *  - [[unary]]: one request message, future of the single response;
+  *  - [[bidi]]: send all of a batch's messages on one stream, half-close,
+  *    future of ALL response messages in server-send order.
+  *
+  * Thread-safe: every call opens its own stream; the connection is shared.
+  */
+final class GrpcShapedClient(host: String, port: Int) {
+
+  private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+  private val conn: Channel = {
+    val b = new Bootstrap()
+    b.group(group).channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[Channel] {
+        override def initChannel(ch: Channel): Unit = {
+          ch.pipeline().addLast(
+            Http2FrameCodecBuilder.forClient().build(),
+            // inbound (server-initiated) streams: none expected — drop
+            new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+              override def initChannel(sc: Channel): Unit = { sc.close(); () }
+            }))
+          ()
+        }
+      })
+    b.connect(host, port).sync().channel()
+  }
+
+  def close(): Unit = {
+    conn.close().sync()
+    group.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ()
+  }
+
+  private def requestHeaders(path: String): Http2Headers = {
+    val h = new DefaultHttp2Headers()
+    h.method("POST").scheme("http").path(path).authority(s"$host:$port")
+    h.add("content-type", "application/grpc")
+    h.add("te", "trailers")
+    h
+  }
+
+  private final class CallHandler(done: Promise[Seq[Array[Byte]]])
+      extends ChannelInboundHandlerAdapter {
+    private val decoder = new GrpcFraming.Decoder
+    private val got = Seq.newBuilder[Array[Byte]]
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        val status = Option(h.headers().get("grpc-status")).map(_.toString)
+        if (h.isEndStream) {
+          if (status.contains("0")) { done.trySuccess(got.result()); () }
+          else {
+            done.tryFailure(new RuntimeException(
+              s"grpc-status ${status.getOrElse("missing")}"))
+            ()
+          }
+        }
+      case d: Http2DataFrame =>
+        decoder.feed(d.content()).foreach(got += _)
+        d.release()
+        ()
+      case other =>
+        io.netty.util.ReferenceCountUtil.release(other)
+        ()
+    }
+    override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
+      done.tryFailure(cause)
+      ctx.close()
+      ()
+    }
+  }
+
+  private def openStream(done: Promise[Seq[Array[Byte]]]): Channel = {
+    val bs = new Http2StreamChannelBootstrap(conn)
+    bs.handler(new ChannelInitializer[Channel] {
+      override def initChannel(ch: Channel): Unit = {
+        ch.pipeline().addLast(new CallHandler(done)); ()
+      }
+    })
+    bs.open().sync().getNow
+  }
+
+  /** One request message → future of the single response message. */
+  def unary(path: String, msg: Array[Byte]): Future[Array[Byte]] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = Promise[Seq[Array[Byte]]]()
+    val stream = openStream(done)
+    stream.write(new DefaultHttp2HeadersFrame(requestHeaders(path), false))
+    stream.writeAndFlush(new DefaultHttp2DataFrame(GrpcFraming.encode(msg), true))
+    done.future.map { msgs =>
+      require(msgs.size == 1, s"unary call returned ${msgs.size} messages")
+      msgs.head
+    }
+  }
+
+  /** Bidirectional streaming: all messages onto one stream, half-close,
+    * future of every response message (the server answers per message, so
+    * responses interleave with requests on the wire).
+    */
+  def bidi(path: String, msgs: Seq[Array[Byte]]): Future[Seq[Array[Byte]]] = {
+    val done = Promise[Seq[Array[Byte]]]()
+    val stream = openStream(done)
+    stream.write(new DefaultHttp2HeadersFrame(requestHeaders(path), false))
+    msgs.foreach(m =>
+      stream.write(new DefaultHttp2DataFrame(GrpcFraming.encode(m), false)))
+    stream.writeAndFlush(new DefaultHttp2DataFrame(
+      io.netty.buffer.Unpooled.EMPTY_BUFFER, true))
+    done.future
+  }
+}

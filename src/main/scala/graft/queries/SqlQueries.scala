@@ -190,6 +190,57 @@ object SqlQueries {
       |  sum(v)::BIGINT AS sum_v
       |FROM range(0, 1000) t(v) GROUP BY 1""".stripMargin
 
+  // --------------------- q168 gate query routed through the gRPC wire seam
+  /** The §2.4 gRPC seam carrying a GATE query (VERDICT r10 item 4): every
+    * row of orders travels a REAL HTTP/2 gRPC stream
+    * (netty wire, [[graft.grpc.GrpcShapedServer]]) — one bidi stream per
+    * 256-row batch through `mapUsingServiceAsyncBatched` (the reference's
+    * `GrpcServices.bidirectionalStreamingService` shape,
+    * GrpcServices.java:164), channel-per-partition, the in-flight ring
+    * keeping 4 streams open concurrently. The service uppercases the order
+    * priority and measures it; the DuckDB oracle recomputes both, so a dropped,
+    * duplicated, reordered, or corrupted message anywhere in the
+    * framing/stream lifecycle breaks the hash.
+    *
+    * The result is localCheckpoint-materialized before the server stops —
+    * the server is query-scoped, the checkpoint keeps the frame readable
+    * afterwards.
+    */
+  val q168_grpc_service: Q = (s, dir) => {
+    import s.implicits._
+    import graft.grpc.{GrpcServices, GrpcShapedServer, ProtoLite}
+    import graft.pipeline.BatchStage
+    val server = new GrpcShapedServer(
+      unary = Map.empty,
+      bidi = Map("/graft.Ship/Fmt" -> ((m: Array[Byte]) => {
+        val in = ProtoLite.decodeString(m)
+        val i = in.indexOf('|')
+        val (key, mode) = (in.substring(0, i), in.substring(i + 1))
+        Seq(ProtoLite.encodeString(s"$key|${mode.toUpperCase}|${mode.length}"))
+      })))
+    val port = server.start()
+    try {
+      val li = s.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderkey", $"o_orderpriority").as[(Long, String)]
+      val factory = GrpcServices.channel("127.0.0.1", port)
+      new BatchStage(li.map { case (k, m) => s"$k|$m" })
+        .mapUsingServiceAsyncBatched(factory, batchSize = 256, maxConcurrent = 4) {
+          (svc, batch) => GrpcServices.bidiStrings(svc, "/graft.Ship/Fmt", batch)
+        }.ds
+        .map { r =>
+          val p = r.split('|')
+          (p(0).toLong, p(1), p(2).toLong)
+        }
+        .toDF("o_orderkey", "prio_up", "prio_len")
+        .localCheckpoint() // materialize while the server is still up
+    } finally server.stop()
+  }
+
+  val q168_oracle: String =
+    """SELECT o_orderkey, upper(o_orderpriority) AS prio_up,
+      |  length(o_orderpriority)::BIGINT AS prio_len
+      |FROM orders""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
@@ -197,7 +248,8 @@ object SqlQueries {
     "q62_sql_sink_into" -> q62_sql_sink_into,
     "q66_sql_mapping_schema" -> q66_sql_mapping_schema,
     "q67_merge_sink" -> q67_merge_sink,
-    "q167_sql_stream_job" -> q167_sql_stream_job)
+    "q167_sql_stream_job" -> q167_sql_stream_job,
+    "q168_grpc_service" -> q168_grpc_service)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
@@ -205,5 +257,6 @@ object SqlQueries {
     "q62_sql_sink_into" -> q62_oracle,
     "q66_sql_mapping_schema" -> q66_oracle,
     "q67_merge_sink" -> q67_oracle,
-    "q167_sql_stream_job" -> q167_oracle)
+    "q167_sql_stream_job" -> q167_oracle,
+    "q168_grpc_service" -> q168_oracle)
 }
