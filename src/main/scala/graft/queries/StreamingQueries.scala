@@ -729,6 +729,73 @@ object StreamingQueries {
       .agg(max($"n").as("n"), max_by($"sum_value", $"n").as("sum_value"))
   }
 
+  // ------- q169 windowed agg over the kinesis-shaped source, RESHARDED mid-run
+  /** q50's tumbling aggregate consumed through the KINESIS-shaped source
+    * ([[graft.streaming.KinesisShapedSource]]) with a RESHARD in the
+    * middle: the events fixture is put distributed (partition key =
+    * user id, md5-hash-range routed — per-user ordering by construction)
+    * onto a 2-shard stream; after the first half is consumed, shard 0 is
+    * SPLIT (parent closes, two children take its hash range) and the
+    * second half lands on the children. The source's parent-before-child
+    * gate and per-shard checkpointed sequences must deliver every record
+    * exactly once across the reshard — the oracle is the same
+    * single-partition q50/q20 aggregate, so a dropped, duplicated, or
+    * resequenced record anywhere in the shard tracking breaks the hash.
+    * (The consumer-side shard-tracker rule of the reference's Kinesis
+    * connector, extensions/kinesis KinesisSources.java, executed on the
+    * stub service; KinesisShapedSourceSpec pins routing/seek/split.)
+    */
+  val q169_stream_kinesis_reshard: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    val svcName = s"q169_${System.nanoTime()}"
+    val k = graft.pipeline.InMemoryKinesis.named(svcName)
+    k.createStream("events", 2)
+    val payload = eventsDf(s, dir).select(
+      coalesce($"user_id".cast("string"), lit("null")).as("pk"),
+      to_json(struct(unix_micros($"ts").as("ts_us"), $"event_type", $"value"))
+        .as("v"),
+      unix_micros($"ts").as("ts_us"))
+    val bounds = payload.agg(min($"ts_us"), max($"ts_us")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def produce(part: org.apache.spark.sql.DataFrame): Unit =
+      part.select($"pk", $"v").as[(String, String)].foreachPartition {
+        (it: Iterator[(String, String)]) =>
+          val svc = graft.pipeline.InMemoryKinesis.named(svcName)
+          it.foreach { case (pk, v) => svc.putRecord("events", pk, v) }
+      }
+    produce(payload.filter($"ts_us".isNull || $"ts_us" <= mid))
+    val jschema = new StructType().add("ts_us", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+    val name = s"q169_sink_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.format("graft.streaming.KinesisShapedSource")
+        .option("service", svcName).option("stream", "events").load()
+        .select(from_json($"value", jschema).as("j"))
+        .select(timestamp_micros($"j.ts_us").as("ts"),
+          $"j.event_type".as("event_type"), $"j.value".as("value"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select(unix_timestamp($"w.start").as("window_start"),
+          $"event_type", $"n", $"sum_value")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable() // first half consumed; parent shards drained
+      val parent = k.listShards("events").head._1
+      k.splitShard("events", parent)
+      produce(payload.filter($"ts_us".isNotNull && $"ts_us" > mid))
+      q.processAllAvailable() // children discovered, second half consumed
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).groupBy($"window_start", $"event_type")
+      .agg(max($"n").as("n"), max_by($"sum_value", $"n").as("sum_value"))
+  }
+
   val q162_oracle: String = {
     val dims = 64
     def cos(a: String, bb: String): String =
@@ -1077,7 +1144,8 @@ object StreamingQueries {
     "q161_stream_ann_serve" -> q161_stream_ann_serve,
     "q162_stream_ann_ivf_serve" -> q162_stream_ann_ivf_serve,
     "q165_stream_ann_ivf_shard" -> q165_stream_ann_ivf_shard,
-    "q166_stream_kafka_windowed" -> q166_stream_kafka_windowed)
+    "q166_stream_kafka_windowed" -> q166_stream_kafka_windowed,
+    "q169_stream_kinesis_reshard" -> q169_stream_kinesis_reshard)
 
   val oracles: Map[String, String] = Map(
     // the in-stream comparison derivation must reproduce the batch fit
@@ -1104,5 +1172,7 @@ object StreamingQueries {
     "q165_stream_ann_ivf_shard" -> q162_oracle,
     // multi-partition consume of the same windowed agg = q50's oracle:
     // partitioning the log must not change the aggregate
-    "q166_stream_kafka_windowed" -> q50_oracle)
+    "q166_stream_kafka_windowed" -> q50_oracle,
+    // resharded kinesis consume of the same windowed agg = q50's oracle
+    "q169_stream_kinesis_reshard" -> q50_oracle)
 }
