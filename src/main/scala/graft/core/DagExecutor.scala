@@ -1,0 +1,286 @@
+package graft.core
+
+import org.apache.spark.{HashPartitioner, TaskContext}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Compiles a [[DAG]] to Spark — the analog of the reference's
+  * ExecutionPlanBuilder (hazelcast-jet-core/src/main/java/com/hazelcast/jet/
+  * impl/execution/init/ExecutionPlanBuilder.java), re-expressed on RDD
+  * primitives:
+  *
+  *   - vertex        → one `mapPartitions` stage; one Processor instance per
+  *                     partition (Jet: one per tasklet), localParallelism →
+  *                     partition count
+  *   - unicast edge  → keep/rebalance partitions (Jet: round-robin queues)
+  *   - isolated edge → narrow 1:1, parallelism must match (Edge.java:356)
+  *   - partitioned   → HashPartitioner shuffle on the key fn — the same
+  *                     decision Jet's distributed-partitioned edge makes
+  *   - allToOne      → constant key → all rows in one partition
+  *   - broadcast     → driver collect + `sc.broadcast`, SIZE-GUARDED: this is
+  *                     the hash-join build side (always small, priority -1 in
+  *                     the canonical DAG); exceeding the guard is an error,
+  *                     not a silent 100-TB collect
+  *   - priority      → inbound edges are fed to the processor in ascending
+  *                     (priority, ordinal) order within each partition —
+  *                     Jet's ConcurrentInboundEdgeStream priority draining
+  *
+  * This layer is the power-user ESCAPE HATCH, not the hot path: the Pipeline/
+  * SQL APIs compile to Catalyst and should be preferred (SURVEY.md §3.3). It
+  * exists so that a reference user with a hand-built core-API DAG has a 1:1
+  * target: same topology classes, same processor contract, same edge algebra.
+  * The scale story is honest: partitioned edges are real shuffles, stages are
+  * lazy RDDs (nothing materializes per-vertex), and the only driver-side data
+  * movement is the guarded broadcast edge.
+  */
+object DagExecutor {
+
+  /** Hard cap on items a broadcast/fanout edge may carry (build sides are
+    * dimension-table-sized; at 100 TB the probe side streams, never this).
+    */
+  val MaxBroadcastItems: Int = 4 << 20
+
+  private[core] sealed trait Seg {
+    def ordinal: Int
+  }
+  private[core] final case class BcastSeg(ordinal: Int, data: Broadcast[Array[Any]]) extends Seg
+  private[core] final case class RddSeg(ordinal: Int) extends Seg
+
+  /** Compile every vertex to its output RDD (lazily — nothing runs until an
+    * action). `inputs` feeds RDDs into named no-inbound-edge vertices at
+    * ordinal 0 — the analog of a source ProcessorMetaSupplier's partition
+    * assignment; vertices absent from `inputs` run their processors with an
+    * empty inbox and emit from `complete()` (source-processor shape, e.g.
+    * [[Processors.itemsP]]).
+    */
+  def compile(
+      spark: SparkSession,
+      dag: DAG,
+      inputs: Map[String, RDD[Any]] = Map.empty,
+      outboxCapacity: Int = 1024,
+      maxBroadcastItems: Int = MaxBroadcastItems): Map[String, RDD[Any]] = {
+    val sc = spark.sparkContext
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, RDD[Any]]
+
+    for (vertex <- dag) {
+      val name = vertex.name
+      val inbound = dag
+        .getInboundEdges(name)
+        .sortBy(e => (e.getPriority, e.getDestOrdinal))
+
+      val externalInput = inputs.get(name)
+      require(externalInput.isEmpty || inbound.isEmpty,
+        s"vertex $name has both DAG inbound edges and an external input")
+
+      // stage parallelism: explicit localParallelism wins; else inherit the
+      // (first) input's partitioning; else the session default
+      val p = vertex.getLocalParallelism match {
+        case Vertex.LOCAL_PARALLELISM_USE_DEFAULT =>
+          externalInput
+            .map(_.getNumPartitions)
+            .orElse(inbound.headOption.map(e => out(e.getSourceName).getNumPartitions))
+            .getOrElse(defaultP)
+        case n => n
+      }
+
+      // per-edge routing → either a broadcast segment or a tagged RDD
+      var segs = Vector.empty[Seg]
+      var taggedRdds = Vector.empty[RDD[(Int, Any)]]
+      val edgeInputs: Seq[(Edge, RDD[Any])] =
+        externalInput match {
+          case Some(rdd) => Seq((null, rdd))
+          case None      => inbound.map(e => (e, out(e.getSourceName)))
+        }
+
+      for ((e, src) <- edgeInputs) {
+        val ordinal = if (e == null) 0 else e.getDestOrdinal
+        val routing = if (e == null) RoutingPolicy.Unicast else e.getRoutingPolicy
+        routing match {
+          case RoutingPolicy.Broadcast =>
+            // count-guarded driver materialization (the build side)
+            val data = src.take(maxBroadcastItems + 1)
+            require(data.length <= maxBroadcastItems,
+              s"broadcast edge into $name exceeds $maxBroadcastItems items; " +
+                "use a partitioned edge for large inputs")
+            segs :+= BcastSeg(ordinal, sc.broadcast(data))
+          case other =>
+            val routed: RDD[Any] = other match {
+              case RoutingPolicy.Partitioned =>
+                val keyFn = e.getKeyFn
+                src
+                  .map(t => (keyFn(t), t))
+                  .partitionBy(new HashPartitioner(p))
+                  .map(_._2)
+              case RoutingPolicy.Isolated =>
+                require(src.getNumPartitions == p,
+                  s"isolated edge into $name requires equal parallelism " +
+                    s"(${src.getNumPartitions} != $p)")
+                src
+              case _ => // Unicast
+                if (src.getNumPartitions == p) src
+                else src.coalesce(p, shuffle = src.getNumPartitions < p)
+            }
+            val sorted = Option(if (e == null) null else e.getOrderComparator) match {
+              case Some(cmp) =>
+                routed.mapPartitions(it => it.toVector.sorted(cmp).iterator,
+                  preservesPartitioning = true)
+              case None => routed
+            }
+            segs :+= RddSeg(ordinal)
+            taggedRdds :+= sorted.map(x => (ordinal, x))
+        }
+      }
+
+      // concatenate rdd edges per partition, in feed (priority) order
+      val base: RDD[(Int, Any)] =
+        if (taggedRdds.isEmpty) sc.parallelize(Seq.empty[(Int, Any)], p)
+        else
+          taggedRdds.reduceLeft { (a, b) =>
+            a.zipPartitions(b, preservesPartitioning = true)((ia, ib) => ia ++ ib)
+          }
+
+      val supplier = vertex.supplier
+      val segOrder = segs // serializable descriptors (broadcast handles inside)
+      val cap = outboxCapacity
+      val vName = name
+      val total = p
+      val result = base.mapPartitionsWithIndex { (idx, it) =>
+        val buffered = it.buffered
+        val segments: Seq[(Int, Iterator[Any])] = segOrder.map {
+          case BcastSeg(ord, bc) => (ord, bc.value.iterator)
+          case RddSeg(ord)       => (ord, new OrdinalSlice(buffered, ord))
+        }
+        val proc = supplier()
+        val driver = new ProcessorDriver(
+          proc, Processor.Context(vName, idx, total), segments, cap)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => driver.ensureClosed()))
+        driver
+      }
+      out.put(name, result)
+    }
+    out.toMap
+  }
+
+  /** Names of vertices with no outbound edges (the DAG's sinks). */
+  def leaves(dag: DAG): Seq[String] =
+    dag.toSeq.map(_.name).filter(n => dag.getOutboundEdges(n).isEmpty)
+
+  /** Run the DAG, collecting every leaf vertex's output (test/driver
+    * convenience — production paths keep the RDD or go through
+    * [[toDataFrame]]).
+    */
+  def execute(
+      spark: SparkSession,
+      dag: DAG,
+      inputs: Map[String, RDD[Any]] = Map.empty,
+      outboxCapacity: Int = 1024): Map[String, Seq[Any]] = {
+    val compiled = compile(spark, dag, inputs, outboxCapacity)
+    leaves(dag).map(n => n -> compiled(n).collect().toSeq).toMap
+  }
+
+  /** Bridge a leaf vertex emitting `Row`s back into the DataFrame world. */
+  def toDataFrame(
+      spark: SparkSession,
+      dag: DAG,
+      vertexName: String,
+      schema: StructType,
+      inputs: Map[String, RDD[Any]] = Map.empty): DataFrame = {
+    val rdd = compile(spark, dag, inputs)(vertexName)
+    spark.createDataFrame(rdd.map(_.asInstanceOf[Row]), schema)
+  }
+}
+
+/** Sequential slice of the concatenated tagged stream: items while the head
+  * tag matches `ordinal`. Valid because segments are consumed strictly in feed
+  * order, matching the concatenation order of the compiled stage.
+  */
+private[core] final class OrdinalSlice(
+    base: scala.collection.BufferedIterator[(Int, Any)],
+    ordinal: Int)
+    extends Iterator[Any] {
+  def hasNext: Boolean = base.hasNext && base.head._1 == ordinal
+  def next(): Any = base.next()._2
+}
+
+/** Drives one Processor over its partition's inbound segments — the tasklet
+  * loop (reference: hazelcast-jet-core/src/main/java/com/hazelcast/jet/impl/
+  * execution/ProcessorTasklet.java's state machine, reduced to the bounded
+  * case): feed inbox chunks per ordinal → completeEdge per exhausted edge →
+  * complete() to quiescence, draining the outbox into the downstream iterator
+  * between every step. Backpressure is real: the outbox has fixed capacity and
+  * a processor that can't progress against a non-full outbox is reported, not
+  * spun on.
+  */
+private[core] final class ProcessorDriver(
+    proc: Processor,
+    ctx: Processor.Context,
+    segments: Seq[(Int, Iterator[Any])],
+    outboxCapacity: Int)
+    extends Iterator[Any] {
+
+  private val ChunkSize = 256
+  private val outbox = new Outbox(outboxCapacity)
+  private val inbox = new Inbox(ChunkSize)
+  proc.init(outbox, ctx)
+
+  private val segIt = segments.iterator
+  private var current: (Int, Iterator[Any]) = _
+  // 0 = feeding, 1 = completingEdge, 2 = completing, 3 = done
+  private var phase = 0
+  private var closed = false
+
+  def hasNext: Boolean = {
+    if (!outbox.isEmpty) return true
+    advance()
+    if (!outbox.isEmpty) true
+    else { ensureClosed(); false }
+  }
+
+  def next(): Any = {
+    if (!hasNext) throw new NoSuchElementException("processor output exhausted")
+    outbox.poll()
+  }
+
+  private[core] def ensureClosed(): Unit =
+    if (!closed) { closed = true; proc.close() }
+
+  private def stuck(step: String): Nothing =
+    throw new IllegalStateException(
+      s"processor for vertex ${ctx.vertexName} made no progress in $step " +
+        "with a non-full outbox")
+
+  private def advance(): Unit = {
+    while (outbox.isEmpty && phase < 3) {
+      phase match {
+        case 0 =>
+          if (current == null) {
+            if (segIt.hasNext) current = segIt.next()
+            else phase = 2
+          } else {
+            val (ordinal, it) = current
+            if (inbox.isEmpty) {
+              var n = 0
+              while (n < ChunkSize && it.hasNext) { inbox.add(it.next()); n += 1 }
+            }
+            if (inbox.isEmpty) phase = 1 // edge exhausted
+            else {
+              val before = inbox.size
+              proc.process(ordinal, inbox)
+              if (inbox.size == before && outbox.isEmpty) stuck("process")
+            }
+          }
+        case 1 =>
+          if (proc.completeEdge(current._1)) { current = null; phase = 0 }
+          else if (outbox.isEmpty) stuck("completeEdge")
+        case 2 =>
+          if (proc.complete()) phase = 3
+          else if (outbox.isEmpty) stuck("complete")
+      }
+    }
+    if (phase == 3 && outbox.isEmpty) ensureClosed()
+  }
+}

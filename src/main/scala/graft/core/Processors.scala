@@ -1,0 +1,266 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** The core-API analog of Jet's `AggregateOperation1` (reference:
+  * hazelcast-jet-core/src/main/java/com/hazelcast/jet/aggregate/
+  * AggregateOperation.java): create / accumulate / combine / export. Pure
+  * functions rather than mutating accumulators — the Scala idiom; the
+  * two-stage algebra (accumulate locally, combine after the partitioned
+  * shuffle) is identical and is what makes `accumulateByKeyP` +
+  * `combineByKeyP` correct under any partitioning of the first stage.
+  */
+final case class AggregateOp[A, R](
+    createFn: () => A,
+    accumulateFn: (A, Any) => A,
+    combineFn: (A, A) => A,
+    exportFn: A => R)
+    extends Serializable
+
+object AggregateOp {
+  /** AggregateOperations.counting(). */
+  def counting: AggregateOp[Long, Long] =
+    AggregateOp(() => 0L, (a, _) => a + 1L, _ + _, identity)
+
+  /** AggregateOperations.summingLong(getFn). */
+  def summingLong(getFn: Any => Long): AggregateOp[Long, Long] =
+    AggregateOp(() => 0L, (a, t) => a + getFn(t), _ + _, identity)
+
+  /** AggregateOperations.summingDouble(getFn). */
+  def summingDouble(getFn: Any => Double): AggregateOp[Double, Double] =
+    AggregateOp(() => 0.0, (a, t) => a + getFn(t), _ + _, identity)
+
+  /** AggregateOperations.toList(). */
+  def toList: AggregateOp[List[Any], List[Any]] =
+    AggregateOp(() => Nil, (a, t) => t :: a, (x, y) => y ::: x, _.reverse)
+}
+
+/** Jet's built-in processor factories (reference: hazelcast-jet-core/src/main/
+  * java/com/hazelcast/jet/core/processor/Processors.java). Each returns a
+  * `() => Processor` — the `SupplierEx<Processor>` shape `Vertex` takes — and
+  * implements the same two-stage aggregation protocol the reference documents
+  * at Processors.java:60-120 (accumulate on a local edge, combine after the
+  * distributed partitioned edge).
+  */
+object Processors {
+
+  /** Processors.java:694 `mapP`. */
+  def mapP[T, R](mapFn: T => R): () => Processor = () =>
+    new AbstractProcessor {
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val r = mapFn(item.asInstanceOf[T])
+        if (r == null) true else tryEmit(r) // null = drop, per FunctionEx contract
+      }
+    }
+
+  /** Processors.java:714 `filterP`. */
+  def filterP[T](filterFn: T => Boolean): () => Processor = () =>
+    new AbstractProcessor {
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean =
+        if (filterFn(item.asInstanceOf[T])) tryEmit(item) else true
+    }
+
+  /** Processors.java:734 `flatMapP`: emits via the pending-traverser protocol
+    * so outbox rejection suspends mid-traverser without loss.
+    */
+  def flatMapP[T, R](flatMapFn: T => Traverser[R]): () => Processor = () =>
+    new AbstractProcessor {
+      private var outstanding: Traverser[R] = _
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (outstanding == null) outstanding = flatMapFn(item.asInstanceOf[T])
+        val done = emitFromTraverser(outstanding)
+        if (done) outstanding = null
+        done
+      }
+    }
+
+  /** Processors.java:987 `sortP`: buffers all input, emits sorted in complete()
+    * — same blocking shape as the reference (sort is inherently a barrier).
+    */
+  def sortP[T](ord: Ordering[T]): () => Processor = () =>
+    new AbstractProcessor {
+      private val buf = mutable.ArrayBuffer.empty[T]
+      private var emit: Traverser[T] = _
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        buf += item.asInstanceOf[T]; true
+      }
+      override def complete(): Boolean = {
+        if (emit == null) emit = Traversers.traverseIterable(buf.sorted(ord))
+        emitFromTraverser(emit)
+      }
+    }
+
+  /** Processors.java:997 `noopP`. */
+  def noopP(): () => Processor = () =>
+    new AbstractProcessor {
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = true
+    }
+
+  /** SourceProcessors-style bounded item source (reference:
+    * core/processor/SourceProcessors.java / TestSources): emits the iterable
+    * from complete(). Run it at localParallelism(1), like Jet's
+    * non-distributed test sources.
+    */
+  def itemsP(items: Iterable[Any]): () => Processor = () =>
+    new AbstractProcessor {
+      private var emit: Traverser[Any] = _
+      override def process(ordinal: Int, inbox: Inbox): Unit = inbox.clear()
+      override def complete(): Boolean = {
+        if (emit == null)
+          emit =
+            if (getContext.globalProcessorIndex == 0)
+              Traversers.traverseIterable(items)
+            else Traversers.empty
+        emitFromTraverser(emit)
+      }
+    }
+
+  // ----------------------------------------------------------------- aggregation
+
+  /** Processors.java:240 `aggregateP`: single-stage full aggregation (use on an
+    * allToOne edge, exactly as the reference documents).
+    */
+  def aggregateP[A, R](op: AggregateOp[A, R]): () => Processor = () =>
+    new AbstractProcessor {
+      private var acc: A = _
+      private var seeded = false
+      private var emitted = false
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (!seeded) { acc = op.createFn(); seeded = true }
+        acc = op.accumulateFn(acc, item)
+        true
+      }
+      override def complete(): Boolean = {
+        if (emitted) true
+        else {
+          if (!seeded) { acc = op.createFn(); seeded = true }
+          emitted = tryEmit(op.exportFn(acc))
+          emitted
+        }
+      }
+    }
+
+  /** Processors.java:266 `accumulateP`: stage 1 of the two-stage global
+    * aggregate — emits the bare accumulator.
+    */
+  def accumulateP[A](op: AggregateOp[A, _]): () => Processor = () =>
+    new AbstractProcessor {
+      private var acc: A = _
+      private var seeded = false
+      private var emitted = false
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (!seeded) { acc = op.createFn(); seeded = true }
+        acc = op.accumulateFn(acc, item)
+        true
+      }
+      override def complete(): Boolean = {
+        if (emitted) true
+        else {
+          if (!seeded) { acc = op.createFn(); seeded = true }
+          emitted = tryEmit(acc)
+          emitted
+        }
+      }
+    }
+
+  /** Processors.java:292 `combineP`: stage 2 — combines accumulators, exports. */
+  def combineP[A, R](op: AggregateOp[A, R]): () => Processor = () =>
+    new AbstractProcessor {
+      private var acc: A = _
+      private var seeded = false
+      private var emitted = false
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (!seeded) { acc = item.asInstanceOf[A]; seeded = true }
+        else acc = op.combineFn(acc, item.asInstanceOf[A])
+        true
+      }
+      override def complete(): Boolean = {
+        if (emitted) true
+        else {
+          if (!seeded) { acc = op.createFn(); seeded = true }
+          emitted = tryEmit(op.exportFn(acc))
+          emitted
+        }
+      }
+    }
+
+  /** Processors.java:323 `aggregateByKeyP` (single-stage grouped; use behind a
+    * partitioned edge). `exportFn(key, result)` shapes the output item, like
+    * the reference's `mapToOutputFn`.
+    */
+  def aggregateByKeyP[K, A, R](
+      keyFn: Any => K,
+      op: AggregateOp[A, R],
+      exportFn: (K, R) => Any): () => Processor = () =>
+    new GroupByKeyProcessor[K, A](keyFn, (a, t) => op.accumulateFn(a, t), op.createFn) {
+      override protected def exportEntry(k: K, a: A): Any = exportFn(k, op.exportFn(a))
+    }
+
+  /** Processors.java:353 `accumulateByKeyP`: stage 1 grouped — emits
+    * (key, accumulator) pairs for the combine stage.
+    */
+  def accumulateByKeyP[K, A](
+      keyFn: Any => K,
+      op: AggregateOp[A, _]): () => Processor = () =>
+    new GroupByKeyProcessor[K, A](keyFn, (a, t) => op.accumulateFn(a, t), op.createFn) {
+      override protected def exportEntry(k: K, a: A): Any = (k, a)
+    }
+
+  /** Processors.java:384 `combineByKeyP`: stage 2 grouped — input is
+    * (key, accumulator) from stage 1, routed by a partitioned edge on the key.
+    */
+  def combineByKeyP[K, A, R](
+      op: AggregateOp[A, R],
+      exportFn: (K, R) => Any): () => Processor = () =>
+    new GroupByKeyProcessor[K, A](
+      item => item.asInstanceOf[(K, A)]._1,
+      (a, t) => op.combineFn(a, t.asInstanceOf[(K, A)]._2),
+      op.createFn) {
+      override protected def exportEntry(k: K, a: A): Any = exportFn(k, op.exportFn(a))
+    }
+
+  /** Processors.java:768 `mapStatefulP` (keyed, batch scope): per-key state
+    * map, one output per input.
+    */
+  def mapStatefulP[K, S, R](
+      keyFn: Any => K,
+      createFn: () => S,
+      mapFn: (S, K, Any) => (S, R)): () => Processor = () =>
+    new AbstractProcessor {
+      private val state = mutable.HashMap.empty[K, S]
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val k = keyFn(item)
+        val (s2, r) = mapFn(state.getOrElseUpdate(k, createFn()), k, item)
+        state.update(k, s2)
+        if (r == null) true else tryEmit(r)
+      }
+    }
+
+  /** Shared hash-grouping core of the *ByKeyP family (the reference's
+    * GroupP, core/processor/.../GroupP.java): accumulate into a hash map,
+    * emit entries from complete() via a suspendable traverser.
+    */
+  private abstract class GroupByKeyProcessor[K, A](
+      keyFn: Any => K,
+      accumulate: (A, Any) => A,
+      create: () => A)
+      extends AbstractProcessor {
+    private val groups = mutable.LinkedHashMap.empty[K, A]
+    private var emit: Traverser[Any] = _
+
+    protected def exportEntry(k: K, a: A): Any
+
+    override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+      val k = keyFn(item)
+      groups.update(k, accumulate(groups.getOrElse(k, create()), item))
+      true
+    }
+
+    override def complete(): Boolean = {
+      if (emit == null)
+        emit = Traversers
+          .traverseIterator(groups.iterator.map { case (k, a) => exportEntry(k, a) })
+      emitFromTraverser(emit)
+    }
+  }
+}

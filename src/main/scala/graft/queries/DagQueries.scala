@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import graft.core._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Gate queries authored through the CORE DAG API (SURVEY.md §3.3; reference:
+  * hazelcast-jet-core/src/main/java/com/hazelcast/jet/core/DAG.java) — the
+  * power-user layer a reference user would port a hand-built topology to.
+  * Both queries compile through [[graft.core.DagExecutor]]: vertices run as
+  * one Processor per partition inside `mapPartitions`, partitioned edges are
+  * HashPartitioner shuffles, broadcast edges are guarded driver broadcasts.
+  *
+  * These exist to prove the layer end-to-end against the DuckDB oracle; the
+  * DataFrame forms of the same queries (q30, q04) remain the production path
+  * — Catalyst plans those with codegen and two-phase aggregation, which the
+  * DAG layer (like the reference's core API) bypasses by design.
+  */
+object DagQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ------------------------------------------- q170 core-API word-count DAG
+  /** The canonical Jet core-API word count (reference docs' hello-world of
+    * DAG.java; processors from core/processor/Processors.java): tokenize →
+    * accumulateByKeyP (local) → partitioned+distributed edge → combineByKeyP.
+    * Tokenizer matches q30's: lowercase, split on non-alphanumerics.
+    */
+  val q170_dag_wordcount: Q = (s, dir) => {
+    val text: RDD[Any] = t(s, dir, "documents")
+      .select("text").rdd.map(r => r.getString(0): Any)
+
+    val dag = new DAG
+    val tokenize = dag.newVertex("tokenize",
+      Processors.flatMapP((line: String) =>
+        Traversers.traverseArray(
+          line.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty))))
+    val accumulate = dag.newVertex("accumulate",
+      Processors.accumulateByKeyP((w: Any) => w, AggregateOp.counting))
+    val combine = dag.newVertex("combine",
+      Processors.combineByKeyP[Any, Long, Long](
+        AggregateOp.counting, (k, n) => Row(k, n)))
+    dag
+      .edge(Edge.between(tokenize, accumulate)) // local: map-side partials
+      .edge(Edge.between(accumulate, combine)
+        .partitioned(_.asInstanceOf[(Any, Long)]._1).distributed())
+
+    DagExecutor.toDataFrame(s, dag, "combine",
+      StructType(Seq(StructField("word", StringType), StructField("n", LongType))),
+      inputs = Map("tokenize" -> text))
+  }
+
+  val q170_oracle: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                            x -> x <> '')) AS word
+      |  FROM documents)
+      |GROUP BY word""".stripMargin
+
+  // --------------------------------------- q171 core-API hash-join DAG
+  /** The canonical core-API hash join: build side on a BROADCAST edge at
+    * priority -1 (drained fully before the probe edge — Edge.java:265's
+    * documented use), probe on ordinal 1, then the two-stage keyed aggregate
+    * over the join output. Mirrors the HashJoinP pattern
+    * (impl/processor/HashJoinP.java) re-expressed on this engine's executor.
+    */
+  val q171_dag_hash_join: Q = (s, dir) => {
+    val nation: RDD[Any] = t(s, dir, "nation")
+      .select("n_nationkey", "n_name").rdd
+      .map(r => (r.getInt(0), r.getString(1)): Any)
+    val customer: RDD[Any] = t(s, dir, "customer")
+      .select("c_nationkey", "c_acctbal").rdd
+      .map(r => (r.getInt(0), r.getDouble(1)): Any)
+
+    val joinP: () => Processor = () =>
+      new AbstractProcessor {
+        private val names = mutable.HashMap.empty[Int, String]
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean =
+          ordinal match {
+            case 0 =>
+              val (k, v) = item.asInstanceOf[(Int, String)]
+              names.update(k, v); true
+            case 1 =>
+              val (k, bal) = item.asInstanceOf[(Int, Double)]
+              names.get(k) match {
+                case Some(name) => tryEmit((name, bal))
+                case None       => true // inner join
+              }
+          }
+      }
+
+    // (count, sum) accumulator over (name, bal) pairs
+    val countSum = AggregateOp[(Long, Double), (Long, Double)](
+      createFn = () => (0L, 0.0),
+      accumulateFn = (a, t) => (a._1 + 1L, a._2 + t.asInstanceOf[(String, Double)]._2),
+      combineFn = (x, y) => (x._1 + y._1, x._2 + y._2),
+      exportFn = identity)
+
+    val dag = new DAG
+    val build = dag.newVertex("build", Processors.mapP((x: Any) => x))
+    val probe = dag.newVertex("probe", Processors.mapP((x: Any) => x))
+    val join = dag.newVertex("join", joinP)
+    val accumulate = dag.newVertex("accumulate",
+      Processors.accumulateByKeyP(_.asInstanceOf[(String, Double)]._1, countSum))
+    val combine = dag.newVertex("combine",
+      Processors.combineByKeyP[Any, (Long, Double), (Long, Double)](
+        countSum, (k, r) => Row(k, r._1, r._2)))
+    dag
+      .edge(Edge.from(build).to(join, 0).broadcast().priority(-1))
+      .edge(Edge.from(probe).to(join, 1))
+      .edge(Edge.between(join, accumulate))
+      .edge(Edge.between(accumulate, combine)
+        .partitioned(_.asInstanceOf[(Any, (Long, Double))]._1).distributed())
+
+    val raw = DagExecutor.toDataFrame(s, dag, "combine",
+      StructType(Seq(
+        StructField("n_name", StringType),
+        StructField("n_cust", LongType),
+        StructField("sum_bal_raw", DoubleType))),
+      inputs = Map("build" -> nation, "probe" -> customer))
+    raw.select(col("n_name"), col("n_cust"),
+      round(col("sum_bal_raw"), 2).as("sum_bal"))
+  }
+
+  val q171_oracle: String =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q170_dag_wordcount" -> q170_dag_wordcount,
+    "q171_dag_hash_join" -> q171_dag_hash_join)
+
+  val oracles: Map[String, String] = Map(
+    "q170_dag_wordcount" -> q170_oracle,
+    "q171_dag_hash_join" -> q171_oracle)
+}

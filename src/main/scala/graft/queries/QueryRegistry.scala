@@ -15,11 +15,11 @@ object QueryRegistry {
     TpchQueries.entries ++ EventQueries.entries ++ TextQueries.entries ++
       EmbeddingQueries.entries ++ MultimodalQueries.entries ++
       StreamingQueries.entries ++ SqlQueries.entries ++ CorpusQueries.entries ++
-      CurationQueries.entries ++ NexmarkQueries.entries
+      CurationQueries.entries ++ NexmarkQueries.entries ++ DagQueries.entries
 
   def oracles: Map[String, String] =
     TpchQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++
       StreamingQueries.oracles ++ SqlQueries.oracles ++ CorpusQueries.oracles ++
-      CurationQueries.oracles ++ NexmarkQueries.oracles
+      CurationQueries.oracles ++ NexmarkQueries.oracles ++ DagQueries.oracles
 }

@@ -1,0 +1,292 @@
+package graft.core
+
+import graft.SparkSpec
+
+import scala.collection.mutable
+
+/** Core DAG API (reference: hazelcast-jet-core/.../core/DAG.java, Edge.java,
+  * Processor.java): topology validation, the processor/tasklet loop incl.
+  * cooperative backpressure, edge routing policies, priority draining, and the
+  * canonical two-stage word-count + hash-join DAGs compiled to Spark.
+  */
+class DagCoreSpec extends SparkSpec {
+
+  private def sc = spark.sparkContext
+
+  // ------------------------------------------------------------ traverser laws
+
+  test("traverser combinators: map/filter/flatMap/take/drop/append/prepend") {
+    def t = Traversers.traverseItems(1, 2, 3, 4, 5)
+    def drain[T](tr: Traverser[T]): List[T] = {
+      val b = mutable.ListBuffer.empty[T]
+      var x = tr.next()
+      while (x != null) { b += x; x = tr.next() }
+      b.toList
+    }
+    assert(drain(t.map(i => i * 10)) == List(10, 20, 30, 40, 50))
+    assert(drain(t.filter(i => i % 2 == 1)) == List(1, 3, 5))
+    assert(drain(t.flatMap(i => Traversers.traverseItems(i, -i))) ==
+      List(1, -1, 2, -2, 3, -3, 4, -4, 5, -5))
+    assert(drain(t.takeWhile(i => i < 3)) == List(1, 2))
+    assert(drain(t.dropWhile(i => i < 3)) == List(3, 4, 5))
+    assert(drain(t.append(9).prepend(0)) == List(0, 1, 2, 3, 4, 5, 9))
+    var fired = 0
+    val withHook = t.onFirstNull(() => fired += 1)
+    assert(drain(withHook) == List(1, 2, 3, 4, 5))
+    withHook.next(); withHook.next()
+    assert(fired == 1)
+  }
+
+  test("appendable and resettable-singleton traversers") {
+    val app = new AppendableTraverser[Integer](4)
+    app.append(1).append(2)
+    assert(app.next() == 1 && app.next() == 2 && app.next() == null)
+    val single = new ResettableSingletonTraverser[String]
+    single.accept("x")
+    assert(single.next() == "x" && single.next() == null)
+    single.accept("y")
+    assert(single.next() == "y")
+  }
+
+  // ------------------------------------------------------------ dag validation
+
+  test("DAG validation: duplicate names, ordinal clashes, contiguity, cycles") {
+    val dag = new DAG
+    val a = dag.newVertex("a", Processors.noopP())
+    val b = dag.newVertex("b", Processors.noopP())
+    intercept[IllegalArgumentException](dag.newVertex("a", Processors.noopP()))
+    dag.edge(Edge.between(a, b))
+    // second outbound edge at ordinal 0 of a
+    intercept[IllegalArgumentException](dag.edge(Edge.between(a, b)))
+    val c = dag.newVertex("c", Processors.noopP())
+    // inbound ordinal gap on c: edge lands at ordinal 1 with no ordinal 0
+    dag.edge(Edge.from(b).to(c, 1))
+    intercept[IllegalArgumentException](dag.iterator.toList)
+    // close the gap → valid, topological order a, b, c
+    dag.edge(Edge.from(a, 1).to(c, 0))
+    assert(dag.iterator.map(_.name).toList == List("a", "b", "c"))
+    // cycles rejected
+    val cyc = new DAG
+    val x = cyc.newVertex("x", Processors.noopP())
+    val y = cyc.newVertex("y", Processors.noopP())
+    cyc.edge(Edge.between(x, y)).edge(Edge.between(y, x))
+    intercept[IllegalArgumentException](cyc.iterator.toList)
+    // self-edge rejected
+    intercept[IllegalArgumentException](cyc.edge(Edge.between(x, x)))
+  }
+
+  test("toDotString and toJson render the topology") {
+    val dag = new DAG
+    val s = dag.newVertex("src", Processors.itemsP(Seq(1)))
+    val t = dag.newVertex("sink", Processors.noopP())
+    dag.edge(Edge.between(s, t).partitioned(identity).priority(-1))
+    val dot = dag.toDotString
+    assert(dot.contains("\"src\" -> \"sink\"") && dot.contains("partitioned"))
+    val json = dag.toJson
+    assert(json.contains("\"routing\":\"PARTITIONED\"") && json.contains("\"priority\":-1"))
+  }
+
+  // ------------------------------------------------------- processor execution
+
+  test("itemsP source → mapP → filterP pipeline end to end") {
+    val dag = new DAG
+    val src = dag.newVertex("src", Processors.itemsP(1 to 100)).localParallelism(1)
+    val map = dag.newVertex("map", Processors.mapP((i: Int) => i * 2))
+    val filt = dag.newVertex("filter", Processors.filterP((i: Int) => i % 20 == 0))
+    dag.edge(Edge.between(src, map)).edge(Edge.between(map, filt))
+    val res = DagExecutor.execute(spark, dag)("filter").map(_.asInstanceOf[Int]).sorted
+    assert(res == (20 to 200 by 20).toList)
+  }
+
+  test("flatMapP emits via suspendable traverser under a tiny outbox") {
+    val dag = new DAG
+    val src = dag.newVertex("src", Processors.itemsP(1 to 50)).localParallelism(1)
+    val fm = dag.newVertex("fm",
+      Processors.flatMapP((i: Int) => Traversers.traverseItems(i, i, i)))
+    dag.edge(Edge.between(src, fm))
+    // outboxCapacity=2 forces repeated suspension mid-traverser
+    val res = DagExecutor.execute(spark, dag, outboxCapacity = 2)("fm")
+    assert(res.size == 150)
+    assert(res.map(_.asInstanceOf[Int]).sum == 3 * (1 to 50).sum)
+  }
+
+  test("two-stage aggregation: accumulateByKeyP → partitioned edge → combineByKeyP") {
+    val words = Seq("a", "b", "a", "c", "b", "a") ++ (1 to 94).map(i => s"w${i % 7}")
+    val input = sc.parallelize(words.map(_.asInstanceOf[Any]), 4)
+    val dag = new DAG
+    val acc = dag.newVertex("accumulate",
+      Processors.accumulateByKeyP((w: Any) => w, AggregateOp.counting))
+    val comb = dag.newVertex("combine",
+      Processors.combineByKeyP[Any, Long, Long](AggregateOp.counting, (k, n) => (k, n)))
+    dag.edge(Edge.between(acc, comb).partitioned(_.asInstanceOf[(Any, Long)]._1)
+      .distributed())
+    val res = DagExecutor
+      .execute(spark, dag, inputs = Map("accumulate" -> input))("combine")
+      .map(_.asInstanceOf[(String, Long)])
+      .toMap
+    val expected = words.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(res == expected)
+  }
+
+  test("aggregateP on an allToOne edge computes the global aggregate once") {
+    val input = sc.parallelize((1 to 1000).map(_.asInstanceOf[Any]), 8)
+    val dag = new DAG
+    val pass = dag.newVertex("pass", Processors.mapP((i: Int) => i))
+    val agg = dag.newVertex("agg",
+      Processors.aggregateP(AggregateOp.summingLong(_.asInstanceOf[Int].toLong)))
+      .localParallelism(1) // Jet convention: full aggregate = allToOne + lp 1
+    dag.edge(Edge.between(pass, agg).allToOne("k"))
+    val res = DagExecutor.execute(spark, dag, inputs = Map("pass" -> input))("agg")
+    assert(res == Seq(500500L))
+  }
+
+  test("priority edge: broadcast build side drains fully before probe (hash join)") {
+    // the canonical Jet hash-join DAG: build side at priority -1, broadcast
+    val build = sc.parallelize(
+      Seq(("FR", "France"), ("DE", "Germany")).map(_.asInstanceOf[Any]), 2)
+    val probe = sc.parallelize(
+      Seq(("FR", 1), ("DE", 2), ("FR", 3), ("XX", 4)).map(_.asInstanceOf[Any]), 3)
+    val joinP: () => Processor = () =>
+      new AbstractProcessor {
+        private val table = mutable.HashMap.empty[String, String]
+        private var sawProbeBeforeBuildDone = false
+        private var buildDone = false
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean =
+          ordinal match {
+            case 0 => // build
+              val (k, v) = item.asInstanceOf[(String, String)]
+              table.update(k, v); true
+            case 1 => // probe
+              if (!buildDone) sawProbeBeforeBuildDone = true
+              val (k, n) = item.asInstanceOf[(String, Int)]
+              table.get(k) match {
+                case Some(name) => tryEmit((k, name, n))
+                case None       => true // inner join: drop
+              }
+          }
+        override def completeEdge(ordinal: Int): Boolean = {
+          if (ordinal == 0) buildDone = true
+          true
+        }
+        override def complete(): Boolean = {
+          // plain throw: scalatest assert would capture the spec instance
+          if (sawProbeBeforeBuildDone)
+            throw new IllegalStateException("probe item arrived before build completed")
+          true
+        }
+      }
+    val dagJ = new DAG
+    val b = dagJ.newVertex("build", Processors.mapP((x: Any) => x))
+    val p = dagJ.newVertex("probe", Processors.mapP((x: Any) => x))
+    val j = dagJ.newVertex("join", joinP)
+    dagJ
+      .edge(Edge.from(b).to(j, 0).broadcast().priority(-1))
+      .edge(Edge.from(p).to(j, 1))
+    val res = DagExecutor
+      .execute(spark, dagJ, inputs = Map("build" -> build, "probe" -> probe))("join")
+      .map(_.asInstanceOf[(String, String, Int)])
+      .sortBy(_._3)
+    assert(res == Seq(("FR", "France", 1), ("DE", "Germany", 2), ("FR", "France", 3)))
+  }
+
+  test("isolated edge enforces equal parallelism; unicast rebalances") {
+    val input = sc.parallelize((1 to 10).map(_.asInstanceOf[Any]), 3)
+    val dag = new DAG
+    val a = dag.newVertex("a", Processors.mapP((i: Int) => i))
+    val b = dag.newVertex("b", Processors.mapP((i: Int) => i)).localParallelism(5)
+    dag.edge(Edge.between(a, b).isolated())
+    intercept[IllegalArgumentException](
+      DagExecutor.compile(spark, dag, inputs = Map("a" -> input)))
+    val dag2 = new DAG
+    val a2 = dag2.newVertex("a", Processors.mapP((i: Int) => i))
+    val b2 = dag2.newVertex("b", Processors.mapP((i: Int) => i)).localParallelism(5)
+    dag2.edge(Edge.between(a2, b2)) // unicast
+    val compiled = DagExecutor.compile(spark, dag2, inputs = Map("a" -> input))
+    assert(compiled("b").getNumPartitions == 5)
+    assert(compiled("b").collect().map(_.asInstanceOf[Int]).sorted.toSeq == (1 to 10))
+    assert(a != null && b != null && a2 != null && b2 != null)
+  }
+
+  test("ordered edge feeds each partition's stream in comparator order") {
+    val input = sc.parallelize(
+      Seq(5, 3, 9, 1, 7, 2, 8).map(_.asInstanceOf[Any]), 2)
+    val checkOrderP: () => Processor = () =>
+      new AbstractProcessor {
+        private var last = Int.MinValue
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+          val i = item.asInstanceOf[Int]
+          if (i < last) throw new IllegalStateException(s"out of order: $i after $last")
+          last = i
+          tryEmit(i)
+        }
+      }
+    val dag = new DAG
+    val a = dag.newVertex("a", Processors.mapP((i: Int) => i))
+    val chk = dag.newVertex("check", checkOrderP)
+    dag.edge(Edge.between(a, chk).ordered(Ordering.Int.asInstanceOf[Ordering[Any]]))
+    val res = DagExecutor.execute(spark, dag, inputs = Map("a" -> input))("check")
+    assert(res.map(_.asInstanceOf[Int]).sorted.toSeq == Seq(1, 2, 3, 5, 7, 8, 9))
+  }
+
+  test("sortP + allToOne produces a globally sorted stream") {
+    val input = sc.parallelize(
+      scala.util.Random.shuffle((1 to 200).toList).map(_.asInstanceOf[Any]), 6)
+    val dag = new DAG
+    val pre = dag.newVertex("pre", Processors.mapP((i: Int) => i))
+    val sorter = dag.newVertex("sort", Processors.sortP(Ordering.Int))
+    dag.edge(Edge.between(pre, sorter).allToOne("all"))
+    val res = DagExecutor.execute(spark, dag, inputs = Map("pre" -> input))("sort")
+    assert(res.map(_.asInstanceOf[Int]).toSeq == (1 to 200))
+  }
+
+  test("mapStatefulP keeps per-key state within the partitioned stage") {
+    val events =
+      Seq(("k1", 1), ("k1", 2), ("k2", 10), ("k1", 3), ("k2", 20))
+        .map(_.asInstanceOf[Any])
+    val input = sc.parallelize(events, 2)
+    val dag = new DAG
+    val route = dag.newVertex("route", Processors.mapP((x: Any) => x))
+    val runsum = dag.newVertex("runsum",
+      Processors.mapStatefulP[String, Long, (String, Long)](
+        keyFn = _.asInstanceOf[(String, Int)]._1,
+        createFn = () => 0L,
+        mapFn = (s, k, item) => {
+          val s2 = s + item.asInstanceOf[(String, Int)]._2
+          (s2, (k, s2))
+        }))
+    dag.edge(Edge.between(route, runsum).partitioned(_.asInstanceOf[(String, Int)]._1))
+    val res = DagExecutor
+      .execute(spark, dag, inputs = Map("route" -> input))("runsum")
+      .map(_.asInstanceOf[(String, Long)])
+    // final per-key running sums must appear
+    assert(res.contains(("k1", 6L)) && res.contains(("k2", 30L)))
+    assert(res.size == 5)
+  }
+
+  test("close() runs exactly once per instance, also with empty input") {
+    val counter = sc.collectionAccumulator[String]("closes")
+    val closingP: () => Processor = () =>
+      new AbstractProcessor {
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = tryEmit(item)
+        override def close(): Unit = counter.add("closed")
+      }
+    val input = sc.parallelize(Seq.empty[Any], 3)
+    val dag = new DAG
+    val v = dag.newVertex("v", closingP)
+    val res = DagExecutor.execute(spark, dag, inputs = Map("v" -> input))("v")
+    assert(res.isEmpty)
+    assert(counter.value.size == 3) // one per partition instance
+  }
+
+  test("broadcast edge rejects oversized build sides instead of collecting them") {
+    val dag = new DAG
+    val a = dag.newVertex("a", Processors.mapP((i: Int) => i))
+    val b = dag.newVertex("b", Processors.noopP())
+    dag.edge(Edge.between(a, b).broadcast())
+    // tiny cap for the test; the default is DagExecutor.MaxBroadcastItems
+    val big = sc.parallelize((1 to 5000).map(_.asInstanceOf[Any]), 8)
+    intercept[IllegalArgumentException](
+      DagExecutor.compile(spark, dag, inputs = Map("a" -> big),
+        maxBroadcastItems = 1000))
+  }
+}
