@@ -132,7 +132,10 @@ final class Edge private (
 
   /** Edge.java:375 `ordered(comparator)`: receiver merges inbound streams in
     * order. Spark compile: per-partition sort of this edge's stream before the
-    * inbox (buffering; documented trade vs Jet's online k-way merge).
+    * inbox, executed inside the shuffle's ExternalSorter (spill-aware — disk-
+    * bounded, not heap-bounded; a stronger guarantee than Jet's merge of
+    * pre-ordered runs, at the cost of a local shuffle on non-partitioned
+    * ordered edges).
     */
   def ordered(comparator: Ordering[Any]): Edge = { _comparator = comparator; this }
 
@@ -147,10 +150,13 @@ final class Edge private (
   def getOrderComparator: Ordering[Any] = _comparator
 
   override def toString: String = {
-    val base = s"between(${'"'}${source.name}${'"'}, ${'"'}${getDestName}${'"'})"
+    // Null-safe: toString is interpolated into validation messages (incl. the
+    // "has no destination" one), so it must not itself require dest != null.
+    val destName = if (dest == null) "?" else dest.name
+    val base = s"between(${'"'}${source.name}${'"'}, ${'"'}$destName${'"'})"
     val ords =
       if (sourceOrdinal == 0 && destOrd == 0) base
-      else s"from(${'"'}${source.name}${'"'}, $sourceOrdinal).to(${'"'}${getDestName}${'"'}, $destOrd)"
+      else s"from(${'"'}${source.name}${'"'}, $sourceOrdinal).to(${'"'}$destName${'"'}, $destOrd)"
     ords
   }
 }

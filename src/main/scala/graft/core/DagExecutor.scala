@@ -1,10 +1,11 @@
 package graft.core
 
-import org.apache.spark.{HashPartitioner, TaskContext}
+import org.apache.spark.{HashPartitioner, Partitioner, TaskContext}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 
 /** Compiles a [[DAG]] to Spark — the analog of the reference's
   * ExecutionPlanBuilder (hazelcast-jet-core/src/main/java/com/hazelcast/jet/
@@ -48,8 +49,19 @@ object DagExecutor {
   private[core] final case class BcastSeg(ordinal: Int, data: Broadcast[Array[Any]]) extends Seg
   private[core] final case class RddSeg(ordinal: Int) extends Seg
 
-  /** Compile every vertex to its output RDD (lazily — nothing runs until an
-    * action). `inputs` feeds RDDs into named no-inbound-edge vertices at
+  /** Compile every vertex to its output RDD. Compilation is lazy with ONE
+    * documented exception: a broadcast/fanout edge materializes its source
+    * eagerly at compile time (`take(maxBroadcastItems + 1)` is a real Spark
+    * action) — the build side must exist on the driver before it can be
+    * broadcast, exactly like Spark SQL's own BroadcastExchange. Everything
+    * else stays an unexecuted RDD lineage until an action on the result.
+    *
+    * A vertex with two or more outbound edges is persisted
+    * (MEMORY_AND_DISK) so its processors — which may be side-effecting or
+    * nondeterministic — run once, not once per downstream consumer; this also
+    * covers [[execute]]'s leaf-by-leaf collection.
+    *
+    * `inputs` feeds RDDs into named no-inbound-edge vertices at
     * ordinal 0 — the analog of a source ProcessorMetaSupplier's partition
     * assignment; vertices absent from `inputs` run their processors with an
     * empty inbox and emit from `complete()` (source-processor shape, e.g.
@@ -107,27 +119,32 @@ object DagExecutor {
                 "use a partitioned edge for large inputs")
             segs :+= BcastSeg(ordinal, sc.broadcast(data))
           case other =>
-            val routed: RDD[Any] = other match {
-              case RoutingPolicy.Partitioned =>
+            val cmpOpt = Option(if (e == null) null else e.getOrderComparator)
+            val sorted: RDD[Any] = (other, cmpOpt) match {
+              case (RoutingPolicy.Partitioned, Some(cmp)) =>
+                // Ordered + partitioned in ONE shuffle: the item itself is the
+                // shuffle key (partitioner applies keyFn, matching
+                // HashPartitioner's mod), the sort runs inside Spark's
+                // sort-based shuffle (ExternalSorter) — spill-aware, so an
+                // ordered edge larger than executor memory sorts on disk
+                // instead of OOMing a toVector.sorted buffer.
+                sortedShuffle(src, new KeyFnPartitioner(e.getKeyFn, p), cmp)
+              case (RoutingPolicy.Partitioned, None) =>
                 val keyFn = e.getKeyFn
                 src
                   .map(t => (keyFn(t), t))
                   .partitionBy(new HashPartitioner(p))
                   .map(_._2)
-              case RoutingPolicy.Isolated =>
+              case (RoutingPolicy.Isolated, cmpO) =>
                 require(src.getNumPartitions == p,
                   s"isolated edge into $name requires equal parallelism " +
                     s"(${src.getNumPartitions} != $p)")
-                src
-              case _ => // Unicast
-                if (src.getNumPartitions == p) src
-                else src.coalesce(p, shuffle = src.getNumPartitions < p)
-            }
-            val sorted = Option(if (e == null) null else e.getOrderComparator) match {
-              case Some(cmp) =>
-                routed.mapPartitions(it => it.toVector.sorted(cmp).iterator,
-                  preservesPartitioning = true)
-              case None => routed
+                cmpO.fold(src)(cmp => localExternalSort(src, cmp))
+              case (_, cmpO) => // Unicast
+                val rebalanced =
+                  if (src.getNumPartitions == p) src
+                  else src.coalesce(p, shuffle = src.getNumPartitions < p)
+                cmpO.fold(rebalanced)(cmp => localExternalSort(rebalanced, cmp))
             }
             segs :+= RddSeg(ordinal)
             taggedRdds :+= sorted.map(x => (ordinal, x))
@@ -160,9 +177,51 @@ object DagExecutor {
           _.addTaskCompletionListener[Unit](_ => driver.ensureClosed()))
         driver
       }
-      out.put(name, result)
+      // A vertex feeding >1 edge (or >1 leaf collection) must not recompute:
+      // its processors may be side-effecting/nondeterministic. Persist once.
+      val stored =
+        if (dag.getOutboundEdges(name).size >= 2)
+          result.persist(StorageLevel.MEMORY_AND_DISK)
+        else result
+      out.put(name, stored)
     }
     out.toMap
+  }
+
+  /** Ordered + partitioned edge in one shuffle: the item is the shuffle key,
+    * `part` applies the edge's keyFn, and the per-partition sort happens
+    * inside Spark's sort-based shuffle (ExternalSorter — spills to disk), so
+    * edge size is bounded by executor DISK, not a heap buffer.
+    */
+  private def sortedShuffle(
+      src: RDD[Any],
+      part: Partitioner,
+      cmp: Ordering[Any]): RDD[Any] = {
+    implicit val ord: Ordering[Any] = cmp
+    src.map(t => (t, true)).repartitionAndSortWithinPartitions(part).map(_._1)
+  }
+
+  /** Spill-aware per-partition sort for non-shuffle (unicast/isolated) ordered
+    * edges: key each item by (partitionIndex, item), route by the index (a
+    * partition-preserving local shuffle), and let the shuffle's ExternalSorter
+    * order within the partition. Costs one local shuffle write+read but never
+    * buffers the partition in memory — the fix for the unbounded
+    * `toVector.sorted` this replaced.
+    */
+  private def localExternalSort(src: RDD[Any], cmp: Ordering[Any]): RDD[Any] = {
+    val n = math.max(src.getNumPartitions, 1)
+    val keyed = src.mapPartitionsWithIndex((i, it) => it.map(x => ((i, x), true)))
+    val part = new Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int = key.asInstanceOf[(Int, Any)]._1
+    }
+    implicit val ord: Ordering[(Int, Any)] = new Ordering[(Int, Any)] {
+      def compare(a: (Int, Any), b: (Int, Any)): Int = {
+        val c = Integer.compare(a._1, b._1)
+        if (c != 0) c else cmp.compare(a._2, b._2)
+      }
+    }
+    keyed.repartitionAndSortWithinPartitions(part).map(_._1._2)
   }
 
   /** Names of vertices with no outbound edges (the DAG's sinks). */
@@ -198,6 +257,23 @@ object DagExecutor {
   * tag matches `ordinal`. Valid because segments are consumed strictly in feed
   * order, matching the concatenation order of the compiled stage.
   */
+/** HashPartitioner-compatible partitioner that routes an item by `keyFn(item)`
+  * (null key → 0, same as HashPartitioner), letting the item itself be the
+  * shuffle-sort key for ordered partitioned edges.
+  */
+private[core] final class KeyFnPartitioner(keyFn: Any => Any, p: Int)
+    extends Partitioner {
+  def numPartitions: Int = p
+  def getPartition(key: Any): Int = {
+    val k = keyFn(key)
+    if (k == null) 0
+    else {
+      val m = k.hashCode % p
+      if (m < 0) m + p else m
+    }
+  }
+}
+
 private[core] final class OrdinalSlice(
     base: scala.collection.BufferedIterator[(Int, Any)],
     ordinal: Int)

@@ -44,20 +44,43 @@ object AggregateOp {
   */
 object Processors {
 
-  /** Processors.java:694 `mapP`. */
+  /** Processors.java:694 `mapP`. The computed result is stashed across outbox
+    * rejection so `mapFn` runs exactly once per item even when the driver
+    * re-offers it (the reference holds it in a ResettableSingletonTraverser
+    * for the same reason — a side-effecting or nondeterministic fn must not
+    * re-run).
+    */
   def mapP[T, R](mapFn: T => R): () => Processor = () =>
     new AbstractProcessor {
+      private var pending: Any = _
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
-        val r = mapFn(item.asInstanceOf[T])
-        if (r == null) true else tryEmit(r) // null = drop, per FunctionEx contract
+        if (pending == null) {
+          val r = mapFn(item.asInstanceOf[T])
+          if (r == null) return true // null = drop, per FunctionEx contract
+          pending = r
+        }
+        val ok = tryEmit(pending)
+        if (ok) pending = null
+        ok
       }
     }
 
-  /** Processors.java:714 `filterP`. */
+  /** Processors.java:714 `filterP`. The pass verdict is stashed across outbox
+    * rejection so `filterFn` runs exactly once per item (same contract as
+    * [[mapP]]).
+    */
   def filterP[T](filterFn: T => Boolean): () => Processor = () =>
     new AbstractProcessor {
-      override protected def tryProcess(ordinal: Int, item: Any): Boolean =
-        if (filterFn(item.asInstanceOf[T])) tryEmit(item) else true
+      private var pending: Any = _
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (pending == null) {
+          if (!filterFn(item.asInstanceOf[T])) return true
+          pending = item
+        }
+        val ok = tryEmit(pending)
+        if (ok) pending = null
+        ok
+      }
     }
 
   /** Processors.java:734 `flatMapP`: emits via the pending-traverser protocol
@@ -220,7 +243,12 @@ object Processors {
     }
 
   /** Processors.java:768 `mapStatefulP` (keyed, batch scope): per-key state
-    * map, one output per input.
+    * map, one output per input. The state transition commits only AFTER the
+    * emit is accepted: `mapFn` computes `(s2, r)` once, `r` is held in a
+    * pending slot across outbox rejection, and `s2` is written back when the
+    * outbox takes `r`. Without this, a rejected emit re-offers the item
+    * against the already-updated state and double-applies it (e.g. a running
+    * sum double-counts) whenever `outboxCapacity` is smaller than a chunk.
     */
   def mapStatefulP[K, S, R](
       keyFn: Any => K,
@@ -228,11 +256,24 @@ object Processors {
       mapFn: (S, K, Any) => (S, R)): () => Processor = () =>
     new AbstractProcessor {
       private val state = mutable.HashMap.empty[K, S]
+      private var pendingOut: Any = _
+      private var pendingKey: K = _
+      private var pendingState: S = _
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
-        val k = keyFn(item)
-        val (s2, r) = mapFn(state.getOrElseUpdate(k, createFn()), k, item)
-        state.update(k, s2)
-        if (r == null) true else tryEmit(r)
+        if (pendingOut == null) {
+          val k = keyFn(item)
+          val (s2, r) = mapFn(state.getOrElse(k, createFn()), k, item)
+          if (r == null) { state.update(k, s2); return true } // drop: commit now
+          pendingOut = r; pendingKey = k; pendingState = s2
+        }
+        val ok = tryEmit(pendingOut)
+        if (ok) {
+          state.update(pendingKey, pendingState)
+          pendingOut = null
+          pendingKey = null.asInstanceOf[K]
+          pendingState = null.asInstanceOf[S]
+        }
+        ok
       }
     }
 

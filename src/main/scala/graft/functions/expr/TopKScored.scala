@@ -60,6 +60,9 @@ case class TopKScored(score: Expression, id: Expression, kExpr: Expression,
         s"graft_topk requires a BIGINT id, got ${id.dataType.sql}")
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("graft_topk requires a literal INT k")
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Int] <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires k > 0, got ${kExpr.eval()}")
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Int]

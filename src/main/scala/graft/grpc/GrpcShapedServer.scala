@@ -54,6 +54,7 @@ final class GrpcShapedServer(unary: Map[String, Array[Byte] => Array[Byte]],
     private val decoder = new GrpcFraming.Decoder
     private var path: String = _
     private var headersSent = false
+    private var closed = false
     private var unaryMsg: Option[Array[Byte]] = None
 
     private def sendHeaders(ctx: ChannelHandlerContext): Unit = if (!headersSent) {
@@ -65,7 +66,8 @@ final class GrpcShapedServer(unary: Map[String, Array[Byte] => Array[Byte]],
       ()
     }
 
-    private def sendTrailers(ctx: ChannelHandlerContext, status: Int): Unit = {
+    private def sendTrailers(ctx: ChannelHandlerContext, status: Int): Unit = if (!closed) {
+      closed = true
       sendHeaders(ctx) // trailers-only responses still need response headers first
       val t = new DefaultHttp2Headers()
       t.add("grpc-status", status.toString)
@@ -76,20 +78,38 @@ final class GrpcShapedServer(unary: Map[String, Array[Byte] => Array[Byte]],
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
         path = h.headers().path().toString
-        if (h.isEndStream) sendTrailers(ctx, if (unary.contains(path) || bidi.contains(path)) 0 else 12)
+        if (h.isEndStream) sendTrailers(ctx,
+          // A unary request with END_STREAM on HEADERS carries no message:
+          // INVALID_ARGUMENT (3), not an empty-but-OK response. Bidi with zero
+          // messages is a legal empty stream. Unknown path: UNIMPLEMENTED (12).
+          if (unary.contains(path)) 3
+          else if (bidi.contains(path)) 0
+          else 12)
+      case d: Http2DataFrame if closed =>
+        d.release() // stream already terminated with trailers; drop the rest
+        ()
       case d: Http2DataFrame =>
         val msgs = decoder.feed(d.content())
         d.release()
         (unary.get(path), bidi.get(path)) match {
           case (Some(_), _) =>
-            msgs.foreach(m => unaryMsg = Some(m))
-            if (d.isEndStream) {
-              sendHeaders(ctx)
-              unaryMsg.foreach { m =>
-                ctx.write(new DefaultHttp2DataFrame(
-                  GrpcFraming.encode(unary(path)(m)), false))
+            // gRPC unary = exactly one request message; a second on the same
+            // stream is a protocol violation → INTERNAL (13) per the spec.
+            if (msgs.size + (if (unaryMsg.isDefined) 1 else 0) > 1) {
+              sendTrailers(ctx, 13)
+            } else {
+              msgs.foreach(m => unaryMsg = Some(m))
+              if (d.isEndStream) {
+                unaryMsg match {
+                  case Some(m) =>
+                    sendHeaders(ctx)
+                    ctx.write(new DefaultHttp2DataFrame(
+                      GrpcFraming.encode(unary(path)(m)), false))
+                    sendTrailers(ctx, 0)
+                  case None =>
+                    sendTrailers(ctx, 3) // no request message: INVALID_ARGUMENT
+                }
               }
-              sendTrailers(ctx, 0)
             }
           case (_, Some(f)) =>
             sendHeaders(ctx)

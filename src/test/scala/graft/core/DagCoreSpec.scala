@@ -278,6 +278,106 @@ class DagCoreSpec extends SparkSpec {
     assert(counter.value.size == 3) // one per partition instance
   }
 
+  test("mapStatefulP under a tiny outbox: state commits only after emit (no double-apply)") {
+    // outboxCapacity=2 < ChunkSize forces rejected emits mid-chunk; before the
+    // pending-slot fix the re-offered item ran mapFn against the already-
+    // updated state and running sums double-counted.
+    val events = (1 to 400).map(i => ("k" + (i % 3), 1)).map(_.asInstanceOf[Any])
+    val input = sc.parallelize(events, 2)
+    val dag = new DAG
+    val route = dag.newVertex("route", Processors.mapP((x: Any) => x))
+    val runsum = dag.newVertex("runsum",
+      Processors.mapStatefulP[String, Long, (String, Long)](
+        keyFn = _.asInstanceOf[(String, Int)]._1,
+        createFn = () => 0L,
+        mapFn = (s, k, item) => {
+          val s2 = s + item.asInstanceOf[(String, Int)]._2
+          (s2, (k, s2))
+        }))
+    dag.edge(Edge.between(route, runsum).partitioned(_.asInstanceOf[(String, Int)]._1))
+    val res = DagExecutor
+      .execute(spark, dag, inputs = Map("route" -> input), outboxCapacity = 2)("runsum")
+      .map(_.asInstanceOf[(String, Long)])
+    assert(res.size == 400)
+    // final running sum per key == exact item count per key
+    val finalSums = res.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    val expected = events.map(_.asInstanceOf[(String, Int)])
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(finalSums == expected)
+  }
+
+  test("mapP/filterP invoke the user fn exactly once per item under outbox rejection") {
+    val mapCalls = sc.longAccumulator("mapCalls")
+    val filterCalls = sc.longAccumulator("filterCalls")
+    val input = sc.parallelize((1 to 300).map(_.asInstanceOf[Any]), 2)
+    val dag = new DAG
+    val m = dag.newVertex("m", Processors.mapP { (i: Int) => mapCalls.add(1); i * 2 })
+    val f = dag.newVertex("f", Processors.filterP { (i: Int) => filterCalls.add(1); i % 4 == 0 })
+    dag.edge(Edge.between(m, f))
+    val res = DagExecutor
+      .execute(spark, dag, inputs = Map("m" -> input), outboxCapacity = 1)("f")
+    assert(res.size == 150)
+    assert(mapCalls.value == 300L)
+    assert(filterCalls.value == 300L)
+  }
+
+  test("edge validation: unset destination fails with the intended message") {
+    val dag = new DAG
+    val a = dag.newVertex("a", Processors.noopP())
+    val ex = intercept[IllegalArgumentException](dag.edge(Edge.from(a)))
+    assert(ex.getMessage.contains("has no destination"))
+    // Edge.toString itself must be null-safe for the unset destination
+    assert(Edge.from(a).toString.contains("?"))
+  }
+
+  test("ordered edge sorts streams much larger than the inbox chunk (spill-aware path)") {
+    val n = 20000 // >> ChunkSize(256) and outboxCapacity
+    val data = scala.util.Random.shuffle((1 to n).toList).map(_.asInstanceOf[Any])
+    val checkOrderP: () => Processor = () =>
+      new AbstractProcessor {
+        private var last = Int.MinValue
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+          val i = item.asInstanceOf[Int]
+          if (i < last) throw new IllegalStateException(s"out of order: $i after $last")
+          last = i
+          tryEmit(i)
+        }
+      }
+    // unicast ordered (localExternalSort path)
+    val dag1 = new DAG
+    val a1 = dag1.newVertex("a", Processors.mapP((i: Int) => i))
+    val c1 = dag1.newVertex("check", checkOrderP)
+    dag1.edge(Edge.between(a1, c1).ordered(Ordering.Int.asInstanceOf[Ordering[Any]]))
+    val r1 = DagExecutor.execute(spark, dag1,
+      inputs = Map("a" -> sc.parallelize(data, 4)))("check")
+    assert(r1.map(_.asInstanceOf[Int]).sorted.toSeq == (1 to n))
+    // partitioned ordered (single-shuffle sortedShuffle path): same key →
+    // one partition, so the comparator order is also the global order
+    val dag2 = new DAG
+    val a2 = dag2.newVertex("a", Processors.mapP((i: Int) => i))
+    val c2 = dag2.newVertex("check", checkOrderP)
+    dag2.edge(Edge.between(a2, c2)
+      .partitioned(i => i.asInstanceOf[Int] % 2)
+      .ordered(Ordering.Int.asInstanceOf[Ordering[Any]]))
+    val r2 = DagExecutor.execute(spark, dag2,
+      inputs = Map("a" -> sc.parallelize(data, 4)))("check")
+    assert(r2.map(_.asInstanceOf[Int]).sorted.toSeq == (1 to n))
+  }
+
+  test("a vertex with two outbound edges computes once (persisted, not re-run)") {
+    val calls = sc.longAccumulator("sharedCalls")
+    val input = sc.parallelize((1 to 100).map(_.asInstanceOf[Any]), 2)
+    val dag = new DAG
+    val shared = dag.newVertex("shared", Processors.mapP { (i: Int) => calls.add(1); i })
+    val l1 = dag.newVertex("l1", Processors.mapP((i: Int) => i + 1))
+    val l2 = dag.newVertex("l2", Processors.mapP((i: Int) => i - 1))
+    dag.edge(Edge.from(shared, 0).to(l1, 0))
+    dag.edge(Edge.from(shared, 1).to(l2, 0))
+    val res = DagExecutor.execute(spark, dag, inputs = Map("shared" -> input))
+    assert(res("l1").size == 100 && res("l2").size == 100)
+    assert(calls.value == 100L) // one run, not one per leaf
+  }
+
   test("broadcast edge rejects oversized build sides instead of collecting them") {
     val dag = new DAG
     val a = dag.newVertex("a", Processors.mapP((i: Int) => i))

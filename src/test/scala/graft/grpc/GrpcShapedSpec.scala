@@ -40,6 +40,27 @@ class GrpcShapedSpec extends SparkSpec {
     }
   }
 
+  test("wire level: unary protocol violations get spec-mandated error statuses") {
+    withServer { port =>
+      val c = new GrpcShapedClient("127.0.0.1", port)
+      try {
+        // two request messages on a unary method: INTERNAL (13)
+        val two = c.bidi("/graft.Echo/Upper",
+          Seq(ProtoLite.encodeString("a"), ProtoLite.encodeString("b")))
+        val e13 = intercept[RuntimeException](Await.result(two, 10.seconds))
+        assert(e13.getMessage.contains("grpc-status 13"), s"INTERNAL expected: $e13")
+        // zero request messages on a unary method: INVALID_ARGUMENT (3)
+        val none = c.bidi("/graft.Echo/Upper", Seq.empty)
+        val e3 = intercept[RuntimeException](Await.result(none, 10.seconds))
+        assert(e3.getMessage.contains("grpc-status 3"), s"INVALID_ARGUMENT expected: $e3")
+        // the channel stays usable for a well-formed call afterwards
+        val ok = Await.result(
+          GrpcServices.unaryString(c, "/graft.Echo/Upper", "still up"), 10.seconds)
+        assert(ok === "STILL UP")
+      } finally c.close()
+    }
+  }
+
   test("wire level: bidi stream answers per message, in order, on one stream") {
     withServer { port =>
       val c = new GrpcShapedClient("127.0.0.1", port)

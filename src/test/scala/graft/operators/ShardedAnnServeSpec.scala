@@ -111,6 +111,19 @@ class ShardedAnnServeSpec extends SparkSpec {
       (2L, 0, 20L)))
   }
 
+  test("graft_topk rejects non-positive k at analysis time") {
+    val df = Seq((1L, 0.5, 10L)).toDF("g", "score", "id")
+    for (k <- Seq(0, -3)) {
+      val ex = intercept[Exception] {
+        df.groupBy($"g")
+          .agg(IvfShardedServe.topkColumn($"score", $"id", k).as("topk"))
+          .collect()
+      }
+      assert(ex.getMessage.toLowerCase.contains("k > 0"),
+        s"k=$k must fail type-check, got: ${ex.getMessage.take(200)}")
+    }
+  }
+
   test("graft_topk buffer serialize/deserialize round-trips (streaming-state path)") {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
