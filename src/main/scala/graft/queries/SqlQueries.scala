@@ -279,6 +279,91 @@ object SqlQueries {
   val q172_oracle: String =
     """SELECT doc_id, length(text)::BIGINT AS n_chars, lang FROM documents""".stripMargin
 
+  // -------- q173 snapshot-export + resume at a CHANGED parallelism (rescale)
+  /** Jet's full rescale cycle (Job.java:39+ exportSnapshot,
+    * JobConfig.setInitialSnapshotName, SqlCreateSnapshot.java), executed
+    * end-to-end in SQL: a windowed streaming job starts at parallelism 4,
+    * is SUSPENDED mid-stream, its state exported with `CREATE SNAPSHOT`,
+    * and a NEW job resumes from `initialSnapshotName` under parallelism 9 —
+    * which forces the offline state rewrite
+    * ([[graft.streaming.StateRescale]]): every state row re-routed to the
+    * partition `HashPartitioning(keys, 9)` expects, the checkpoint
+    * bootstrapped at the new width, source offsets continued. The gate's
+    * teeth are q167's: the capped stream must converge to EXACTLY 1000
+    * aggregated values across the export/rescale/resume — lost state rows,
+    * a mis-routed key (wrong partition = silently dropped updates), or
+    * offset replay each break the converged totals and the oracle hash.
+    * The query additionally REQUIRES the resumed job to report the new
+    * width, so passing at the old width is impossible.
+    */
+  val q173_rescale_snapshot: Q = (s, _) => {
+    import org.apache.spark.sql.functions._
+    val sql = GraftSql(s)
+    val store = "q173_windows"
+    KeyedStore.drop(store)
+    sql.execute("DROP JOB IF EXISTS q173a")
+    sql.execute("DROP JOB IF EXISTS q173b")
+    sql.execute("DROP SNAPSHOT IF EXISTS q173snap")
+    def total(): Long =
+      if (!KeyedStore.exists(store)) 0L
+      else KeyedStore.get(s, store)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    // 200 rows/s (vs q167's 2000): the capped 1000 values span ~5s of stream
+    // time across many 200ms micro-batches, so the suspend + snapshot export
+    // reliably lands MID-STREAM with live window state to redistribute
+    val select =
+      """SINK INTO q173_windows(window_start)
+        |SELECT unix_timestamp(window.start) AS window_start,
+        |  count(*) AS n, sum(v) AS sum_v
+        |FROM TABLE(GENERATE_STREAM(200))
+        |WHERE v < 1000
+        |GROUP BY window(timestamp_seconds(v), '10 seconds')""".stripMargin
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      sql.execute(
+        s"CREATE JOB q173a OPTIONS('snapshotIntervalMillis'='200') AS\n$select")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      // suspend as soon as the FIRST data batch lands — polled from the
+      // job's own progress events (pure driver-side, no Spark job), so the
+      // suspend happens mid-stream even when a cold query poll costs seconds
+      def firstDataBatchDone: Boolean = graft.pipeline.JobRegistry.get("q173a")
+        .exists(_.query.recentProgress.exists(_.numInputRows > 0))
+      while (!firstDataBatchDone && System.nanoTime() < deadline) Thread.sleep(20)
+      sql.execute("ALTER JOB q173a SUSPEND")
+      val atExport = total()
+      sql.execute("CREATE SNAPSHOT q173snap FOR JOB q173a")
+      sql.execute("DROP JOB q173a")
+
+      // resume FROM THE SNAPSHOT at a different parallelism
+      s.conf.set("spark.sql.shuffle.partitions", "9")
+      sql.execute(s"CREATE JOB q173b OPTIONS('initialSnapshotName'='q173snap') AS\n$select")
+      while (total() < 1000L && System.nanoTime() < deadline) Thread.sleep(100)
+      // totals update from INSIDE foreachBatch — barrier on batch completion
+      // so the progress event carrying the state width exists before reading
+      val h = graft.pipeline.JobRegistry.get("q173b")
+      h.foreach(_.query.processAllAvailable())
+      val width = h
+        .flatMap(x => x.query.recentProgress.reverseIterator
+          .find(_.stateOperators.nonEmpty))
+        .map(_.stateOperators.head.numShufflePartitions)
+        .getOrElse(-1L)
+      sql.execute("DROP JOB q173b")
+      sql.execute("DROP SNAPSHOT q173snap")
+      require(width == 9L,
+        s"q173: resumed job must run its state at the NEW width 9, got $width")
+      require(atExport < 1000L,
+        s"q173: snapshot must be exported MID-STREAM (live state), " +
+          s"but the job already finished at export ($atExport)")
+      require(total() == 1000L,
+        s"q173: expected exactly 1000 values across export/rescale/resume, " +
+          s"got ${total()} (at export: $atExport)")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    KeyedStore.get(s, store).select(col("window_start"), col("n"), col("sum_v"))
+  }
+
+  val q173_oracle: String = q167_oracle
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
@@ -288,7 +373,8 @@ object SqlQueries {
     "q67_merge_sink" -> q67_merge_sink,
     "q167_sql_stream_job" -> q167_sql_stream_job,
     "q168_grpc_service" -> q168_grpc_service,
-    "q172_elastic_roundtrip" -> q172_elastic_roundtrip)
+    "q172_elastic_roundtrip" -> q172_elastic_roundtrip,
+    "q173_rescale_snapshot" -> q173_rescale_snapshot)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
@@ -298,5 +384,6 @@ object SqlQueries {
     "q67_merge_sink" -> q67_oracle,
     "q167_sql_stream_job" -> q167_oracle,
     "q168_grpc_service" -> q168_oracle,
-    "q172_elastic_roundtrip" -> q172_oracle)
+    "q172_elastic_roundtrip" -> q172_oracle,
+    "q173_rescale_snapshot" -> q173_oracle)
 }

@@ -163,11 +163,22 @@ final class GraftSql(spark: SparkSession) {
         val ckpt = newCheckpoint(name)
         // JobConfig.setInitialSnapshotName: seed the new job's checkpoint from
         // an exported snapshot — state and source offsets continue from the
-        // snapshot point instead of a cold start
+        // snapshot point instead of a cold start. If the session parallelism
+        // differs from the width the snapshot was taken at, the state is
+        // redistributed offline first (Jet's resume-at-new-parallelism,
+        // Job.java:39+) — graft.streaming.StateRescale rewrites the
+        // checkpoint to the new width.
         opts.get("initialSnapshotName").foreach { snap =>
           val src = Option(GraftSql.snapshots.get(snap)).getOrElse(
             throw new IllegalArgumentException(s"snapshot $snap not found"))
-          copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(ckpt))
+          val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val snapWidth =
+            try graft.streaming.StateRescale.recordedWidth(src)
+            catch { case _: Exception => sessionWidth } // stateless snapshot: copy as-is
+          if (snapWidth == sessionWidth)
+            copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(ckpt))
+          else
+            graft.streaming.StateRescale.rewrite(spark, src, ckpt, sessionWidth)
         }
         val triggerMs = opts.get("snapshotIntervalMillis").map(_.toLong)
         GraftSql.jobSpecs.put(name, GraftSql.JobSpec(store, keys, select, ckpt, triggerMs))
