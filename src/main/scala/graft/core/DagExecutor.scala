@@ -107,18 +107,26 @@ object DagExecutor {
           case None      => inbound.map(e => (e, out(e.getSourceName)))
         }
 
+      var senderCount = 0
       for ((e, src) <- edgeInputs) {
         val ordinal = if (e == null) 0 else e.getDestOrdinal
         val routing = if (e == null) RoutingPolicy.Unicast else e.getRoutingPolicy
         routing match {
           case RoutingPolicy.Broadcast =>
-            // count-guarded driver materialization (the build side)
-            val data = src.take(maxBroadcastItems + 1)
+            // count-guarded driver materialization (the build side).
+            // Broadcast edges are batch build sides: watermarks are dropped
+            // here (Jet build sides carry no event time either).
+            val data = src.filter(!_.isInstanceOf[Watermark]).take(maxBroadcastItems + 1)
             require(data.length <= maxBroadcastItems,
               s"broadcast edge into $name exceeds $maxBroadcastItems items; " +
                 "use a partitioned edge for large inputs")
             segs :+= BcastSeg(ordinal, sc.broadcast(data))
           case other =>
+            // watermarks become per-sender envelopes before any routing, so
+            // the receiving driver can coalesce them to the min across
+            // senders (ordered edges don't carry watermarks — a sort would
+            // displace them)
+            val env = enveloped(src)
             val cmpOpt = Option(if (e == null) null else e.getOrderComparator)
             val sorted: RDD[Any] = (other, cmpOpt) match {
               case (RoutingPolicy.Partitioned, Some(cmp)) =>
@@ -130,22 +138,27 @@ object DagExecutor {
                 // instead of OOMing a toVector.sorted buffer.
                 sortedShuffle(src, new KeyFnPartitioner(e.getKeyFn, p), cmp)
               case (RoutingPolicy.Partitioned, None) =>
+                // items route by key hash; watermark envelopes REPLICATE to
+                // every target partition (Jet broadcasts watermarks across
+                // distributed edges the same way)
                 val keyFn = e.getKeyFn
-                src
-                  .map(t => (keyFn(t), t))
-                  .partitionBy(new HashPartitioner(p))
-                  .map(_._2)
+                env.flatMap {
+                  case w: WmEnvelope =>
+                    (0 until p).iterator.map(pid => (WmRoute(pid): Any, w: Any))
+                  case t => Iterator((KeyRoute(keyFn(t)): Any, t))
+                }.partitionBy(new RoutePartitioner(p)).map(_._2)
               case (RoutingPolicy.Isolated, cmpO) =>
                 require(src.getNumPartitions == p,
                   s"isolated edge into $name requires equal parallelism " +
                     s"(${src.getNumPartitions} != $p)")
-                cmpO.fold(src)(cmp => localExternalSort(src, cmp))
+                cmpO.fold(env)(cmp => localExternalSort(src, cmp))
               case (_, cmpO) => // Unicast
                 val rebalanced =
-                  if (src.getNumPartitions == p) src
-                  else src.coalesce(p, shuffle = src.getNumPartitions < p)
+                  if (src.getNumPartitions == p) env
+                  else env.coalesce(p, shuffle = src.getNumPartitions < p)
                 cmpO.fold(rebalanced)(cmp => localExternalSort(rebalanced, cmp))
             }
+            senderCount += src.getNumPartitions
             segs :+= RddSeg(ordinal)
             taggedRdds :+= sorted.map(x => (ordinal, x))
         }
@@ -164,6 +177,7 @@ object DagExecutor {
       val cap = outboxCapacity
       val vName = name
       val total = p
+      val senders = senderCount
       val result = base.mapPartitionsWithIndex { (idx, it) =>
         val buffered = it.buffered
         val segments: Seq[(Int, Iterator[Any])] = segOrder.map {
@@ -172,7 +186,7 @@ object DagExecutor {
         }
         val proc = supplier()
         val driver = new ProcessorDriver(
-          proc, Processor.Context(vName, idx, total), segments, cap)
+          proc, Processor.Context(vName, idx, total), segments, cap, senders)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => driver.ensureClosed()))
         driver
@@ -230,7 +244,8 @@ object DagExecutor {
 
   /** Run the DAG, collecting every leaf vertex's output (test/driver
     * convenience — production paths keep the RDD or go through
-    * [[toDataFrame]]).
+    * [[toDataFrame]]). Watermarks reaching a leaf are control items, not
+    * results — filtered here.
     */
   def execute(
       spark: SparkSession,
@@ -238,10 +253,13 @@ object DagExecutor {
       inputs: Map[String, RDD[Any]] = Map.empty,
       outboxCapacity: Int = 1024): Map[String, Seq[Any]] = {
     val compiled = compile(spark, dag, inputs, outboxCapacity)
-    leaves(dag).map(n => n -> compiled(n).collect().toSeq).toMap
+    leaves(dag).map(n =>
+      n -> compiled(n).filter(!_.isInstanceOf[Watermark]).collect().toSeq).toMap
   }
 
-  /** Bridge a leaf vertex emitting `Row`s back into the DataFrame world. */
+  /** Bridge a leaf vertex emitting `Row`s back into the DataFrame world
+    * (watermark control items filtered).
+    */
   def toDataFrame(
       spark: SparkSession,
       dag: DAG,
@@ -249,14 +267,69 @@ object DagExecutor {
       schema: StructType,
       inputs: Map[String, RDD[Any]] = Map.empty): DataFrame = {
     val rdd = compile(spark, dag, inputs)(vertexName)
-    spark.createDataFrame(rdd.map(_.asInstanceOf[Row]), schema)
+    spark.createDataFrame(
+      rdd.filter(!_.isInstanceOf[Watermark]).map(_.asInstanceOf[Row]), schema)
   }
+
+  /** Watermarks become per-sender envelopes before routing — the receiving
+    * driver coalesces per (ordinal, sender) to the minimum, which is only
+    * sound if each sender's stream stays FIFO (Spark's shuffle preserves
+    * per-map-output order within a reduce partition).
+    */
+  private def enveloped(src: RDD[Any]): RDD[Any] =
+    src.mapPartitionsWithIndex((i, it) => it.map {
+      case Watermark(ts) => WmEnvelope(i, ts)
+      case x => x
+    }, preservesPartitioning = true)
 }
 
 /** Sequential slice of the concatenated tagged stream: items while the head
   * tag matches `ordinal`. Valid because segments are consumed strictly in feed
   * order, matching the concatenation order of the compiled stage.
   */
+/** A watermark in transit: `sender` is the upstream partition index — the
+  * receiver coalesces per sender before delivering to its processor.
+  */
+private[core] final case class WmEnvelope(sender: Int, ts: Long)
+
+/** Routing keys for partitioned edges that carry watermarks: items route by
+  * key hash (HashPartitioner-compatible), watermark envelopes route to an
+  * explicit target partition (replicated to all).
+  */
+private[core] final case class KeyRoute(k: Any)
+private[core] final case class WmRoute(pid: Int)
+
+private[core] final class RoutePartitioner(p: Int) extends Partitioner {
+  def numPartitions: Int = p
+  def getPartition(key: Any): Int = key match {
+    case WmRoute(pid) => pid
+    case KeyRoute(null) => 0
+    case KeyRoute(k) =>
+      val m = k.hashCode % p
+      if (m < 0) m + p else m
+  }
+}
+
+/** Min-coalescer across every (ordinal, sender) watermark stream feeding one
+  * processor instance — Jet's WatermarkCoalescer: forward only the minimum
+  * across ALL senders, and only once every sender has reported (absent
+  * senders could still hold the clock back).
+  */
+private[core] final class WatermarkCoalescer(totalSenders: Int) {
+  private val seen = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+  private var lastForwarded = Long.MinValue
+  /** Some(min) when the coalesced watermark advanced. */
+  def observe(ordinal: Int, sender: Int, ts: Long): Option[Long] = {
+    val k = (ordinal, sender)
+    if (ts > seen.getOrElse(k, Long.MinValue)) seen.update(k, ts)
+    if (seen.size < totalSenders) None
+    else {
+      val min = seen.valuesIterator.min
+      if (min > lastForwarded) { lastForwarded = min; Some(min) } else None
+    }
+  }
+}
+
 /** HashPartitioner-compatible partitioner that routes an item by `keyFn(item)`
   * (null key → 0, same as HashPartitioner), letting the item itself be the
   * shuffle-sort key for ordered partitioned edges.
@@ -295,7 +368,8 @@ private[core] final class ProcessorDriver(
     proc: Processor,
     ctx: Processor.Context,
     segments: Seq[(Int, Iterator[Any])],
-    outboxCapacity: Int)
+    outboxCapacity: Int,
+    totalSenders: Int = 0)
     extends Iterator[Any] {
 
   private val ChunkSize = 256
@@ -303,11 +377,14 @@ private[core] final class ProcessorDriver(
   private val inbox = new Inbox(ChunkSize)
   proc.init(outbox, ctx)
 
-  private val segIt = segments.iterator
-  private var current: (Int, Iterator[Any]) = _
+  private val segIt = segments.iterator.map { case (o, it) => (o, it.buffered) }
+  private var current: (Int, scala.collection.BufferedIterator[Any]) = _
   // 0 = feeding, 1 = completingEdge, 2 = completing, 3 = done
   private var phase = 0
   private var closed = false
+  private val coalescer = new WatermarkCoalescer(totalSenders)
+  private var pendingWm: Watermark = _ // accepted by coalescer, not yet by proc
+  private var forwardWm: Watermark = _ // accepted by proc, not yet downstream
 
   def hasNext: Boolean = {
     if (!outbox.isEmpty) return true
@@ -329,9 +406,23 @@ private[core] final class ProcessorDriver(
       s"processor for vertex ${ctx.vertexName} made no progress in $step " +
         "with a non-full outbox")
 
+  /** Deliver a coalesced watermark to the processor; once accepted, queue it
+    * for automatic downstream forwarding (AFTER the processor's own outputs —
+    * the forward happens on the next empty-outbox entry, so FIFO holds).
+    */
+  private def driveWatermark(): Unit = {
+    if (forwardWm != null) {
+      if (outbox.offer(forwardWm)) forwardWm = null
+    } else if (pendingWm != null) {
+      if (proc.tryProcessWatermark(pendingWm)) { forwardWm = pendingWm; pendingWm = null }
+      else if (outbox.isEmpty) stuck("tryProcessWatermark")
+    }
+  }
+
   private def advance(): Unit = {
     while (outbox.isEmpty && phase < 3) {
-      phase match {
+      if (forwardWm != null || pendingWm != null) driveWatermark()
+      else phase match {
         case 0 =>
           if (current == null) {
             if (segIt.hasNext) current = segIt.next()
@@ -340,10 +431,17 @@ private[core] final class ProcessorDriver(
             val (ordinal, it) = current
             if (inbox.isEmpty) {
               var n = 0
-              while (n < ChunkSize && it.hasNext) { inbox.add(it.next()); n += 1 }
+              while (n < ChunkSize && it.hasNext && !it.head.isInstanceOf[WmEnvelope]) {
+                inbox.add(it.next()); n += 1
+              }
             }
-            if (inbox.isEmpty) phase = 1 // edge exhausted
-            else {
+            if (inbox.isEmpty) {
+              if (it.hasNext) { // head is a watermark envelope: coalesce
+                val env = it.next().asInstanceOf[WmEnvelope]
+                coalescer.observe(ordinal, env.sender, env.ts)
+                  .foreach(min => pendingWm = Watermark(min))
+              } else phase = 1 // edge exhausted
+            } else {
               val before = inbox.size
               proc.process(ordinal, inbox)
               if (inbox.size == before && outbox.isEmpty) stuck("process")

@@ -42,9 +42,25 @@ trait Processor extends Serializable {
     */
   def complete(): Boolean = true
 
+  /** Processor.java:316 `tryProcessWatermark`: a coalesced watermark reached
+    * this processor (the executor coalesces per-sender watermarks to their
+    * minimum first, like Jet's WatermarkCoalescer). Return false to be called
+    * again after an outbox drain. The executor forwards the watermark
+    * downstream automatically once accepted — matching AbstractProcessor's
+    * automatic forwarding in the reference.
+    */
+  def tryProcessWatermark(watermark: Watermark): Boolean = true
+
   /** Processor.java:453. Always called, also on failure. */
   def close(): Unit = ()
 }
+
+/** Jet `Watermark` (core/Watermark.java): a control item asserting no further
+  * events with timestamp < `timestamp` will arrive on this stream. Flows
+  * in-band on edges; the executor envelopes it per sender, replicates it
+  * across partitioned edges, and coalesces at the receiver.
+  */
+final case class Watermark(timestamp: Long)
 
 object Processor {
 

@@ -277,6 +277,165 @@ object Processors {
       }
     }
 
+  // ------------------------------------------------------------- event time
+
+  /** Jet `insertWatermarksP` (impl/processor/InsertWatermarksP.java +
+    * EventTimePolicy.eventTimePolicy): tracks the top observed timestamp,
+    * emits `Watermark(top - lag)` THROTTLED to frame boundaries (at most one
+    * watermark per `throttleFrame` advance — EventTimePolicy's
+    * watermarkThrottlingFrameSize), then the item itself. Emits a final
+    * `Watermark(Long.MaxValue)` from complete() so bounded runs flush every
+    * open window — the bounded analog of Jet's idle-timeout IDLE_MESSAGE.
+    */
+  def insertWatermarksP[T](tsFn: T => Long, lag: Long,
+                           throttleFrame: Long): () => Processor = () =>
+    new AbstractProcessor {
+      require(throttleFrame > 0, s"throttleFrame must be positive: $throttleFrame")
+      private var topTs = Long.MinValue
+      private var lastWm = Long.MinValue
+      private var wmToEmit: Watermark = _
+      private var itemToEmit: Any = _
+      private var flushed = false
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        if (wmToEmit == null && itemToEmit == null) {
+          val ts = tsFn(item.asInstanceOf[T])
+          if (ts > topTs) topTs = ts
+          val cand = Math.floorDiv(topTs - lag, throttleFrame) * throttleFrame
+          if (cand > lastWm) { wmToEmit = Watermark(cand); lastWm = cand }
+          itemToEmit = item
+        }
+        if (wmToEmit != null) {
+          if (!tryEmit(wmToEmit)) return false
+          wmToEmit = null
+        }
+        if (!tryEmit(itemToEmit)) return false
+        itemToEmit = null
+        true
+      }
+      override def complete(): Boolean = {
+        if (!flushed) flushed = tryEmit(Watermark(Long.MaxValue))
+        flushed
+      }
+    }
+
+  /** Jet `accumulateByFrameP` (core/processor/Processors.java:474): stage 1
+    * of the two-stage windowed aggregation. Events accumulate into
+    * (frameEnd, key) cells; each coalesced watermark CLOSES the frames whose
+    * end it passed and emits their partial accumulators as
+    * `(frameEnd, key, acc)` — answer-sized, ready for the partitioned edge to
+    * [[combineToSlidingWindowP]]. Events whose frame a watermark already
+    * closed are dropped (the reference's lateEventsDropped path).
+    */
+  def accumulateByFrameP[K, A](
+      keyFn: Any => K,
+      tsFn: Any => Long,
+      frameLen: Long,
+      op: AggregateOp[A, _]): () => Processor = () =>
+    new AbstractProcessor {
+      require(frameLen > 0, s"frameLen must be positive: $frameLen")
+      private val frames = mutable.TreeMap.empty[Long, mutable.LinkedHashMap[K, A]]
+      private var wm = Long.MinValue
+      private var emit: Traverser[Any] = _
+
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val ts = tsFn(item)
+        val frameEnd = Math.floorDiv(ts, frameLen) * frameLen + frameLen
+        if (frameEnd <= wm) true // late event: its frame already closed
+        else {
+          val cell = frames.getOrElseUpdate(frameEnd, mutable.LinkedHashMap.empty)
+          val k = keyFn(item)
+          cell.update(k, op.accumulateFn(cell.getOrElse(k, op.createFn()), item))
+          true
+        }
+      }
+
+      private def flushClosed(upTo: Long): Boolean = {
+        if (emit == null) {
+          if (upTo > wm) wm = upTo
+          val closed = frames.rangeTo(wm).toVector
+          closed.foreach { case (fe, _) => frames.remove(fe) }
+          emit = Traversers.traverseIterator(closed.iterator.flatMap {
+            case (fe, cell) => cell.iterator.map { case (k, a) => (fe, k, a) }
+          })
+        }
+        val done = emitFromTraverser(emit)
+        if (done) emit = null
+        done
+      }
+
+      override def tryProcessWatermark(watermark: Watermark): Boolean =
+        flushClosed(watermark.timestamp)
+      override def complete(): Boolean = flushClosed(Long.MaxValue)
+    }
+
+  /** Jet `combineToSlidingWindowP` (core/processor/Processors.java:528):
+    * stage 2 — combines the frame partials arriving from every upstream
+    * instance (input `(frameEnd, key, acc)`, routed by a partitioned edge on
+    * the key) and, per watermark advance, emits one result row per window
+    * whose end the watermark passed: `exportFn(windowEnd, key, result)`.
+    * `windowLen` must be a multiple of `frameLen`; tumbling = equal. Frames
+    * evict as soon as no future window can need them — the memory bound is
+    * (windowLen / frameLen) frames per key, the same bound the reference's
+    * sliding-window processor documents.
+    */
+  def combineToSlidingWindowP[K, A, R](
+      frameLen: Long,
+      windowLen: Long,
+      op: AggregateOp[A, R],
+      exportFn: (Long, K, R) => Any): () => Processor = () =>
+    new AbstractProcessor {
+      require(frameLen > 0 && windowLen >= frameLen && windowLen % frameLen == 0,
+        s"windowLen ($windowLen) must be a positive multiple of frameLen ($frameLen)")
+      private val frames = mutable.TreeMap.empty[Long, mutable.LinkedHashMap[K, A]]
+      private var emittedUpTo = Long.MinValue
+      private var emit: Traverser[Any] = _
+
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val (fe, k, a) = item.asInstanceOf[(Long, K, A)]
+        val cell = frames.getOrElseUpdate(fe, mutable.LinkedHashMap.empty)
+        cell.update(k, cell.get(k).map(op.combineFn(_, a)).getOrElse(a))
+        true
+      }
+
+      private def windowsThrough(upTo: Long): Boolean = {
+        if (emit == null) {
+          if (frames.isEmpty) return true
+          // window ends advance one frame at a time; the last window any
+          // present frame can contribute to ends at lastKey + windowLen - frameLen
+          val lastUseful = frames.lastKey + windowLen - frameLen
+          val cap = if (upTo >= lastUseful) lastUseful else upTo
+          var we =
+            if (emittedUpTo == Long.MinValue) frames.firstKey
+            else emittedUpTo + frameLen
+          val outs = Vector.newBuilder[Any]
+          while (we <= cap) {
+            val lo = we - windowLen // exclusive
+            val contributing = frames.range(lo + 1, we + 1) // (lo, we]
+            if (contributing.nonEmpty) {
+              val perKey = mutable.LinkedHashMap.empty[K, A]
+              contributing.valuesIterator.foreach(_.foreach { case (k, a) =>
+                perKey.update(k, perKey.get(k).map(op.combineFn(_, a)).getOrElse(a))
+              })
+              perKey.foreach { case (k, a) => outs += exportFn(we, k, op.exportFn(a)) }
+            }
+            // frames that can serve no window after `we` are done
+            frames.rangeTo(we - windowLen + frameLen).keySet.toVector
+              .foreach(frames.remove)
+            emittedUpTo = we
+            we += frameLen
+          }
+          emit = Traversers.traverseIterable(outs.result())
+        }
+        val done = emitFromTraverser(emit)
+        if (done) emit = null
+        done
+      }
+
+      override def tryProcessWatermark(watermark: Watermark): Boolean =
+        windowsThrough(watermark.timestamp)
+      override def complete(): Boolean = windowsThrough(Long.MaxValue)
+    }
+
   /** Shared hash-grouping core of the *ByKeyP family (the reference's
     * GroupP, core/processor/.../GroupP.java): accumulate into a hash map,
     * emit entries from complete() via a suspendable traverser.

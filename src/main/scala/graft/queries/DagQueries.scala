@@ -134,11 +134,72 @@ object DagQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  // ----------------------------------- q174 core-API event-time tumbling window
+  /** The reference's canonical EVENT-TIME topology on the core API
+    * (InsertWatermarksP + accumulateByFrameP + combineToSlidingWindowP,
+    * core/processor/Processors.java:474,528; Watermark at core/Watermark.java):
+    * events → insertWatermarksP (throttled to the hour frame) →
+    * accumulateByFrameP (local partials per (frame, event_type)) →
+    * distributed partitioned edge on the key → combineToSlidingWindowP
+    * emitting per closed window as the coalesced watermark passes it.
+    * Tumbling 1 h count+sum per event_type — q20/q50's aggregate, SAME
+    * oracle, so the DAG layer's windows cannot drift from the Catalyst and
+    * Structured Streaming forms. Frame partials keep the distributed edge
+    * answer-sized: (keys × frames) rows cross the shuffle, never events.
+    */
+  val q174_dag_event_time: Q = (s, dir) => {
+    val frame = 3600L // 1 hour, in epoch seconds
+    val events: RDD[Any] = t(s, dir, "events")
+      .select(col("ts").cast("long"), col("event_type"), col("value")).rdd
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)): Any)
+
+    val countSum = AggregateOp[(Long, Double), (Long, Double)](
+      createFn = () => (0L, 0.0),
+      accumulateFn = (a, t) =>
+        (a._1 + 1L, a._2 + t.asInstanceOf[(Long, String, Double)]._3),
+      combineFn = (x, y) => (x._1 + y._1, x._2 + y._2),
+      exportFn = identity)
+
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String, Double)](
+        _._1, lag = 0L, throttleFrame = frame))
+    val acc = dag.newVertex("accframe",
+      Processors.accumulateByFrameP[String, (Long, Double)](
+        keyFn = _.asInstanceOf[(Long, String, Double)]._2,
+        tsFn = _.asInstanceOf[(Long, String, Double)]._1,
+        frameLen = frame, countSum))
+    val comb = dag.newVertex("combine",
+      Processors.combineToSlidingWindowP[String, (Long, Double), (Long, Double)](
+        frameLen = frame, windowLen = frame, countSum,
+        (we, k, r) => Row(we - frame, k, r._1, r._2)))
+    dag
+      .edge(Edge.between(wm, acc))
+      .edge(Edge.between(acc, comb)
+        .partitioned(_.asInstanceOf[(Long, String, (Long, Double))]._2)
+        .distributed())
+
+    val raw = DagExecutor.toDataFrame(s, dag, "combine",
+      StructType(Seq(
+        StructField("window_start", LongType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_raw", DoubleType))),
+      inputs = Map("wm" -> events))
+    raw.select(col("window_start"), col("event_type"), col("n"),
+      round(col("sum_raw"), 4).as("sum_value"))
+  }
+
+  // same oracle as the Catalyst (q20) and Structured Streaming (q50) forms
+  val q174_oracle: String = EventQueries.q20_oracle
+
   val entries: Map[String, Q] = Map(
     "q170_dag_wordcount" -> q170_dag_wordcount,
-    "q171_dag_hash_join" -> q171_dag_hash_join)
+    "q171_dag_hash_join" -> q171_dag_hash_join,
+    "q174_dag_event_time" -> q174_dag_event_time)
 
   val oracles: Map[String, String] = Map(
     "q170_dag_wordcount" -> q170_oracle,
-    "q171_dag_hash_join" -> q171_oracle)
+    "q171_dag_hash_join" -> q171_oracle,
+    "q174_dag_event_time" -> q174_oracle)
 }

@@ -378,6 +378,129 @@ class DagCoreSpec extends SparkSpec {
     assert(calls.value == 100L) // one run, not one per leaf
   }
 
+  test("insertWatermarksP: throttled watermarks, lag applied, final MaxValue flush") {
+    val events = Seq(105L, 120L, 118L, 250L, 240L, 380L).map(_.asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[Long](ts => ts, lag = 10L, throttleFrame = 100L))
+      .localParallelism(1)
+    // probe: record watermarks AND items in arrival order
+    val probe: () => Processor = () =>
+      new AbstractProcessor {
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean =
+          tryEmit(("item", item))
+        override def tryProcessWatermark(w: Watermark): Boolean =
+          tryEmit(("wm", w.timestamp))
+      }
+    val sink = dag.newVertex("sink", probe).localParallelism(1)
+    dag.edge(Edge.between(wm, sink))
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("sink")
+      .map(_.asInstanceOf[(String, Any)])
+    val wms = out.collect { case ("wm", ts: Long) => ts }
+    val items = out.collect { case ("item", v) => v }
+    assert(items == events, "all events pass through in order")
+    // top-ts 105-10=95 → frame 0; 120-10=110 → 100; 250-10=240 → 200;
+    // 380-10=370 → 300; then the bounded-final MaxValue
+    assert(wms == Seq(0L, 100L, 200L, 300L, Long.MaxValue),
+      s"throttled watermark sequence expected, got $wms")
+  }
+
+  test("watermark coalescing: min across senders governs, forwarded monotonically") {
+    // sender partition 0 watermarks ahead (top ts 1000), sender 1 lags (500)
+    val input: org.apache.spark.rdd.RDD[Any] = sc.parallelize(0 until 2, 2)
+      .mapPartitionsWithIndex((i, _) =>
+        (if (i == 0) Seq(1000L) else Seq(500L, 510L)).map(_.asInstanceOf[Any]).iterator)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[Long](ts => ts, lag = 0L, throttleFrame = 100L))
+    val probe: () => Processor = () =>
+      new AbstractProcessor {
+        private var last = Long.MinValue
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = true
+        override def tryProcessWatermark(w: Watermark): Boolean = {
+          if (w.timestamp <= last)
+            throw new IllegalStateException(s"non-monotonic wm ${w.timestamp} after $last")
+          last = w.timestamp
+          tryEmit(w.timestamp)
+        }
+      }
+    val sink = dag.newVertex("sink", probe).localParallelism(1)
+    dag.edge(Edge.between(wm, sink).allToOne("all"))
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("sink")
+      .map(_.asInstanceOf[Long])
+    // no forward before every sender reported; monotonic; final flush arrives
+    assert(out.nonEmpty && out.last == Long.MaxValue,
+      s"bounded final flush must reach the instance: $out")
+    assert(out == out.sorted, s"forwarded watermarks must be monotonic: $out")
+    assert(out.head <= 1000L, s"first forward cannot exceed a sender's max: $out")
+
+    // deterministic min-governance, unit-level (DAG-level arrival order
+    // across senders is shuffle-block order, so it is pinned here instead)
+    val c = new WatermarkCoalescer(2)
+    assert(c.observe(0, 0, 1000L).isEmpty, "one sender alone cannot advance the clock")
+    assert(c.observe(0, 1, 500L).contains(500L), "min across senders governs")
+    assert(c.observe(0, 1, 600L).contains(600L), "lagging sender advancing moves the min")
+    assert(c.observe(0, 0, 1200L).isEmpty, "leading sender advancing does not (min still 600)")
+    assert(c.observe(0, 1, 900L).contains(900L), "min(1200, 900) = 900 advances")
+  }
+
+  test("two-stage event-time tumbling window: accumulateByFrameP → combineToSlidingWindowP") {
+    // keyed events (ts, key): windows of 100; exact counts per (window, key)
+    val events = (0 until 1000).map(i => (i.toLong, "k" + (i % 3))).map(_.asInstanceOf[Any])
+    val input = sc.parallelize(scala.util.Random.shuffle(events), 4)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 100L))
+    val acc = dag.newVertex("accframe",
+      Processors.accumulateByFrameP[String, Long](
+        keyFn = _.asInstanceOf[(Long, String)]._2,
+        tsFn = _.asInstanceOf[(Long, String)]._1,
+        frameLen = 100L, AggregateOp.counting))
+    val comb = dag.newVertex("combine",
+      Processors.combineToSlidingWindowP[String, Long, Long](
+        frameLen = 100L, windowLen = 100L, AggregateOp.counting,
+        (we, k, n) => (we - 100L, k, n)))
+    dag
+      .edge(Edge.between(wm, acc))
+      .edge(Edge.between(acc, comb)
+        .partitioned(_.asInstanceOf[(Long, String, Long)]._2).distributed())
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("combine")
+      .map(_.asInstanceOf[(Long, String, Long)])
+    // 10 windows × 3 keys; ~33/34 events each, totals exact
+    assert(out.size == 30, s"expected 30 (window,key) results, got ${out.size}")
+    assert(out.map(_._3).sum == 1000L)
+    val ws0 = out.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    assert(ws0 == Map("k0" -> 34L, "k1" -> 33L, "k2" -> 33L), s"window 0: $ws0")
+  }
+
+  test("sliding windows combine multiple frames; frames evict after last use") {
+    // 4 frames of 10; window 20 sliding by 10 → window ends 10,20,30,40,50
+    val events = Seq(5L, 12L, 15L, 27L, 33L, 38L).map(ts => (ts, "k").asInstanceOf[Any])
+    val input = sc.parallelize(events, 2)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 10L))
+    val acc = dag.newVertex("accframe",
+      Processors.accumulateByFrameP[String, Long](
+        _.asInstanceOf[(Long, String)]._2, _.asInstanceOf[(Long, String)]._1,
+        frameLen = 10L, AggregateOp.counting))
+    val comb = dag.newVertex("combine",
+      Processors.combineToSlidingWindowP[String, Long, Long](
+        frameLen = 10L, windowLen = 20L, AggregateOp.counting,
+        (we, k, n) => (we, k, n)))
+    dag
+      .edge(Edge.between(wm, acc))
+      .edge(Edge.between(acc, comb)
+        .partitioned(_.asInstanceOf[(Long, String, Long)]._2).distributed())
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("combine")
+      .map(_.asInstanceOf[(Long, String, Long)]).map(t => t._1 -> t._3).toMap
+    // events per frame: [0,10)=1, [10,20)=2, [20,30)=1, [30,40)=2
+    // windows (end): 10→1, 20→3, 30→3, 40→3, 50→2
+    assert(out == Map(10L -> 1L, 20L -> 3L, 30L -> 3L, 40L -> 3L, 50L -> 2L),
+      s"sliding window counts: $out")
+  }
+
   test("broadcast edge rejects oversized build sides instead of collecting them") {
     val dag = new DAG
     val a = dag.newVertex("a", Processors.mapP((i: Int) => i))
