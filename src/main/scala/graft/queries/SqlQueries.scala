@@ -364,6 +364,39 @@ object SqlQueries {
 
   val q173_oracle: String = q167_oracle
 
+  // ------------------ q175 protobuf value format: encode → files → SQL mapping
+  /** The reference's protobuf value format
+    * (extensions/protobuf/.../ProtobufSerializer.java — Jet pipelines
+    * carrying protobuf-typed values) closed end-to-end: the orders
+    * projection is encoded row-by-row into REAL protobuf wire format
+    * ([[graft.pipeline.ProtoFormat]] — varints, fixed64 doubles, UTF-8
+    * length-delimited strings; field i+1 per column), written as
+    * length-prefixed message files, then mapped back into SQL with
+    * `CREATE MAPPING … TYPE protobuf` and read through a plain SELECT.
+    * The DuckDB oracle reads the ORIGINAL parquet — any encode/decode
+    * asymmetry (varint edge, double bits, UTF-8 handling, field-number
+    * mapping, message framing) breaks the hash.
+    */
+  val q175_proto_roundtrip: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val src = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q175_pb_").toString
+    graft.pipeline.ProtoFormat.writeFiles(src, tmp)
+    val sql = GraftSql(s)
+    sql.execute(
+      s"""CREATE OR REPLACE MAPPING q175_proto EXTERNAL NAME '$tmp'
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,
+         | o_totalprice DOUBLE, o_orderpriority VARCHAR)
+         |TYPE protobuf""".stripMargin)
+    sql.execute("SELECT * FROM q175_proto")
+  }
+
+  val q175_oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority FROM orders""".stripMargin
+
   // ------------------------------------------------------------- registry
   val entries: Map[String, Q] = Map(
     "q60_sql_mapping" -> q60_sql_mapping,
@@ -374,7 +407,8 @@ object SqlQueries {
     "q167_sql_stream_job" -> q167_sql_stream_job,
     "q168_grpc_service" -> q168_grpc_service,
     "q172_elastic_roundtrip" -> q172_elastic_roundtrip,
-    "q173_rescale_snapshot" -> q173_rescale_snapshot)
+    "q173_rescale_snapshot" -> q173_rescale_snapshot,
+    "q175_proto_roundtrip" -> q175_proto_roundtrip)
 
   val oracles: Map[String, String] = Map(
     "q60_sql_mapping" -> q60_oracle,
@@ -385,5 +419,6 @@ object SqlQueries {
     "q167_sql_stream_job" -> q167_oracle,
     "q168_grpc_service" -> q168_oracle,
     "q172_elastic_roundtrip" -> q172_oracle,
-    "q173_rescale_snapshot" -> q173_oracle)
+    "q173_rescale_snapshot" -> q173_oracle,
+    "q175_proto_roundtrip" -> q175_oracle)
 }

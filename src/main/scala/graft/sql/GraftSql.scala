@@ -68,7 +68,8 @@ final class GraftSql(spark: SparkSession) {
         case "imap" | "map" =>
           val store = Option(extName).getOrElse(name)
           options.get("keyFormat").orElse(options.get("valueFormat")).foreach { f =>
-            require(Set("json-flat", "bigint", "varchar", "double", "boolean")(f),
+            require(Set("json-flat", "bigint", "varchar", "double", "boolean",
+              "protobuf")(f),
               s"mapping $name: unsupported key/value format '$f'")
           }
           applyColumns(KeyedStore.get(spark, store), cols, byName = true)
@@ -95,6 +96,17 @@ final class GraftSql(spark: SparkSession) {
                   cs, byName = true)
               }
             case "parquet" => applyColumns(reader.parquet(path), cols, byName = true)
+            // protobuf value format (reference: extensions/protobuf/.../
+            // ProtobufSerializer.java): length-prefixed wire-format messages,
+            // field number = declared column position + 1 — the declared
+            // column list IS the message schema, so there is no inference
+            case "protobuf" | "proto" =>
+              require(cols.nonEmpty,
+                s"mapping $name: TYPE protobuf needs a declared column list " +
+                  "(column position i maps to proto field number i+1)")
+              applyColumns(
+                graft.pipeline.ProtoFormat.readFiles(spark, path, jsonSchema(cols)),
+                cols, byName = true)
             case "text" | "lines" => reader.text(path)
             case other => applyColumns(reader.format(other).load(path), cols, byName = true)
           }
