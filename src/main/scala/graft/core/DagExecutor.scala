@@ -107,6 +107,9 @@ object DagExecutor {
           case None      => inbound.map(e => (e, out(e.getSourceName)))
         }
 
+      // watermark senders each RECEIVING partition hears, per edge: a shuffled
+      // (partitioned/allToOne) edge replicates every sender's envelopes to
+      // every receiver; a 1:1 narrow edge delivers exactly one sender's
       var senderCount = 0
       for ((e, src) <- edgeInputs) {
         val ordinal = if (e == null) 0 else e.getDestOrdinal
@@ -155,10 +158,25 @@ object DagExecutor {
               case (_, cmpO) => // Unicast
                 val rebalanced =
                   if (src.getNumPartitions == p) env
-                  else env.coalesce(p, shuffle = src.getNumPartitions < p)
+                  else {
+                    // a rebalance concatenates/splits sender streams, which
+                    // destroys the per-sender FIFO the coalescer needs — so a
+                    // watermark on a REBALANCING unicast edge is an error, not
+                    // silent corruption
+                    val vn = name
+                    env.map {
+                      case _: WmEnvelope => throw new UnsupportedOperationException(
+                        s"watermarks cannot cross a rebalancing unicast edge into $vn; " +
+                          "match localParallelism to the upstream or use .partitioned(...)")
+                      case x => x
+                    }.coalesce(p, shuffle = src.getNumPartitions < p)
+                  }
                 cmpO.fold(rebalanced)(cmp => localExternalSort(rebalanced, cmp))
             }
-            senderCount += src.getNumPartitions
+            senderCount += (routing match {
+              case RoutingPolicy.Partitioned => src.getNumPartitions // replicated
+              case _ => 1 // narrow 1:1: each receiver hears exactly one sender
+            })
             segs :+= RddSeg(ordinal)
             taggedRdds :+= sorted.map(x => (ordinal, x))
         }

@@ -436,6 +436,78 @@ object Processors {
       override def complete(): Boolean = windowsThrough(Long.MaxValue)
     }
 
+  /** Jet `aggregateToSessionWindowP` (core/processor/Processors.java:640,
+    * impl SessionWindowP.java): single-stage keyed session windows behind a
+    * partitioned edge. An event claims the interval
+    * `[ts, ts + sessionTimeout)`; it joins every existing session whose span
+    * it overlaps (STRICT overlap — an event starting exactly at a session's
+    * end opens a NEW session, matching Spark's `session_window` and the
+    * reference), merging up to two bridged sessions into one. A session
+    * emits `exportFn(start, end, key, result)` once the coalesced watermark
+    * passes its end (= last event + timeout). Events whose entire interval
+    * the watermark already passed are dropped late.
+    */
+  def aggregateToSessionWindowP[K, A, R](
+      sessionTimeout: Long,
+      tsFn: Any => Long,
+      keyFn: Any => K,
+      op: AggregateOp[A, R],
+      exportFn: (Long, Long, K, R) => Any): () => Processor = () =>
+    new AbstractProcessor {
+      require(sessionTimeout > 0, s"sessionTimeout must be positive: $sessionTimeout")
+      // per key: disjoint sessions ordered by start; start -> (end, acc)
+      private val sessions =
+        mutable.HashMap.empty[K, mutable.TreeMap[Long, (Long, A)]]
+      private var wm = Long.MinValue
+      private var emit: Traverser[Any] = _
+
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val ts = tsFn(item)
+        if (ts + sessionTimeout <= wm)
+          return true // late: its session already closed and emitted
+        val k = keyFn(item)
+        val m = sessions.getOrElseUpdate(k, mutable.TreeMap.empty)
+        val (lo, hi) = (ts, ts + sessionTimeout)
+        // overlapping sessions: start < hi && end > lo (at most two)
+        val overlapping = m.rangeTo(hi).iterator
+          .filter { case (s, (e, _)) => s < hi && e > lo }.toVector
+        var start = lo
+        var end = hi
+        var acc = op.createFn()
+        overlapping.foreach { case (s, (e, a)) =>
+          m.remove(s)
+          if (s < start) start = s
+          if (e > end) end = e
+          acc = op.combineFn(acc, a)
+        }
+        m.update(start, (end, op.accumulateFn(acc, item)))
+        true
+      }
+
+      private def flush(upTo: Long): Boolean = {
+        if (emit == null) {
+          if (upTo > wm) wm = upTo
+          val closed = Vector.newBuilder[Any]
+          sessions.foreach { case (k, m) =>
+            val done = m.iterator.takeWhile { case (_, (e, _)) => e <= wm }.toVector
+            done.foreach { case (s, (e, a)) =>
+              m.remove(s)
+              closed += exportFn(s, e, k, op.exportFn(a))
+            }
+          }
+          sessions.filterInPlace((_, m) => m.nonEmpty)
+          emit = Traversers.traverseIterable(closed.result())
+        }
+        val done = emitFromTraverser(emit)
+        if (done) emit = null
+        done
+      }
+
+      override def tryProcessWatermark(watermark: Watermark): Boolean =
+        flush(watermark.timestamp)
+      override def complete(): Boolean = flush(Long.MaxValue)
+    }
+
   /** Shared hash-grouping core of the *ByKeyP family (the reference's
     * GroupP, core/processor/.../GroupP.java): accumulate into a hash map,
     * emit entries from complete() via a suspendable traverser.

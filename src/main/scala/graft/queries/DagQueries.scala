@@ -161,9 +161,12 @@ object DagQueries {
       exportFn = identity)
 
     val dag = new DAG
+    // lag = one frame (the q50 watermark-delay analog): intra-partition
+    // disorder up to an hour never drops — the same tolerance the
+    // Structured Streaming form runs with
     val wm = dag.newVertex("wm",
       Processors.insertWatermarksP[(Long, String, Double)](
-        _._1, lag = 0L, throttleFrame = frame))
+        _._1, lag = frame, throttleFrame = frame))
     val acc = dag.newVertex("accframe",
       Processors.accumulateByFrameP[String, (Long, Double)](
         keyFn = _.asInstanceOf[(Long, String, Double)]._2,
@@ -193,13 +196,70 @@ object DagQueries {
   // same oracle as the Catalyst (q20) and Structured Streaming (q50) forms
   val q174_oracle: String = EventQueries.q20_oracle
 
+  // --------------------------------------- q176 core-API SESSION windows
+  /** `aggregateToSessionWindowP` (core/processor/Processors.java:640,
+    * SessionWindowP.java) carrying a gate: per-user sessions with a 30-minute
+    * gap over events, single-stage behind a partitioned edge on the key —
+    * q51's aggregate with q51's oracle, so the core-API session semantics
+    * (interval overlap, bridge-merge, end = last event + gap, strict
+    * boundary) cannot drift from the Structured Streaming `session_window`
+    * form. Watermark lag = 1 h, the same tolerance q51 runs with.
+    */
+  val q176_dag_session: Q = (s, dir) => {
+    val timeoutUs = 1800L * 1000000L // 30 min
+    val lagUs = 3600L * 1000000L // 1 h, q51's watermark delay
+    val events: RDD[Any] = t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value")).rdd
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        r.getDouble(2)): Any)
+
+    val countSum = AggregateOp[(Long, Double), (Long, Double)](
+      createFn = () => (0L, 0.0),
+      accumulateFn = (a, t) =>
+        (a._1 + 1L, a._2 + t.asInstanceOf[(Long, java.lang.Long, Double)]._3),
+      combineFn = (x, y) => (x._1 + y._1, x._2 + y._2),
+      exportFn = identity)
+
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, java.lang.Long, Double)](
+        _._1, lag = lagUs, throttleFrame = timeoutUs))
+    val sess = dag.newVertex("session",
+      Processors.aggregateToSessionWindowP[java.lang.Long, (Long, Double), (Long, Double)](
+        sessionTimeout = timeoutUs,
+        tsFn = _.asInstanceOf[(Long, java.lang.Long, Double)]._1,
+        keyFn = _.asInstanceOf[(Long, java.lang.Long, Double)]._2,
+        countSum,
+        (start, end, k, r) => Row(k, start, end, r._1, r._2)))
+    dag.edge(Edge.between(wm, sess)
+      .partitioned(_.asInstanceOf[(Long, java.lang.Long, Double)]._2)
+      .distributed())
+
+    val raw = DagExecutor.toDataFrame(s, dag, "session",
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("session_start_us", LongType),
+        StructField("session_end_us", LongType),
+        StructField("n_events", LongType),
+        StructField("sum_raw", DoubleType))),
+      inputs = Map("wm" -> events))
+    raw.select(col("user_id"), col("session_start_us"), col("session_end_us"),
+      col("n_events"), round(col("sum_raw"), 4).as("sum_value"))
+  }
+
+  // q51's oracle — the gaps-and-islands SQL sessions
+  val q176_oracle: String = graft.queries.StreamingQueries.q51_oracle
+
   val entries: Map[String, Q] = Map(
     "q170_dag_wordcount" -> q170_dag_wordcount,
     "q171_dag_hash_join" -> q171_dag_hash_join,
-    "q174_dag_event_time" -> q174_dag_event_time)
+    "q174_dag_event_time" -> q174_dag_event_time,
+    "q176_dag_session" -> q176_dag_session)
 
   val oracles: Map[String, String] = Map(
     "q170_dag_wordcount" -> q170_oracle,
     "q171_dag_hash_join" -> q171_oracle,
-    "q174_dag_event_time" -> q174_oracle)
+    "q174_dag_event_time" -> q174_oracle,
+    "q176_dag_session" -> q176_oracle)
 }

@@ -450,8 +450,11 @@ class DagCoreSpec extends SparkSpec {
     val events = (0 until 1000).map(i => (i.toLong, "k" + (i % 3))).map(_.asInstanceOf[Any])
     val input = sc.parallelize(scala.util.Random.shuffle(events), 4)
     val dag = new DAG
+    // shuffled input: the lag must cover the intra-partition disorder (the
+    // full range here) or late events drop — the dedicated late-drop test
+    // below pins that behavior; this one pins exact totals
     val wm = dag.newVertex("wm",
-      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 100L))
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 1000L, throttleFrame = 100L))
     val acc = dag.newVertex("accframe",
       Processors.accumulateByFrameP[String, Long](
         keyFn = _.asInstanceOf[(Long, String)]._2,
@@ -499,6 +502,100 @@ class DagCoreSpec extends SparkSpec {
     // windows (end): 10→1, 20→3, 30→3, 40→3, 50→2
     assert(out == Map(10L -> 1L, 20L -> 3L, 30L -> 3L, 40L -> 3L, 50L -> 2L),
       s"sliding window counts: $out")
+  }
+
+  test("late events drop once the coalesced watermark closed their frame") {
+    // single partition, deterministic order: 150, 160 open frame (100,200];
+    // 250 advances the watermark to 200 closing it; 90 then arrives LATE
+    val events = Seq(150L, 160L, 250L, 90L).map(ts => (ts, "k").asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 100L))
+      .localParallelism(1)
+    val acc = dag.newVertex("accframe",
+      Processors.accumulateByFrameP[String, Long](
+        _.asInstanceOf[(Long, String)]._2, _.asInstanceOf[(Long, String)]._1,
+        frameLen = 100L, AggregateOp.counting)).localParallelism(1)
+    val comb = dag.newVertex("combine",
+      Processors.combineToSlidingWindowP[String, Long, Long](
+        frameLen = 100L, windowLen = 100L, AggregateOp.counting,
+        (we, k, n) => (we, k, n))).localParallelism(1)
+    dag
+      .edge(Edge.between(wm, acc))
+      .edge(Edge.between(acc, comb)
+        .partitioned(_.asInstanceOf[(Long, String, Long)]._2).distributed())
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("combine")
+      .map(_.asInstanceOf[(Long, String, Long)]).map(t => t._1 -> t._3).toMap
+    assert(out == Map(200L -> 2L, 300L -> 1L),
+      s"the ts=90 event must drop (frame closed by wm 200): $out")
+  }
+
+  test("session windows: growth, strict-boundary split, bridge-merge, watermark emission") {
+    val T = 30L
+    def sessionDag(events: Seq[Long]) = {
+      val input = sc.parallelize(events.map(ts => (ts, "u").asInstanceOf[Any]), 1)
+      val dag = new DAG
+      val wm = dag.newVertex("wm",
+        Processors.insertWatermarksP[(Long, String)](_._1, lag = 1000L, throttleFrame = 10L))
+        .localParallelism(1)
+      val sess = dag.newVertex("session",
+        Processors.aggregateToSessionWindowP[String, Long, Long](
+          sessionTimeout = T,
+          tsFn = _.asInstanceOf[(Long, String)]._1,
+          keyFn = _.asInstanceOf[(Long, String)]._2,
+          AggregateOp.counting,
+          (s, e, k, n) => (s, e, k, n)))
+      dag.edge(Edge.between(wm, sess)
+        .partitioned(_.asInstanceOf[(Long, String)]._2).distributed())
+      DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("session")
+        .map(_.asInstanceOf[(Long, Long, String, Long)])
+        .map(t => (t._1, t._2, t._4)).sortBy(_._1)
+    }
+    // growth: consecutive events within the timeout extend one session
+    assert(sessionDag(Seq(0L, 10L, 25L)) == Seq((0L, 55L, 3L)))
+    // strict boundary: an event AT the session end starts a NEW session
+    assert(sessionDag(Seq(0L, 30L)) == Seq((0L, 30L, 1L), (30L, 60L, 1L)))
+    // bridge: an event whose interval spans the gap merges two sessions
+    // ([0,30) and [50,80); the [25,55) interval overlaps both)
+    assert(sessionDag(Seq(0L, 50L, 25L)) == Seq((0L, 80L, 3L)))
+  }
+
+  test("session windows emit on watermark passage, not only at completion") {
+    // two sessions far apart; the second event's watermark closes the first —
+    // the probe downstream must see session 1 BEFORE the final flush wm
+    val events = Seq(0L, 500L).map(ts => (ts, "u").asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 10L))
+      .localParallelism(1)
+    val sess = dag.newVertex("session",
+      Processors.aggregateToSessionWindowP[String, Long, Long](
+        30L, _.asInstanceOf[(Long, String)]._1,
+        _.asInstanceOf[(Long, String)]._2, AggregateOp.counting,
+        (s, e, k, n) => (s, e, n)))
+    val probe: () => Processor = () =>
+      new AbstractProcessor {
+        private var sawFinalWm = false
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+          if (sawFinalWm) throw new IllegalStateException(
+            s"session $item arrived only at the final flush — not watermark-driven")
+          tryEmit(item)
+        }
+        override def tryProcessWatermark(w: Watermark): Boolean = {
+          if (w.timestamp == Long.MaxValue) sawFinalWm = true
+          true
+        }
+      }
+    val sink = dag.newVertex("sink", probe).localParallelism(1)
+    dag
+      .edge(Edge.between(wm, sess)
+        .partitioned(_.asInstanceOf[(Long, String)]._2).distributed())
+      .edge(Edge.between(sess, sink).allToOne("x"))
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("sink")
+      .map(_.asInstanceOf[(Long, Long, Long)]).sortBy(_._1)
+    assert(out == Seq((0L, 30L, 1L), (500L, 530L, 1L)))
   }
 
   test("broadcast edge rejects oversized build sides instead of collecting them") {
