@@ -43,11 +43,12 @@ import scala.jdk.CollectionConverters._
   * step 3 writes each partition from its executor; the driver handles only
   * the three metadata files.
   *
-  * Honest bounds (loud, not silent): operators using prefix-scan state
-  * (session windows) and stream-stream join's four-store layout are rejected
-  * with an UnsupportedOperationException naming the operator; everything
-  * exercised by the gate (flatMapGroupsWithState family, windowed/global
-  * aggregation, dedup) rewrites.
+  * Covers every built-in stateful layout: flatMapGroupsWithState / windowed
+  * / global aggregation (no-prefix keys), stream-stream join (four stores
+  * per operator; keyWithIndexToValue routes by the join keys WITHOUT the
+  * trailing index column), and session windows (prefix-scan keys — routed by
+  * the numColsPrefixKey prefix and re-written with the prefix-scan encoder
+  * spec so range scans survive).
   */
 object StateRescale {
 
@@ -113,26 +114,40 @@ object StateRescale {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     require(operators.nonEmpty, s"no stateful operator under $oldCkpt")
     for ((opId, opName, storeName) <- operators) {
-      if (opName.contains("symmetricHashJoin") || opName.contains("sessionWindow"))
-        throw new UnsupportedOperationException(
-          s"state rescale does not support operator $opName (op $opId): " +
-            "stream-stream join / session-window state layouts need " +
-            "store-specific routing; stop-and-cold-start those jobs instead")
+      // per-store routing rule:
+      //  - a join's keyWithIndexToValue store keys are [joinKeys..., index],
+      //    but the operator distributes by the JOIN KEYS alone — the index
+      //    column must not participate in the hash
+      //  - a prefix-scan store (session windows: [groupKeys..., sessionStart],
+      //    numColsPrefixKey = groupKeys) distributes by the prefix columns
+      //    and must keep its prefix-scan encoder spec
+      val numColsPrefixKey = prefixKeyCols(oldCkpt, opId, storeName)
       val df = spark.read.format("statestore")
         .option("operatorId", opId).option("storeName", storeName)
         .option("batchId", batch)
         .load(oldCkpt)
+      val keySchema = df.schema("key").dataType.asInstanceOf[StructType]
+      val routeFields =
+        if (storeName.endsWith("keyWithIndexToValue")) keySchema.fieldNames.dropRight(1)
+        else if (numColsPrefixKey > 0) keySchema.fieldNames.take(numColsPrefixKey)
+        else keySchema.fieldNames
       rewriteStore(spark, df, s"$newCkpt/state", opId, storeName, newWidth,
-        storeConf, targetVersion = batch + 1)
+        storeConf, targetVersion = batch + 1, routeFields.toSeq, numColsPrefixKey)
       // schema file: layout-identical state, so the old run's schema file is
-      // authoritative — lives under partition 0's _metadata
-      val oldSchema = Paths.get(oldCkpt, "state", opId.toString, "0", "_metadata", "schema")
+      // authoritative — lives under partition 0's (per-store) _metadata
+      val storeDir = if (storeName == "default") Nil else Seq(storeName)
+      val oldSchema = Paths.get(oldCkpt,
+        (Seq("state", opId.toString, "0") ++ storeDir ++ Seq("_metadata", "schema")): _*)
       if (Files.exists(oldSchema)) {
-        val dstSchema = dst.resolve(s"state/$opId/0/_metadata/schema")
+        val dstSchema = dst.resolve(
+          (Seq("state", opId.toString, "0") ++ storeDir ++ Seq("_metadata", "schema"))
+            .mkString("/"))
         Files.createDirectories(dstSchema.getParent)
         Files.copy(oldSchema, dstSchema, StandardCopyOption.REPLACE_EXISTING)
       }
-      // operator metadata records numPartitions — rewrite it
+    }
+    // operator metadata records numPartitions — rewrite it (once per operator)
+    for (opId <- operators.map(_._1).distinct) {
       val oldOpMeta = Paths.get(oldCkpt, "state", opId.toString, "_metadata", "metadata")
       if (Files.exists(oldOpMeta)) {
         val rewritten = new String(Files.readAllBytes(oldOpMeta))
@@ -144,6 +159,27 @@ object StateRescale {
     }
   }
 
+  /** numColsPrefixKey for a store, from the operator metadata file (absent or
+    * unparseable → 0, the no-prefix layout).
+    */
+  private def prefixKeyCols(ckpt: String, opId: Long, storeName: String): Int = {
+    val p = Paths.get(ckpt, "state", opId.toString, "_metadata", "metadata")
+    if (!Files.exists(p)) return 0
+    try {
+      val text = new String(Files.readAllBytes(p))
+      val json = text.substring(text.indexOf('\n') + 1) // strip "v1" header
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val stores = mapper.readTree(json).path("stateStoreInfo").elements()
+      var n = 0
+      while (stores.hasNext) {
+        val st = stores.next()
+        if (st.path("storeName").asText() == storeName)
+          n = st.path("numColsPrefixKey").asInt(0)
+      }
+      n
+    } catch { case _: Exception => 0 }
+  }
+
   /** One store: route rows by the resumed query's hash distribution and
     * commit every partition (empty ones included — the provider requires
     * version 1 to exist for each partition id).
@@ -151,13 +187,15 @@ object StateRescale {
   private def rewriteStore(spark: SparkSession, df: DataFrame, stateRoot: String,
                            opId: Long, storeName: String, newWidth: Int,
                            storeConf: org.apache.spark.sql.execution.streaming.state.StateStoreConf,
-                           targetVersion: Long): Unit = {
+                           targetVersion: Long, routeFields: Seq[String],
+                           numColsPrefixKey: Int): Unit = {
     val keySchema = df.schema("key").dataType.asInstanceOf[StructType]
     val valueSchema = df.schema("value").dataType.asInstanceOf[StructType]
-    // functions.hash = Murmur3Hash(seed 42) over the key attributes in order —
-    // identical to HashPartitioning.partitionIdExpression, which is what the
-    // resumed stateful operator requires of its child distribution
-    val keyCols = keySchema.fieldNames.map(f => col("key").getField(f))
+    // functions.hash = Murmur3Hash(seed 42) over the DISTRIBUTION key columns
+    // in order — identical to HashPartitioning.partitionIdExpression, which
+    // is what the resumed stateful operator requires of its child
+    // distribution (for joins/sessions that is a PREFIX of the store key)
+    val keyCols = routeFields.map(f => col("key").getField(f))
     val routed = df
       .withColumn("_pid", pmod(hash(keyCols.toIndexedSeq: _*), lit(newWidth)))
       .select(col("_pid"), col("key"), col("value"))
@@ -166,7 +204,8 @@ object StateRescale {
     routed.foreachPartition { it =>
       val pid = TaskContext.getPartitionId()
       StateBridge.writeStatePartition(stateRoot, opId, pid, storeName,
-        keySchema, valueSchema, storeConf, targetVersion, it.map(_._2))
+        keySchema, valueSchema, storeConf, targetVersion, it.map(_._2),
+        numColsPrefixKey)
     }
   }
 

@@ -5,8 +5,8 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.execution.streaming.state.{
-  NoPrefixKeyStateEncoderSpec, StateStoreConf, StateStoreId, StateStoreProvider,
-  StateStoreProviderId}
+  NoPrefixKeyStateEncoderSpec, PrefixKeyScanStateEncoderSpec, StateStoreConf,
+  StateStoreId, StateStoreProvider, StateStoreProviderId}
 import org.apache.spark.sql.types.StructType
 
 /** State-store WRITE access for the offline rescale rewrite
@@ -57,14 +57,19 @@ object StateBridge {
       valueSchema: StructType,
       conf: StateStoreConf,
       targetVersion: Long,
-      rows: Iterator[(Row, Row)]): Unit = {
+      rows: Iterator[(Row, Row)],
+      numColsPrefixKey: Int = 0): Unit = {
     require(targetVersion >= 1, s"targetVersion must be >= 1, got $targetVersion")
     val providerId = StateStoreProviderId(
       StateStoreId(stateRoot, operatorId, partitionId, storeName),
       java.util.UUID.randomUUID())
+    // prefix-scan stores (session windows) must keep their encoder spec, or
+    // the resumed operator's range scans read garbage
+    val encoderSpec =
+      if (numColsPrefixKey > 0) PrefixKeyScanStateEncoderSpec(keySchema, numColsPrefixKey)
+      else NoPrefixKeyStateEncoderSpec(keySchema)
     val provider = StateStoreProvider.createAndInit(
-      providerId, keySchema, valueSchema,
-      NoPrefixKeyStateEncoderSpec(keySchema),
+      providerId, keySchema, valueSchema, encoderSpec,
       useColumnFamilies = false, conf, new Configuration(),
       useMultipleValuesPerKey = false, None)
     try {

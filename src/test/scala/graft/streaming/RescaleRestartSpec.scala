@@ -167,6 +167,101 @@ class RescaleRestartSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("offline rewrite: stream-stream join state survives a width change (2 -> 5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_rescale_join_").toString
+    val (out, ckpt, ckpt2) = (s"$dir/out", s"$dir/ckpt", s"$dir/ckpt2")
+    val l = MemoryStream[(Int, String)]
+    val r = MemoryStream[(Int, String)]
+    def joined() = {
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:01")
+      val lf = l.toDF().toDF("k", "lv")
+        .withColumn("lts", lit(ts)).withWatermark("lts", "1 minute")
+      val rf = r.toDF().toDF("k2", "rv")
+        .withColumn("rts", lit(ts)).withWatermark("rts", "1 minute")
+      lf.join(rf, expr("k = k2")).select($"k", $"lv", $"rv")
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      // incarnation 1 buffers 20 unmatched left rows in join state
+      l.addData((1 to 20).map(i => (i, s"L$i")))
+      val job1 = StreamSinks.files(out, ckpt).start(joined())
+      job1.processAllAvailable()
+      job1.cancel()
+      assert(spark.read.parquet(out).count() == 0, "nothing matched yet")
+
+      StateRescale.rewrite(spark, ckpt, ckpt2, newWidth = 5)
+
+      // incarnation 2 at width 5: the right rows must find the REWRITTEN
+      // buffered left state — a mis-routed key would silently produce no match
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      r.addData((1 to 20).map(i => (i, s"R$i")))
+      val job2 = StreamSinks.files(out, ckpt2).start(joined())
+      job2.processAllAvailable()
+      val width = job2.query.lastProgress.stateOperators.asInstanceOf[Array[_]]
+        .head.asInstanceOf[org.apache.spark.sql.streaming.StateOperatorProgress]
+        .numShufflePartitions
+      job2.cancel()
+      assert(width === 5L, s"join must run at the rewritten width, got $width")
+      val rows = spark.read.parquet(out)
+        .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+      assert(rows.size === 20, s"every buffered left row must match: ${rows.size}")
+      assert(rows === (1 to 20).map(i => (i, s"L$i", s"R$i")))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("offline rewrite: session-window state (prefix-scan keys) survives a width change (2 -> 5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_rescale_sess_").toString
+    val (out, ckpt, ckpt2) = (s"$dir/out", s"$dir/ckpt", s"$dir/ckpt2")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    def sessions() =
+      mem.toDF().toDF("ts", "k", "v")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window($"ts", "30 seconds").as("w"), $"k")
+        .agg(sum($"v").as("total"), count(lit(1)).as("cnt"))
+        .select($"k", $"total", $"cnt")
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(s"2026-01-01 00:00:${"%02d".format(sec)}")
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      // open sessions for 12 keys
+      mem.addData((1 to 12).map(i => (ts(1), s"k$i", i.toLong)))
+      val job1 = StreamSinks.files(out, ckpt).start(sessions())
+      job1.processAllAvailable()
+      job1.cancel()
+
+      StateRescale.rewrite(spark, ckpt, ckpt2, newWidth = 5)
+
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      // extend the SAME sessions, then close them
+      mem.addData((1 to 12).map(i => (ts(20), s"k$i", 100L)))
+      val job2 = StreamSinks.files(out, ckpt2).start(sessions())
+      job2.processAllAvailable()
+      mem.addData(Seq((ts(59), "flush", 0L)))
+      job2.query.processAllAvailable()
+      val width = job2.query.lastProgress.stateOperators.asInstanceOf[Array[_]]
+        .head.asInstanceOf[org.apache.spark.sql.streaming.StateOperatorProgress]
+        .numShufflePartitions
+      job2.cancel()
+      assert(width === 5L, s"session agg must run at the rewritten width, got $width")
+
+      val rows = spark.read.parquet(out)
+        .select($"k", $"total", $"cnt").as[(String, Long, Long)].collect()
+        .filter(_._1 != "flush").toSeq.sortBy(_._1.stripPrefix("k").toInt)
+      assert(rows.size === 12, s"all 12 sessions must close once: $rows")
+      for ((k, total, cnt) <- rows) {
+        val i = k.stripPrefix("k").toInt
+        assert((total, cnt) === (i + 100L, 2L),
+          s"$k session must merge pre- and post-rewrite events: ($total, $cnt)")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("offline rewrite: windowed aggregation state survives a width change (3 -> 7)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
