@@ -83,59 +83,51 @@ class LiveWireSpec extends SparkSpec {
       "md5 hash-range routing must spread keys across both shards")
   }
 
-  test("live Kafka: produce/consume roundtrip through a real broker (kafka-clients via reflection)") {
+  test("live Kafka: binary-protocol produce/fetch roundtrip (in-repo wire client, zero extra jars)") {
     val bootstrap = needs("KAFKA_BOOTSTRAP")
-    val producerCls =
-      try Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
-      catch {
-        case _: ClassNotFoundException =>
-          cancel("LIVE WIRE UNTESTED HERE: KAFKA_BOOTSTRAP is set but " +
-            "kafka-clients is not on the test classpath — add it in the live CI")
-      }
-    val topic = s"graft-live-${System.nanoTime()}"
-    val props = new java.util.Properties()
-    props.put("bootstrap.servers", bootstrap)
-    props.put("key.serializer", "org.apache.kafka.common.serialization.StringSerializer")
-    props.put("value.serializer", "org.apache.kafka.common.serialization.StringSerializer")
-    val producer = producerCls.getConstructor(classOf[java.util.Properties])
-      .newInstance(props).asInstanceOf[AutoCloseable]
-    val recordCls = Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
-    val send = producerCls.getMethod("send", recordCls)
-    val payloads = (1 to 100).map(i => s"msg-$i")
-    try payloads.foreach { p =>
-      val rec = recordCls
-        .getConstructor(classOf[String], classOf[Object], classOf[Object])
-        .newInstance(topic, p, p)
-      send.invoke(producer, rec.asInstanceOf[Object])
-    } finally producer.close()
-
-    val cprops = new java.util.Properties()
-    cprops.put("bootstrap.servers", bootstrap)
-    cprops.put("group.id", s"$topic-reader")
-    cprops.put("auto.offset.reset", "earliest")
-    cprops.put("isolation.level", "read_committed") // the EOS consumer mode the stub spec pins
-    cprops.put("key.deserializer", "org.apache.kafka.common.serialization.StringDeserializer")
-    cprops.put("value.deserializer", "org.apache.kafka.common.serialization.StringDeserializer")
-    val consumerCls = Class.forName("org.apache.kafka.clients.consumer.KafkaConsumer")
-    val consumer = consumerCls.getConstructor(classOf[java.util.Properties])
-      .newInstance(cprops).asInstanceOf[AutoCloseable]
-    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val k = new KafkaWire(bootstrap)
     try {
-      consumerCls.getMethod("subscribe", classOf[java.util.Collection[_]])
-        .invoke(consumer, java.util.List.of(topic))
-      val poll = consumerCls.getMethod("poll", classOf[java.time.Duration])
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (got.size < payloads.size && System.nanoTime() < deadline) {
-        val records = poll.invoke(consumer, java.time.Duration.ofMillis(500))
-        val it = records.getClass.getMethod("iterator").invoke(records)
-          .asInstanceOf[java.util.Iterator[AnyRef]]
-        while (it.hasNext) {
-          val r = it.next()
-          got += r.getClass.getMethod("value").invoke(r).asInstanceOf[String]
-        }
+      // the broker must speak the non-flexible versions this client encodes
+      val versions = k.apiVersions()
+      for ((api, needed) <- Seq(0 -> 3, 1 -> 4, 3 -> 4)) {
+        val (min, max) = versions.getOrElse(api,
+          fail(s"broker does not list api $api"))
+        assume(min <= needed && needed <= max,
+          s"LIVE WIRE UNTESTED HERE: broker supports api $api only [$min,$max], " +
+            s"this client speaks v$needed (pre-KIP-896 baseline)")
       }
-    } finally consumer.close()
-    assert(got.sorted.toSeq == payloads.sorted,
-      "every produced record consumed exactly once under read_committed")
+      val topic = s"graft-live-${System.nanoTime()}"
+      val payloads = (1 to 100).map(i => s"msg-$i")
+      val parts = k.topicMetadata(topic).map(_.partition)
+      assert(parts.nonEmpty, s"topic $topic must auto-create")
+      // spread records across the topic's partitions, remembering the split
+      val byPartition = payloads.zipWithIndex
+        .groupMap { case (_, i) => parts(i % parts.size) } { case (p, _) => p }
+      byPartition.foreach { case (partition, msgs) =>
+        val base = k.produce(topic, partition,
+          msgs.map(m => (m.getBytes("UTF-8"), m.getBytes("UTF-8"))))
+        assert(base >= 0L)
+      }
+      // read everything back under read_committed, per partition from 0
+      val got = byPartition.keys.toSeq.flatMap { partition =>
+        var offset = 0L
+        val acc = Seq.newBuilder[String]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var hw = Long.MaxValue
+        while (offset < hw && System.nanoTime() < deadline) {
+          val (records, highWatermark) = k.fetch(topic, partition, offset)
+          hw = highWatermark
+          records.foreach { case (o, key, value) =>
+            assert(new String(key, "UTF-8") == new String(value, "UTF-8"))
+            acc += new String(value, "UTF-8")
+            offset = math.max(offset, o + 1)
+          }
+          if (records.isEmpty && offset < hw) Thread.sleep(100)
+        }
+        acc.result()
+      }
+      assert(got.sorted == payloads.sorted,
+        "every produced record fetched exactly once under read_committed")
+    } finally k.close()
   }
 }
