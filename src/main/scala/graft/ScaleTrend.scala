@@ -79,7 +79,12 @@ object ScaleTrend {
     // SHARDED IVF serving plan — same √N cell growth as q162, but the
     // posting lists stay a joined table instead of a broadcast service,
     // so the 10×/100× runs exercise the no-corpus-broadcast path
-    "q164_mp3_metadata", "q165_stream_ann_ivf_shard")
+    "q164_mp3_metadata", "q165_stream_ann_ivf_shard",
+    // round-12: the core-DAG event-time path — frame partials keep the
+    // distributed edge answer-sized ((keys × frames) rows cross the
+    // shuffle, never events), so growth should track the scan, and the
+    // session form adds the per-key session merge on top
+    "q174_dag_event_time", "q176_dag_session")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
