@@ -269,7 +269,77 @@ object Plans {
         "into persons/auctions legs (q77 fork pattern), joined on (seller, " +
         "12h-window-equality) — window equality is the state-cleanup " +
         "condition, so each side's state evicts when the watermark passes " +
-        "the window. Oracle = q149's."))
+        "the window. Oracle = q149's."),
+    "q169_stream_kinesis_reshard" ->
+      ("Kinesis-shaped DSv2 source (r11): md5 hash-range partition-key " +
+        "routing onto shards, per-shard checkpointed seek, and a MID-STREAM " +
+        "splitShard — child shards become readable only in a strictly later " +
+        "batch than the parent's last records (the reference shard-tracker " +
+        "rule). Windowed agg across the reshard hash-matches q50/q20's " +
+        "oracle: resharding the transport cannot change the aggregate."),
+    "q172_elastic_roundtrip" ->
+      ("Elastic REST roundtrip (r11): every documents row bulk-indexed over " +
+        "real HTTP (_bulk NDJSON, 429 retry/backoff), read back through a " +
+        "4-slice sliced scroll — one Spark partition per slice " +
+        "(ElasticSourceP.java:78-89's parallel-read contract), independent " +
+        "paging per task, scroll contexts cleared. JSON-parse projection is " +
+        "row-local; the only distributed structure is the per-slice scan."),
+    "q173_rescale_snapshot" ->
+      ("Jet's full rescale cycle in SQL (r12): CREATE JOB at parallelism 4 " +
+        "-> suspend mid-stream -> CREATE SNAPSHOT -> new job from " +
+        "initialSnapshotName at parallelism 9, which triggers the OFFLINE " +
+        "state rewrite (StateRescale): one shuffle of the state rows " +
+        "re-routed to pmod(murmur3(keys), 9) — the exact distribution the " +
+        "resumed operators require — checkpoint bootstrapped at the new " +
+        "width with ORIGINAL batch numbering (idempotent sinks dedupe by " +
+        "batch id; renumbering silently skips the first post-rescale " +
+        "batch). Gate requires the resumed job to report width 9 and " +
+        "converge to exactly 1000 values."),
+    "q175_proto_roundtrip" ->
+      ("Protobuf value format (r12): orders projection encoded row-local " +
+        "into REAL wire format (ProtoFormat — varints, fixed64 doubles, " +
+        "length-delimited UTF-8), written as length-prefixed message files " +
+        "(one file per partition), then CREATE MAPPING ... TYPE protobuf " +
+        "reads them back: one task per file via the binaryFile source, " +
+        "decode row-local, ZERO shuffles end-to-end. Oracle reads the " +
+        "original parquet — any codec asymmetry breaks the hash."))
+
+  // Core-API (DAG) queries: compiled by DagExecutor to RDD stages, so the
+  // returned frame's physical plan is a LogicalRDD scan — the TOPOLOGY is
+  // the plan, documented here (the DataFrame forms remain the production
+  // path; these exist for reference users porting hand-built DAGs).
+  private val dagNotes = Seq(
+    "q170_dag_wordcount" ->
+      ("canonical core-API word count: tokenize (flatMapP) -> " +
+        "accumulateByKeyP (LOCAL edge: map-side partials) -> partitioned+" +
+        "distributed edge on the word -> combineByKeyP. One real " +
+        "HashPartitioner shuffle carrying (word, partial-count) pairs, " +
+        "never tokens — the same two-stage shape Catalyst plans for q30."),
+    "q171_dag_hash_join" ->
+      ("core-API hash join: nation build side rides a BROADCAST edge at " +
+        "priority -1 (drained fully before the probe edge — Edge.java:265's " +
+        "documented use), probe on ordinal 1 inside one mapPartitions " +
+        "stage, then the two-stage keyed aggregate. Only the (name, " +
+        "partial) pairs shuffle."),
+    "q174_dag_event_time" ->
+      ("core-API EVENT-TIME tumbling window (r12): insertWatermarksP " +
+        "(throttled to the hour frame, 1h lag) -> accumulateByFrameP " +
+        "(local (frame,key) partials, frames close as the coalesced " +
+        "watermark passes) -> partitioned edge -> combineToSlidingWindowP. " +
+        "Watermark envelopes replicate across the shuffle; items route by " +
+        "key. Only (keys x frames) partial rows cross the shuffle — " +
+        "MEASURED 1.7x runtime growth at 100x data (ScaleTrend). Shares " +
+        "q20/q50's oracle."),
+    "q176_dag_session" ->
+      ("core-API SESSION windows (r12, aggregateToSessionWindowP): " +
+        "single-stage keyed sessions behind one partitioned edge — every " +
+        "event shuffles (inherent to sessions; Spark's session_window " +
+        "shuffles events too), per-key interval merge with an end-ordered " +
+        "index so watermark flushes touch only closing sessions. ~95x " +
+        "runtime at 100x data = the full event shuffle + the DAG layer's " +
+        "per-event (non-codegen) overhead — the documented escape-hatch " +
+        "trade; q51's session_window form is the production path. Shares " +
+        "q51's gaps-and-islands oracle."))
 
   // Driver-composed queries: the distributed pass is consumed by a
   // driver-side collect INSIDE the query (model-scale iteration — the
@@ -369,9 +439,14 @@ object Plans {
     streamingNotes.foreach { case (name, note) =>
       sb.append(s"\n## $name\n\n$note\n")
     }
+    sb.append("\n# Core-API (DAG) queries (topology = the plan)\n")
+    dagNotes.foreach { case (name, note) =>
+      sb.append(s"\n## $name\n\n$note\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${headline.size} batch + " +
-      s"${driverComposedNotes.size} driver-composed + ${streamingNotes.size} streaming)")
+      s"${driverComposedNotes.size} driver-composed + ${streamingNotes.size} streaming + " +
+      s"${dagNotes.size} dag)")
     spark.stop()
   }
 }
