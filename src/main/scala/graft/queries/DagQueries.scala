@@ -149,8 +149,14 @@ object DagQueries {
     */
   val q174_dag_event_time: Q = (s, dir) => {
     val frame = 3600L // 1 hour, in epoch seconds
+    // per-partition time order before entering the DAG: watermark lag models
+    // BOUNDED source disorder (Jet's EventTimePolicy contract — events later
+    // than the lag drop by design), and scaled replicas interleave copies
+    // within files. sortWithinPartitions is a local spill-aware sort, no
+    // exchange — the "roughly ordered source" a real deployment reads.
     val events: RDD[Any] = t(s, dir, "events")
-      .select(col("ts").cast("long"), col("event_type"), col("value")).rdd
+      .select(col("ts").cast("long").as("ts"), col("event_type"), col("value"))
+      .sortWithinPartitions("ts").rdd
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)): Any)
 
     val countSum = AggregateOp[(Long, Double), (Long, Double)](
@@ -208,8 +214,10 @@ object DagQueries {
   val q176_dag_session: Q = (s, dir) => {
     val timeoutUs = 1800L * 1000000L // 30 min
     val lagUs = 3600L * 1000000L // 1 h, q51's watermark delay
+    // same bounded-disorder contract as q174: local time sort, no exchange
     val events: RDD[Any] = t(s, dir, "events")
-      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value")).rdd
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+      .sortWithinPartitions("ts_us").rdd
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
         r.getDouble(2)): Any)
