@@ -96,7 +96,7 @@ final class InMemoryKinesis {
     synchronized {
       val log = streams(stream)(shardId).records
       log.slice(math.min(from, log.size.toLong).toInt,
-        math.min(until, log.size.toLong).toInt).toSeq
+        math.min(until, log.size.toLong).toInt).toIndexedSeq // O(1) access
     }
 
   /** SplitShard: close the parent, open two children over its halved hash

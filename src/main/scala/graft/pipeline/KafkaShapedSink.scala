@@ -108,7 +108,8 @@ final class InMemoryTxnBroker {
 
   /** read_committed view of a topic (all partitions, commit order). */
   def visible(topic: String): Seq[String] = synchronized {
-    committed.flatMap(_.records.collect { case Rec(`topic`, _, v) => v }).toSeq
+    committed.flatMap(_.records.collect { case Rec(`topic`, _, v) => v })
+      .toIndexedSeq // consumers index into this — List access is O(n) per record
   }
 
   // ---- partitioned-topic surface (the multi-partition StreamKafkaP
@@ -140,7 +141,7 @@ final class InMemoryTxnBroker {
   def visiblePartition(topic: String, partition: Int): Seq[String] = synchronized {
     committed.flatMap(_.records.collect {
       case Rec(`topic`, `partition`, v) => v
-    }).toSeq
+    }).toIndexedSeq // consumers index into this
   }
 
   /** Exclusive end offset of one partition's read_committed log. */

@@ -140,13 +140,15 @@ private[streaming] class KafkaShapedStream(broker: String, topic: String)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[KafkaShapedRange]
         new PartitionReader[InternalRow] {
+          // toArray: same O(n²) guard as the kinesis reader — a List-backed
+          // Seq makes records(i) a per-record walk
           private val records = InMemoryTxnBroker.named(p.broker)
-            .poll(p.topic, p.partition, p.from, p.until)
+            .poll(p.topic, p.partition, p.from, p.until).toArray
           private var i = -1
           private var row: InternalRow = _
           override def next(): Boolean = {
             i += 1
-            if (i >= records.size) return false
+            if (i >= records.length) return false
             val r = new GenericInternalRow(3)
             r.update(0, p.from + i)
             r.update(1, UTF8String.fromString(records(i)))

@@ -149,13 +149,16 @@ private[streaming] class KinesisShapedStream(service: String, stream: String)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[KinesisShardRange]
         new PartitionReader[InternalRow] {
+          // toArray: the returned Seq's runtime type must not make the
+          // per-record loop O(n) (a List here turned the reader O(n²) —
+          // measured at 10×: ~80 s/task for 300k records)
           private val records = InMemoryKinesis.named(p.service)
-            .getRecords(p.stream, p.shard, p.from, p.until)
+            .getRecords(p.stream, p.shard, p.from, p.until).toArray
           private var i = -1
           private var row: InternalRow = _
           override def next(): Boolean = {
             i += 1
-            if (i >= records.size) return false
+            if (i >= records.length) return false
             val r = new GenericInternalRow(3)
             r.update(0, p.from + i)
             r.update(1, UTF8String.fromString(records(i)))
