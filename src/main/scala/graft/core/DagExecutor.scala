@@ -127,10 +127,21 @@ object DagExecutor {
           case other =>
             // watermarks become per-sender envelopes before any routing, so
             // the receiving driver can coalesce them to the min across
-            // senders (ordered edges don't carry watermarks — a sort would
-            // displace them)
+            // senders. Ordered edges carry NO watermarks by design — a sort
+            // would displace them past data items — so every ordered branch
+            // sorts the SAME watermark-rejecting stream: a Watermark on an
+            // ordered edge is an explicit error (the rebalancing-unicast
+            // pattern), never a ClassCastException in keyFn/comparator or a
+            // raw Watermark leaking into the inbox as data.
             val env = enveloped(src)
             val cmpOpt = Option(if (e == null) null else e.getOrderComparator)
+            val vn = name
+            def noWm: RDD[Any] = src.map {
+              case _: Watermark => throw new UnsupportedOperationException(
+                s"watermarks cannot cross an ordered edge into $vn; " +
+                  "drop the order comparator or insert watermarks downstream of the sort")
+              case x => x
+            }
             val sorted: RDD[Any] = (other, cmpOpt) match {
               case (RoutingPolicy.Partitioned, Some(cmp)) =>
                 // Ordered + partitioned in ONE shuffle: the item itself is the
@@ -139,7 +150,7 @@ object DagExecutor {
                 // sort-based shuffle (ExternalSorter) — spill-aware, so an
                 // ordered edge larger than executor memory sorts on disk
                 // instead of OOMing a toVector.sorted buffer.
-                sortedShuffle(src, new KeyFnPartitioner(e.getKeyFn, p), cmp)
+                sortedShuffle(noWm, new KeyFnPartitioner(e.getKeyFn, p), cmp)
               case (RoutingPolicy.Partitioned, None) =>
                 // items route by key hash; watermark envelopes REPLICATE to
                 // every target partition (Jet broadcasts watermarks across
@@ -154,26 +165,34 @@ object DagExecutor {
                 require(src.getNumPartitions == p,
                   s"isolated edge into $name requires equal parallelism " +
                     s"(${src.getNumPartitions} != $p)")
-                cmpO.fold(env)(cmp => localExternalSort(src, cmp))
-              case (_, cmpO) => // Unicast
+                cmpO.fold(env)(cmp => localExternalSort(noWm, cmp))
+              case (_, Some(cmp)) => // Unicast + ordered: watermark-free by the guard
                 val rebalanced =
-                  if (src.getNumPartitions == p) env
-                  else {
-                    // a rebalance concatenates/splits sender streams, which
-                    // destroys the per-sender FIFO the coalescer needs — so a
-                    // watermark on a REBALANCING unicast edge is an error, not
-                    // silent corruption
-                    val vn = name
-                    env.map {
-                      case _: WmEnvelope => throw new UnsupportedOperationException(
-                        s"watermarks cannot cross a rebalancing unicast edge into $vn; " +
-                          "match localParallelism to the upstream or use .partitioned(...)")
-                      case x => x
-                    }.coalesce(p, shuffle = src.getNumPartitions < p)
-                  }
-                cmpO.fold(rebalanced)(cmp => localExternalSort(rebalanced, cmp))
+                  if (src.getNumPartitions == p) noWm
+                  else noWm.coalesce(p, shuffle = src.getNumPartitions < p)
+                localExternalSort(rebalanced, cmp)
+              case (_, None) => // Unicast
+                if (src.getNumPartitions == p) env
+                else {
+                  // a rebalance concatenates/splits sender streams, which
+                  // destroys the per-sender FIFO the coalescer needs — so a
+                  // watermark on a REBALANCING unicast edge is an error, not
+                  // silent corruption
+                  env.map {
+                    case _: WmEnvelope => throw new UnsupportedOperationException(
+                      s"watermarks cannot cross a rebalancing unicast edge into $vn; " +
+                        "match localParallelism to the upstream or use .partitioned(...)")
+                    case x => x
+                  }.coalesce(p, shuffle = src.getNumPartitions < p)
+                }
             }
-            senderCount += (routing match {
+            // Ordered edges reject watermarks above, so they never deliver
+            // WmEnvelopes — counting them would make the coalescer wait for
+            // senders that can't report and defer all window emission to
+            // complete(). (A watermark-FREE unordered edge into a vertex that
+            // also has watermarked edges has the same effect; emit watermarks
+            // on every unordered edge feeding an event-time vertex.)
+            if (cmpOpt.isEmpty) senderCount += (routing match {
               case RoutingPolicy.Partitioned => src.getNumPartitions // replicated
               case _ => 1 // narrow 1:1: each receiver hears exactly one sender
             })

@@ -444,8 +444,10 @@ object Processors {
     * end opens a NEW session, matching Spark's `session_window` and the
     * reference), merging up to two bridged sessions into one. A session
     * emits `exportFn(start, end, key, result)` once the coalesced watermark
-    * passes its end (= last event + timeout). Events whose entire interval
-    * the watermark already passed are dropped late.
+    * passes its end (= last event + timeout). Events below the watermark are
+    * dropped late (matching Spark's `session_window` and the reference — an
+    * event with ts < wm could otherwise open a new session overlapping one
+    * already emitted, yielding two overlapping sessions for a key).
     */
   def aggregateToSessionWindowP[K, A, R](
       sessionTimeout: Long,
@@ -477,8 +479,9 @@ object Processors {
 
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
         val ts = tsFn(item)
-        if (ts + sessionTimeout <= wm)
-          return true // late: its session already closed and emitted
+        if (ts < wm)
+          return true // late: below the watermark — a session ending <= wm may
+                      // already have been emitted; accepting would overlap it
         val k = keyFn(item)
         val m = sessions.getOrElseUpdate(k, mutable.TreeMap.empty)
         val (lo, hi) = (ts, ts + sessionTimeout)

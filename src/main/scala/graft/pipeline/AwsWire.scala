@@ -103,24 +103,39 @@ final class KinesisWire(endpoint: String, region: String,
 
   private val mapper = new ObjectMapper()
 
+  /** Request bodies are built with Jackson, never string interpolation —
+    * stream names and partition keys are caller data, and a quote or
+    * backslash in either must serialize as valid JSON, not break the body.
+    */
+  private def json(fields: (String, Any)*): String = {
+    val node = mapper.createObjectNode()
+    fields.foreach {
+      case (k, v: String) => node.put(k, v)
+      case (k, v: Int)    => node.put(k, v)
+      case (k, v: Long)   => node.put(k, v)
+      case (k, v)         => node.put(k, String.valueOf(v))
+    }
+    mapper.writeValueAsString(node)
+  }
+
   def createStream(name: String, shards: Int): Unit = {
-    call("CreateStream", s"""{"StreamName":"$name","ShardCount":$shards}""")
+    call("CreateStream", json("StreamName" -> name, "ShardCount" -> shards))
     ()
   }
 
   def streamStatus(name: String): String =
-    mapper.readTree(call("DescribeStreamSummary", s"""{"StreamName":"$name"}"""))
+    mapper.readTree(call("DescribeStreamSummary", json("StreamName" -> name)))
       .path("StreamDescriptionSummary").path("StreamStatus").asText()
 
   def putRecord(stream: String, partitionKey: String, data: String): String = {
     val b64 = java.util.Base64.getEncoder.encodeToString(data.getBytes(UTF_8))
     val resp = call("PutRecord",
-      s"""{"StreamName":"$stream","PartitionKey":"$partitionKey","Data":"$b64"}""")
+      json("StreamName" -> stream, "PartitionKey" -> partitionKey, "Data" -> b64))
     mapper.readTree(resp).path("SequenceNumber").asText()
   }
 
   def listShards(stream: String): Seq[String] = {
-    val resp = mapper.readTree(call("ListShards", s"""{"StreamName":"$stream"}"""))
+    val resp = mapper.readTree(call("ListShards", json("StreamName" -> stream)))
     val it = resp.path("Shards").elements()
     val b = Seq.newBuilder[String]
     while (it.hasNext) b += it.next().path("ShardId").asText()
@@ -129,7 +144,8 @@ final class KinesisWire(endpoint: String, region: String,
 
   def shardIterator(stream: String, shardId: String): String =
     mapper.readTree(call("GetShardIterator",
-      s"""{"StreamName":"$stream","ShardId":"$shardId","ShardIteratorType":"TRIM_HORIZON"}"""))
+      json("StreamName" -> stream, "ShardId" -> shardId,
+        "ShardIteratorType" -> "TRIM_HORIZON")))
       .path("ShardIterator").asText()
 
   /** Drains one shard from TRIM_HORIZON; returns decoded record payloads. */
@@ -140,7 +156,7 @@ final class KinesisWire(endpoint: String, region: String,
     var drained = false
     while (!drained && calls < maxCalls && it != null && it.nonEmpty) {
       val resp = mapper.readTree(
-        call("GetRecords", s"""{"ShardIterator":"$it","Limit":1000}"""))
+        call("GetRecords", json("ShardIterator" -> it, "Limit" -> 1000)))
       val recs = resp.path("Records")
       val e = recs.elements()
       var n = 0

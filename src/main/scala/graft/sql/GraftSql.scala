@@ -184,9 +184,16 @@ final class GraftSql(spark: SparkSession) {
           val src = Option(GraftSql.snapshots.get(snap)).getOrElse(
             throw new IllegalArgumentException(s"snapshot $snap not found"))
           val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          // A snapshot of a STATELESS query has no state/ dir and nothing to
+          // rescale — copy as-is. Anything else (IO error, malformed offsets,
+          // missing width metadata on a stateful snapshot) must surface, not
+          // silently resume stateful state at the old width while the session
+          // conf claims the new one.
+          val stateless =
+            !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(src, "state"))
           val snapWidth =
-            try graft.streaming.StateRescale.recordedWidth(src)
-            catch { case _: Exception => sessionWidth } // stateless snapshot: copy as-is
+            if (stateless) sessionWidth
+            else graft.streaming.StateRescale.recordedWidth(src)
           if (snapWidth == sessionWidth)
             copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(ckpt))
           else

@@ -609,4 +609,85 @@ class DagCoreSpec extends SparkSpec {
       DagExecutor.compile(spark, dag, inputs = Map("a" -> big),
         maxBroadcastItems = 1000))
   }
+
+  test("ordered edges reject watermarks explicitly on every routing policy") {
+    // a Watermark on an ordered edge must fail with the intended message —
+    // never a ClassCastException in keyFn/comparator (partitioned), a raw
+    // Watermark in the inbox (isolated), or an envelope fed to the user
+    // comparator (unicast)
+    val intCmp = Ordering.by[Any, Int](_.asInstanceOf[Int])
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    Seq[(Vertex, Vertex) => Edge](
+      (a, b) => Edge.between(a, b).partitioned(identity).ordered(intCmp),
+      (a, b) => Edge.between(a, b).isolated().ordered(intCmp),
+      (a, b) => Edge.between(a, b).ordered(intCmp)
+    ).foreach { mkEdge =>
+      val input: org.apache.spark.rdd.RDD[Any] =
+        sc.parallelize(Seq[Any](3, 1, Watermark(100L), 2), 1)
+      val dag = new DAG
+      val a = dag.newVertex("a", Processors.mapP((x: Any) => x)).localParallelism(1)
+      val b = dag.newVertex("b", Processors.mapP((x: Any) => x)).localParallelism(1)
+      dag.edge(mkEdge(a, b))
+      val ex = intercept[Exception](
+        DagExecutor.execute(spark, dag, inputs = Map("a" -> input)))
+      assert(messages(ex).exists(_.contains("ordered edge")),
+        s"expected the ordered-edge watermark error, got: ${messages(ex)}")
+    }
+  }
+
+  test("an ordered edge does not stall watermark coalescing into a mixed-input vertex") {
+    // sink hears a watermarked partitioned edge (ordinal 0) AND an ordered
+    // unicast edge (ordinal 1). Ordered edges drop watermarks by design, so
+    // they are excluded from the coalescer's sender count — counting them
+    // would make every window wait for a sender that can never report.
+    val data: org.apache.spark.rdd.RDD[Any] =
+      sc.parallelize(Seq(100L, 200L, 900L).map(_.asInstanceOf[Any]), 1)
+    val side: org.apache.spark.rdd.RDD[Any] =
+      sc.parallelize(Seq(5, 3, 1).map(_.asInstanceOf[Any]), 1)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[Long](ts => ts, lag = 0L, throttleFrame = 10L))
+      .localParallelism(1)
+    val sideV = dag.newVertex("side", Processors.mapP((i: Int) => i)).localParallelism(1)
+    val probe: () => Processor = () =>
+      new AbstractProcessor {
+        override protected def tryProcess(ordinal: Int, item: Any): Boolean = true
+        override def tryProcessWatermark(w: Watermark): Boolean = tryEmit(w.timestamp)
+      }
+    val sink = dag.newVertex("sink", probe).localParallelism(1)
+    dag
+      .edge(Edge.from(wm).to(sink, 0).partitioned(_ => "k").distributed())
+      .edge(Edge.from(sideV).to(sink, 1)
+        .ordered(Ordering.by[Any, Int](_.asInstanceOf[Int])))
+    val out = DagExecutor
+      .execute(spark, dag, inputs = Map("wm" -> data, "side" -> side))("sink")
+      .map(_.asInstanceOf[Long])
+    assert(out.nonEmpty,
+      "watermarks never reached the processor — the ordered edge stalled the coalescer")
+  }
+
+  test("session windows drop events below the watermark (no overlapping emissions)") {
+    // wm advances to 50 after ts=58; the late ts=25 (25 < 50 but 25+30 > 50)
+    // must DROP — accepting it would open [25,55) overlapping the already
+    // emitted [0,30), diverging from Spark's session_window and the reference
+    val events = Seq(0L, 58L, 25L).map(ts => (ts, "u").asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 10L))
+      .localParallelism(1)
+    val sess = dag.newVertex("session",
+      Processors.aggregateToSessionWindowP[String, Long, Long](
+        30L, _.asInstanceOf[(Long, String)]._1,
+        _.asInstanceOf[(Long, String)]._2, AggregateOp.counting,
+        (s, e, k, n) => (s, e, n)))
+    dag.edge(Edge.between(wm, sess)
+      .partitioned(_.asInstanceOf[(Long, String)]._2).distributed())
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))("session")
+      .map(_.asInstanceOf[(Long, Long, Long)]).sortBy(_._1)
+    assert(out == Seq((0L, 30L, 1L), (58L, 88L, 1L)),
+      s"late ts=25 must drop, not open an overlapping session: $out")
+  }
 }
