@@ -50,8 +50,25 @@ object Bench {
 
     // comma-separated name-prefix filter for local iteration (full run if unset)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
+    // Rung-scoping: q161's brute ANN serving broadcasts the WHOLE index and
+    // scans it per event — it is the exact-oracle BASELINE, kept at the
+    // sf0.1 rung where it is cheap. At bigger rungs it grows super-linearly
+    // (measured ~47× at 10× data, 24% of the whole sf1 suite in r12) and the
+    // serving headline is the sharded plan (q165, IvfShardedServe), so the
+    // brute form is excluded there and recorded in the artifact.
+    // Threshold: embeddings > 5000 vectors ⇔ above the sf0.1 gate data (2000).
+    val rungExcluded: Seq[String] = {
+      val embCount =
+        try Tables(spark, sfDir, "embeddings").count() catch { case _: Throwable => 0L }
+      if (embCount > 5000L && filter.isEmpty) {
+        System.err.println(
+          s"[bench] rung-excluding q161_stream_ann_serve (brute baseline) at " +
+            s"$embCount index vectors; serving headline at this rung is q165")
+        Seq("q161_stream_ann_serve")
+      } else Seq.empty
+    }
     val base = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      filter.forall(_.exists(n.startsWith))
+      filter.forall(_.exists(n.startsWith)) && !rungExcluded.contains(n)
     }
     // SPARK_GRAFT_BENCH_ORDER=reverse|seed:<n> reorders the run — the
     // neighborhood-effect probe: a per-query time that moves with its position
@@ -151,7 +168,11 @@ object Bench {
     // a filtered or reordered dev run must be distinguishable from a full run:
     // zero throughput under a filter is an artifact, not a regression
     val marker = filter.map(f => s""""filter":"${f.mkString(",")}",""").getOrElse("") +
-      order.map(o => s""""order":"$o",""").getOrElse("")
+      order.map(o => s""""order":"$o",""").getOrElse("") +
+      (if (rungExcluded.nonEmpty)
+        rungExcluded.map("\"" + _ + "\"")
+          .mkString("\"rung_excluded\":[", ",", "],")
+      else "")
     // 1-minute load average at end of run: cross-round artifact comparisons
     // need to know whether the box was contended (see jobs_tasks note above)
     val load = try java.lang.management.ManagementFactory

@@ -16,6 +16,17 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Hard cap on q161's corpus-sized broadcast index (vectors). The brute
+    * serving loop broadcasts the WHOLE index to every executor and scans it
+    * per event — exact, and the oracle shape, but O(corpus) memory × O(corpus)
+    * per-event work. Above this cap the query fails loudly and steers to the
+    * sharded plan (q165 / operators.IvfShardedServe: centroid-only broadcast,
+    * posting lists as a cell-keyed table, shuffle-hash stream-static join) —
+    * the 100 TB serving shape. 50k × 64 float dims ≈ 13 MB broadcast: well
+    * past the sf1 gate data (20k) and far below anything a real corpus needs.
+    */
+  val BruteServeMaxIndexVectors = 50000L
+
   /** Cosine from a dot product and a norm product, scoring 0.0 when either
     * norm is zero: a zero vector has no direction, and the NaN that a raw
     * division produces would kill the streaming task downstream —
@@ -377,11 +388,22 @@ object StreamingQueries {
     * O(index) per event — ScaleTrend-flagged SUPER-LINEAR on purpose (it
     * is the exact oracle); the production serving plan is [[q162_stream_ann_ivf_serve]],
     * which composes the IVF cells into this same service loop and is
-    * itself oracle-gated (sub-linear per-event work, BASELINE.md r10).
+    * itself oracle-gated (sub-linear per-event work, BASELINE.md r10), and
+    * the 100 TB shape is q165's SHARDED index (IvfShardedServe — centroid-only
+    * broadcast + posting-list shuffle join). The corpus-sized broadcast here
+    * is capped at [[StreamingQueries.BruteServeMaxIndexVectors]] and FAILS
+    * LOUDLY above it (the DagExecutor broadcast-edge pattern): at bench rungs
+    * above sf0.1 the serving headline is q165, not this brute baseline.
     */
   val q161_stream_ann_serve: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val idxCount = emb.count()
+    require(idxCount <= BruteServeMaxIndexVectors,
+      s"brute-force ANN serving index has $idxCount vectors " +
+        s"(cap $BruteServeMaxIndexVectors): a corpus-sized broadcast does not " +
+        "scale — use the sharded serving plan (q165_stream_ann_ivf_shard / " +
+        "operators.IvfShardedServe) for large indexes")
     val idx: Array[(Long, Array[Float])] = emb.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val bc = s.sparkContext.broadcast(idx)
