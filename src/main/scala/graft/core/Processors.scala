@@ -455,82 +455,201 @@ object Processors {
       keyFn: Any => K,
       op: AggregateOp[A, R],
       exportFn: (Long, Long, K, R) => Any): () => Processor = () =>
-    new AbstractProcessor {
+    new SessionSpanProcessor[K, A](op.createFn, op.combineFn) {
       require(sessionTimeout > 0, s"sessionTimeout must be positive: $sessionTimeout")
-      // per key: disjoint sessions ordered by start; start -> (end, acc).
-      // byEnd indexes live sessions by their end so a watermark flush touches
-      // only the CLOSING sessions, never scans all keys — with W watermarks
-      // and K keys the naive scan is O(W·K) (measured: the 100× ScaleTrend
-      // run spent its time there); this is O(events·log + closed).
-      private val sessions =
-        mutable.HashMap.empty[K, mutable.TreeMap[Long, (Long, A)]]
-      private val byEnd = mutable.TreeMap.empty[Long, mutable.HashSet[K]]
-      private var wm = Long.MinValue
-      private var emit: Traverser[Any] = _
-
-      private def indexAdd(end: Long, k: K): Unit = {
-        byEnd.getOrElseUpdate(end, mutable.HashSet.empty).add(k); ()
-      }
-      private def indexRemove(end: Long, k: K): Unit =
-        byEnd.get(end).foreach { s =>
-          s.remove(k)
-          if (s.isEmpty) byEnd.remove(end)
-        }
 
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
         val ts = tsFn(item)
         if (ts < wm)
           return true // late: below the watermark — a session ending <= wm may
                       // already have been emitted; accepting would overlap it
-        val k = keyFn(item)
-        val m = sessions.getOrElseUpdate(k, mutable.TreeMap.empty)
-        val (lo, hi) = (ts, ts + sessionTimeout)
-        // overlapping sessions: start < hi && end > lo (at most two)
-        val overlapping = m.rangeTo(hi).iterator
-          .filter { case (s, (e, _)) => s < hi && e > lo }.toVector
-        var start = lo
-        var end = hi
-        var acc = op.createFn()
-        overlapping.foreach { case (s, (e, a)) =>
-          m.remove(s)
-          indexRemove(e, k)
-          if (s < start) start = s
-          if (e > end) end = e
-          acc = op.combineFn(acc, a)
-        }
-        m.update(start, (end, op.accumulateFn(acc, item)))
-        indexAdd(end, k)
+        insertSpan(keyFn(item), ts, ts + sessionTimeout,
+          a => op.accumulateFn(a, item))
         true
       }
 
-      private def flush(upTo: Long): Boolean = {
-        if (emit == null) {
+      override protected def export(start: Long, end: Long, k: K, acc: A): Any =
+        exportFn(start, end, k, op.exportFn(acc))
+
+      override def tryProcessWatermark(watermark: Watermark): Boolean =
+        flushDue(watermark.timestamp)
+      override def complete(): Boolean = flushDue(Long.MaxValue)
+    }
+
+  /** Local session PRE-MERGE — the map-side combine for session windows
+    * (no Jet counterpart: SessionWindowP.java is single-stage, but nothing
+    * forbids a partial stage — session merge is associative via `combineFn`).
+    * Runs BEFORE the partitioned edge on the source's own partitioning:
+    * events accumulate into per-key session spans exactly as the full
+    * processor would, and on EVERY watermark ALL spans (open and closed)
+    * flush downstream as fragments `(start, end, key, acc)` and local state
+    * clears. Flushing everything is what keeps the watermark contract: the
+    * driver forwards a watermark only after the processor's outputs, so no
+    * fragment is ever held back past a forwarded watermark — downstream
+    * merges fragments with the same guarantees it had for raw events.
+    *
+    * Scale: the partitioned edge now carries ~(keys × active sessions per
+    * watermark interval) fragments instead of every event — the q174
+    * frame-partial trick applied to sessions (the 100× ScaleTrend fix for
+    * the q176 full-event shuffle).
+    */
+  def sessionPreMergeP[K, A](
+      sessionTimeout: Long,
+      tsFn: Any => Long,
+      keyFn: Any => K,
+      op: AggregateOp[A, _]): () => Processor = () =>
+    new SessionSpanProcessor[K, A](op.createFn, op.combineFn) {
+      require(sessionTimeout > 0, s"sessionTimeout must be positive: $sessionTimeout")
+      private var emitAll: Traverser[Any] = _
+
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val ts = tsFn(item)
+        if (ts < wm) return true // same late-drop contract as the full stage
+        insertSpan(keyFn(item), ts, ts + sessionTimeout,
+          a => op.accumulateFn(a, item))
+        true
+      }
+
+      override protected def export(start: Long, end: Long, k: K, acc: A): Any =
+        (start, end, k, acc)
+
+      private def flushAll(upTo: Long): Boolean = {
+        if (emitAll == null) {
           if (upTo > wm) wm = upTo
-          val closed = Vector.newBuilder[Any]
-          val dueEnds = byEnd.rangeTo(wm).keySet.toVector
-          dueEnds.foreach { e =>
-            byEnd.remove(e).foreach(_.foreach { k =>
-              sessions.get(k).foreach { m =>
-                m.find { case (_, (end, _)) => end == e }.foreach {
-                  case (s, (_, a)) =>
-                    m.remove(s)
-                    closed += exportFn(s, e, k, op.exportFn(a))
-                }
-                if (m.isEmpty) sessions.remove(k)
-              }
-            })
+          val frags = Vector.newBuilder[Any]
+          sessions.foreach { case (k, m) =>
+            m.foreach { case (s, (e, a)) => frags += ((s, e, k, a)) }
           }
-          emit = Traversers.traverseIterable(closed.result())
+          sessions.clear()
+          byEnd.clear()
+          emitAll = Traversers.traverseIterable(frags.result())
         }
-        val done = emitFromTraverser(emit)
-        if (done) emit = null
+        val done = emitFromTraverser(emitAll)
+        if (done) emitAll = null
         done
       }
 
       override def tryProcessWatermark(watermark: Watermark): Boolean =
-        flush(watermark.timestamp)
-      override def complete(): Boolean = flush(Long.MaxValue)
+        flushAll(watermark.timestamp)
+      override def complete(): Boolean = flushAll(Long.MaxValue)
     }
+
+  /** Downstream half of the two-stage session topology: merges
+    * [[sessionPreMergeP]] fragments `(start, end, key, acc)` by strict span
+    * overlap with `combineFn`, emitting closed sessions as the coalesced
+    * watermark passes their end — identical session semantics to
+    * [[aggregateToSessionWindowP]] (growth, strict boundary, bridge-merge,
+    * late drop), proven by sharing its span machinery and its oracle (q176).
+    */
+  def combineSessionFragmentsP[K, A, R](
+      op: AggregateOp[A, R],
+      exportFn: (Long, Long, K, R) => Any): () => Processor = () =>
+    new SessionSpanProcessor[K, A](op.createFn, op.combineFn) {
+      override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
+        val (lo, hi, k, acc) = item.asInstanceOf[(Long, Long, K, A)]
+        if (lo < wm) return true // unreachable under the pre-merge contract
+                                 // (fragments precede their sender's wm);
+                                 // kept as the same late-drop rule
+        insertSpan(k, lo, hi, a => op.combineFn(a, acc))
+        true
+      }
+
+      override protected def export(start: Long, end: Long, k: K, acc: A): Any =
+        exportFn(start, end, k, op.exportFn(acc))
+
+      override def tryProcessWatermark(watermark: Watermark): Boolean =
+        flushDue(watermark.timestamp)
+      override def complete(): Boolean = flushDue(Long.MaxValue)
+    }
+
+  /** Shared span-merge machinery of the session family: per key, disjoint
+    * spans ordered by start (`start -> (end, acc)`); `byEnd` indexes live
+    * spans by end so a watermark flush touches only the CLOSING spans, never
+    * scans all keys — with W watermarks and K keys the naive scan is O(W·K)
+    * (measured: the 100× ScaleTrend run spent its time there); this is
+    * O(inserts·log + closed). A span claims `[lo, hi)` and merges every
+    * STRICTLY overlapping span (s < hi && e > lo) — an insert starting
+    * exactly at a span's end opens a NEW span, matching Spark's
+    * `session_window` and the reference.
+    */
+  private abstract class SessionSpanProcessor[K, A](
+      create: () => A,
+      combine: (A, A) => A)
+      extends AbstractProcessor {
+    protected val sessions =
+      mutable.HashMap.empty[K, mutable.TreeMap[Long, (Long, A)]]
+    protected val byEnd = mutable.TreeMap.empty[Long, mutable.HashSet[K]]
+    protected var wm = Long.MinValue
+    private var emit: Traverser[Any] = _
+
+    /** The item a closed span becomes when flushed. */
+    protected def export(start: Long, end: Long, k: K, acc: A): Any
+
+    private def indexAdd(end: Long, k: K): Unit = {
+      byEnd.getOrElseUpdate(end, mutable.HashSet.empty).add(k); ()
+    }
+    private def indexRemove(end: Long, k: K): Unit =
+      byEnd.get(end).foreach { s =>
+        s.remove(k)
+        if (s.isEmpty) byEnd.remove(end)
+      }
+
+    protected final def insertSpan(
+        k: K, lo: Long, hi: Long, contribute: A => A): Unit = {
+      val m = sessions.getOrElseUpdate(k, mutable.TreeMap.empty)
+      // overlapping spans: start < hi && end > lo. Spans are DISJOINT, so
+      // the overlap set is the predecessor span (greatest start <= lo, iff
+      // its end reaches past lo) plus every span starting inside (lo, hi) —
+      // O(log n + overlaps), never a scan of all spans with start < hi
+      // (under watermark skew a key legitimately holds MANY pending spans;
+      // the full rangeTo scan made inserts O(spans) each — measured as the
+      // whole q176 100× wall, 4370 task-seconds in this iterator).
+      val overlapping =
+        m.rangeTo(lo).lastOption.filter { case (s, (e, _)) => s < hi && e > lo }
+          .toVector ++
+        m.range(lo + 1, hi).toVector
+      var start = lo
+      var end = hi
+      var acc = create()
+      overlapping.foreach { case (s, (e, a)) =>
+        m.remove(s)
+        indexRemove(e, k)
+        if (s < start) start = s
+        if (e > end) end = e
+        acc = combine(acc, a)
+      }
+      m.update(start, (end, contribute(acc)))
+      indexAdd(end, k)
+    }
+
+    /** Flush spans whose end the watermark passed (suspendable). */
+    protected final def flushDue(upTo: Long): Boolean = {
+      if (emit == null) {
+        if (upTo > wm) wm = upTo
+        val closed = Vector.newBuilder[Any]
+        val dueEnds = byEnd.rangeTo(wm).keySet.toVector
+        dueEnds.foreach { e =>
+          byEnd.remove(e).foreach(_.foreach { k =>
+            sessions.get(k).foreach { m =>
+              // spans are disjoint with end > start, so the span ending at e
+              // is the one with the greatest start below e — O(log n), not a
+              // linear scan (the scan was quadratic under watermark skew)
+              m.rangeUntil(e).lastOption.filter { case (_, (end, _)) => end == e }
+                .foreach { case (s, (_, a)) =>
+                  m.remove(s)
+                  closed += export(s, e, k, a)
+                }
+              if (m.isEmpty) sessions.remove(k)
+            }
+          })
+        }
+        emit = Traversers.traverseIterable(closed.result())
+      }
+      val done = emitFromTraverser(emit)
+      if (done) emit = null
+      done
+    }
+  }
 
   /** Shared hash-grouping core of the *ByKeyP family (the reference's
     * GroupP, core/processor/.../GroupP.java): accumulate into a hash map,

@@ -668,6 +668,59 @@ class DagCoreSpec extends SparkSpec {
       "watermarks never reached the processor — the ordered edge stalled the coalescer")
   }
 
+  test("two-stage sessions (preMerge + combineFragments) match the single-stage processor") {
+    val T = 30L
+    // multi-partition input: a key's events spread across partitions, so
+    // fragments from different partitions MUST merge downstream; scenarios
+    // cover growth, strict boundary, bridge-merge, and cross-key isolation
+    def run(events: Seq[(Long, String)], twoStage: Boolean): Seq[(Long, Long, String, Long)] = {
+      val input = sc.parallelize(events.map(_.asInstanceOf[Any]), 3)
+      val dag = new DAG
+      val wm = dag.newVertex("wm",
+        Processors.insertWatermarksP[(Long, String)](_._1, lag = 1000L, throttleFrame = 10L))
+        .localParallelism(3)
+      val out =
+        if (twoStage) {
+          val pre = dag.newVertex("premerge",
+            Processors.sessionPreMergeP[String, Long](
+              T, _.asInstanceOf[(Long, String)]._1,
+              _.asInstanceOf[(Long, String)]._2, AggregateOp.counting))
+            .localParallelism(3)
+          val sess = dag.newVertex("session",
+            Processors.combineSessionFragmentsP[String, Long, Long](
+              AggregateOp.counting, (s, e, k, n) => (s, e, k, n)))
+          dag
+            .edge(Edge.between(wm, pre))
+            .edge(Edge.between(pre, sess)
+              .partitioned(_.asInstanceOf[(Long, Long, String, Long)]._3)
+              .distributed())
+          "session"
+        } else {
+          val sess = dag.newVertex("session",
+            Processors.aggregateToSessionWindowP[String, Long, Long](
+              T, _.asInstanceOf[(Long, String)]._1,
+              _.asInstanceOf[(Long, String)]._2, AggregateOp.counting,
+              (s, e, k, n) => (s, e, k, n)))
+          dag.edge(Edge.between(wm, sess)
+            .partitioned(_.asInstanceOf[(Long, String)]._2).distributed())
+          "session"
+        }
+      DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))(out)
+        .map(_.asInstanceOf[(Long, Long, String, Long)]).sortBy(t => (t._3, t._1))
+    }
+    val scenarios = Seq(
+      Seq[(Long, String)]((0L, "a"), (10L, "a"), (25L, "a")), // growth
+      Seq[(Long, String)]((0L, "a"), (30L, "a")), // strict boundary split
+      Seq[(Long, String)]((0L, "a"), (50L, "a"), (25L, "a")), // bridge-merge
+      Seq[(Long, String)]( // two keys interleaved across partitions
+        (0L, "a"), (5L, "b"), (12L, "a"), (40L, "b"), (100L, "a"), (110L, "b")),
+      (0L until 60L by 7L).map(ts => (ts, if (ts % 2 == 0) "x" else "y")))
+    scenarios.foreach { ev =>
+      assert(run(ev, twoStage = true) == run(ev, twoStage = false),
+        s"two-stage and single-stage sessions diverge on $ev")
+    }
+  }
+
   test("session windows drop events below the watermark (no overlapping emissions)") {
     // wm advances to 50 after ts=58; the late ts=25 (25 < 50 but 25+30 > 50)
     // must DROP — accepting it would open [25,55) overlapping the already
