@@ -85,6 +85,195 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(KafkaRecordBatch.decodeAll(truncated).map(t => new String(t._3)) == Seq("1"))
   }
 
+  // ---------------------------------------- flexible (KIP-482) encodings
+
+  private def uvarint(v: Int): Seq[Int] = {
+    val o = new ByteArrayOutputStream()
+    KafkaWire.writeUVarint(o, v)
+    o.toByteArray.map(_ & 0xff).toSeq
+  }
+
+  test("unsigned varints match the published encoding vectors (not zigzag)") {
+    assert(uvarint(0) == Seq(0x00))
+    assert(uvarint(1) == Seq(0x01))
+    assert(uvarint(127) == Seq(0x7f))
+    assert(uvarint(128) == Seq(0x80, 0x01))
+    assert(uvarint(300) == Seq(0xac, 0x02))
+    assert(uvarint(16384) == Seq(0x80, 0x80, 0x01))
+    for (v <- Seq(0, 1, 127, 128, 300, 16383, 16384, 1 << 21, Int.MaxValue)) {
+      val o = new ByteArrayOutputStream()
+      KafkaWire.writeUVarint(o, v)
+      assert(KafkaWire.readUVarint(ByteBuffer.wrap(o.toByteArray)) == v, s"roundtrip $v")
+    }
+  }
+
+  test("compact strings/bytes/arrays encode length+1 with 0 as null") {
+    val o = new ByteArrayOutputStream()
+    KafkaWire.writeCompactString(o, "t")
+    assert(o.toByteArray.map(_ & 0xff).toSeq == Seq(0x02, 't'.toInt),
+      "COMPACT_STRING: varint(len+1) then bytes")
+    val n = new ByteArrayOutputStream()
+    KafkaWire.writeCompactNullableString(n, null)
+    assert(n.toByteArray.toSeq == Seq[Byte](0x00), "null encodes as 0")
+    val e = new ByteArrayOutputStream()
+    KafkaWire.writeCompactString(e, "")
+    assert(e.toByteArray.toSeq == Seq[Byte](0x01), "empty string is len+1 = 1")
+    val b = new ByteArrayOutputStream()
+    KafkaWire.writeCompactBytes(b, Array[Byte](9, 8))
+    assert(b.toByteArray.toSeq == Seq[Byte](0x03, 9, 8))
+    assert(KafkaWire.readCompactBytes(ByteBuffer.wrap(Array[Byte](0x00))) == null)
+    val a = new ByteArrayOutputStream()
+    KafkaWire.writeCompactArrayLen(a, 1)
+    assert(a.toByteArray.toSeq == Seq[Byte](0x02), "COMPACT_ARRAY count+1")
+    assert(KafkaWire.readCompactString(
+      ByteBuffer.wrap(Array[Byte](0x06, 't', 'o', 'p', 'i', 'c'))) == "topic")
+  }
+
+  test("tagged-field sections: empty on write, skipped with payloads on read") {
+    val o = new ByteArrayOutputStream()
+    KafkaWire.writeEmptyTags(o)
+    assert(o.toByteArray.toSeq == Seq[Byte](0x00), "no tags = single 0x00")
+    // two tagged fields (tag 0 size 2, tag 5 size 1) then a sentinel short
+    val buf = ByteBuffer.wrap(Array[Byte](
+      0x02, 0x00, 0x02, 0x11, 0x22, 0x05, 0x01, 0x33, 0x7a, 0x7b))
+    KafkaWire.skipTags(buf)
+    assert(buf.getShort == 0x7a7b, "reader resumes exactly after the tag section")
+  }
+
+  test("request header v2 = v1 + tagged fields; client id stays legacy string") {
+    val v1 = KafkaWire.requestHeader(3, 4, 42, "graft", flexible = false)
+    val v2 = KafkaWire.requestHeader(3, 9, 42, "graft", flexible = true)
+    val b1 = ByteBuffer.wrap(v1)
+    assert(b1.getShort == 3 && b1.getShort == 4 && b1.getInt == 42)
+    assert(b1.getShort == 5, "legacy nullable-string length for client id")
+    assert(v2.length == v1.length + 1 && v2.last == 0x00,
+      "header v2 appends only the empty tag section (KIP-482)")
+    val b2 = ByteBuffer.wrap(v2)
+    assert(b2.getShort == 3 && b2.getShort == 9)
+  }
+
+  test("Metadata v9 request body pins the compact layout byte-by-byte") {
+    val body = KafkaWire.metadataV9Request("t")
+    assert(body.map(_ & 0xff).toSeq == Seq(
+      0x02,       // compact topics array: count 1 (+1)
+      0x02, 't'.toInt, // compact topic name "t"
+      0x00,       // per-topic tagged fields
+      0x01,       // allow_auto_topic_creation = true
+      0x00,       // include_cluster_authorized_operations
+      0x00,       // include_topic_authorized_operations
+      0x00))      // tagged fields
+  }
+
+  test("Produce v9 request body pins the compact layout around the batch") {
+    val batch = Array[Byte](1, 2, 3)
+    val body = KafkaWire.produceV9Request("t", 7, batch)
+    val b = body.map(_ & 0xff).toSeq
+    assert(b == Seq(
+      0x00,                   // transactional_id = null (compact)
+      0xff, 0xff,             // acks = -1
+      0x00, 0x00, 0x75, 0x30, // timeout 30000
+      0x02,                   // topics: 1
+      0x02, 't'.toInt,        // name
+      0x02,                   // partitions: 1
+      0x00, 0x00, 0x00, 0x07, // index 7
+      0x04, 1, 2, 3,          // compact records: len 3 (+1) then batch
+      0x00, 0x00, 0x00))      // partition, topic, request tag sections
+  }
+
+  test("Fetch v12 request body: sessionless compact layout") {
+    val body = KafkaWire.fetchV12Request("t", 0, 5L, 500)
+    val b = ByteBuffer.wrap(body)
+    assert(b.getInt == -1, "replica_id")
+    assert(b.getInt == 500, "max_wait")
+    assert(b.getInt == 1, "min_bytes")
+    assert(b.getInt == (16 << 20), "max_bytes")
+    assert(b.get() == 1, "isolation_level read_committed")
+    assert(b.getInt == 0, "session_id 0")
+    assert(b.getInt == -1, "session_epoch -1 disables fetch sessions")
+    assert(KafkaWire.readCompactArrayLen(b) == 1, "one topic")
+    assert(KafkaWire.readCompactString(b) == "t")
+    assert(KafkaWire.readCompactArrayLen(b) == 1, "one partition")
+    assert(b.getInt == 0, "partition")
+    assert(b.getInt == -1, "current_leader_epoch")
+    assert(b.getLong == 5L, "fetch_offset")
+    assert(b.getInt == -1, "last_fetched_epoch")
+    assert(b.getLong == -1L, "log_start_offset")
+    assert(b.getInt == (8 << 20), "partition_max_bytes")
+    KafkaWire.skipTags(b); KafkaWire.skipTags(b)
+    assert(KafkaWire.readCompactArrayLen(b) == 0, "no forgotten topics")
+    assert(KafkaWire.readCompactString(b) == "", "rack_id")
+    KafkaWire.skipTags(b)
+    assert(!b.hasRemaining, "no trailing bytes")
+  }
+
+  test("flexible response parsers round-trip hand-encoded broker responses") {
+    // ApiVersions v3 (after the error short): compact api_keys + throttle + tags
+    val av = new ByteArrayOutputStream()
+    val avd = new java.io.DataOutputStream(av)
+    KafkaWire.writeCompactArrayLen(av, 2)
+    avd.writeShort(0); avd.writeShort(0); avd.writeShort(9); KafkaWire.writeEmptyTags(av)
+    avd.writeShort(1); avd.writeShort(0); avd.writeShort(13); KafkaWire.writeEmptyTags(av)
+    avd.writeInt(0); KafkaWire.writeEmptyTags(av)
+    assert(KafkaWire.parseApiVersionsV3(ByteBuffer.wrap(av.toByteArray)) ==
+      Map(0 -> (0, 9), 1 -> (0, 13)))
+
+    // Metadata v9: one broker, one topic, one healthy partition led by it
+    val md = new ByteArrayOutputStream()
+    val mdd = new java.io.DataOutputStream(md)
+    mdd.writeInt(0) // throttle
+    KafkaWire.writeCompactArrayLen(md, 1) // brokers
+    mdd.writeInt(5); KafkaWire.writeCompactString(md, "h1"); mdd.writeInt(9092)
+    KafkaWire.writeCompactNullableString(md, null); KafkaWire.writeEmptyTags(md)
+    KafkaWire.writeCompactNullableString(md, "cid")
+    mdd.writeInt(5) // controller
+    KafkaWire.writeCompactArrayLen(md, 1) // topics
+    mdd.writeShort(0); KafkaWire.writeCompactString(md, "t"); md.write(0)
+    KafkaWire.writeCompactArrayLen(md, 1) // partitions
+    mdd.writeShort(0); mdd.writeInt(0); mdd.writeInt(5); mdd.writeInt(3)
+    KafkaWire.writeCompactArrayLen(md, 1); mdd.writeInt(5) // replicas
+    KafkaWire.writeCompactArrayLen(md, 1); mdd.writeInt(5) // isr
+    KafkaWire.writeCompactArrayLen(md, 0) // offline
+    KafkaWire.writeEmptyTags(md)
+    mdd.writeInt(0); KafkaWire.writeEmptyTags(md) // topic_authorized_ops + tags
+    mdd.writeInt(0); KafkaWire.writeEmptyTags(md) // cluster_authorized_ops + tags
+    assert(KafkaWire.parseMetadataV9(ByteBuffer.wrap(md.toByteArray)) ==
+      (0, Seq((0, "h1", 9092))))
+
+    // Produce v9: one topic/partition, base offset 41
+    val pr = new ByteArrayOutputStream()
+    val prd = new java.io.DataOutputStream(pr)
+    KafkaWire.writeCompactArrayLen(pr, 1)
+    KafkaWire.writeCompactString(pr, "t")
+    KafkaWire.writeCompactArrayLen(pr, 1)
+    prd.writeInt(0); prd.writeShort(0); prd.writeLong(41L)
+    prd.writeLong(-1L); prd.writeLong(0L)
+    KafkaWire.writeCompactArrayLen(pr, 0) // record_errors
+    KafkaWire.writeCompactNullableString(pr, null)
+    KafkaWire.writeEmptyTags(pr); KafkaWire.writeEmptyTags(pr)
+    prd.writeInt(0); KafkaWire.writeEmptyTags(pr)
+    assert(KafkaWire.parseProduceV9(ByteBuffer.wrap(pr.toByteArray)) == (0, 41L))
+
+    // Fetch v12: one topic/partition, a record set with one batch
+    val recordSet = KafkaRecordBatch.encode(Seq(("k".getBytes, "v".getBytes)), 1L)
+    val fr = new ByteArrayOutputStream()
+    val frd = new java.io.DataOutputStream(fr)
+    frd.writeInt(0) // throttle
+    frd.writeShort(0) // top-level error
+    frd.writeInt(123) // session_id
+    KafkaWire.writeCompactArrayLen(fr, 1)
+    KafkaWire.writeCompactString(fr, "t")
+    KafkaWire.writeCompactArrayLen(fr, 1)
+    frd.writeInt(0); frd.writeShort(0); frd.writeLong(10L)
+    frd.writeLong(10L); frd.writeLong(0L)
+    KafkaWire.writeCompactArrayLen(fr, 0) // aborted
+    frd.writeInt(-1) // preferred_read_replica
+    KafkaWire.writeCompactBytes(fr, recordSet)
+    KafkaWire.writeEmptyTags(fr); KafkaWire.writeEmptyTags(fr); KafkaWire.writeEmptyTags(fr)
+    val (err, hw, rs) = KafkaWire.parseFetchV12(ByteBuffer.wrap(fr.toByteArray))
+    assert(err == 0 && hw == 10L)
+    assert(KafkaRecordBatch.decodeAll(rs).map(t => new String(t._3)) == Seq("v"))
+  }
+
   test("control batches (txn markers) are filtered from decoded records") {
     val batch = KafkaRecordBatch.encode(Seq(("c".getBytes, "marker".getBytes)), 1L)
     // set the control bit (0x20) in attributes and recompute the CRC
