@@ -108,6 +108,15 @@ final class GraftSql(spark: SparkSession) {
                 graft.pipeline.ProtoFormat.readFiles(spark, path, jsonSchema(cols)),
                 cols, byName = true)
             case "text" | "lines" => reader.text(path)
+            // the reference's remaining format cells (SqlConnector.java:
+            // 113-142): `portable` and `java` are Hazelcast-proprietary wire
+            // formats whose layout has no public-spec meaning outside a
+            // Hazelcast cluster — a documented decision, not a silent gap
+            case "portable" | "java" | "compact" =>
+              throw new IllegalArgumentException(
+                s"mapping $name: TYPE $fmt is a Hazelcast-proprietary wire " +
+                  "format with no public specification; supported formats: " +
+                  "imap, csv, json, parquet, avro, text, protobuf")
             case other => applyColumns(reader.format(other).load(path), cols, byName = true)
           }
       }

@@ -19,6 +19,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(!sql.execute("SHOW MAPPINGS").collect().map(_.getString(0)).contains("li_map"))
   }
 
+  test("proprietary value formats fail with the supported-format list") {
+    // the reference's portable/compact/java formats are Hazelcast-internal
+    // wire layouts with no public spec — a documented decision, not a gap
+    for (fmt <- Seq("portable", "java", "compact")) {
+      val e = intercept[IllegalArgumentException](sql.execute(
+        s"CREATE MAPPING p_$fmt EXTERNAL NAME '$sf/orders.parquet' TYPE $fmt"))
+      assert(e.getMessage.contains("proprietary") &&
+        e.getMessage.contains("protobuf"),
+        s"TYPE $fmt must name the supported formats: ${e.getMessage}")
+    }
+  }
+
   test("CREATE MAPPING with OPTIONS path") {
     sql.execute(s"CREATE OR REPLACE MAPPING ord TYPE parquet OPTIONS ('path' = '$sf/orders.parquet')")
     val n = sql.execute("SELECT count(*) AS n FROM ord").collect().head.getLong(0)
