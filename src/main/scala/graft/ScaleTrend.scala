@@ -84,7 +84,14 @@ object ScaleTrend {
     // distributed edge answer-sized ((keys × frames) rows cross the
     // shuffle, never events), so growth should track the scan, and the
     // session form adds the per-key session merge on top
-    "q174_dag_event_time", "q176_dag_session")
+    "q174_dag_event_time", "q176_dag_session",
+    // round-13: the r12 wire/format gates' growth curves — q166/q169 replay
+    // the events fixture through the shaped kafka/kinesis protocol sources
+    // (post-reader-fix: expected ~linear in produce+consume volume), q175
+    // round-trips orders through the protobuf wire codec (row-local encode/
+    // decode: expected ~linear in rows)
+    "q166_stream_kafka_windowed", "q169_stream_kinesis_reshard",
+    "q175_proto_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -88,6 +88,15 @@ final class InMemoryTxnBroker {
   }
 
   private val committed = scala.collection.mutable.ArrayBuffer.empty[Txn]
+  // Materialized read_committed logs, appended at COMMIT time: the log is
+  // append-only, so keeping it materialized makes poll/endOffset O(request)
+  // instead of rebuilding the whole log per call — per-call rebuilds made the
+  // q166 twin super-linear at 100x data (each micro-batch re-scanned every
+  // committed record, O(records x batches) overall).
+  private val topicLogs =
+    scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+  private val partLogs =
+    scala.collection.mutable.HashMap.empty[(String, Int), scala.collection.mutable.ArrayBuffer[String]]
   private val open = scala.collection.mutable.HashMap.empty[String, Txn]
   private val epochs = scala.collection.mutable.HashMap.empty[String, Long]
   private val sinkParts = scala.collection.mutable.HashMap.empty[String, Int]
@@ -106,10 +115,11 @@ final class InMemoryTxnBroker {
     }
   }
 
-  /** read_committed view of a topic (all partitions, commit order). */
+  /** read_committed view of a topic (all partitions, commit order) — a
+    * stable snapshot copy (consumers index into it; the live log grows).
+    */
   def visible(topic: String): Seq[String] = synchronized {
-    committed.flatMap(_.records.collect { case Rec(`topic`, _, v) => v })
-      .toIndexedSeq // consumers index into this — List access is O(n) per record
+    topicLogs.get(topic).map(_.toIndexedSeq).getOrElse(Vector.empty)
   }
 
   // ---- partitioned-topic surface (the multi-partition StreamKafkaP
@@ -137,23 +147,26 @@ final class InMemoryTxnBroker {
     topicParts.getOrElse(topic, 1)
   }
 
-  /** read_committed view of ONE partition, in offset order. */
+  /** read_committed view of ONE partition, in offset order — a stable
+    * snapshot copy.
+    */
   def visiblePartition(topic: String, partition: Int): Seq[String] = synchronized {
-    committed.flatMap(_.records.collect {
-      case Rec(`topic`, `partition`, v) => v
-    }).toIndexedSeq // consumers index into this
+    partLogs.get((topic, partition)).map(_.toIndexedSeq).getOrElse(Vector.empty)
   }
 
   /** Exclusive end offset of one partition's read_committed log. */
-  def endOffset(topic: String, partition: Int): Long =
-    synchronized(visiblePartition(topic, partition).size.toLong)
+  def endOffset(topic: String, partition: Int): Long = synchronized {
+    partLogs.get((topic, partition)).map(_.size.toLong).getOrElse(0L)
+  }
 
-  /** Read [from, until) of one partition's read_committed log. */
+  /** Read [from, until) of one partition's read_committed log — copies only
+    * the requested range.
+    */
   def poll(topic: String, partition: Int, from: Long, until: Long): Seq[String] =
     synchronized {
-      val log = visiblePartition(topic, partition)
+      val log = partLogs.getOrElse((topic, partition), scala.collection.mutable.ArrayBuffer.empty[String])
       log.slice(math.min(from, log.size.toLong).toInt,
-        math.min(until, log.size.toLong).toInt)
+        math.min(until, log.size.toLong).toInt).toIndexedSeq
     }
 
   // ---- consumer side (KafkaShapedSource): offset-addressed read_committed
@@ -164,15 +177,17 @@ final class InMemoryTxnBroker {
   // append).
 
   /** Exclusive end offset of the read_committed log of `topic`. */
-  def endOffset(topic: String): Long = synchronized(visible(topic).size.toLong)
+  def endOffset(topic: String): Long = synchronized {
+    topicLogs.get(topic).map(_.size.toLong).getOrElse(0L)
+  }
 
   /** Read [from, until) of the read_committed log. Stable under replay:
     * committed records never move or disappear.
     */
   def poll(topic: String, from: Long, until: Long): Seq[String] = synchronized {
-    val log = visible(topic)
+    val log = topicLogs.getOrElse(topic, scala.collection.mutable.ArrayBuffer.empty[String])
     log.slice(math.min(from, log.size.toLong).toInt,
-      math.min(until, log.size.toLong).toInt)
+      math.min(until, log.size.toLong).toInt).toIndexedSeq
   }
 
   /** Committed progress marker for a transactional id (-1 = none). */
@@ -223,6 +238,12 @@ final class InMemoryTxnBroker {
       val t = openTxn()
       open.remove(transactionalId)
       committed += t
+      t.records.foreach { case Rec(topic, partition, v) =>
+        topicLogs.getOrElseUpdate(topic,
+          scala.collection.mutable.ArrayBuffer.empty[String]) += v
+        partLogs.getOrElseUpdate((topic, partition),
+          scala.collection.mutable.ArrayBuffer.empty[String]) += v
+      }
       ()
     }
     def abortTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
