@@ -11,9 +11,10 @@ import java.util.zip.CRC32C
   * HTTP/2 spec: size-prefixed big-endian frames, and BOTH encoding families —
   * the non-flexible (pre-KIP-482) versions with request header v1
   * (ApiVersions v0, Metadata v4 with auto-topic-create, Produce v3, Fetch v4
-  * read_committed capable) and the flexible (compact) versions with request
-  * header v2, compact strings/arrays (unsigned-varint length+1) and tagged
-  * fields (ApiVersions v3, Metadata v9, Produce v9, Fetch v12). The client
+  * read_committed capable, ListOffsets v2) and the flexible (compact)
+  * versions with request header v2, compact strings/arrays (unsigned-varint
+  * length+1) and tagged fields (ApiVersions v3, Metadata v9, Produce v9,
+  * Fetch v12, ListOffsets v6). The client
   * NEGOTIATES per broker: ApiVersions v3 first (per KIP-511 a broker that
   * doesn't speak it answers v0-encoded with UNSUPPORTED_VERSION, which
   * triggers the v0 retry), then each API picks its flexible version when the
@@ -188,6 +189,29 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
       if (v12) parseFetchV12(buf) else parseFetchV4(buf)
     require(err == 0, s"fetch error code $err")
     (KafkaRecordBatch.decodeAll(recordSet), highWatermark)
+  }
+
+  /** ListOffsets for one partition — v6 (flexible) when supported, else v2;
+    * `timestamp` -1 = latest (the log-end offset a new consumer seeks to),
+    * -2 = earliest (the log-start offset after retention), or a real epoch
+    * millisecond for time-indexed lookup. read_committed isolation, matching
+    * fetch.
+    */
+  def listOffset(topic: String, partition: Int, timestamp: Long = -1L): Long = {
+    val pm = topicMetadata(topic).find(_.partition == partition)
+      .getOrElse(throw new IllegalArgumentException(s"$topic has no partition $partition"))
+    val v6 = maxVersion(2) >= 6
+    val buf =
+      if (v6) exchange(conn(pm.leaderHost, pm.leaderPort), 2, 6,
+        listOffsetsV6Request(topic, partition, timestamp),
+        flexible = true, flexibleResponseHeader = true)
+      else exchange(conn(pm.leaderHost, pm.leaderPort), 2, 2,
+        listOffsetsV2Request(topic, partition, timestamp),
+        flexible = false, flexibleResponseHeader = false)
+    val (err, offset) =
+      if (v6) parseListOffsetsV6(buf) else parseListOffsetsV2(buf)
+    require(err == 0, s"listOffsets error code $err")
+    offset
   }
 }
 
@@ -544,6 +568,76 @@ object KafkaWire {
     buf.getInt // throttle
     skipTags(buf)
     (err, baseOffset)
+  }
+
+  // ------------------------------------------------------------ ListOffsets
+  private[pipeline] def listOffsetsV2Request(topic: String, partition: Int,
+                                             timestamp: Long): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    o.writeInt(-1) // replica_id
+    o.writeByte(1) // isolation_level = read_committed
+    o.writeInt(1) // one topic
+    writeString(o, topic)
+    o.writeInt(1) // one partition
+    o.writeInt(partition)
+    o.writeLong(timestamp)
+    body.toByteArray
+  }
+  /** v6 body: replica_id, isolation_level, compact topics [compact name,
+    * compact partitions [partition, current_leader_epoch, timestamp, TAGS],
+    * TAGS], TAGS.
+    */
+  private[pipeline] def listOffsetsV6Request(topic: String, partition: Int,
+                                             timestamp: Long): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val d = new DataOutputStream(o)
+    d.writeInt(-1) // replica_id
+    d.writeByte(1) // isolation_level = read_committed
+    writeCompactArrayLen(o, 1)
+    writeCompactString(o, topic)
+    writeCompactArrayLen(o, 1)
+    d.writeInt(partition)
+    d.writeInt(-1) // current_leader_epoch
+    d.writeLong(timestamp)
+    writeEmptyTags(o) // per-partition
+    writeEmptyTags(o) // per-topic
+    writeEmptyTags(o)
+    o.toByteArray
+  }
+  /** → (errorCode, offset). */
+  private[pipeline] def parseListOffsetsV2(buf: ByteBuffer): (Int, Long) = {
+    buf.getInt // throttle
+    val topicCount = buf.getInt
+    require(topicCount == 1, s"listOffsets: unexpected topic count $topicCount")
+    readString(buf)
+    val pCount = buf.getInt
+    require(pCount == 1)
+    buf.getInt // partition
+    val err = buf.getShort.toInt
+    buf.getLong // timestamp
+    val offset = buf.getLong
+    (err, offset)
+  }
+  /** v6: throttle, compact topics [compact name, compact partitions
+    * [partition, err, timestamp, offset, leader_epoch, TAGS], TAGS], TAGS.
+    */
+  private[pipeline] def parseListOffsetsV6(buf: ByteBuffer): (Int, Long) = {
+    buf.getInt // throttle
+    val topicCount = readCompactArrayLen(buf)
+    require(topicCount == 1, s"listOffsets: unexpected topic count $topicCount")
+    readCompactString(buf)
+    val pCount = readCompactArrayLen(buf)
+    require(pCount == 1)
+    buf.getInt // partition
+    val err = buf.getShort.toInt
+    buf.getLong // timestamp
+    val offset = buf.getLong
+    buf.getInt // leader_epoch
+    skipTags(buf) // per-partition
+    skipTags(buf) // per-topic
+    skipTags(buf)
+    (err, offset)
   }
 
   // ------------------------------------------------------------------ Fetch

@@ -206,6 +206,46 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(!b.hasRemaining, "no trailing bytes")
   }
 
+  test("ListOffsets v2/v6 request bodies + response parsers") {
+    // v2 (non-flexible): replica_id, isolation, topics [name, partitions
+    // [partition, timestamp]]
+    val v2 = ByteBuffer.wrap(KafkaWire.listOffsetsV2Request("t", 3, -1L))
+    assert(v2.getInt == -1 && v2.get() == 1)
+    assert(v2.getInt == 1 && KafkaWire.readString(v2) == "t")
+    assert(v2.getInt == 1 && v2.getInt == 3 && v2.getLong == -1L)
+    assert(!v2.hasRemaining)
+    // v6 (flexible): + current_leader_epoch, compact layout, tag sections
+    val v6 = ByteBuffer.wrap(KafkaWire.listOffsetsV6Request("t", 3, -2L))
+    assert(v6.getInt == -1 && v6.get() == 1)
+    assert(KafkaWire.readCompactArrayLen(v6) == 1)
+    assert(KafkaWire.readCompactString(v6) == "t")
+    assert(KafkaWire.readCompactArrayLen(v6) == 1)
+    assert(v6.getInt == 3 && v6.getInt == -1 && v6.getLong == -2L)
+    KafkaWire.skipTags(v6); KafkaWire.skipTags(v6); KafkaWire.skipTags(v6)
+    assert(!v6.hasRemaining)
+
+    // v2 response: throttle, topics [name, partitions [partition, err,
+    // timestamp, offset]]
+    val r2 = new ByteArrayOutputStream()
+    val r2d = new java.io.DataOutputStream(r2)
+    r2d.writeInt(0); r2d.writeInt(1)
+    KafkaWire.writeString(r2d, "t")
+    r2d.writeInt(1); r2d.writeInt(3); r2d.writeShort(0)
+    r2d.writeLong(-1L); r2d.writeLong(42L)
+    assert(KafkaWire.parseListOffsetsV2(ByteBuffer.wrap(r2.toByteArray)) == (0, 42L))
+    // v6 response: + leader_epoch and tag sections, compact layout
+    val r6 = new ByteArrayOutputStream()
+    val r6d = new java.io.DataOutputStream(r6)
+    r6d.writeInt(0)
+    KafkaWire.writeCompactArrayLen(r6, 1)
+    KafkaWire.writeCompactString(r6, "t")
+    KafkaWire.writeCompactArrayLen(r6, 1)
+    r6d.writeInt(3); r6d.writeShort(0); r6d.writeLong(-1L); r6d.writeLong(42L)
+    r6d.writeInt(0)
+    KafkaWire.writeEmptyTags(r6); KafkaWire.writeEmptyTags(r6); KafkaWire.writeEmptyTags(r6)
+    assert(KafkaWire.parseListOffsetsV6(ByteBuffer.wrap(r6.toByteArray)) == (0, 42L))
+  }
+
   test("flexible response parsers round-trip hand-encoded broker responses") {
     // ApiVersions v3 (after the error short): compact api_keys + throttle + tags
     val av = new ByteArrayOutputStream()

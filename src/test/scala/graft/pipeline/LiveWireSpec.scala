@@ -87,14 +87,15 @@ class LiveWireSpec extends SparkSpec {
     val bootstrap = needs("KAFKA_BOOTSTRAP")
     val k = new KafkaWire(bootstrap)
     try {
-      // the broker must speak the non-flexible versions this client encodes
+      // the client negotiates per broker (r13): each API needs EITHER its
+      // non-flexible version or its flexible (compact) version in range
       val versions = k.apiVersions()
-      for ((api, needed) <- Seq(0 -> 3, 1 -> 4, 3 -> 4)) {
+      for ((api, legacy, flex) <- Seq((0, 3, 9), (1, 4, 12), (3, 4, 9), (2, 2, 6))) {
         val (min, max) = versions.getOrElse(api,
           fail(s"broker does not list api $api"))
-        assume(min <= needed && needed <= max,
+        assume((min <= legacy && legacy <= max) || (min <= flex && flex <= max),
           s"LIVE WIRE UNTESTED HERE: broker supports api $api only [$min,$max], " +
-            s"this client speaks v$needed (pre-KIP-896 baseline)")
+            s"this client speaks v$legacy (pre-KIP-482) or v$flex (flexible)")
       }
       val topic = s"graft-live-${System.nanoTime()}"
       val payloads = (1 to 100).map(i => s"msg-$i")
@@ -107,6 +108,12 @@ class LiveWireSpec extends SparkSpec {
         val base = k.produce(topic, partition,
           msgs.map(m => (m.getBytes("UTF-8"), m.getBytes("UTF-8"))))
         assert(base >= 0L)
+        // ListOffsets: latest (-1) must equal base + produced count,
+        // earliest (-2) must be 0 on a fresh topic
+        assert(k.listOffset(topic, partition, -1L) == base + msgs.size,
+          "log-end offset after produce")
+        assert(k.listOffset(topic, partition, -2L) == 0L,
+          "log-start offset of a fresh topic")
       }
       // read everything back under read_committed, per partition from 0
       val got = byPartition.keys.toSeq.flatMap { partition =>
