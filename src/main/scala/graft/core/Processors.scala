@@ -540,6 +540,16 @@ object Processors {
     * watermark passes their end — identical session semantics to
     * [[aggregateToSessionWindowP]] (growth, strict boundary, bridge-merge,
     * late drop), proven by sharing its span machinery and its oracle (q176).
+    *
+    * State bound under watermark SKEW: sessions flush only when the
+    * COALESCED (min-across-senders) watermark passes their end, so a sender
+    * whose event time lags holds every faster sender's pending sessions
+    * live — memory is O(pending sessions), inherent to min-watermark
+    * semantics (Jet and Spark buffer identically under skew). The span
+    * index keeps inserts O(log pending) regardless, but a deployment with
+    * structurally skewed sources (e.g. a cold backfill partition next to a
+    * live one) should align source time ranges or raise parallelism so
+    * skewed senders don't share a receiver.
     */
   def combineSessionFragmentsP[K, A, R](
       op: AggregateOp[A, R],
