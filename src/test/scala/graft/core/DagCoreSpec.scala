@@ -673,7 +673,8 @@ class DagCoreSpec extends SparkSpec {
     // multi-partition input: a key's events spread across partitions, so
     // fragments from different partitions MUST merge downstream; scenarios
     // cover growth, strict boundary, bridge-merge, and cross-key isolation
-    def run(events: Seq[(Long, String)], twoStage: Boolean): Seq[(Long, Long, String, Long)] = {
+    def run(events: Seq[(Long, String)], twoStage: Boolean,
+            outbox: Int = 1024): Seq[(Long, Long, String, Long)] = {
       val input = sc.parallelize(events.map(_.asInstanceOf[Any]), 3)
       val dag = new DAG
       val wm = dag.newVertex("wm",
@@ -705,7 +706,8 @@ class DagCoreSpec extends SparkSpec {
             .partitioned(_.asInstanceOf[(Long, String)]._2).distributed())
           "session"
         }
-      DagExecutor.execute(spark, dag, inputs = Map("wm" -> input))(out)
+      DagExecutor.execute(spark, dag, inputs = Map("wm" -> input),
+          outboxCapacity = outbox)(out)
         .map(_.asInstanceOf[(Long, Long, String, Long)]).sortBy(t => (t._3, t._1))
     }
     val scenarios = Seq(
@@ -719,6 +721,13 @@ class DagCoreSpec extends SparkSpec {
       assert(run(ev, twoStage = true) == run(ev, twoStage = false),
         s"two-stage and single-stage sessions diverge on $ev")
     }
+    // capacity-1 outbox: every flush suspends mid-emission (fragments AND
+    // closed sessions), so the resumable-traverser paths in both topologies
+    // must hold state across re-entries without loss or duplication
+    val dense = scenarios.last
+    assert(run(dense, twoStage = true, outbox = 1) ==
+      run(dense, twoStage = false, outbox = 1),
+      "suspendable emission under a capacity-1 outbox diverged")
   }
 
   test("session windows drop events below the watermark (no overlapping emissions)") {
