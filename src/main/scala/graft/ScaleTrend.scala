@@ -122,13 +122,22 @@ object ScaleTrend {
     println(f"| query | t_1x (s) | t_${factor}x (s) | growth |")
     println("|---|---|---|---|")
     val rows = trendQueries
-      .filter(n => only.forall(_.exists(n.startsWith))).map { name =>
-      val t1 = time(reg(name), src)
-      val tN = time(reg(name), out)
-      val g = tN / t1
-      val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
-      println(f"| $name | $t1%.2f | $tN%.2f | ${g}%.1f×$flag |")
-      (name, t1, tN)
+      .filter(n => only.forall(_.exists(n.startsWith))).flatMap { name =>
+      // a guarded query (e.g. q161's brute-broadcast cap at big replicas)
+      // records -1 and the run continues — one refusing query must not kill
+      // the whole battery
+      try {
+        val t1 = time(reg(name), src)
+        val tN = time(reg(name), out)
+        val g = tN / t1
+        val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
+        println(f"| $name | $t1%.2f | $tN%.2f | ${g}%.1f×$flag |")
+        Some((name, t1, tN))
+      } catch {
+        case e: Throwable =>
+          println(s"| $name | — | — | REFUSED: ${e.getMessage.take(120)} |")
+          Some((name, -1.0, -1.0))
+      }
     }
 
     // the q39 planes recipe: fixed planes vs planes grown with the corpus
