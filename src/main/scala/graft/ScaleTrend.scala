@@ -125,7 +125,9 @@ object ScaleTrend {
       .filter(n => only.forall(_.exists(n.startsWith))).flatMap { name =>
       // a guarded query (e.g. q161's brute-broadcast cap at big replicas)
       // records -1 and the run continues — one refusing query must not kill
-      // the whole battery
+      // the whole battery. NonFatal only: an OOM or linkage error is a run
+      // failure, not a refusal, and must not be recorded as -1. Exceptions
+      // with a null message (raw NPEs) fall back to the class name.
       try {
         val t1 = time(reg(name), src)
         val tN = time(reg(name), out)
@@ -134,8 +136,9 @@ object ScaleTrend {
         println(f"| $name | $t1%.2f | $tN%.2f | ${g}%.1f×$flag |")
         Some((name, t1, tN))
       } catch {
-        case e: Throwable =>
-          println(s"| $name | — | — | REFUSED: ${e.getMessage.take(120)} |")
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+          println(s"| $name | — | — | REFUSED: $msg |")
           Some((name, -1.0, -1.0))
       }
     }

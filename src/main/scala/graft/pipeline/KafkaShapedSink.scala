@@ -87,7 +87,12 @@ final class InMemoryTxnBroker {
     var progress: Option[Long] = None
   }
 
-  private val committed = scala.collection.mutable.ArrayBuffer.empty[Txn]
+  // Progress markers indexed by transactional id, updated at COMMIT time —
+  // committedProgress is O(1), and the committed Txn objects themselves are
+  // NOT retained (their record payloads are already materialized into the
+  // logs below; keeping them too would store every record twice and make
+  // progress lookups O(txns)).
+  private val progressById = scala.collection.mutable.HashMap.empty[String, Long]
   // Materialized read_committed logs, appended at COMMIT time: the log is
   // append-only, so keeping it materialized makes poll/endOffset O(request)
   // instead of rebuilding the whole log per call — per-call rebuilds made the
@@ -192,7 +197,7 @@ final class InMemoryTxnBroker {
 
   /** Committed progress marker for a transactional id (-1 = none). */
   private def progressOf(id: String): Long = synchronized {
-    committed.filter(_.id == id).flatMap(_.progress).foldLeft(-1L)(math.max)
+    progressById.getOrElse(id, -1L)
   }
 
   /** Producer handle bound to one incarnation (epoch) of a transactional id. */
@@ -237,12 +242,17 @@ final class InMemoryTxnBroker {
     def commitTransaction(): Unit = InMemoryTxnBroker.this.synchronized {
       val t = openTxn()
       open.remove(transactionalId)
-      committed += t
       t.records.foreach { case Rec(topic, partition, v) =>
         topicLogs.getOrElseUpdate(topic,
           scala.collection.mutable.ArrayBuffer.empty[String]) += v
         partLogs.getOrElseUpdate((topic, partition),
           scala.collection.mutable.ArrayBuffer.empty[String]) += v
+      }
+      // progress markers only ratchet forward (a replayed batch id can never
+      // lower the committed watermark); the Txn itself is dropped here
+      t.progress.foreach { p =>
+        if (p > progressById.getOrElse(transactionalId, -1L))
+          progressById(transactionalId) = p
       }
       ()
     }

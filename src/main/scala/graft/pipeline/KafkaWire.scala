@@ -49,7 +49,12 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
   }
   private val sockets = scala.collection.mutable.HashMap.empty[(String, Int), Conn]
   private var correlation = 0
-  private var versionsCache: Map[Int, (Int, Int)] = null
+  // per-broker negotiation (cache keyed by (host, port)): in a mixed-version
+  // cluster (rolling upgrade) a partition leader may not support the flexible
+  // version the bootstrap broker advertises, so every connection negotiates
+  // its own version ranges before speaking any other API to it
+  private val versionsCache =
+    scala.collection.mutable.HashMap.empty[(String, Int), Map[Int, (Int, Int)]]
 
   private final class Conn(host: String, port: Int) {
     val socket = new Socket(host, port)
@@ -92,18 +97,17 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
       buf
     }
 
-  /** Negotiated api key → (min, max) supported versions, cached per client.
-    * Tries ApiVersions v3 (flexible); a broker that can't parse it answers
-    * with UNSUPPORTED_VERSION in a v0-encoded body (KIP-511), which routes
-    * to a plain v0 request.
+  /** Negotiated api key → (min, max) supported versions, cached PER BROKER
+    * connection. Tries ApiVersions v3 (flexible); a broker that can't parse
+    * it answers with UNSUPPORTED_VERSION in a v0-encoded body (KIP-511),
+    * which routes to a plain v0 request.
     */
-  def apiVersions(): Map[Int, (Int, Int)] = {
-    if (versionsCache != null) return versionsCache
-    val c = conn(bootHost, bootPort)
-    val buf = exchange(c, 18, 3, apiVersionsV3Request("graft", "0"),
-      flexible = true, flexibleResponseHeader = false)
-    val err = buf.getShort
-    versionsCache =
+  def apiVersions(host: String = bootHost, port: Int = bootPort): Map[Int, (Int, Int)] =
+    versionsCache.getOrElseUpdate((host, port), {
+      val c = conn(host, port)
+      val buf = exchange(c, 18, 3, apiVersionsV3Request("graft", "0"),
+        flexible = true, flexibleResponseHeader = false)
+      val err = buf.getShort
       if (err == 35) { // UNSUPPORTED_VERSION → the broker predates v3
         val b0 = exchange(c, 18, 0, Array.emptyByteArray,
           flexible = false, flexibleResponseHeader = false)
@@ -114,11 +118,11 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
         require(err == 0, s"ApiVersions v3 error $err")
         parseApiVersionsV3(buf)
       }
-    versionsCache
-  }
+    })
 
-  private def maxVersion(apiKey: Int): Int =
-    apiVersions().get(apiKey).map(_._2).getOrElse(-1)
+  private def maxVersion(apiKey: Int, host: String = bootHost,
+                         port: Int = bootPort): Int =
+    apiVersions(host, port).get(apiKey).map(_._2).getOrElse(-1)
 
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
 
@@ -154,7 +158,7 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
     val pm = topicMetadata(topic).find(_.partition == partition)
       .getOrElse(throw new IllegalArgumentException(s"$topic has no partition $partition"))
     val batch = KafkaRecordBatch.encode(records, System.currentTimeMillis())
-    val v9 = maxVersion(0) >= 9
+    val v9 = maxVersion(0, pm.leaderHost, pm.leaderPort) >= 9
     val buf =
       if (v9) exchange(conn(pm.leaderHost, pm.leaderPort), 0, 9,
         produceV9Request(topic, partition, batch),
@@ -177,7 +181,7 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
             maxWaitMs: Int = 500): (Seq[(Long, Array[Byte], Array[Byte])], Long) = {
     val pm = topicMetadata(topic).find(_.partition == partition)
       .getOrElse(throw new IllegalArgumentException(s"$topic has no partition $partition"))
-    val v12 = maxVersion(1) >= 12
+    val v12 = maxVersion(1, pm.leaderHost, pm.leaderPort) >= 12
     val buf =
       if (v12) exchange(conn(pm.leaderHost, pm.leaderPort), 1, 12,
         fetchV12Request(topic, partition, offset, maxWaitMs),
@@ -200,7 +204,7 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
   def listOffset(topic: String, partition: Int, timestamp: Long = -1L): Long = {
     val pm = topicMetadata(topic).find(_.partition == partition)
       .getOrElse(throw new IllegalArgumentException(s"$topic has no partition $partition"))
-    val v6 = maxVersion(2) >= 6
+    val v6 = maxVersion(2, pm.leaderHost, pm.leaderPort) >= 6
     val buf =
       if (v6) exchange(conn(pm.leaderHost, pm.leaderPort), 2, 6,
         listOffsetsV6Request(topic, partition, timestamp),
@@ -262,6 +266,11 @@ object KafkaWire {
     var shift = 0
     var b = 0
     do {
+      // bound the continuation bytes: a 6th byte would shift past 31 bits
+      // and silently wrap (<< is mod-32 on Int), corrupting the length and
+      // misparsing the rest of the frame — fail loudly instead, matching
+      // this client's convention
+      require(shift < 35, "malformed unsigned varint: more than 5 bytes")
       b = buf.get & 0xff
       value |= (b & 0x7f) << shift
       shift += 7

@@ -105,6 +105,17 @@ class KafkaWireSpec extends AnyFunSuite {
       KafkaWire.writeUVarint(o, v)
       assert(KafkaWire.readUVarint(ByteBuffer.wrap(o.toByteArray)) == v, s"roundtrip $v")
     }
+    // a malformed varint with >5 continuation bytes must fail loudly, not
+    // wrap mod-32 into a corrupt length that misparses the rest of the frame
+    val malformed = Array.fill[Byte](6)(0x80.toByte) :+ 0x01.toByte
+    val e = intercept[IllegalArgumentException] {
+      KafkaWire.readUVarint(ByteBuffer.wrap(malformed))
+    }
+    assert(e.getMessage.contains("malformed unsigned varint"))
+    // 5 bytes (the Int.MaxValue width) still parses
+    val five = new ByteArrayOutputStream()
+    KafkaWire.writeUVarint(five, Int.MaxValue)
+    assert(five.toByteArray.length == 5)
   }
 
   test("compact strings/bytes/arrays encode length+1 with 0 as null") {
