@@ -2,14 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Resumable (VERDICT r13 item 6): results persist per query as they
+  * complete, and `--resume` skips any query whose output already has a
+  * `_SUCCESS` marker from a previous invocation — so a run killed by a
+  * harness timeout continues where it stopped instead of needing a manual
+  * query split (the CORRECTNESS_sf1_r13 method). Plan-drift records are
+  * kept per query under `<outDir>/plan_drift/` and aggregated at the end of
+  * every attempt, so drift seen by an earlier attempt survives the resume.
+  * `scripts/verify_resume.sh` wraps the retry loop into one command.
+  *
+  * Usage: runMain graft.Verify <sfDir> <outDir> [prefixes] [--resume]
+  * (`prefixes` = comma-separated query-name prefixes, local iteration only)
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query-name prefixes to run (local
-    // iteration filter; the driver always runs the full registry)
-    val (sfDir, outDir) = (args(0), args(1))
+    val resume = args.contains("--resume")
+    val positional = args.filterNot(_ == "--resume")
+    val (sfDir, outDir) = (positional(0), positional(1))
     val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+      if (positional.length > 2) Some(positional(2).split(",").toSeq) else None
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,6 +32,8 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val driftDir = Paths.get(outDir, "plan_drift")
+    Files.createDirectories(driftDir)
     // plan-freshness gate (VERDICT r10 item 8): compare each headline
     // query's pre-execution plan shape against PLANS.md's fingerprint table
     // — a drifted plan is a silent perf regression until the bench notices;
@@ -27,30 +42,48 @@ object Verify {
     val knownFingerprints: Map[String, String] =
       try Plans.parseFingerprints(Files.readString(Paths.get("PLANS.md")))
       catch { case _: Throwable => Map.empty }
-    val drift = Seq.newBuilder[String]
+    var ran = 0
+    var skipped = 0
+    var failed = 0
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try {
+      // a completed query's parquet dir carries Hadoop's _SUCCESS marker;
+      // a run that died mid-write leaves no marker and is redone
+      if (resume && Files.exists(Paths.get(outDir, name, "_SUCCESS"))) {
+        skipped += 1
+      } else try {
         val df = fn(spark, sfDir)
         knownFingerprints.get(name).foreach { expected =>
           val got = Plans.fingerprint(df)
           if (got != expected) {
             System.err.println(
               s"[verify] PLAN-DRIFT $name: $expected -> $got (regenerate PLANS.md or fix the plan)")
-            drift += s"$name $expected -> $got"
-          }
+            Files.writeString(driftDir.resolve(s"$name.txt"),
+              s"$name $expected -> $got\n")
+          } else // clear a stale drift record once the plan matches again
+            Files.deleteIfExists(driftDir.resolve(s"$name.txt"))
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        ran += 1
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += 1
         // delete any PREVIOUS run's output for this query: a stale parquet
         // would make the differential check silently validate old results
         pipeline.TempFiles.deleteTree(s"$outDir/$name")
       }
     }
-    val drifted = drift.result()
+    // aggregate per-query drift files (this attempt's AND earlier attempts')
+    val drifted = {
+      val files = Files.list(driftDir).toArray.map(_.toString).sorted
+      files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    }
     Files.writeString(Paths.get(s"$outDir/plan_drift.txt"),
       if (drifted.isEmpty) "none\n" else drifted.mkString("", "\n", "\n"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    // the completion marker verify_resume.sh greps for: only printed when
+    // the registry sweep finished (however many attempts it took)
+    System.err.println(
+      s"[verify] DONE ran=$ran skipped=$skipped failed=$failed out=$outDir")
     spark.stop()
   }
 
