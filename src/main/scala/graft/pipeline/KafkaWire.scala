@@ -32,13 +32,17 @@ import java.util.zip.CRC32C
   * same parsers the socket path uses); the socket path runs only where
   * `KAFKA_BOOTSTRAP` points at a broker.
   *
-  * Scope: plaintext listener, single required-acks produce, leader routing
-  * via Metadata. Not implemented (loudly, not silently): SASL/TLS, record
-  * compression, consumer groups — the engine's own checkpointed offsets
-  * replace group management, exactly like the reference's StreamKafkaP
-  * manages offsets itself (StreamKafkaP.java:329).
+  * Scope: single required-acks produce, leader routing via Metadata.
+  * Listeners: PLAINTEXT, SSL, SASL_PLAINTEXT, SASL_SSL — TLS rides JDK
+  * SSLSocket and SASL PLAIN / SCRAM-SHA-256 run over SaslHandshake v1 +
+  * SaslAuthenticate v0 framing per connection BEFORE any other API
+  * ([[KafkaSecurity]], r14). Not implemented (loudly, not silently):
+  * GSSAPI/OAUTHBEARER, record compression, consumer groups — the engine's
+  * own checkpointed offsets replace group management, exactly like the
+  * reference's StreamKafkaP manages offsets itself (StreamKafkaP.java:329).
   */
-final class KafkaWire(bootstrap: String, clientId: String = "graft")
+final class KafkaWire(bootstrap: String, clientId: String = "graft",
+                      security: KafkaSecurity = KafkaSecurity.Plaintext)
     extends AutoCloseable {
 
   import KafkaWire._
@@ -57,14 +61,59 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
     scala.collection.mutable.HashMap.empty[(String, Int), Map[Int, (Int, Int)]]
 
   private final class Conn(host: String, port: Int) {
-    val socket = new Socket(host, port)
+    val socket = openSocket(host, port, security)
     socket.setSoTimeout(30000)
     val out = new DataOutputStream(socket.getOutputStream)
     val in = new DataInputStream(socket.getInputStream)
   }
 
+  /** Every broker connection authenticates BEFORE carrying any other API —
+    * matching broker enforcement on SASL listeners (any non-SASL request on
+    * an unauthenticated connection is a protocol error there).
+    */
   private def conn(host: String, port: Int): Conn =
-    sockets.getOrElseUpdate((host, port), new Conn(host, port))
+    sockets.getOrElseUpdate((host, port), {
+      val c = new Conn(host, port)
+      security.saslMechanism.foreach(m => authenticate(c, m))
+      c
+    })
+
+  /** SaslHandshake v1 (names the mechanism; broker answers its supported
+    * list) then SaslAuthenticate v0 rounds carrying the mechanism's tokens:
+    * one round for PLAIN, two for SCRAM-SHA-256 (client-first/server-first,
+    * client-final/server-final — the client VERIFIES the server signature,
+    * so authentication is mutual).
+    */
+  private def authenticate(c: Conn, mechanism: String): Unit = {
+    def authRound(token: Array[Byte]): Array[Byte] = {
+      val buf = exchange(c, 36, 0, saslAuthenticateV0Request(token),
+        flexible = false, flexibleResponseHeader = false)
+      val (err, msg, resp) = parseSaslAuthenticateV0(buf)
+      require(err == 0,
+        s"SASL $mechanism authentication failed (error $err${msg.fold("")(": " + _)})")
+      resp
+    }
+    val hs = exchange(c, 17, 1, saslHandshakeV1Request(mechanism),
+      flexible = false, flexibleResponseHeader = false)
+    val (hsErr, brokerMechs) = parseSaslHandshakeV1(hs)
+    require(hsErr == 0,
+      s"SaslHandshake($mechanism) error $hsErr — broker supports: ${brokerMechs.mkString(", ")}")
+    mechanism match {
+      case "PLAIN" =>
+        authRound(KafkaSasl.plainAuthBytes(security.username, security.password))
+        ()
+      case "SCRAM-SHA-256" =>
+        val scram = new KafkaSasl.ScramClient(
+          security.username, security.password, KafkaSasl.freshNonce())
+        val serverFirst = authRound(scram.clientFirstMessage.getBytes(UTF_8))
+        val serverFinal =
+          authRound(scram.clientFinalMessage(new String(serverFirst, UTF_8)).getBytes(UTF_8))
+        scram.verifyServerFinal(new String(serverFinal, UTF_8))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported SASL mechanism '$other' — this client speaks PLAIN and SCRAM-SHA-256")
+    }
+  }
 
   override def close(): Unit = {
     sockets.values.foreach(c => c.socket.close())
@@ -224,6 +273,71 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft")
   * the socket path above goes through EXACTLY these functions.
   */
 object KafkaWire {
+
+  // ------------------------------------------------------------- transport
+  /** Plain or TLS socket per [[KafkaSecurity]]. The secure TLS path is full
+    * JDK PKIX with endpoint identification (hostname verification);
+    * `tlsInsecure` (self-signed test listeners) trusts any chain and skips
+    * the hostname check — never the default.
+    */
+  private[pipeline] def openSocket(host: String, port: Int,
+                                   security: KafkaSecurity): Socket =
+    if (!security.tls) new Socket(host, port)
+    else {
+      import javax.net.ssl.{SSLContext, SSLSocket, X509TrustManager}
+      val ctx =
+        if (!security.tlsInsecure) SSLContext.getDefault
+        else {
+          val c = SSLContext.getInstance("TLS")
+          c.init(null, Array[javax.net.ssl.TrustManager](new X509TrustManager {
+            def checkClientTrusted(chain: Array[java.security.cert.X509Certificate], authType: String): Unit = ()
+            def checkServerTrusted(chain: Array[java.security.cert.X509Certificate], authType: String): Unit = ()
+            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+          }), null)
+          c
+        }
+      val s = ctx.getSocketFactory.createSocket(host, port).asInstanceOf[SSLSocket]
+      if (!security.tlsInsecure) {
+        val p = s.getSSLParameters
+        p.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(p)
+      }
+      s.startHandshake()
+      s
+    }
+
+  // ------------------------------------------------------------------ SASL
+  /** SaslHandshake v1 body: just the mechanism (legacy string). */
+  private[pipeline] def saslHandshakeV1Request(mechanism: String): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    writeString(o, mechanism)
+    body.toByteArray
+  }
+  /** → (errorCode, broker's enabled mechanisms). */
+  private[pipeline] def parseSaslHandshakeV1(buf: ByteBuffer): (Int, Seq[String]) = {
+    val err = buf.getShort.toInt
+    val n = buf.getInt
+    (err, (0 until n).map(_ => readString(buf)))
+  }
+  /** SaslAuthenticate v0 body: auth_bytes (BYTES: int32 length prefix). */
+  private[pipeline] def saslAuthenticateV0Request(authBytes: Array[Byte]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    o.writeInt(authBytes.length)
+    o.write(authBytes)
+    body.toByteArray
+  }
+  /** → (errorCode, errorMessage, auth_bytes — the mechanism's server token). */
+  private[pipeline] def parseSaslAuthenticateV0(
+      buf: ByteBuffer): (Int, Option[String], Array[Byte]) = {
+    val err = buf.getShort.toInt
+    val msg = readNullableString(buf)
+    val len = buf.getInt
+    val b = new Array[Byte](math.max(len, 0))
+    if (len > 0) buf.get(b)
+    (err, msg, b)
+  }
 
   // ---------------------------------------------------------------- legacy
   private[pipeline] def writeString(o: DataOutputStream, s: String): Unit = {

@@ -338,4 +338,267 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(KafkaRecordBatch.decodeAll(batch).isEmpty,
       "a control batch carries no user records")
   }
+
+  // ------------------------------------------------------------------ SASL
+
+  test("SASL PLAIN auth bytes match RFC 4616's example") {
+    // RFC 4616 example: authcid tim, passwd tanstaaftanstaaf, no authzid
+    val b = KafkaSasl.plainAuthBytes("tim", "tanstaaftanstaaf")
+    assert(java.util.Base64.getEncoder.encodeToString(b) ==
+      "AHRpbQB0YW5zdGFhZnRhbnN0YWFm")
+  }
+
+  test("SCRAM-SHA-256 client reproduces RFC 7677's published exchange byte-for-byte") {
+    val c = new KafkaSasl.ScramClient("user", "pencil", "rOprNGfwEbeRWgbNEkqO")
+    assert(c.clientFirstMessage == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    assert(c.clientFinalMessage(serverFirst) ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    // mutual auth: the RFC's server-final verifies; a tampered one throws
+    c.verifyServerFinal("v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    intercept[IllegalArgumentException] {
+      c.verifyServerFinal("v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G5=")
+    }
+    intercept[IllegalStateException] {
+      c.verifyServerFinal("e=invalid-proof")
+    }
+  }
+
+  test("SCRAM guards: nonce reflection, low iteration count, saslname escaping") {
+    // a server nonce that does not EXTEND the client nonce is a reflection
+    val c1 = new KafkaSasl.ScramClient("u", "p", "abc")
+    intercept[IllegalArgumentException] {
+      c1.clientFinalMessage("r=abc,s=c2FsdA==,i=4096") // identical, no extension
+    }
+    intercept[IllegalArgumentException] {
+      new KafkaSasl.ScramClient("u", "p", "abc")
+        .clientFinalMessage("r=xyz123,s=c2FsdA==,i=4096") // different prefix
+    }
+    // iteration count below the RFC 7677 minimum is refused
+    intercept[IllegalArgumentException] {
+      new KafkaSasl.ScramClient("u", "p", "abc")
+        .clientFinalMessage("r=abcdef,s=c2FsdA==,i=1024")
+    }
+    // = and , in usernames escape per RFC 5802 saslname
+    assert(new KafkaSasl.ScramClient("a=b,c", "p", "n").clientFirstBare ==
+      "n=a=3Db=2Cc,r=n")
+    // without SASLprep, non-ASCII credentials are rejected loudly
+    intercept[IllegalArgumentException] {
+      new KafkaSasl.ScramClient("ué", "p", "n")
+    }
+  }
+
+  test("SaslHandshake v1 / SaslAuthenticate v0 bodies pin the layouts; parsers round-trip") {
+    // handshake body = legacy string mechanism
+    assert(KafkaWire.saslHandshakeV1Request("PLAIN").map(_ & 0xff).toSeq ==
+      Seq(0x00, 0x05, 'P', 'L', 'A', 'I', 'N').map(_.toInt))
+    // authenticate body = int32-prefixed auth bytes
+    assert(KafkaWire.saslAuthenticateV0Request(Array[Byte](1, 2, 3)).map(_ & 0xff).toSeq ==
+      Seq(0, 0, 0, 3, 1, 2, 3))
+    // handshake response: err + mechanisms array
+    val hs = new ByteArrayOutputStream()
+    val hsd = new java.io.DataOutputStream(hs)
+    hsd.writeShort(0); hsd.writeInt(2)
+    KafkaWire.writeString(hsd, "PLAIN"); KafkaWire.writeString(hsd, "SCRAM-SHA-256")
+    assert(KafkaWire.parseSaslHandshakeV1(ByteBuffer.wrap(hs.toByteArray)) ==
+      (0, Seq("PLAIN", "SCRAM-SHA-256")))
+    // authenticate response: err + nullable message + auth bytes
+    val au = new ByteArrayOutputStream()
+    val aud = new java.io.DataOutputStream(au)
+    aud.writeShort(58); KafkaWire.writeString(aud, "bad creds")
+    aud.writeInt(2); au.write(Array[Byte](7, 8))
+    val (err, msg, tok) = KafkaWire.parseSaslAuthenticateV0(ByteBuffer.wrap(au.toByteArray))
+    assert(err == 58 && msg.contains("bad creds") && tok.toSeq == Seq[Byte](7, 8))
+  }
+
+  // ---- stub SASL broker: enforces handshake + authenticate before serving
+  // ApiVersions, so the socket tests below drive KafkaWire's REAL auth path
+  // (same frames a SASL_PLAINTEXT / SASL_SSL listener would see).
+
+  private def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data)
+  }
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+  private def utf8(b: Array[Byte]): String = new String(b, "UTF-8")
+
+  /** Handles ONE connection: SaslHandshake → SaslAuthenticate round(s) →
+    * one ApiVersions v3; rejects data APIs before authentication completes.
+    */
+  private def serveSaslConn(sock: java.net.Socket, mech: String,
+                            user: String, pass: String): Unit = {
+    val in = new java.io.DataInputStream(sock.getInputStream)
+    val out = new java.io.DataOutputStream(sock.getOutputStream)
+    def respond(corr: Int)(body: ByteArrayOutputStream => Unit): Unit = {
+      val b = new ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b)
+      d.writeInt(corr)
+      body(b)
+      out.writeInt(b.size()); out.write(b.toByteArray); out.flush()
+    }
+    var authed = false
+    var done = false
+    val salt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    var scramCtx: Option[(String, String)] = None // (clientFirstBare, serverFirst)
+    while (!done) {
+      val size = in.readInt()
+      val frame = new Array[Byte](size)
+      in.readFully(frame)
+      val buf = ByteBuffer.wrap(frame)
+      val apiKey = buf.getShort
+      val version = buf.getShort
+      val corr = buf.getInt
+      val cidLen = buf.getShort
+      buf.position(buf.position() + cidLen)
+      if (apiKey == 18 && version >= 3) KafkaWire.skipTags(buf) // flexible header
+      apiKey match {
+        case 17 =>
+          val mlen = buf.getShort
+          val mb = new Array[Byte](mlen); buf.get(mb)
+          val ok = utf8(mb) == mech
+          respond(corr) { o =>
+            val d = new java.io.DataOutputStream(o)
+            d.writeShort(if (ok) 0 else 33) // UNSUPPORTED_SASL_MECHANISM
+            d.writeInt(1); KafkaWire.writeString(d, mech)
+          }
+        case 36 =>
+          val tlen = buf.getInt
+          val tok = new Array[Byte](tlen); buf.get(tok)
+          def authResp(err: Int, bytes: Array[Byte]): Unit = respond(corr) { o =>
+            val d = new java.io.DataOutputStream(o)
+            d.writeShort(err); d.writeShort(-1) // null error_message
+            d.writeInt(bytes.length); d.write(bytes)
+          }
+          mech match {
+            case "PLAIN" =>
+              val parts = utf8(tok).split("\u0000", -1)
+              val ok = parts.length == 3 && parts(1) == user && parts(2) == pass
+              authed = ok
+              authResp(if (ok) 0 else 58, Array.emptyByteArray)
+            case "SCRAM-SHA-256" => scramCtx match {
+              case None =>
+                val bare = utf8(tok).stripPrefix("n,,")
+                val cnonce = bare.split(",").find(_.startsWith("r=")).get.substring(2)
+                val sf = s"r=${cnonce}SRVNONCE," +
+                  s"s=${java.util.Base64.getEncoder.encodeToString(salt)},i=4096"
+                scramCtx = Some((bare, sf))
+                authResp(0, sf.getBytes("UTF-8"))
+              case Some((bare, sf)) =>
+                val fin = utf8(tok)
+                val withoutProof = fin.substring(0, fin.indexOf(",p="))
+                val proof = java.util.Base64.getDecoder.decode(
+                  fin.substring(fin.indexOf(",p=") + 3))
+                val authMsg = (bare + "," + sf + "," + withoutProof).getBytes("UTF-8")
+                val sp = KafkaSasl.hi(pass, salt, 4096)
+                val storedKey = sha256(hmac(sp, "Client Key".getBytes("UTF-8")))
+                val clientSig = hmac(storedKey, authMsg)
+                val recovered = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+                val ok = java.util.Arrays.equals(sha256(recovered), storedKey)
+                authed = ok
+                if (ok) {
+                  val v = "v=" + java.util.Base64.getEncoder.encodeToString(
+                    hmac(hmac(sp, "Server Key".getBytes("UTF-8")), authMsg))
+                  authResp(0, v.getBytes("UTF-8"))
+                } else authResp(58, Array.emptyByteArray)
+            }
+          }
+        case 18 =>
+          assert(authed, "stub broker: data API before SASL authentication")
+          respond(corr) { o =>
+            val d = new java.io.DataOutputStream(o)
+            d.writeShort(0)
+            KafkaWire.writeCompactArrayLen(o, 1)
+            d.writeShort(0); d.writeShort(0); d.writeShort(9); KafkaWire.writeEmptyTags(o)
+            d.writeInt(0); KafkaWire.writeEmptyTags(o)
+          }
+          done = true
+      }
+    }
+  }
+
+  private def withStubBroker(mech: String, user: String, pass: String,
+                             tlsKeystore: Option[java.nio.file.Path] = None)
+                            (body: Int => Unit): Unit = {
+    val server: java.net.ServerSocket = tlsKeystore match {
+      case None => new java.net.ServerSocket(0)
+      case Some(ks) =>
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
+        val store = java.security.KeyStore.getInstance("PKCS12")
+        val fin = java.nio.file.Files.newInputStream(ks)
+        try store.load(fin, "changeit".toCharArray) finally fin.close()
+        kmf.init(store, "changeit".toCharArray)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kmf.getKeyManagers, null, null)
+        ctx.getServerSocketFactory.createServerSocket(0)
+    }
+    @volatile var serverErr: Option[Throwable] = None
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        try serveSaslConn(sock, mech, user, pass) finally sock.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.setDaemon(true); t.start()
+    try body(server.getLocalPort)
+    finally { server.close(); t.join(10000) }
+    serverErr.filterNot(_.isInstanceOf[java.net.SocketException]).foreach(throw _)
+  }
+
+  test("SASL_PLAINTEXT: KafkaWire authenticates SCRAM-SHA-256 end-to-end before ApiVersions") {
+    withStubBroker("SCRAM-SHA-256", "alice", "alice-secret") { port =>
+      val k = new KafkaWire(s"localhost:$port",
+        security = KafkaSecurity.saslScramSha256("alice", "alice-secret"))
+      try assert(k.apiVersions() == Map(0 -> (0, 9))) finally k.close()
+    }
+  }
+
+  test("SASL_PLAINTEXT: wrong SCRAM password fails loudly at the client") {
+    withStubBroker("SCRAM-SHA-256", "alice", "alice-secret") { port =>
+      val k = new KafkaWire(s"localhost:$port",
+        security = KafkaSecurity.saslScramSha256("alice", "wrong"))
+      try {
+        val e = intercept[IllegalArgumentException](k.apiVersions())
+        assert(e.getMessage.contains("SASL SCRAM-SHA-256 authentication failed"))
+      } finally k.close()
+    }
+  }
+
+  test("SASL_PLAINTEXT: PLAIN round-trips; a mechanism the broker lacks names the supported set") {
+    withStubBroker("PLAIN", "bob", "bob-secret") { port =>
+      val k = new KafkaWire(s"localhost:$port",
+        security = KafkaSecurity.saslPlain("bob", "bob-secret"))
+      try assert(k.apiVersions() == Map(0 -> (0, 9))) finally k.close()
+    }
+    withStubBroker("PLAIN", "bob", "bob-secret") { port =>
+      val k = new KafkaWire(s"localhost:$port",
+        security = KafkaSecurity.saslScramSha256("bob", "bob-secret"))
+      try {
+        val e = intercept[IllegalArgumentException](k.apiVersions())
+        assert(e.getMessage.contains("broker supports: PLAIN"))
+      } finally k.close()
+    }
+  }
+
+  test("SASL_SSL: TLS handshake (self-signed, insecure trust) + PLAIN auth over the wire") {
+    // self-signed server cert via the JDK's own keytool — no extra jars
+    val ks = java.nio.file.Files.createTempDirectory("graft_tls").resolve("server.p12")
+    val keytool = System.getProperty("java.home") + "/bin/keytool"
+    val cmd = Array(keytool, "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=localhost",
+      "-storepass", "changeit", "-keypass", "changeit",
+      "-keystore", ks.toString, "-storetype", "PKCS12")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    assume(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) && proc.exitValue == 0,
+      "keytool unavailable — cannot mint a test certificate")
+    withStubBroker("PLAIN", "carol", "carol-secret", tlsKeystore = Some(ks)) { port =>
+      val k = new KafkaWire(s"localhost:$port",
+        security = KafkaSecurity.saslPlain("carol", "carol-secret",
+          tls = true, tlsInsecure = true))
+      try assert(k.apiVersions() == Map(0 -> (0, 9))) finally k.close()
+    }
+  }
 }

@@ -137,4 +137,43 @@ class LiveWireSpec extends SparkSpec {
         "every produced record fetched exactly once under read_committed")
     } finally k.close()
   }
+
+  test("live Kafka SASL: authenticated produce/fetch through the in-repo PLAIN/SCRAM client") {
+    // scripts/livewire.sh exports these for its SASL_PLAINTEXT listener on
+    // :9094 (SCRAM-SHA-256 user created via kafka-configs); any broker with
+    // a SASL listener works the same — TLS composes via KAFKA_SASL_TLS=1
+    // (+ KAFKA_SASL_TLS_INSECURE=1 for self-signed test certs)
+    val bootstrap = needs("KAFKA_SASL_BOOTSTRAP")
+    val user = needs("KAFKA_SASL_USER")
+    val password = needs("KAFKA_SASL_PASSWORD")
+    val mech = env("KAFKA_SASL_MECHANISM").getOrElse("SCRAM-SHA-256")
+    val security = KafkaSecurity(
+      tls = env("KAFKA_SASL_TLS").isDefined,
+      tlsInsecure = env("KAFKA_SASL_TLS_INSECURE").isDefined,
+      saslMechanism = Some(mech), username = user, password = password)
+    val k = new KafkaWire(bootstrap, security = security)
+    try {
+      val topic = s"graft-sasl-${System.nanoTime()}"
+      val payloads = (1 to 50).map(i => s"auth-msg-$i")
+      val partition = k.topicMetadata(topic).map(_.partition).head
+      val base = k.produce(topic, partition,
+        payloads.map(m => (m.getBytes("UTF-8"), m.getBytes("UTF-8"))))
+      assert(base >= 0L)
+      var offset = 0L
+      val acc = Seq.newBuilder[String]
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var hw = Long.MaxValue
+      while (offset < hw && System.nanoTime() < deadline) {
+        val (records, highWatermark) = k.fetch(topic, partition, offset)
+        hw = highWatermark
+        records.foreach { case (o, _, value) =>
+          acc += new String(value, "UTF-8")
+          offset = math.max(offset, o + 1)
+        }
+        if (records.isEmpty && offset < hw) Thread.sleep(100)
+      }
+      assert(acc.result().sorted == payloads.sorted,
+        "authenticated produce/fetch must round-trip every record")
+    } finally k.close()
+  }
 }
