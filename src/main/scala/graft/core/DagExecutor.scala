@@ -467,9 +467,17 @@ private[core] final class ProcessorDriver(
           } else {
             val (ordinal, it) = current
             if (inbox.isEmpty) {
-              var n = 0
-              while (n < ChunkSize && it.hasNext && !it.head.isInstanceOf[WmEnvelope]) {
-                inbox.add(it.next()); n += 1
+              // Jet's niladic tryProcess() between inbox chunks — the early-
+              // results seam (Processor.java:198). A false return with a
+              // non-empty outbox resumes after the drain; the chunk feed
+              // waits until the processor reports quiescence.
+              if (!proc.tryProcess()) {
+                if (outbox.isEmpty) stuck("tryProcess()")
+              } else {
+                var n = 0
+                while (n < ChunkSize && it.hasNext && !it.head.isInstanceOf[WmEnvelope]) {
+                  inbox.add(it.next()); n += 1
+                }
               }
             }
             if (inbox.isEmpty) {

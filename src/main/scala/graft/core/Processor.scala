@@ -27,6 +27,15 @@ trait Processor extends Serializable {
   /** Processor.java:158. Called once, before any process call. */
   def init(outbox: Outbox, context: Processor.Context): Unit = ()
 
+  /** Processor.java:198 — the niladic form: called repeatedly BETWEEN inbox
+    * chunks (and while input is quiet), independent of data arrival. "A good
+    * time to emit early results" per the reference's contract — the window
+    * processors' `earlyResultsPeriod` hook (SlidingWindowP.java:184-192,
+    * SessionWindowP's earlyWinTraverser). Return false to be called again
+    * after an outbox drain.
+    */
+  def tryProcess(): Boolean = true
+
   /** Processor.java:181. Consume as much of `inbox` as possible; items left
     * behind are re-offered after the outbox drains.
     */
@@ -61,6 +70,14 @@ trait Processor extends Serializable {
   * across partitioned edges, and coalesces at the receiver.
   */
 final case class Watermark(timestamp: Long)
+
+/** An EARLY (speculative) window result — Jet's `WindowResult.isEarly()`
+  * flag as a wrapper item: the current partial of a window the watermark has
+  * NOT yet closed, emitted on the `earlyResultsPeriod` cadence. The final
+  * result for the same window follows unwrapped and unchanged; consumers that
+  * don't opt in never see one (period 0 = off, the default).
+  */
+final case class EarlyResult(item: Any)
 
 object Processor {
 

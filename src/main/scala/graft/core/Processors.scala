@@ -382,19 +382,59 @@ object Processors {
       frameLen: Long,
       windowLen: Long,
       op: AggregateOp[A, R],
-      exportFn: (Long, K, R) => Any): () => Processor = () =>
+      exportFn: (Long, K, R) => Any,
+      earlyResultsPeriod: Long = 0L): () => Processor = () =>
     new AbstractProcessor {
       require(frameLen > 0 && windowLen >= frameLen && windowLen % frameLen == 0,
         s"windowLen ($windowLen) must be a positive multiple of frameLen ($frameLen)")
       private val frames = mutable.TreeMap.empty[Long, mutable.LinkedHashMap[K, A]]
       private var emittedUpTo = Long.MinValue
       private var emit: Traverser[Any] = _
+      private var lastEarly = System.currentTimeMillis()
+      private var earlyEmit: Traverser[Any] = _
 
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
         val (fe, k, a) = item.asInstanceOf[(Long, K, A)]
         val cell = frames.getOrElseUpdate(fe, mutable.LinkedHashMap.empty)
         cell.update(k, cell.get(k).map(op.combineFn(_, a)).getOrElse(a))
         true
+      }
+
+      /** Early results (SlidingWindowP.java:184-192): on the processing-time
+        * cadence, emit the CURRENT partial of every window the watermark has
+        * not yet closed, wrapped in [[EarlyResult]]. Never advances
+        * `emittedUpTo`, never evicts — finals are byte-identical to a run
+        * with the period off.
+        */
+      override def tryProcess(): Boolean = {
+        if (earlyResultsPeriod <= 0) return true
+        if (earlyEmit == null) {
+          val now = System.currentTimeMillis()
+          if (now - lastEarly < earlyResultsPeriod || frames.isEmpty) return true
+          lastEarly = now
+          val outs = Vector.newBuilder[Any]
+          val lastUseful = frames.lastKey + windowLen - frameLen
+          var we =
+            if (emittedUpTo == Long.MinValue) frames.firstKey
+            else emittedUpTo + frameLen
+          while (we <= lastUseful) {
+            val contributing = frames.range(we - windowLen + 1, we + 1)
+            if (contributing.nonEmpty) {
+              val perKey = mutable.LinkedHashMap.empty[K, A]
+              contributing.valuesIterator.foreach(_.foreach { case (k, a) =>
+                perKey.update(k, perKey.get(k).map(op.combineFn(_, a)).getOrElse(a))
+              })
+              perKey.foreach { case (k, a) =>
+                outs += EarlyResult(exportFn(we, k, op.exportFn(a)))
+              }
+            }
+            we += frameLen
+          }
+          earlyEmit = Traversers.traverseIterable(outs.result())
+        }
+        val done = emitFromTraverser(earlyEmit)
+        if (done) earlyEmit = null
+        done
       }
 
       private def windowsThrough(upTo: Long): Boolean = {
@@ -454,9 +494,12 @@ object Processors {
       tsFn: Any => Long,
       keyFn: Any => K,
       op: AggregateOp[A, R],
-      exportFn: (Long, Long, K, R) => Any): () => Processor = () =>
+      exportFn: (Long, Long, K, R) => Any,
+      earlyResultsPeriod: Long = 0L): () => Processor = () =>
     new SessionSpanProcessor[K, A](op.createFn, op.combineFn) {
       require(sessionTimeout > 0, s"sessionTimeout must be positive: $sessionTimeout")
+
+      override def tryProcess(): Boolean = tryEmitEarly(earlyResultsPeriod)
 
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
         val ts = tsFn(item)
@@ -562,8 +605,11 @@ object Processors {
     */
   def combineSessionFragmentsP[K, A, R](
       op: AggregateOp[A, R],
-      exportFn: (Long, Long, K, R) => Any): () => Processor = () =>
+      exportFn: (Long, Long, K, R) => Any,
+      earlyResultsPeriod: Long = 0L): () => Processor = () =>
     new SessionSpanProcessor[K, A](op.createFn, op.combineFn) {
+      override def tryProcess(): Boolean = tryEmitEarly(earlyResultsPeriod)
+
       override protected def tryProcess(ordinal: Int, item: Any): Boolean = {
         val (lo, hi, k, acc) = item.asInstanceOf[(Long, Long, K, A)]
         if (lo < wm) return true // unreachable under the pre-merge contract
@@ -603,6 +649,31 @@ object Processors {
 
     /** The item a closed span becomes when flushed. */
     protected def export(start: Long, end: Long, k: K, acc: A): Any
+
+    private var lastEarly = System.currentTimeMillis()
+    private var earlyEmit: Traverser[Any] = _
+
+    /** Early results (SessionWindowP's earlyWinTraverser): on the
+      * processing-time cadence, emit every LIVE span's current partial
+      * wrapped in [[EarlyResult]]. State untouched — finals unchanged.
+      * Call from the niladic `tryProcess()` of processors that opt in.
+      */
+    protected final def tryEmitEarly(period: Long): Boolean = {
+      if (period <= 0) return true
+      if (earlyEmit == null) {
+        val now = System.currentTimeMillis()
+        if (now - lastEarly < period || sessions.isEmpty) return true
+        lastEarly = now
+        val outs = Vector.newBuilder[Any]
+        sessions.foreach { case (k, m) =>
+          m.foreach { case (s, (e, a)) => outs += EarlyResult(export(s, e, k, a)) }
+        }
+        earlyEmit = Traversers.traverseIterable(outs.result())
+      }
+      val done = emitFromTraverser(earlyEmit)
+      if (done) earlyEmit = null
+      done
+    }
 
     private def indexAdd(end: Long, k: K): Unit = {
       byEnd.getOrElseUpdate(end, mutable.HashSet.empty).add(k); ()

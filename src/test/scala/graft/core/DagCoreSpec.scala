@@ -752,4 +752,131 @@ class DagCoreSpec extends SparkSpec {
     assert(out == Seq((0L, 30L, 1L), (58L, 88L, 1L)),
       s"late ts=25 must drop, not open an overlapping session: $out")
   }
+
+  // -------------------------------------------------- early results (r14,
+  // VERDICT r13 item 5): the niladic tryProcess() seam + earlyResultsPeriod
+  // on the DAG-layer window processors (SlidingWindowP.java:184-192,
+  // SessionWindowP's earlyWinTraverser). Topology note: single-partition
+  // NARROW chains, so the slow upstream mapP's wall-clock interleaves with
+  // the window stage's between-chunk ticks (a shuffle would be a stage
+  // barrier and starve the cadence in a bounded test).
+
+  /** Runs a slowed sliding-window chain; returns leaf output in order. */
+  private def earlySlidingRun(period: Long): Seq[Any] = {
+    val events = (0 until 100).map(i => (i.toLong, "k" + (i % 2)).asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val slow = dag.newVertex("slow", Processors.mapP[Any, Any] { x =>
+      Thread.sleep(1); x
+    }).localParallelism(1)
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 10L))
+      .localParallelism(1)
+    val acc = dag.newVertex("accframe",
+      Processors.accumulateByFrameP[String, Long](
+        keyFn = _.asInstanceOf[(Long, String)]._2,
+        tsFn = _.asInstanceOf[(Long, String)]._1,
+        frameLen = 10L, AggregateOp.counting)).localParallelism(1)
+    val comb = dag.newVertex("combine",
+      Processors.combineToSlidingWindowP[String, Long, Long](
+        frameLen = 10L, windowLen = 50L, AggregateOp.counting,
+        (we, k, n) => (we, k, n), earlyResultsPeriod = period))
+      .localParallelism(1)
+    dag
+      .edge(Edge.between(slow, wm))
+      .edge(Edge.between(wm, acc))
+      .edge(Edge.between(acc, comb))
+    DagExecutor.execute(spark, dag, inputs = Map("slow" -> input))("combine")
+  }
+
+  test("sliding-window early results: partials precede finals; finals unchanged") {
+    val out = earlySlidingRun(period = 1L)
+    val earlies = out.zipWithIndex.collect {
+      case (EarlyResult(t), i) => (t.asInstanceOf[(Long, String, Long)], i)
+    }
+    val finals = out.zipWithIndex.collect {
+      case (t, i) if !t.isInstanceOf[EarlyResult] =>
+        (t.asInstanceOf[(Long, String, Long)], i)
+    }
+    assert(earlies.nonEmpty, "the 1ms cadence must emit at least one early partial")
+    val finalByWin = finals.map { case ((we, k, n), i) => (we, k) -> ((n, i)) }.toMap
+    earlies.foreach { case ((we, k, n), i) =>
+      finalByWin.get((we, k)).foreach { case (fn, fi) =>
+        assert(n <= fn, s"early count $n for ($we,$k) exceeds final $fn")
+        assert(i < fi, s"early for ($we,$k) at index $i did not precede final at $fi")
+      }
+    }
+    // finals are byte-identical to a run with early results off
+    val off = earlySlidingRun(period = 0L)
+    assert(!off.exists(_.isInstanceOf[EarlyResult]), "period 0 must emit no earlies")
+    assert(finals.map(_._1).sortBy(t => (t._1, t._2)) ==
+      off.map(_.asInstanceOf[(Long, String, Long)]).sortBy(t => (t._1, t._2)))
+  }
+
+  /** Runs a slowed session chain (single- or two-stage); leaf output in order. */
+  private def earlySessionRun(period: Long, twoStage: Boolean): Seq[Any] = {
+    val events = (0 until 100 by 5).map(i => (i.toLong, "u").asInstanceOf[Any])
+    val input = sc.parallelize(events, 1)
+    val dag = new DAG
+    val slow = dag.newVertex("slow", Processors.mapP[Any, Any] { x =>
+      Thread.sleep(2); x
+    }).localParallelism(1)
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](_._1, lag = 0L, throttleFrame = 10L))
+      .localParallelism(1)
+    val leaf =
+      if (twoStage) {
+        val pre = dag.newVertex("premerge",
+          Processors.sessionPreMergeP[String, Long](
+            sessionTimeout = 30L,
+            tsFn = _.asInstanceOf[(Long, String)]._1,
+            keyFn = _.asInstanceOf[(Long, String)]._2,
+            AggregateOp.counting)).localParallelism(1)
+        val sess = dag.newVertex("session",
+          Processors.combineSessionFragmentsP[String, Long, Long](
+            AggregateOp.counting, (s, e, k, n) => (s, e, k, n),
+            earlyResultsPeriod = period)).localParallelism(1)
+        dag
+          .edge(Edge.between(slow, wm))
+          .edge(Edge.between(wm, pre))
+          .edge(Edge.between(pre, sess))
+        "session"
+      } else {
+        val sess = dag.newVertex("session",
+          Processors.aggregateToSessionWindowP[String, Long, Long](
+            sessionTimeout = 30L,
+            tsFn = _.asInstanceOf[(Long, String)]._1,
+            keyFn = _.asInstanceOf[(Long, String)]._2,
+            AggregateOp.counting, (s, e, k, n) => (s, e, k, n),
+            earlyResultsPeriod = period)).localParallelism(1)
+        dag
+          .edge(Edge.between(slow, wm))
+          .edge(Edge.between(wm, sess))
+        "session"
+      }
+    DagExecutor.execute(spark, dag, inputs = Map("slow" -> input))(leaf)
+  }
+
+  test("session early results (single- and two-stage): growing partials, finals unchanged") {
+    for (twoStage <- Seq(false, true)) {
+      val out = earlySessionRun(period = 1L, twoStage)
+      val earlies = out.collect {
+        case EarlyResult(t) => t.asInstanceOf[(Long, Long, String, Long)]
+      }
+      val finals = out.filter(!_.isInstanceOf[EarlyResult])
+        .map(_.asInstanceOf[(Long, Long, String, Long)])
+      assert(earlies.nonEmpty, s"twoStage=$twoStage: no early partials fired")
+      // one growing session: finals = the whole thing, earlies are prefixes
+      assert(finals == Seq((0L, 125L, "u", 20L)), s"twoStage=$twoStage: $finals")
+      earlies.foreach { case (s, e, k, n) =>
+        assert(s == 0L && k == "u" && n <= 20L && e <= 125L,
+          s"twoStage=$twoStage: early ($s,$e,$k,$n) is not a prefix partial")
+      }
+      // partial counts must be non-decreasing in emission order
+      val counts = earlies.map(_._4)
+      assert(counts == counts.sorted, s"twoStage=$twoStage: partials shrank: $counts")
+      val off = earlySessionRun(period = 0L, twoStage)
+      assert(off == Seq((0L, 125L, "u", 20L)), s"twoStage=$twoStage period-0: $off")
+    }
+  }
 }
