@@ -143,6 +143,35 @@ object ScaleTrend {
       }
     }
 
+    // dense-session growth row (r14, VERDICT r13 item 7): the two-stage
+    // session topology's DENSE regime — the shape SessionDenseAB proved the
+    // pre-merge wins on (12.5× fewer shuffled bytes) but the sparse q176
+    // fixture can't exercise. Synthetic K×S×E fixture; the replica factor
+    // scales S (sessions per key), so expected growth is ~linear. Tracked
+    // per round so the shipped topology's advantage can't silently decay.
+    val denseRow: Option[(Double, Double)] =
+      if (only.forall(_.exists("dense_session".startsWith))) {
+        try {
+          // the q01 warmup doesn't touch the DAG path: warm it separately or
+          // the 1× row carries the JIT cost (measured 1.44 s vs 0.51 s at 2×)
+          SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 4)
+          val (t1, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40)
+          val (tN, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40 * factor)
+          val g = tN / t1
+          val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
+          println(f"| dense_session_two_stage (synthetic) | $t1%.2f | $tN%.2f | ${g}%.1f×$flag |")
+          Some((t1, tN))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            println(s"| dense_session_two_stage | — | — | REFUSED: $msg |")
+            Some((-1.0, -1.0))
+        }
+      } else None
+    val denseJson = denseRow
+      .map { case (a, b) => s""""dense_session_two_stage":[$a,$b],""" }
+      .getOrElse("")
+
     // the q39 planes recipe: fixed planes vs planes grown with the corpus
     // (skipped on subset runs unless q39 is selected)
     if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
@@ -153,11 +182,11 @@ object ScaleTrend {
     println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
     println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_trend","factor":$factor,"queries":$qs,""" +
+    println(s"""{"metric":"scale_trend","factor":$factor,$denseJson"queries":$qs,""" +
       s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
     } else {
       val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"scale_trend","factor":$factor,"queries":$qs}""")
+      println(s"""{"metric":"scale_trend","factor":$factor,$denseJson"queries":$qs}""")
     }
     spark.stop()
   }

@@ -22,6 +22,60 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object SessionDenseAB {
 
+  /** The dense fixture: K keys × S sessions × E events per session, events
+    * interleaved time-ordered per partition (the bounded-disorder source
+    * contract). Shared with ScaleTrend's dense-session growth row — S is the
+    * axis the replica factor scales.
+    */
+  def denseEvents(sc: org.apache.spark.SparkContext, sessionsPerKey: Int,
+                  keys: Int = 96, eventsPerSession: Int = 240,
+                  parts: Int = 8): RDD[Any] =
+    sc.parallelize(0 until parts, parts).flatMap { p =>
+      val local = (p * keys / parts) until ((p + 1) * keys / parts)
+      for {
+        s <- (0 until sessionsPerKey).iterator
+        j <- (0 until eventsPerSession).iterator
+        k <- local.iterator
+      } yield (s * 100000L + j, s"k$k").asInstanceOf[Any]
+    }
+
+  /** Time the SHIPPED (two-stage preMerge + combineFragments) topology over
+    * the dense fixture; returns (seconds, distinct sessions emitted) and
+    * asserts the expected session count — a growth row that silently
+    * under-merged would otherwise read as a win.
+    */
+  def timeTwoStage(spark: SparkSession, sessionsPerKey: Int,
+                   keys: Int = 96): (Double, Int) = {
+    val timeout = 30L
+    val parts = 8
+    val dag = new DAG
+    val wm = dag.newVertex("wm",
+      Processors.insertWatermarksP[(Long, String)](
+        _._1, lag = timeout, throttleFrame = timeout))
+      .localParallelism(parts)
+    val pre = dag.newVertex("premerge",
+      Processors.sessionPreMergeP[String, Long](
+        timeout, _.asInstanceOf[(Long, String)]._1,
+        _.asInstanceOf[(Long, String)]._2, AggregateOp.counting))
+      .localParallelism(parts)
+    val sess = dag.newVertex("session",
+      Processors.combineSessionFragmentsP[String, Long, Long](
+        AggregateOp.counting, (s, e, k, n) => (s, e, k, n)))
+    dag
+      .edge(Edge.between(wm, pre))
+      .edge(Edge.between(pre, sess)
+        .partitioned(_.asInstanceOf[(Long, Long, String, Long)]._3)
+        .distributed())
+    val events = denseEvents(spark.sparkContext, sessionsPerKey, keys)
+    val t0 = System.nanoTime()
+    val out = DagExecutor.execute(spark, dag, inputs = Map("wm" -> events))("session")
+    val dt = (System.nanoTime() - t0) / 1e9
+    val n = out.size
+    require(n == keys * sessionsPerKey,
+      s"expected ${keys * sessionsPerKey} sessions, got $n")
+    (dt, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.tune(
       SparkSession.builder().master("local[32]").appName("graft-session-ab"),
