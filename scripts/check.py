@@ -61,7 +61,9 @@ def main():
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    names = sorted(d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d)))
+    # only query dirs: Verify also writes bookkeeping dirs (plan_drift/)
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)) and d in oracles)
     if only is not None:
         names = [n for n in names if n in only]
     for name in names:

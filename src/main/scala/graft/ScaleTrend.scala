@@ -91,7 +91,11 @@ object ScaleTrend {
     // round-trips orders through the protobuf wire codec (row-local encode/
     // decode: expected ~linear in rows)
     "q166_stream_kafka_windowed", "q169_stream_kinesis_reshard",
-    "q175_proto_roundtrip")
+    "q175_proto_roundtrip",
+    // round-14: the python-gRPC bridge's growth curve — per-partition python
+    // worker, row-local round-trip over loopback HTTP/2: expected ~linear
+    // in (subset) rows
+    "q177_python_grpc")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

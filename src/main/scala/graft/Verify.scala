@@ -9,8 +9,9 @@ import java.nio.file.{Files, Paths}
   * `_SUCCESS` marker from a previous invocation — so a run killed by a
   * harness timeout continues where it stopped instead of needing a manual
   * query split (the CORRECTNESS_sf1_r13 method). Plan-drift records are
-  * kept per query under `<outDir>/plan_drift/` and aggregated at the end of
-  * every attempt, so drift seen by an earlier attempt survives the resume.
+  * kept per query as flat `plan_drift_<q>.txt` files and aggregated at the
+  * end of every attempt, so drift seen by an earlier attempt survives the
+  * resume.
   * `scripts/verify_resume.sh` wraps the retry loop into one command.
   *
   * Usage: runMain graft.Verify <sfDir> <outDir> [prefixes] [--resume]
@@ -32,8 +33,11 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val driftDir = Paths.get(outDir, "plan_drift")
-    Files.createDirectories(driftDir)
+    // drift records are FLAT FILES (plan_drift_<q>.txt), never a directory:
+    // the differential checkers discover query outputs by listing outDir's
+    // subdirectories, and a bookkeeping dir would read as a broken query
+    def driftFile(name: String) =
+      Paths.get(outDir, s"plan_drift_$name.txt")
     // plan-freshness gate (VERDICT r10 item 8): compare each headline
     // query's pre-execution plan shape against PLANS.md's fingerprint table
     // — a drifted plan is a silent perf regression until the bench notices;
@@ -57,10 +61,9 @@ object Verify {
           if (got != expected) {
             System.err.println(
               s"[verify] PLAN-DRIFT $name: $expected -> $got (regenerate PLANS.md or fix the plan)")
-            Files.writeString(driftDir.resolve(s"$name.txt"),
-              s"$name $expected -> $got\n")
+            Files.writeString(driftFile(name), s"$name $expected -> $got\n")
           } else // clear a stale drift record once the plan matches again
-            Files.deleteIfExists(driftDir.resolve(s"$name.txt"))
+            Files.deleteIfExists(driftFile(name))
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         ran += 1
@@ -74,7 +77,9 @@ object Verify {
     }
     // aggregate per-query drift files (this attempt's AND earlier attempts')
     val drifted = {
-      val files = Files.list(driftDir).toArray.map(_.toString).sorted
+      val files = new java.io.File(outDir).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("plan_drift_"))
+        .map(_.toString).sorted
       files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
     }
     Files.writeString(Paths.get(s"$outDir/plan_drift.txt"),

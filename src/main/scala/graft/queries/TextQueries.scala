@@ -1223,7 +1223,43 @@ object TextQueries {
        |CROSS JOIN tot
        |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin
 
+  // ------------------------------------ q177 python-gRPC service transform
+  /** The §2.4 python bridge carrying a gate (r14): document text routed
+    * through a REAL python3 worker over the in-repo gRPC wire
+    * ([[graft.pipeline.PythonGrpcTransforms]] — the reference's
+    * JetToPythonServer topology: per-partition python gRPC server, one bidi
+    * stream per batch). The handler answers `len:ntokens` per text; the
+    * oracle recomputes both in DuckDB (code-point length; whitespace-run
+    * token count = python's str.split), so the transport's 1:1 ORDERED
+    * delivery is oracle-exact — a swapped or dropped response mispairs some
+    * doc_id and hash-fails. Subset (doc_id % 20 = 0) keeps the python
+    * round-trip bounded at big bench rungs.
+    */
+  val q177_python_grpc: Q = (s, dir) => {
+    val handler = java.nio.file.Files.createTempFile("graft_q177_handler_", ".py")
+    java.nio.file.Files.write(handler,
+      """def transform_list(items):
+        |    return ["%d:%d" % (len(s), len(s.split())) for s in items]
+        |""".stripMargin.getBytes("UTF-8"))
+    handler.toFile.deleteOnExit()
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    graft.pipeline.PythonGrpcTransforms
+      .mapUsingPythonGrpc(docs, "text", handler.toString)
+      .select(col("doc_id"),
+        split(col("text"), ":").getItem(0).cast("long").as("py_len"),
+        split(col("text"), ":").getItem(1).cast("long").as("py_tokens"))
+  }
+
+  val q177_oracle: String =
+    """SELECT doc_id, length(text)::BIGINT AS py_len,
+      |  length(list_filter(string_split_regex(trim(text), '\s+'),
+      |         x -> x <> ''))::BIGINT AS py_tokens
+      |FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q177_python_grpc" -> q177_python_grpc,
     "q121_pmi_collocations" -> q121_pmi_collocations,
     "q130_dedup_pagerank" -> q130_dedup_pagerank,
     "q134_lsh_recall_audit" -> q134_lsh_recall_audit,
@@ -1254,6 +1290,7 @@ object TextQueries {
     "q93_containment" -> q93_containment)
 
   val oracles: Map[String, String] = Map(
+    "q177_python_grpc" -> q177_oracle,
     "q121_pmi_collocations" -> q121_oracle,
     "q130_dedup_pagerank" -> q130_oracle,
     "q134_lsh_recall_audit" -> q134_oracle,
