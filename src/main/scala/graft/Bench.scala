@@ -18,36 +18,44 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** Frozen reference composite for the calibration probe (seconds of fixed
-    * work), measured on the round-14 freeze box (best-of-2, idle, load_avg
-    * < 0.1). Cross-round artifact comparisons divide per-query times by
+    * work), measured on the round-14 freeze box: mean of 4 runs of the FINAL
+    * probe shape (3 fresh-session + 1 big-warmup, idle box, spread ±4%).
+    * Cross-round artifact comparisons divide per-query times by
     * `measured_composite / CalibrationRefComposite` — three rounds (r3, r12,
     * r13) adjudicated box-noise "regressions" by control runs and argument;
     * this constant turns that into arithmetic. Re-freeze ONLY with a
     * BASELINE.md entry explaining why (a probe change or a deliberate
-    * re-baselining), never to make a round look faster.
+    * re-baselining), never to make a round look faster. (Re-frozen once,
+    * in-round r14: 7.37 → 7.49 when the probe itself changed shape — see
+    * BASELINE.md "calibration probe, final shape".)
     */
-  val CalibrationRefComposite = 7.37
+  val CalibrationRefComposite = 7.49
 
   /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
     * micro-workloads that measure the BOX, not the engine —
     *   cpu_sec:     single-thread FNV-1a over 200M steps (per-core speed and
     *                background-load steal; pure JVM, no Spark scheduling);
-    *   shuffle_sec: 4M-row hash repartition + two-phase agg (shuffle write/
+    *   shuffle_sec: 16M-row hash repartition + two-phase agg (shuffle write/
     *                read, serialization, multicore);
     *   sched_sec:   120 minimal 32-task jobs (the per-job scheduling floor —
     *                the component external load multiplies 3-5× while bulk
     *                work absorbs ~1.2×, BASELINE.md r7);
-    *   state_sec:   8 micro-batches through a keyed windowed agg (per-batch
-    *                state-store commit floor).
-    * Each probe is best-of-2 (GC/JIT transients read high, never low on
-    * fixed work). Composite = sum of the four.
+    *   state_sec:   keyed windowed agg on one long-lived query — 3 UNTIMED
+    *                init batches, then min over 3 rounds of 6 timed batches
+    *                (per-batch state-commit floor; startup excluded).
+    * Each probe is min-of-3: the FIRST iteration absorbs the probe's own
+    * JIT/class-init cost, which otherwise varies with how much work ran
+    * before the probe (measured: the same box read 6.3 s after an sf1-sized
+    * warmup vs 7.8-8.6 s in a fresh session — the probe must self-warm to be
+    * comparable across runs), and transients read high, never low, on fixed
+    * work. Composite = sum of the four.
     */
   private[graft] def calibrate(spark: SparkSession): Map[String, Double] = {
     import spark.implicits._
     def timeS(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def best2(f: => Unit): Double = math.min(timeS(f), timeS(f))
+    def best2(f: => Unit): Double = Seq(timeS(f), timeS(f), timeS(f)).min
     val cpu = best2 {
       var h = 0x811c9dc5L
       var i = 0
@@ -55,7 +63,7 @@ object Bench {
       if (h == 42L) System.err.println("") // defeat dead-code elimination
     }
     val shuffle = best2 {
-      spark.range(8000000L)
+      spark.range(16000000L)
         .select((col("id") % 100000L).as("k"))
         .repartition(32, col("k"))
         .groupBy("k").count()
@@ -65,20 +73,28 @@ object Bench {
       var i = 0
       while (i < 120) { spark.sparkContext.parallelize(1 to 32, 32).count(); i += 1 }
     }
-    // 8 state partitions (like streamThroughput): the probe tracks per-batch
-    // commit cost, and the fixed shape just has to be the same every round
+    // 8 state partitions (like streamThroughput): the probe tracks the
+    // per-batch COMMIT cost, so the query + state-store startup must stay
+    // OUTSIDE the timed window (3 untimed batches first) — timing it made
+    // the probe bimodal (8.2 vs 6.2 s composites on the same idle box)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val state = try best2 {
+    val state = try {
       implicit val sqlCtx = spark.sqlContext
       val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
       val q = ms.toDF().toDF("ts", "k", "v").withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"k").agg(sum($"v"))
         .writeStream.format("noop").outputMode("update").start()
-      try (0 until 6).foreach { b =>
+      def feed(b: Int): Unit = {
         ms.addData((0 until 2000).map(i =>
           (new java.sql.Timestamp(b * 3600000L), (i % 64).toLong, i.toDouble)))
         q.processAllAvailable()
+      }
+      try {
+        (0 until 3).foreach(feed) // untimed: query + state-store init
+        Seq.tabulate(3) { r =>
+          timeS((0 until 6).foreach(i => feed(3 + r * 6 + i)))
+        }.min
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     Map("cpu_sec" -> cpu, "shuffle_sec" -> shuffle,
