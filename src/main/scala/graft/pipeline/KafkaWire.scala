@@ -74,7 +74,10 @@ final class KafkaWire(bootstrap: String, clientId: String = "graft",
   private def conn(host: String, port: Int): Conn =
     sockets.getOrElseUpdate((host, port), {
       val c = new Conn(host, port)
-      security.saslMechanism.foreach(m => authenticate(c, m))
+      // failed auth must not leak the socket: the connection never enters
+      // the cache (so a retry re-dials), and the OS fd closes with it
+      try security.saslMechanism.foreach(m => authenticate(c, m))
+      catch { case e: Throwable => c.socket.close(); throw e }
       c
     })
 
