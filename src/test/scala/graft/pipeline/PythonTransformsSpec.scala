@@ -123,6 +123,26 @@ class PythonTransformsSpec extends SparkSpec {
     assert(out.forall(_.toInt <= 3), s"some batch exceeded the byte budget: ${out.toSeq}")
   }
 
+  test("gRPC transport: one python server PER PARTITION, concurrent, results exact") {
+    // 4 partitions -> 4 concurrent python gRPC servers on distinct ephemeral
+    // ports (the reference's worker-per-processor topology); empty partitions
+    // spawn nothing
+    val h = handler("pid_grpc", """import os
+                                  |def transform_list(items):
+                                  |    return ["%s@%d" % (s, os.getpid()) for s in items]
+                                  |""".stripMargin)
+    val df = spark.range(40).selectExpr("id", "cast(id as string) AS txt")
+      .repartition(4)
+    val out = PythonGrpcTransforms.mapUsingPythonGrpc(df, "txt", h)
+      .selectExpr("id", "txt").as[(Long, String)].collect()
+    assert(out.length == 40)
+    // every row's payload round-tripped against ITS id (ordered 1:1 per batch)
+    out.foreach { case (id, s) => assert(s.startsWith(s"$id@"), s"$id -> $s") }
+    // more than one worker process actually served (one per non-empty partition)
+    val pids = out.map(_._2.split('@')(1)).distinct
+    assert(pids.length > 1, s"expected multiple python workers, saw pids $pids")
+  }
+
   test("gRPC transport: a raising handler fails loudly with the python traceback") {
     val h = handler("boom_grpc", """def transform_list(items):
                                    |    raise ValueError("grpc handler exploded")
