@@ -17,23 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** Frozen reference composite for the calibration probe (seconds of fixed
-    * work), measured on the round-14 freeze box: mean of 4 runs of the FINAL
-    * probe shape (3 fresh-session + 1 big-warmup, idle box, spread ±4%).
-    * Cross-round artifact comparisons divide per-query times by
-    * `measured_composite / CalibrationRefComposite` — three rounds (r3, r12,
-    * r13) adjudicated box-noise "regressions" by control runs and argument;
-    * this constant turns that into arithmetic. Re-freeze ONLY with a
-    * BASELINE.md entry explaining why (a probe change or a deliberate
-    * re-baselining), never to make a round look faster. (Re-frozen once,
-    * in-round r14: 7.37 → 7.49 when the probe itself changed shape — see
-    * BASELINE.md "calibration probe, final shape".)
+  /** Frozen PER-COMPONENT references for the calibration probe (seconds of
+    * fixed work each). The COMPOSITE anchor is unchanged from r14 — 7.49
+    * r14-reference-box seconds — so `queries_norm` keeps its unit and
+    * cross-round normalized ratios stay comparable. The r15 change
+    * (VERDICT r14 item 1) is the per-component SPLIT, needed so component
+    * factors can name which probe moved: the split is the r14 freeze box's
+    * recorded per-component values (BASELINE.md "calibration probe, final
+    * shape": cpu ~0.87 / shuffle ~0.70 / sched ~1.9 / state ~3.9), with
+    * shuffle nudged 0.70 → 0.75 for the min-of-3 → median-of-5 stat change
+    * (idle-box median sits ~5-10% above the min; measured in the r15
+    * re-freeze runs, BASELINE.md) and the residual rounding placed in
+    * sched/state within their recorded precision. A small constant bias in
+    * one component's ref is harmless — component factors diagnose which
+    * component MOVED, not absolute speed. Re-freeze ONLY with a BASELINE.md
+    * entry explaining why (a probe change or a deliberate re-baselining),
+    * never to make a round look faster. History: 7.37 → 7.49 in-round r14
+    * (probe shape), → r15 per-component split + shuffle median (this entry).
     */
-  val CalibrationRefComposite = 7.49
+  val CalibrationRef: Map[String, Double] = Map(
+    "cpu_sec" -> 0.87, "shuffle_sec" -> 0.75,
+    "sched_sec" -> 1.92, "state_sec" -> 3.95)
+  val CalibrationRefComposite: Double = CalibrationRef.values.sum
+
+  /** Two same-run probe composites must agree within this band for the
+    * factor to be APPLIED (VERDICT r14 item 1): the probe's own idle-box
+    * spread is ±4%, so a pre/post pair further apart than 5% means the box
+    * shifted DURING the suite (or the probe hit transient load) and
+    * normalizing with either value would add noise — the artifact then
+    * records `factor_stable:false` and `queries_norm` falls back to raw.
+    */
+  val CalibrationAgreementBand = 0.05
 
   /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
     * micro-workloads that measure the BOX, not the engine —
-    *   cpu_sec:     single-thread FNV-1a over 200M steps (per-core speed and
+    *   cpu_sec:     single-thread FNV-1a over 600M steps (per-core speed and
     *                background-load steal; pure JVM, no Spark scheduling);
     *   shuffle_sec: 16M-row hash repartition + two-phase agg (shuffle write/
     *                read, serialization, multicore);
@@ -43,33 +61,50 @@ object Bench {
     *   state_sec:   keyed windowed agg on one long-lived query — 3 UNTIMED
     *                init batches, then min over 3 rounds of 6 timed batches
     *                (per-batch state-commit floor; startup excluded).
-    * Each probe is min-of-3: the FIRST iteration absorbs the probe's own
-    * JIT/class-init cost, which otherwise varies with how much work ran
+    *                ASSUMES java.io.tmpdir is tmpfs on this harness box
+    *                (build.sbt points it at /dev/shm when present): the
+    *                probe times state COMMITS, and on a disk-backed tmpdir
+    *                it would time fsyncs against a different floor than the
+    *                frozen reference — re-freeze before trusting factors
+    *                from a box without /dev/shm.
+    * cpu/sched/state are min-of-3: the FIRST iteration absorbs the probe's
+    * own JIT/class-init cost, which otherwise varies with how much work ran
     * before the probe (measured: the same box read 6.3 s after an sf1-sized
     * warmup vs 7.8-8.6 s in a fresh session — the probe must self-warm to be
     * comparable across runs), and transients read high, never low, on fixed
-    * work. Composite = sum of the four.
+    * work. shuffle is MEDIAN-of-5 (r15): its fixture queues behind external
+    * load, so its min is stable but its single-shot values are the probe's
+    * noisiest — the median of five absorbs one or two contended trials
+    * without tracking the min's optimism. Composite = sum of the four.
     */
   private[graft] def calibrate(spark: SparkSession): Map[String, Double] = {
     import spark.implicits._
     def timeS(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def best2(f: => Unit): Double = Seq(timeS(f), timeS(f), timeS(f)).min
-    val cpu = best2 {
+    def minOf3(f: => Unit): Double = Seq(timeS(f), timeS(f), timeS(f)).min
+    // the shuffle trials are logged raw: a factor swing blamed on shuffle_sec
+    // should be diagnosable from the artifact's stderr without a rerun
+    def medianOf5(f: => Unit): Double = {
+      val trials = Seq.fill(5)(timeS(f))
+      System.err.println(trials.map(t => f"$t%.3f")
+        .mkString("[bench] shuffle probe trials: ", " ", ""))
+      trials.sorted.apply(2)
+    }
+    val cpu = minOf3 {
       var h = 0x811c9dc5L
       var i = 0
       while (i < 600000000) { h = (h ^ (i & 0xff)) * 0x01000193L; i += 1 }
       if (h == 42L) System.err.println("") // defeat dead-code elimination
     }
-    val shuffle = best2 {
+    val shuffle = medianOf5 {
       spark.range(16000000L)
         .select((col("id") % 100000L).as("k"))
         .repartition(32, col("k"))
         .groupBy("k").count()
         .write.format("noop").mode("overwrite").save()
     }
-    val sched = best2 {
+    val sched = minOf3 {
       var i = 0
       while (i < 120) { spark.sparkContext.parallelize(1 to 32, 32).count(); i += 1 }
     }
@@ -134,21 +169,48 @@ object Bench {
     streamWarmup(spark)
 
     // fixed-work box calibration (after warmup so the probe isn't measuring
-    // JIT): factor = this box right now / the frozen r14 reference box.
-    // Every per-query time in the artifact divides by it in `queries_norm` —
-    // a normalized cross-round ratio that still moves is code, not box.
-    val calib: Map[String, Double] =
-      if (sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")) Map.empty
-      else calibrate(spark)
-    val calibComposite = calib.values.sum
-    val calibFactor = if (calib.isEmpty) 1.0 else calibComposite / CalibrationRefComposite
-    if (calib.nonEmpty)
-      System.err.println(f"[bench] calibration composite=$calibComposite%.3f s " +
-        f"(ref ${CalibrationRefComposite}) factor=$calibFactor%.3f " +
-        calib.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
-
+    // JIT): factor = this box right now / the frozen reference box. The
+    // probe runs BEFORE and AFTER the query suite (VERDICT r14 item 1) —
+    // the factor is applied to `queries_norm` only when the pair agrees
+    // within CalibrationAgreementBand; a disagreeing pair means the box
+    // shifted mid-suite and normalization would ADD noise, so the artifact
+    // records factor_stable:false and falls back to raw. Skipped entirely
+    // under a dev filter (relative iteration needs no normalization).
     // comma-separated name-prefix filter for local iteration (full run if unset)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
+    val skipCalib =
+      sys.env.contains("SPARK_GRAFT_NO_CALIBRATION") || filter.isDefined
+    def logCalib(tag: String, c: Map[String, Double]): Unit =
+      if (c.nonEmpty)
+        System.err.println(f"[bench] calibration($tag) composite=${c.values.sum}%.3f s " +
+          f"(ref ${CalibrationRefComposite}%.2f) " +
+          c.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    // SETTLE GATE on the pre-probe: right after sbt launch + compile the box
+    // still carries that load for ~a probe's length, and a pre-probe taken
+    // then reads 10-25% above the suite's true environment (measured in the
+    // r15 re-freeze: pre 5.50 vs post 4.45 on an otherwise idle box) —
+    // repeat until two consecutive composites agree within the band (≤3
+    // extra attempts) and keep the LAST, settled one. The pre/post pair
+    // then compares the suite's actual bracket, not the launch transient.
+    val calibPre: Map[String, Double] =
+      if (skipCalib) Map.empty
+      else {
+        var prev = calibrate(spark)
+        logCalib("pre", prev)
+        var cur = prev
+        var attempts = 0
+        var settled = false
+        while (!settled && attempts < 3) {
+          cur = calibrate(spark)
+          logCalib(s"pre-settle${attempts + 1}", cur)
+          val (a, b) = (prev.values.sum, cur.values.sum)
+          settled = math.abs(a - b) / ((a + b) / 2) <= CalibrationAgreementBand
+          prev = cur
+          attempts += 1
+        }
+        cur
+      }
+
     // Rung-scoping: q161's brute ANN serving broadcasts the WHOLE index and
     // scans it per event — it is the exact-oracle BASELINE, kept at the
     // sf0.1 rung where it is cheap. At bigger rungs it grows super-linearly
@@ -239,6 +301,26 @@ object Bench {
         name -> dt
       }.toMap
 
+    // post-suite probe: brackets the query suite so a mid-run box shift is
+    // DETECTED (pre/post disagreement) instead of silently normalized in
+    val calibPost: Map[String, Double] =
+      if (skipCalib) Map.empty else calibrate(spark)
+    logCalib("post", calibPost)
+    val compositePre = calibPre.values.sum
+    val compositePost = calibPost.values.sum
+    val calibStable = calibPre.nonEmpty && calibPost.nonEmpty && {
+      val mean = (compositePre + compositePost) / 2
+      math.abs(compositePre - compositePost) / mean <= CalibrationAgreementBand
+    }
+    // factor applied only when the pair agrees (else raw = factor 1.0)
+    val calibFactor =
+      if (calibStable) (compositePre + compositePost) / 2 / CalibrationRefComposite
+      else 1.0
+    if (calibPre.nonEmpty)
+      System.err.println(f"[bench] calibration factor=$calibFactor%.3f " +
+        f"stable=$calibStable (pre=$compositePre%.3f post=$compositePost%.3f " +
+        f"band=${CalibrationAgreementBand})")
+
     // best-of-2 trials: throughput is floored by per-micro-batch fixed
     // overhead and swings ±40% with background machine load (BASELINE.md
     // round-3 post-mortem) — the MAX of two short runs is the stable estimate
@@ -280,11 +362,31 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // calibration block + box-normalized per-query times: cross-round diffs
     // read queries_norm (and total_norm) — a normalized ratio that still
-    // moves is code; one that flattens was the box
-    val calibJson = (calib.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v } ++
-      Seq("\"composite\":" + calibComposite,
-          "\"ref_composite\":" + CalibrationRefComposite,
-          "\"factor\":" + calibFactor)).mkString("{", ",", "}")
+    // moves is code; one that flattens was the box. Per-component factors
+    // (mean of pre/post over the frozen ref) make a sched- or shuffle-driven
+    // swing diagnosable instead of silently folded into the composite.
+    val calibJson = {
+      def obj(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      val componentFactors =
+        if (calibPre.isEmpty || calibPost.isEmpty) Map.empty[String, Double]
+        else CalibrationRef.map { case (k, ref) =>
+          k -> (calibPre(k) + calibPost(k)) / 2 / ref
+        }
+      Seq(
+        "\"pre\":" + obj(calibPre),
+        "\"post\":" + obj(calibPost),
+        "\"composite_pre\":" + compositePre,
+        "\"composite_post\":" + compositePost,
+        "\"ref_components\":" + obj(CalibrationRef),
+        "\"ref_composite\":" + CalibrationRefComposite,
+        "\"component_factors\":" + obj(componentFactors),
+        "\"agreement_band\":" + CalibrationAgreementBand,
+        "\"factor_stable\":" + calibStable,
+        "\"factor\":" + calibFactor
+      ).mkString("{", ",", "}")
+    }
     def norm4(v: Double): Double = math.round(v / calibFactor * 10000) / 10000.0
     val qsNorm = results.map { case (k, v, _, _) => "\"" + k + "\":" + norm4(v) }
       .mkString("{", ",", "}")
@@ -322,7 +424,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",$marker""" +
       s""""n_queries":${results.size},"mean_sec":$meanSec,""" +
-      s""""calib_factor":${r2(calibFactor)},"total_norm":${r2(total / calibFactor)},""" +
+      s""""calib_factor":${r2(calibFactor)},"calib_stable":$calibStable,""" +
+      s""""total_norm":${r2(total / calibFactor)},""" +
       s""""slowest":$slowest,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":${r2(streamRate)},""" +
       s""""stream_rows_per_sec_rocksdb":${r2(streamRateRocks)},""" +
@@ -337,7 +440,7 @@ object Bench {
     * (vectorized parquet scan → two-phase windowed agg → state store), with no
     * driver-side row encoding in the measured loop.
     */
-  private def streamWarmup(spark: SparkSession): Unit =
+  private[graft] def streamWarmup(spark: SparkSession): Unit =
     try {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext

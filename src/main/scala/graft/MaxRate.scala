@@ -25,6 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the number is machine-relative (local[32] micro-batch vs the reference's
   * 45-node event-at-a-time cluster) and calibrates the architecture, not the
   * round artifact. SPARK_GRAFT_MAXRATE_ONLY=name,... filters pipelines.
+  *
+  * Calibration (r15, VERDICT r14 item 2): the artifact carries the same
+  * fixed-work probe block as the bench ([[Bench.calibrate]], run once before
+  * the ladder), because two consecutive rounds needed manual same-code
+  * control runs to adjudicate rate dips as box shifts. Decomposition rule:
+  * a stateful-pipeline ceiling is floored by per-batch state commits and the
+  * per-trigger scheduling floor, so compare rate deltas against the
+  * `state_sec`/`sched_sec` component factors (rates scale ~1/factor); the
+  * stateless ceiling tracks `cpu_sec`/`shuffle_sec`. A rate dip that tracks
+  * its components' factor is the box, by arithmetic — no control run needed.
   */
 object MaxRate {
 
@@ -116,6 +126,30 @@ object MaxRate {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // fixed-work box calibration before the ladder (VERDICT r14 item 2):
+    // the artifact carries the probe components so a rate delta vs a prior
+    // round decomposes by arithmetic — see the scaladoc's decomposition
+    // rule. Skippable for fast iteration (SPARK_GRAFT_NO_CALIBRATION=1).
+    val calib: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")) Map.empty
+      else {
+        Bench.streamWarmup(spark)
+        val c = Bench.calibrate(spark)
+        System.err.println(f"[maxrate] calibration composite=${c.values.sum}%.3f " +
+          f"(ref ${Bench.CalibrationRefComposite}%.2f) " +
+          c.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+        c
+      }
+    val calibJson = (calib.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v } ++
+      Seq("\"composite\":" + calib.values.sum,
+          "\"ref_composite\":" + Bench.CalibrationRefComposite,
+          "\"ref_components\":" + Bench.CalibrationRef.toSeq.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
+          "\"factor\":" + (if (calib.isEmpty) 1.0
+                           else calib.values.sum / Bench.CalibrationRefComposite)))
+      .mkString("{", ",", "}")
+
     def ceilingFor(p: Pipeline): (Long, Double, Long) = {
       val ceiling = 512000000L // generator guard: don't probe beyond this
       var rate = sys.env.get("SPARK_GRAFT_MAXRATE_START")
@@ -151,7 +185,7 @@ object MaxRate {
       s""""${p.name}":{"rate":$r,"measured":$m,"state_rows":$st}"""
     }
     println(s"""{"metric":"max_sustainable_rate","unit":"rows_per_sec",""" +
-      results.mkString(",") + "}")
+      s""""calibration":$calibJson,""" + results.mkString(",") + "}")
     spark.stop()
   }
 }

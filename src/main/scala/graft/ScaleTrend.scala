@@ -133,7 +133,15 @@ object ScaleTrend {
       // failure, not a refusal, and must not be recorded as -1. Exceptions
       // with a null message (raw NPEs) fall back to the class name.
       try {
-        val t1 = time(reg(name), src)
+        // 1× base is BEST-OF-2 (VERDICT r14 item 5): q161's growth ratio
+        // moved 29.5× → 70.7× round-over-round purely because one round's
+        // base was warm and the other's cold — a warm best-of-2 base makes
+        // growth ratios compare method-equal across rounds (recorded in the
+        // artifact as base_method). The replica side stays single-run: its
+        // absolute is what the ratio is ABOUT, and 2× the replica suite
+        // would double the battery's wall-clock for noise the ratio's
+        // numerator doesn't dominate.
+        val t1 = math.min(time(reg(name), src), time(reg(name), src))
         val tN = time(reg(name), out)
         val g = tN / t1
         val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
@@ -159,7 +167,10 @@ object ScaleTrend {
           // the q01 warmup doesn't touch the DAG path: warm it separately or
           // the 1× row carries the JIT cost (measured 1.44 s vs 0.51 s at 2×)
           SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 4)
-          val (t1, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40)
+          // best-of-2 base, same method as the battery rows above
+          val (t1a, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40)
+          val (t1b, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40)
+          val t1 = math.min(t1a, t1b)
           val (tN, _) = SessionDenseAB.timeTwoStage(spark, sessionsPerKey = 40 * factor)
           val g = tN / t1
           val flag = if (g > factor * 1.5) " **SUPER-LINEAR**" else ""
@@ -178,19 +189,24 @@ object ScaleTrend {
 
     // the q39 planes recipe: fixed planes vs planes grown with the corpus
     // (skipped on subset runs unless q39 is selected)
+    // base_method records HOW the 1× bases were measured so round-over-round
+    // growth ratios are known method-equal (or known not to be)
+    val baseMethod = """"base_method":"best_of_2_warm","""
     if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
     val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
-    val fixed1 = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), src)
-    val fixedN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4), out)
-    val grownN = time((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d, 4 + extraPlanes), out)
+    def q39(planes: Int)(s: SparkSession, d: String): DataFrame =
+      queries.EmbeddingQueries.dedupEmbedding(s, d, planes)
+    val fixed1 = math.min(time(q39(4), src), time(q39(4), src))
+    val fixedN = time(q39(4), out)
+    val grownN = time(q39(4 + extraPlanes), out)
     println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
     println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_trend","factor":$factor,$denseJson"queries":$qs,""" +
+    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson"queries":$qs,""" +
       s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
     } else {
       val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"scale_trend","factor":$factor,$denseJson"queries":$qs}""")
+      println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson"queries":$qs}""")
     }
     spark.stop()
   }

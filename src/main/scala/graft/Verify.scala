@@ -71,8 +71,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += 1
         // delete any PREVIOUS run's output for this query: a stale parquet
-        // would make the differential check silently validate old results
+        // would make the differential check silently validate old results —
+        // and the stale drift record with it, or plan_drift.txt would report
+        // drift for a query that produced no output this run
         pipeline.TempFiles.deleteTree(s"$outDir/$name")
+        Files.deleteIfExists(driftFile(name))
       }
     }
     // aggregate per-query drift files (this attempt's AND earlier attempts')
@@ -80,7 +83,8 @@ object Verify {
       val files = new java.io.File(outDir).listFiles()
         .filter(f => f.isFile && f.getName.startsWith("plan_drift_"))
         .map(_.toString).sorted
-      files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+      files.flatMap(f => scala.util.Using.resource(scala.io.Source.fromFile(f))(
+        _.getLines().toSeq)).toSeq
     }
     Files.writeString(Paths.get(s"$outDir/plan_drift.txt"),
       if (drifted.isEmpty) "none\n" else drifted.mkString("", "\n", "\n"))

@@ -470,7 +470,9 @@ private[core] final class ProcessorDriver(
               // Jet's niladic tryProcess() between inbox chunks — the early-
               // results seam (Processor.java:198). A false return with a
               // non-empty outbox resumes after the drain; the chunk feed
-              // waits until the processor reports quiescence.
+              // waits until the processor reports quiescence. false with an
+              // EMPTY outbox is a contract violation in this synchronous
+              // executor (see Processor.tryProcess scaladoc) and fails fast.
               if (!proc.tryProcess()) {
                 if (outbox.isEmpty) stuck("tryProcess()")
               } else {

@@ -33,6 +33,14 @@ trait Processor extends Serializable {
     * processors' `earlyResultsPeriod` hook (SlidingWindowP.java:184-192,
     * SessionWindowP's earlyWinTraverser). Return false to be called again
     * after an outbox drain.
+    *
+    * CONTRACT NARROWING vs the reference: this executor is synchronous (no
+    * tasklet scheduler to yield to), so `false` is only legal when the outbox
+    * holds pending items — false-with-empty-outbox would mean "retry with
+    * nothing drained and no time advanced", an infinite loop, and the
+    * executor fails fast on it instead ([[DagExecutor]]'s `stuck`). A
+    * processor merely waiting (e.g. an early-results cadence that hasn't
+    * elapsed) must return `true`; every in-repo implementation does.
     */
   def tryProcess(): Boolean = true
 

@@ -28,12 +28,17 @@ import graft.grpc.{GrpcShapedClient, ProtoLite}
   *     `transform_list(input_list) -> output_list`, one output per input,
   *     in order — handlers written for either transport run on both.
   *
-  * Flow-control bound (documented, loud): the JVM client never sends
-  * stream-level WINDOW_UPDATEs, so one stream's RESPONSE body must stay
-  * under HTTP/2's 65535-byte initial window. Batches are therefore bounded
-  * by `batchBytes` of INPUT (default 14 KB) as well as `batchSize`, and the
-  * python side raises a named error if a response body would exceed the
-  * window (lower batchBytes / batchSize) instead of wedging the stream.
+  * Flow control is FULL in both directions (r15, VERDICT r14 item 3 —
+  * parity with the reference bridge's grpc-java flow control,
+  * extensions/python/.../JetToPythonServer.java): the JVM client returns
+  * consumed DATA bytes to its local flow controller (stream + connection
+  * WINDOW_UPDATEs on the wire), and the python server tracks the client's
+  * connection/stream send windows (SETTINGS INITIAL_WINDOW_SIZE +
+  * WINDOW_UPDATE) and blocks mid-response until the window replenishes —
+  * so handler responses of ANY size flow (embeddings, generations), not
+  * just bodies under the 65535-byte initial window. `batchBytes` still
+  * bounds a batch's INPUT payload (UTF-8 bytes) so one batch's python
+  * round-trip stays memory-bounded on both sides.
   *
   * The stdin/stdout subprocess seam ([[PythonTransforms.mapUsingPython]])
   * remains as the fallback transport — fewer moving parts, no newline
@@ -93,22 +98,81 @@ object PythonGrpcTransforms {
       |TRLR = bytes([0x00, 0x0b]) + b"grpc-status" + bytes([0x01]) + b"0"
       |
       |streams = {}
-      |while True:
+      |# SEND-direction flow control (r15): the client's connection/stream
+      |# receive windows bound what we may send. 65535 initial per RFC 9113;
+      |# SETTINGS INITIAL_WINDOW_SIZE re-bases open streams by its delta.
+      |init_window = [65535]
+      |conn_send = [65535]
+      |stream_send = {}
+      |
+      |def send_data(sid, body):
+      |    # respect both windows; when exhausted, process inbound frames
+      |    # (WINDOW_UPDATEs arrive as the client consumes) until they refill
+      |    off = 0
+      |    while off < len(body):
+      |        n = min(16384, len(body) - off, conn_send[0], stream_send.get(sid, 0))
+      |        if n <= 0:
+      |            assert process_frame(), \
+      |                "peer closed while a response awaited WINDOW_UPDATE"
+      |            continue
+      |        send_frame(0, 0, sid, body[off:off+n])
+      |        off += n
+      |        conn_send[0] -= n
+      |        stream_send[sid] -= n
+      |
+      |def finish_batch(sid):
+      |    buf = bytes(streams.pop(sid, b""))
+      |    msgs, i = [], 0
+      |    while i < len(buf):
+      |        assert buf[i] == 0, "compressed grpc frame unsupported"
+      |        ln = int.from_bytes(buf[i+1:i+5], "big")
+      |        msgs.append(buf[i+5:i+5+ln]); i += 5 + ln
+      |    inputs = [pb_decode(m) for m in msgs]
+      |    outs = fn(inputs)
+      |    if len(outs) != len(inputs):
+      |        raise AssertionError("%s returned %d outputs for %d inputs"
+      |                             % (fn_name, len(outs), len(inputs)))
+      |    body = bytearray()
+      |    for o in outs:
+      |        p = pb_encode(str(o))
+      |        body += b"\x00" + struct.pack(">I", len(p)) + p
+      |    send_frame(1, 0x4, sid, HDRS)            # HEADERS, END_HEADERS
+      |    send_data(sid, bytes(body))              # window-respecting DATA
+      |    send_frame(1, 0x4 | 0x1, sid, TRLR)      # trailers, END_STREAM
+      |    stream_send.pop(sid, None)
+      |
+      |def process_frame():
       |    head = f.read(9)
       |    if len(head) < 9:
-      |        break  # peer closed: normal shutdown
+      |        return False  # peer closed: normal shutdown
       |    length = int.from_bytes(head[0:3], "big")
       |    ftype, flags = head[3], head[4]
       |    sid = int.from_bytes(head[5:9], "big") & 0x7fffffff
       |    payload = f.read(length) if length else b""
-      |    if ftype == 4 and not (flags & 1):   # SETTINGS -> ack
+      |    if ftype == 4 and not (flags & 1):   # SETTINGS -> track + ack
+      |        for o in range(0, len(payload) - 5, 6):
+      |            ident = int.from_bytes(payload[o:o+2], "big")
+      |            val = int.from_bytes(payload[o+2:o+6], "big")
+      |            if ident == 4:               # INITIAL_WINDOW_SIZE
+      |                delta = val - init_window[0]
+      |                init_window[0] = val
+      |                for s in stream_send:
+      |                    stream_send[s] += delta
       |        send_frame(4, 1, 0)
       |    elif ftype == 6 and not (flags & 1): # PING -> ack
       |        send_frame(6, 1, 0, payload)
+      |    elif ftype == 8:                     # WINDOW_UPDATE
+      |        inc = int.from_bytes(payload, "big") & 0x7fffffff
+      |        if sid == 0:
+      |            conn_send[0] += inc
+      |        elif sid in stream_send:
+      |            stream_send[sid] += inc
       |    elif ftype == 1:                     # HEADERS: single service, ignore block
       |        streams[sid] = bytearray()
+      |        stream_send[sid] = init_window[0]
       |    elif ftype == 3:                     # RST_STREAM
       |        streams.pop(sid, None)
+      |        stream_send.pop(sid, None)
       |    elif ftype == 0:                     # DATA
       |        data = payload
       |        if flags & 0x8:                  # padded
@@ -119,51 +183,61 @@ object PythonGrpcTransforms {
       |            if not (flags & 1):
       |                send_frame(8, 0, sid, struct.pack(">I", length))
       |        if flags & 1:                    # half-close: run the batch
-      |            buf = bytes(streams.pop(sid, b""))
-      |            msgs, i = [], 0
-      |            while i < len(buf):
-      |                assert buf[i] == 0, "compressed grpc frame unsupported"
-      |                ln = int.from_bytes(buf[i+1:i+5], "big")
-      |                msgs.append(buf[i+5:i+5+ln]); i += 5 + ln
-      |            inputs = [pb_decode(m) for m in msgs]
-      |            outs = fn(inputs)
-      |            if len(outs) != len(inputs):
-      |                raise AssertionError("%s returned %d outputs for %d inputs"
-      |                                     % (fn_name, len(outs), len(inputs)))
-      |            body = bytearray()
-      |            for o in outs:
-      |                p = pb_encode(str(o))
-      |                body += b"\x00" + struct.pack(">I", len(p)) + p
-      |            if len(body) > 60000:
-      |                raise AssertionError(
-      |                    "response body %d bytes exceeds the 65535-byte stream "
-      |                    "window; lower batchBytes/batchSize" % len(body))
-      |            send_frame(1, 0x4, sid, HDRS)            # HEADERS, END_HEADERS
-      |            mv = memoryview(bytes(body))
-      |            for off in range(0, len(mv), 16384):     # max frame size chunks
-      |                send_frame(0, 0, sid, bytes(mv[off:off+16384]))
-      |            send_frame(1, 0x4 | 0x1, sid, TRLR)      # trailers, END_STREAM
+      |            finish_batch(sid)
+      |    return True
+      |
+      |while process_frame():
+      |    pass
       |""".stripMargin
+
+  /** Server-script temp file, ONE per JVM: repeated gate runs in one
+    * long-lived driver (bench/verify sweeps) must not accumulate a temp
+    * file per call while waiting for `deleteOnExit` (ADVICE r14).
+    */
+  private lazy val serverFile: java.nio.file.Path = {
+    val p = Files.createTempFile("graft_py_grpc_server_", ".py")
+    Files.write(p, serverScript.getBytes(UTF_8))
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** Handler copies are CONTENT-ADDRESSED (one temp copy per distinct
+    * handler body per JVM): a re-written handler at the same path gets a
+    * fresh copy — sc.addFile refuses content changes under a reused name —
+    * while repeated runs of the same handler reuse one file instead of
+    * leaking a copy per call.
+    */
+  private val handlerCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def handlerCopyFor(handlerFile: String): java.nio.file.Path = {
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(handlerFile))
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val key = digest.map(b => f"$b%02x").mkString
+    handlerCopies.computeIfAbsent(key, _ => {
+      val p = Files.createTempFile(s"graft_py_handler_${key.take(12)}_", ".py")
+      Files.write(p, bytes)
+      p.toFile.deleteOnExit()
+      p
+    })
+  }
 
   /** Rewrite STRING column `colName` through the user's python handler over
     * the gRPC transport. Same signature family as
     * [[PythonTransforms.mapUsingPython]]; `batchBytes` additionally bounds a
-    * batch's input payload (see the flow-control note above).
+    * batch's input payload in UTF-8 BYTES (what actually crosses the wire —
+    * counting String.length would let multibyte text triple the stated
+    * budget, ADVICE r14). Null values in the column are rejected with a
+    * named error — the handler contract is String => String; filter or
+    * `coalesce` nulls upstream.
     */
   def mapUsingPythonGrpc(df: DataFrame, colName: String, handlerFile: String,
                          handlerFunction: String = "transform_list",
                          batchSize: Int = 512, batchBytes: Int = 14 * 1024,
                          pythonExec: String = "python3"): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val server = Files.createTempFile("graft_py_grpc_server_", ".py")
-    Files.write(server, serverScript.getBytes(UTF_8))
-    server.toFile.deleteOnExit()
+    val server = serverFile
     sc.addFile(server.toString)
-    // unique handler copy, same reasoning as PythonTransforms.mapUsingPython
-    val handlerCopy = Files.createTempFile("graft_py_handler_", ".py")
-    Files.copy(java.nio.file.Paths.get(handlerFile), handlerCopy,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    handlerCopy.toFile.deleteOnExit()
+    val handlerCopy = handlerCopyFor(handlerFile)
     sc.addFile(handlerCopy.toString)
     val serverName = server.getFileName.toString
     val handlerName = handlerCopy.getFileName.toString
@@ -245,7 +319,22 @@ object PythonGrpcTransforms {
     }
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => shutdown()))
 
-    // group rows into batches bounded by count AND input bytes
+    // exact UTF-8 length without allocating the byte array (the batch is
+    // re-encoded once at send time; this is just the budget accounting)
+    def utf8Len(s: String): Int = {
+      var i = 0
+      var n = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        n += (if (c < 0x80) 1
+              else if (c < 0x800) 2
+              else if (Character.isSurrogate(c)) 2 // pair: 4 bytes / 2 chars
+              else 3)
+        i += 1
+      }
+      n
+    }
+    // group rows into batches bounded by count AND input UTF-8 bytes
     val batches: Iterator[IndexedSeq[Row]] = new Iterator[IndexedSeq[Row]] {
       def hasNext: Boolean = rows.hasNext
       def next(): IndexedSeq[Row] = {
@@ -254,9 +343,15 @@ object PythonGrpcTransforms {
         var bytes = 0
         while (rows.hasNext && n < batchSize && bytes < batchBytes) {
           val r = rows.next()
+          val s = r.getString(idx)
+          if (s == null)
+            throw new IllegalArgumentException(
+              "mapUsingPythonGrpc: null value in the handler column — the " +
+                "contract is String => String; filter or coalesce nulls " +
+                "before the transform")
           b += r
           n += 1
-          bytes += r.getString(idx).length
+          bytes += utf8Len(s)
         }
         b.result()
       }

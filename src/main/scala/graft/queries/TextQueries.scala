@@ -1230,7 +1230,10 @@ object TextQueries {
     * JetToPythonServer topology: per-partition python gRPC server, one bidi
     * stream per batch). The handler answers `len:ntokens` per text; the
     * oracle recomputes both in DuckDB (code-point length; whitespace-run
-    * token count = python's str.split), so the transport's 1:1 ORDERED
+    * token count over the EXPLICIT class `[ \t\n\f\r]+` — RE2's `\s` — which
+    * the handler pins too: python's bare `str.split()` would additionally
+    * split on \x0b/\x85/\xa0 and disagree with a correct engine result on
+    * documents containing such characters), so the transport's 1:1 ORDERED
     * delivery is oracle-exact — a swapped or dropped response mispairs some
     * doc_id and hash-fails. Subset (doc_id % 20 = 0) keeps the python
     * round-trip bounded at big bench rungs.
@@ -1238,8 +1241,11 @@ object TextQueries {
   val q177_python_grpc: Q = (s, dir) => {
     val handler = java.nio.file.Files.createTempFile("graft_q177_handler_", ".py")
     java.nio.file.Files.write(handler,
-      """def transform_list(items):
-        |    return ["%d:%d" % (len(s), len(s.split())) for s in items]
+      """import re
+        |def transform_list(items):
+        |    return ["%d:%d" % (len(s),
+        |                       len([t for t in re.split('[ \t\n\f\r]+', s) if t]))
+        |            for s in items]
         |""".stripMargin.getBytes("UTF-8"))
     handler.toFile.deleteOnExit()
     val docs = t(s, dir, "documents")
