@@ -67,10 +67,15 @@ object DeploySmoke {
       .select($"ts", $"event_type", $"value")
       .write.mode("overwrite").parquet(s"$work/in")
     val ckpt = s"$work/ckpt"
+    // round(sum,4): double addition is non-associative, and the partial-agg
+    // fold order differs across masters (measured: local[4] vs local-cluster
+    // hashes split on the sum's LOW BITS with identical rows) — the gate
+    // compares SEMANTICS across deployments, not float bit patterns; 4
+    // decimals is ~6 orders above the accumulation noise at this data scale
     def startStream() = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
       .writeStream.format("memory").queryName("deploy_stream")
       .option("checkpointLocation", ckpt)
       .outputMode("complete").start()
@@ -95,7 +100,7 @@ object DeploySmoke {
     // internal oracle: the restarted stream must equal the batch plan
     val batchTwin = events
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
     val (batchRows, batchHash) = canonicalHash(batchTwin)
     val streamEqualsBatch = streamRows == batchRows && streamHash == batchHash
 

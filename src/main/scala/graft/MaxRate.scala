@@ -134,10 +134,12 @@ object MaxRate {
       if (sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")) Map.empty
       else {
         Bench.streamWarmup(spark)
-        val c = Bench.calibrate(spark)
+        // settled probe (same discipline as the bench pre/post sides): a
+        // launch-adjacent single shot reads 10-40% high and would make the
+        // rate decomposition blame the box for code
+        val c = Bench.settledCalibrate(spark, "maxrate")
         System.err.println(f"[maxrate] calibration composite=${c.values.sum}%.3f " +
-          f"(ref ${Bench.CalibrationRefComposite}%.2f) " +
-          c.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+          f"factor=${c.values.sum / Bench.CalibrationRefComposite}%.3f")
         c
       }
     val calibJson = (calib.toSeq.sortBy(_._1)
