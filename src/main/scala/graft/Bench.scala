@@ -49,34 +49,6 @@ object Bench {
     */
   val CalibrationAgreementBand = 0.05
 
-  /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
-    * micro-workloads that measure the BOX, not the engine —
-    *   cpu_sec:     single-thread FNV-1a over 600M steps (per-core speed and
-    *                background-load steal; pure JVM, no Spark scheduling);
-    *   shuffle_sec: 16M-row hash repartition + two-phase agg (shuffle write/
-    *                read, serialization, multicore);
-    *   sched_sec:   120 minimal 32-task jobs (the per-job scheduling floor —
-    *                the component external load multiplies 3-5× while bulk
-    *                work absorbs ~1.2×, BASELINE.md r7);
-    *   state_sec:   keyed windowed agg on one long-lived query — 3 UNTIMED
-    *                init batches, then min over 3 rounds of 6 timed batches
-    *                (per-batch state-commit floor; startup excluded).
-    *                ASSUMES java.io.tmpdir is tmpfs on this harness box
-    *                (build.sbt points it at /dev/shm when present): the
-    *                probe times state COMMITS, and on a disk-backed tmpdir
-    *                it would time fsyncs against a different floor than the
-    *                frozen reference — re-freeze before trusting factors
-    *                from a box without /dev/shm.
-    * cpu/sched/state are min-of-3: the FIRST iteration absorbs the probe's
-    * own JIT/class-init cost, which otherwise varies with how much work ran
-    * before the probe (measured: the same box read 6.3 s after an sf1-sized
-    * warmup vs 7.8-8.6 s in a fresh session — the probe must self-warm to be
-    * comparable across runs), and transients read high, never low, on fixed
-    * work. shuffle is MEDIAN-of-5 (r15): its fixture queues behind external
-    * load, so its min is stable but its single-shot values are the probe's
-    * noisiest — the median of five absorbs one or two contended trials
-    * without tracking the min's optimism. Composite = sum of the four.
-    */
   /** One settled probe SIDE (shared by Bench's pre/post pair and MaxRate):
     * repeat [[calibrate]] until two consecutive composites agree within
     * [[CalibrationAgreementBand]] (≤3 extra attempts) — right after sbt
@@ -113,6 +85,34 @@ object Bench {
     sideMin
   }
 
+  /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
+    * micro-workloads that measure the BOX, not the engine —
+    *   cpu_sec:     single-thread FNV-1a over 600M steps (per-core speed and
+    *                background-load steal; pure JVM, no Spark scheduling);
+    *   shuffle_sec: 16M-row hash repartition + two-phase agg (shuffle write/
+    *                read, serialization, multicore);
+    *   sched_sec:   120 minimal 32-task jobs (the per-job scheduling floor —
+    *                the component external load multiplies 3-5× while bulk
+    *                work absorbs ~1.2×, BASELINE.md r7);
+    *   state_sec:   keyed windowed agg on one long-lived query — 3 UNTIMED
+    *                init batches, then min over 3 rounds of 6 timed batches
+    *                (per-batch state-commit floor; startup excluded).
+    *                ASSUMES java.io.tmpdir is tmpfs on this harness box
+    *                (build.sbt points it at /dev/shm when present): the
+    *                probe times state COMMITS, and on a disk-backed tmpdir
+    *                it would time fsyncs against a different floor than the
+    *                frozen reference — re-freeze before trusting factors
+    *                from a box without /dev/shm.
+    * cpu/sched/state are min-of-3: the FIRST iteration absorbs the probe's
+    * own JIT/class-init cost, which otherwise varies with how much work ran
+    * before the probe (measured: the same box read 6.3 s after an sf1-sized
+    * warmup vs 7.8-8.6 s in a fresh session — the probe must self-warm to be
+    * comparable across runs), and transients read high, never low, on fixed
+    * work. shuffle is MEDIAN-of-5 (r15): its fixture queues behind external
+    * load, so its min is stable but its single-shot values are the probe's
+    * noisiest — the median of five absorbs one or two contended trials
+    * without tracking the min's optimism. Composite = sum of the four.
+    */
   private[graft] def calibrate(spark: SparkSession): Map[String, Double] = {
     import spark.implicits._
     def timeS(f: => Unit): Double = {
