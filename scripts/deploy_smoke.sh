@@ -1,32 +1,40 @@
 #!/usr/bin/env bash
-# Deploy-packaging smoke (VERDICT r14 item 4): prove the PACKAGED jar runs
-# under spark-submit — `sbt package` + submit, no sbt runtime — in both
-#   local[4]               (single-JVM, the harness's usual shape) and
+# Deploy-packaging smoke (VERDICT r14 item 4 + r15 item 3): prove the PACKAGED
+# jar runs under spark-submit — `sbt package` + submit, no sbt runtime — in
+#   local[4]               (single-JVM, the harness's usual shape),
 #   local-cluster[2,2,..]  (REAL multi-process executors: closures, Encoders,
 #                           the Catalyst extensions, DSv2 sources and state
-#                           stores all cross a serialization boundary),
-# then assert the two modes produced IDENTICAL result hashes (and that each
+#                           stores all cross a serialization boundary), and
+#   spark://127.0.0.1:7077 (a REAL standalone cluster manager: master + worker
+#                           daemons on loopback — the submit/driver/worker wire
+#                           a user's actual cluster exercises, incl. executor
+#                           launch via the worker process and app registration),
+# then assert all modes produced IDENTICAL result hashes (and that each
 # mode's streaming resume matched its batch twin internally — DeploySmoke
 # exits nonzero otherwise).
 #
-# This is the offline stand-in for a real cluster: the repo's only runtime
-# deps are Spark's own jars, so the same invocation works on a standalone /
-# YARN / k8s master by swapping --master (see README "Running on a cluster").
+# This is the offline stand-in for a real multi-host cluster: the repo's only
+# runtime deps are Spark's own jars, so the same invocation works on YARN /
+# k8s by swapping --master (see README "Running on a cluster").
+# GRAFT_DEPLOY_SKIP_STANDALONE=1 skips mode 3 (e.g. port-restricted boxes).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.001}
 SPARK_HOME=${SPARK_HOME:-/opt/spark}
-JAR=target/scala-2.13/hazelcastjetspark_2.13-0.1.0.jar
 OUT=${GRAFT_DEPLOY_OUT:-/tmp/graft_deploy_smoke}
 mkdir -p "$OUT"
 
 echo "[deploy-smoke] packaging..."
 sbt -batch package >"$OUT/package.log" 2>&1
-test -f "$JAR" || { echo "[deploy-smoke] jar not found: $JAR"; exit 1; }
+# glob, don't hard-pin: a version bump in build.sbt must not silently break
+# the smoke (ADVICE r15). Exactly one jar expected.
+JAR=$(ls target/scala-2.13/*.jar 2>/dev/null | grep -v -- '-sources\|-javadoc' | head -1)
+test -n "$JAR" -a -f "$JAR" || { echo "[deploy-smoke] no jar under target/scala-2.13"; exit 1; }
+echo "[deploy-smoke] jar: $JAR"
 
-run_mode() { # $1 = tag, $2 = master
-  local tag=$1 master=$2
+run_mode() { # $1 = tag, $2 = master, rest = extra spark-submit conf args
+  local tag=$1 master=$2; shift 2
   local work
   work=$(mktemp -d "/tmp/graft_deploy_${tag}_XXXX")
   echo "[deploy-smoke] $tag: spark-submit --master $master"
@@ -36,6 +44,7 @@ run_mode() { # $1 = tag, $2 = master
     --driver-memory 4g \
     --conf spark.executor.memory=1g \
     --conf spark.ui.enabled=false \
+    "$@" \
     "$JAR" "$SF" "$work" \
     >"$OUT/$tag.out" 2>"$OUT/$tag.err"
   rm -rf "$work"
@@ -46,23 +55,70 @@ run_mode() { # $1 = tag, $2 = master
 run_mode local "local[4]"
 run_mode cluster "local-cluster[2,2,1536]"
 
-python3 - "$OUT/local.json" "$OUT/cluster.json" <<'EOF'
+MODES=("$OUT/local.json" "$OUT/cluster.json")
+
+if [ "${GRAFT_DEPLOY_SKIP_STANDALONE:-0}" != "1" ]; then
+  # ---- mode 3: real standalone master + worker daemons on loopback --------
+  # Daemon logs/pids go to /tmp (the sandbox must not write under /opt/spark).
+  export SPARK_LOG_DIR="$OUT/daemon-logs" SPARK_PID_DIR="$OUT/daemon-pids"
+  export SPARK_MASTER_HOST=127.0.0.1 SPARK_LOCAL_IP=127.0.0.1
+  export SPARK_IDENT_STRING=graftsmoke
+  mkdir -p "$SPARK_LOG_DIR" "$SPARK_PID_DIR"
+  cleanup_daemons() {
+    "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
+    "$SPARK_HOME/sbin/stop-master.sh" >/dev/null 2>&1 || true
+  }
+  trap cleanup_daemons EXIT
+  echo "[deploy-smoke] standalone: starting master + worker on loopback"
+  "$SPARK_HOME/sbin/start-master.sh" --port 7077 --webui-port 8091 \
+    >"$OUT/master-start.log" 2>&1
+  # one 4-core worker; spark.executor.cores=2 below carves it into 2 executors,
+  # mirroring local-cluster[2,2]
+  "$SPARK_HOME/sbin/start-worker.sh" spark://127.0.0.1:7077 \
+    --cores 4 --memory 4g --webui-port 8092 >"$OUT/worker-start.log" 2>&1
+  # wait until the worker has REGISTERED with the master (the master's JSON
+  # endpoint reports alive workers) — a submit before registration would sit
+  # in WAITING and still pass, but a registration failure should fail fast
+  python3 - <<'EOF'
+import json, time, urllib.request, sys
+for _ in range(60):
+    try:
+        j = json.load(urllib.request.urlopen("http://127.0.0.1:8091/json/", timeout=2))
+        if sum(1 for w in j.get("workers", []) if w.get("state") == "ALIVE") >= 1:
+            print("[deploy-smoke] worker registered"); sys.exit(0)
+    except Exception:
+        pass
+    time.sleep(1)
+print("[deploy-smoke] worker never registered with master"); sys.exit(1)
+EOF
+  run_mode standalone "spark://127.0.0.1:7077" \
+    --conf spark.executor.cores=2 --conf spark.cores.max=4
+  cleanup_daemons
+  trap - EXIT
+  MODES+=("$OUT/standalone.json")
+else
+  echo "[deploy-smoke] standalone mode SKIPPED (GRAFT_DEPLOY_SKIP_STANDALONE=1)"
+fi
+
+python3 - "${MODES[@]}" <<'EOF'
 import json, sys
-a = json.load(open(sys.argv[1]))
-b = json.load(open(sys.argv[2]))
+sides = [(p.rsplit("/", 1)[-1].removesuffix(".json"), json.load(open(p)))
+         for p in sys.argv[1:]]
+ref_name, ref = sides[0]
 errs = []
-for k in ("q01_hash", "stream_hash", "q01_rows", "stream_rows"):
-    if a[k] != b[k]:
-        errs.append(f"{k}: local={a[k]} cluster={b[k]}")
-for side, j in (("local", a), ("cluster", b)):
+for name, j in sides[1:]:
+    for k in ("q01_hash", "stream_hash", "q01_rows", "stream_rows"):
+        if ref[k] != j[k]:
+            errs.append(f"{k}: {ref_name}={ref[k]} {name}={j[k]}")
+for name, j in sides:
     if not j["stream_equals_batch"]:
-        errs.append(f"{side}: stream != batch twin")
+        errs.append(f"{name}: stream != batch twin")
     if j["q01_rows"] == 0 or j["stream_rows"] == 0:
-        errs.append(f"{side}: zero rows")
+        errs.append(f"{name}: zero rows")
 if errs:
     print("[deploy-smoke] MISMATCH:\n  " + "\n  ".join(errs))
     sys.exit(1)
-print(f"[deploy-smoke] OK: local[4] == local-cluster[2,2] "
-      f"(q01 {a['q01_rows']} rows {a['q01_hash'][:12]}..., "
-      f"stream {a['stream_rows']} rows {a['stream_hash'][:12]}...)")
+print(f"[deploy-smoke] OK: {' == '.join(n for n, _ in sides)} "
+      f"(q01 {ref['q01_rows']} rows {ref['q01_hash'][:12]}..., "
+      f"stream {ref['stream_rows']} rows {ref['stream_hash'][:12]}...)")
 EOF

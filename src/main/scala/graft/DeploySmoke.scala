@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *
   *  - BATCH: the flagship q01 pricing summary, canonical-hashed;
   *  - STREAMING: keyed tumbling-window agg over a file-stream replay of the
-  *    events fixture (8 chunk files, one per micro-batch) with a REAL
+  *    events fixture (16 chunk files, one per micro-batch) with a REAL
   *    checkpoint — the query is STOPPED after ≥2 batches and RESTARTED from
   *    the checkpoint (complete mode re-emits the restored state, so a lost
   *    or doubled batch changes the hash). The result must equal the same
@@ -31,14 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object DeploySmoke {
 
-  /** Order-insensitive canonical hash: every row rendered as a -joined
+  /** Order-insensitive canonical hash: every row rendered as a \u0001-joined
     * string, rows sorted, md5 over the concatenation. Stable across
     * partitionings, masters, and JVMs (Java's Double/Timestamp toString are
     * deterministic).
     */
   private def canonicalHash(df: DataFrame): (Long, String) = {
     val rows = df.collect()
-      .map(_.toSeq.map(String.valueOf).mkString("")).sorted
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
     (rows.length.toLong, md.digest().map(b => f"$b%02x").mkString)
@@ -81,9 +81,15 @@ object DeploySmoke {
       .outputMode("complete").start()
 
     val q1 = startStream()
-    // stop mid-replay: after ≥2 committed batches, with ≥5 files still unread
+    // stop mid-replay: after ≥2 committed batches, with ≥14 files still unread.
+    // Bounded wait + exception rethrow: a stream that fails at startup (bad sf
+    // dir, checkpoint error) must fail the gate loudly, not hang it forever.
     var preBatches = -1L
+    val deadline = System.nanoTime() + 120L * 1000000000L
     while (preBatches < 2) {
+      q1.exception.foreach(throw _)
+      if (System.nanoTime() > deadline)
+        sys.error(s"[deploy-smoke] stream stuck: $preBatches batches after 120 s")
       Thread.sleep(20)
       preBatches = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
     }

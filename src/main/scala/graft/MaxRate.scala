@@ -26,15 +26,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 45-node event-at-a-time cluster) and calibrates the architecture, not the
   * round artifact. SPARK_GRAFT_MAXRATE_ONLY=name,... filters pipelines.
   *
-  * Calibration (r15, VERDICT r14 item 2): the artifact carries the same
-  * fixed-work probe block as the bench ([[Bench.calibrate]], run once before
-  * the ladder), because two consecutive rounds needed manual same-code
-  * control runs to adjudicate rate dips as box shifts. Decomposition rule:
-  * a stateful-pipeline ceiling is floored by per-batch state commits and the
-  * per-trigger scheduling floor, so compare rate deltas against the
-  * `state_sec`/`sched_sec` component factors (rates scale ~1/factor); the
-  * stateless ceiling tracks `cpu_sec`/`shuffle_sec`. A rate dip that tracks
-  * its components' factor is the box, by arithmetic — no control run needed.
+  * Calibration (r15, VERDICT r14 item 2; symmetrized r16, VERDICT r15 item
+  * 5): the artifact carries the same fixed-work probe block as the bench
+  * ([[Bench.calibrate]]), because two consecutive rounds needed manual
+  * same-code control runs to adjudicate rate dips as box shifts. r16 runs a
+  * settled side BOTH before and after the ladder — the ladder runs for
+  * minutes, longer than the bench suite's exposure, so a single pre-side
+  * factor silently normalizes a box that shifts MID-ladder, exactly the
+  * failure mode Bench's pre/post pair was built to refuse (and BASELINE's
+  * r15 observation that trial outcomes correlate inversely with the probe
+  * factor shows the one-sided factor was already over-read). The block now
+  * carries the same fields as Bench's: `factor_stable` (pre/post composites
+  * agree within [[Bench.CalibrationAgreementBand]]), gated `factor` (1.0
+  * when unstable — honest refusal), ungated `factor_bracket`, and
+  * per-component factors. Decomposition rule: a stateful-pipeline ceiling
+  * is floored by per-batch state commits and the per-trigger scheduling
+  * floor, so compare rate deltas against the `state_sec`/`sched_sec`
+  * component factors (rates scale ~1/factor); the stateless ceiling tracks
+  * `cpu_sec`/`shuffle_sec`. A rate dip that tracks its components' factor
+  * is the box, by arithmetic — no control run needed.
   */
 object MaxRate {
 
@@ -126,31 +136,21 @@ object MaxRate {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fixed-work box calibration before the ladder (VERDICT r14 item 2):
-    // the artifact carries the probe components so a rate delta vs a prior
-    // round decomposes by arithmetic — see the scaladoc's decomposition
-    // rule. Skippable for fast iteration (SPARK_GRAFT_NO_CALIBRATION=1).
-    val calib: Map[String, Double] =
-      if (sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")) Map.empty
+    // fixed-work box calibration bracketing the ladder (VERDICT r14 item 2 +
+    // r15 item 5): a settled side BEFORE and AFTER, same refusal semantics
+    // as Bench — the factor is applied only when the pair agrees, so a box
+    // that shifts mid-ladder is DETECTED instead of silently normalized.
+    // Skippable for fast iteration (SPARK_GRAFT_NO_CALIBRATION=1).
+    val skipCalib = sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")
+    val calibPre: Map[String, Double] =
+      if (skipCalib) Map.empty
       else {
         Bench.streamWarmup(spark)
         // settled probe (same discipline as the bench pre/post sides): a
         // launch-adjacent single shot reads 10-40% high and would make the
         // rate decomposition blame the box for code
-        val c = Bench.settledCalibrate(spark, "maxrate")
-        System.err.println(f"[maxrate] calibration composite=${c.values.sum}%.3f " +
-          f"factor=${c.values.sum / Bench.CalibrationRefComposite}%.3f")
-        c
+        Bench.settledCalibrate(spark, "maxrate-pre")
       }
-    val calibJson = (calib.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v } ++
-      Seq("\"composite\":" + calib.values.sum,
-          "\"ref_composite\":" + Bench.CalibrationRefComposite,
-          "\"ref_components\":" + Bench.CalibrationRef.toSeq.sortBy(_._1)
-            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
-          "\"factor\":" + (if (calib.isEmpty) 1.0
-                           else calib.values.sum / Bench.CalibrationRefComposite)))
-      .mkString("{", ",", "}")
 
     def ceilingFor(p: Pipeline): (Long, Double, Long) = {
       val ceiling = 512000000L // generator guard: don't probe beyond this
@@ -185,6 +185,50 @@ object MaxRate {
       val (r, m, st) = ceilingFor(p)
       System.err.println(s"[maxrate] ${p.name}: sustained=$r measured=$m state_rows=$st")
       s""""${p.name}":{"rate":$r,"measured":$m,"state_rows":$st}"""
+    }
+
+    // post-ladder side: brackets the ladder so a mid-run box shift is
+    // detected (pre/post disagreement → factor_stable:false → factor 1.0)
+    val calibPost: Map[String, Double] =
+      if (skipCalib) Map.empty else Bench.settledCalibrate(spark, "maxrate-post")
+    val compositePre = calibPre.values.sum
+    val compositePost = calibPost.values.sum
+    val calibStable = calibPre.nonEmpty && calibPost.nonEmpty && {
+      val mean = (compositePre + compositePost) / 2
+      math.abs(compositePre - compositePost) / mean <= Bench.CalibrationAgreementBand
+    }
+    val calibFactorBracket =
+      if (calibPre.nonEmpty && calibPost.nonEmpty)
+        (compositePre + compositePost) / 2 / Bench.CalibrationRefComposite
+      else 1.0
+    val calibFactor = if (calibStable) calibFactorBracket else 1.0
+    if (calibPre.nonEmpty)
+      System.err.println(f"[maxrate] calibration factor=$calibFactor%.3f " +
+        f"stable=$calibStable (pre=$compositePre%.3f post=$compositePost%.3f)")
+    // same field names as Bench's calibration block, so a reader applies one
+    // decomposition rule to both artifact families
+    val calibJson = {
+      def obj(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      val componentFactors =
+        if (calibPre.isEmpty || calibPost.isEmpty) Map.empty[String, Double]
+        else Bench.CalibrationRef.map { case (k, ref) =>
+          k -> (calibPre(k) + calibPost(k)) / 2 / ref
+        }
+      Seq(
+        "\"pre\":" + obj(calibPre),
+        "\"post\":" + obj(calibPost),
+        "\"composite_pre\":" + compositePre,
+        "\"composite_post\":" + compositePost,
+        "\"ref_components\":" + obj(Bench.CalibrationRef),
+        "\"ref_composite\":" + Bench.CalibrationRefComposite,
+        "\"component_factors\":" + obj(componentFactors),
+        "\"agreement_band\":" + Bench.CalibrationAgreementBand,
+        "\"factor_stable\":" + calibStable,
+        "\"factor_bracket\":" + calibFactorBracket,
+        "\"factor\":" + calibFactor
+      ).mkString("{", ",", "}")
     }
     println(s"""{"metric":"max_sustainable_rate","unit":"rows_per_sec",""" +
       s""""calibration":$calibJson,""" + results.mkString(",") + "}")

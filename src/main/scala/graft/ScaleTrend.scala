@@ -22,9 +22,24 @@ import org.apache.spark.sql.functions._
   * q39 planes recipe A/B: fixed 4 planes (quadratic bucket fan-out) vs
   * 4+log2(factor) planes (the documented scale recipe).
   *
+  * Outlier auto-adjudication (r16, VERDICT r15 item 4): two consecutive
+  * rounds the same battery row (q164) needed a MANUAL isolation re-measure —
+  * its battery-position growth read 20× while the isolated truth was 4.4×
+  * (GC debt from the preceding q161 scan). Now, when
+  * `SPARK_GRAFT_SCALETREND_PRIOR` points at the previous round's artifact,
+  * any row whose growth ratio exceeds [[OutlierK]]× its previous-round ratio
+  * is automatically re-measured in isolation (fresh GC + settle, same
+  * best-of-2-warm base method) at the end of the battery, and the artifact
+  * records BOTH numbers (`ratio_battery`, `ratio_isolated`) so no manual
+  * adjudication paragraph is needed.
+  *
   * Usage: runMain graft.ScaleTrend [srcDir] [outDir] [factor]
   */
 object ScaleTrend {
+
+  /** A battery ratio this far above the prior round's ratio for the same row
+    * triggers the end-of-battery isolation re-measure. */
+  val OutlierK = 2.5
 
   private val trendQueries = Seq(
     "q01_pricing_summary", "q05_join_multiway", "q07_sort_limit",
@@ -95,7 +110,11 @@ object ScaleTrend {
     // round-14: the python-gRPC bridge's growth curve — per-partition python
     // worker, row-local round-trip over loopback HTTP/2: expected ~linear
     // in (subset) rows
-    "q177_python_grpc")
+    "q177_python_grpc",
+    // round-16: the SemDeDup recipe (kmeans cells + within-cell pair prune),
+    // named by the r15 judge for the big rung — cells bound the candidate
+    // pairs, so growth should stay near-linear as the corpus grows
+    "q81_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -187,6 +206,47 @@ object ScaleTrend {
       .map { case (a, b) => s""""dense_session_two_stage":[$a,$b],""" }
       .getOrElse("")
 
+    // ---- outlier auto-adjudication (r16, VERDICT r15 item 4) -------------
+    // prior-round ratios from SPARK_GRAFT_SCALETREND_PRIOR (absent → skip);
+    // the artifact is one JSON line, so a tiny regex pull of "name":[a,b]
+    // avoids a JSON dependency
+    val priorRatios: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_SCALETREND_PRIOR").flatMap { path =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          val re = """"(q[\w]+)":\[([-\d.Ee]+),([-\d.Ee]+)\]""".r
+          Some(re.findAllMatchIn(txt).flatMap { m =>
+            val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
+            if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
+          }.toMap)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scaletrend] prior artifact unreadable: $e"); None
+        }
+      }.getOrElse(Map.empty)
+    val outliers = rows.filter { case (n, a, b) =>
+      a > 0 && b > 0 && priorRatios.get(n).exists(pr => b / a > OutlierK * pr)
+    }
+    val outlierJson =
+      if (outliers.isEmpty) ""
+      else {
+        val entries = outliers.map { case (name, a, b) =>
+          System.err.println(f"[scaletrend] $name battery ratio ${b / a}%.1f× " +
+            f"exceeds ${OutlierK}× prior ${priorRatios(name)}%.1f× — isolating")
+          // isolation: fresh GC + settle so the row doesn't inherit its
+          // battery neighborhood's debt, then the battery's own method
+          System.gc(); Thread.sleep(2000)
+          val t1 = math.min(time(reg(name), src), time(reg(name), src))
+          val tN = time(reg(name), out)
+          println(f"| $name (ISOLATED re-measure) | $t1%.2f | $tN%.2f | ${tN / t1}%.1f× " +
+            f"(battery ${b / a}%.1f×, prior ${priorRatios(name)}%.1f×) |")
+          s""""$name":{"ratio_battery":${b / a},"ratio_isolated":${tN / t1},""" +
+            s""""prior_ratio":${priorRatios(name)},"t1_isolated":$t1,"tN_isolated":$tN}"""
+        }
+        s""""outliers":${entries.mkString("{", ",", "}")},"outlier_k":$OutlierK,"""
+      }
+
     // the q39 planes recipe: fixed planes vs planes grown with the corpus
     // (skipped on subset runs unless q39 is selected)
     // base_method records HOW the 1× bases were measured so round-over-round
@@ -202,23 +262,27 @@ object ScaleTrend {
     println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
     println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson"queries":$qs,""" +
+    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson"queries":$qs,""" +
       s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
     } else {
       val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson"queries":$qs}""")
+      println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson"queries":$qs}""")
     }
     spark.stop()
   }
 
-  /** Build the scaled replica once; a marker file makes reruns reuse it. */
+  /** Build the scaled replica once; a marker file makes reruns reuse it.
+    * Partition counts scale with the factor (base counts tuned at 10×) so a
+    * 100× replica's files stay executor-memory-sized instead of 10× fatter.
+    */
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     import spark.implicits._
     val marker = new java.io.File(s"$out/_GENERATED_$factor")
     if (marker.exists()) return
+    val pScale = math.max(1, factor / 10)
     def t(n: String) = Tables(spark, src, n)
     def write(df: DataFrame, n: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      df.repartition(parts * pScale).write.mode("overwrite").parquet(s"$out/$n.parquet")
 
     // dimensions stay fixed
     Seq("region", "nation", "customer", "supplier", "part")
@@ -251,12 +315,19 @@ object ScaleTrend {
     val maxVec = t("embeddings").agg(max($"vec_id")).head.getLong(0) + 1
     val dims = 64
     write(replicated("embeddings")((df, i) => {
+      // rotation alone cycles at `dims` copies (gcd(7,64)=1 ⇒ period 64), so
+      // copy i and i+64 would carry IDENTICAL vectors — a 100× corpus would
+      // be ~1/3 exact-duplicate vectors and the dedup/ANN rows would measure
+      // the fixture. Composing an array REVERSE on the second cycle (norm-
+      // preserving, like the rotation) doubles the transform group to 128
+      // distinct copies; factors ≤64 are byte-identical to the old recipe.
       val r = (i * 7) % dims
       val rotated =
         if (r == 0) $"embedding"
         else concat(slice($"embedding", r + 1, dims - r), slice($"embedding", 1, r))
+      val decorrelated = if ((i / dims) % 2 == 1) reverse(rotated) else rotated
       df.withColumn("vec_id", $"vec_id" + lit(i * maxVec))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", decorrelated)
     }), "embeddings", 8)
 
     marker.createNewFile()

@@ -120,6 +120,19 @@ object PythonGrpcTransforms {
       |        conn_send[0] -= n
       |        stream_send[sid] -= n
       |
+      |# Batch completions are QUEUED, never run from inside another batch's
+      |# send (ADVICE r15): send_data's blocking process_frame() wait can see a
+      |# second stream's END_STREAM while stream A's response is mid-flight —
+      |# running B's handler there would interleave B's frames into A's
+      |# response. The DATA handler appends to `pending` and only the
+      |# outermost drain loop runs handlers, one complete response at a time.
+      |pending = []
+      |sending = [False]
+      |
+      |def run_pending():
+      |    while pending and not sending[0]:
+      |        finish_batch(pending.pop(0))
+      |
       |def finish_batch(sid):
       |    buf = bytes(streams.pop(sid, b""))
       |    msgs, i = [], 0
@@ -136,9 +149,13 @@ object PythonGrpcTransforms {
       |    for o in outs:
       |        p = pb_encode(str(o))
       |        body += b"\x00" + struct.pack(">I", len(p)) + p
-      |    send_frame(1, 0x4, sid, HDRS)            # HEADERS, END_HEADERS
-      |    send_data(sid, bytes(body))              # window-respecting DATA
-      |    send_frame(1, 0x4 | 0x1, sid, TRLR)      # trailers, END_STREAM
+      |    sending[0] = True
+      |    try:
+      |        send_frame(1, 0x4, sid, HDRS)        # HEADERS, END_HEADERS
+      |        send_data(sid, bytes(body))          # window-respecting DATA
+      |        send_frame(1, 0x4 | 0x1, sid, TRLR)  # trailers, END_STREAM
+      |    finally:
+      |        sending[0] = False
       |    stream_send.pop(sid, None)
       |
       |def process_frame():
@@ -182,8 +199,9 @@ object PythonGrpcTransforms {
       |            send_frame(8, 0, 0, struct.pack(">I", length))
       |            if not (flags & 1):
       |                send_frame(8, 0, sid, struct.pack(">I", length))
-      |        if flags & 1:                    # half-close: run the batch
-      |            finish_batch(sid)
+      |        if flags & 1:                    # half-close: queue + drain
+      |            pending.append(sid)
+      |            run_pending()
       |    return True
       |
       |while process_frame():
