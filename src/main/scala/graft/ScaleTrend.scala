@@ -211,15 +211,33 @@ object ScaleTrend {
     // the artifact is one JSON line, so a tiny regex pull of "name":[a,b]
     // avoids a JSON dependency
     val priorRatios: Map[String, Double] =
-      sys.env.get("SPARK_GRAFT_SCALETREND_PRIOR").flatMap { path =>
+      sys.env.get("SPARK_GRAFT_SCALETREND_PRIOR").filter(_.nonEmpty).flatMap { path =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8")
+          // a prior ratio is only comparable at the SAME factor: composite
+          // artifacts carry several rungs, so scope the parse to the segment
+          // following this run's "factor":N (flat single-rung artifacts have
+          // exactly one segment and parse whole)
+          val segment = txt.split(""""factor":""").find(_.startsWith(s"$factor,"))
+          if (segment.isEmpty)
+            System.err.println(s"[scaletrend] prior artifact has no factor=$factor rung")
           val re = """"(q[\w]+)":\[([-\d.Ee]+),([-\d.Ee]+)\]""".r
-          Some(re.findAllMatchIn(txt).flatMap { m =>
-            val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
-            if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
-          }.toMap)
+          // prior outliers' ISOLATED ratios override their battery numbers:
+          // a row whose prior ratio is itself battery noise (the q164 case —
+          // 20.2× battery vs 4.4× isolated in r15) would otherwise carry its
+          // inflation forward and mute the 2.5× trigger forever
+          val isoRe =
+            """"(q[\w]+)":\{"ratio_battery":[-\d.Ee]+,"ratio_isolated":([-\d.Ee]+)""".r
+          segment.map { seg =>
+            val battery = re.findAllMatchIn(seg).flatMap { m =>
+              val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
+              if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
+            }.toMap
+            val isolated = isoRe.findAllMatchIn(seg)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            battery ++ isolated
+          }
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scaletrend] prior artifact unreadable: $e"); None
@@ -252,22 +270,55 @@ object ScaleTrend {
     // base_method records HOW the 1× bases were measured so round-over-round
     // growth ratios are known method-equal (or known not to be)
     val baseMethod = """"base_method":"best_of_2_warm","""
-    if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
-    val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
-    def q39(planes: Int)(s: SparkSession, d: String): DataFrame =
-      queries.EmbeddingQueries.dedupEmbedding(s, d, planes)
-    val fixed1 = math.min(time(q39(4), src), time(q39(4), src))
-    val fixedN = time(q39(4), out)
-    val grownN = time(q39(4 + extraPlanes), out)
-    println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
-    println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
+    val q39Json: String = if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
+      val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
+      def q39(planes: Int)(s: SparkSession, d: String): DataFrame =
+        queries.EmbeddingQueries.dedupEmbedding(s, d, planes)
+      val fixed1 = math.min(time(q39(4), src), time(q39(4), src))
+      val fixedN = time(q39(4), out)
+      val grownN = time(q39(4 + extraPlanes), out)
+      println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
+      println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
+      s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN,"""
+    } else ""
+
+    // q81 SemDeDup recipe A/B (r16): the gate form's k=8 cells go quadratic
+    // once corpus growth lands inside them (measured 326× at the 100× rung);
+    // the paper's lever grows k with the corpus, holding per-cell population
+    // — and the within-cell pair term — at the 1× shape. Selected by the
+    // `recipe_q81` token (battery rows stay untouched: the fixed-k N× cost
+    // is the battery's q81 row, not re-paid here).
+    val q81Json: String = if (only.exists(_.exists(p => "recipe_q81".startsWith(p)))) {
+      def q81k(k: Int)(s: SparkSession, d: String): DataFrame =
+        queries.EmbeddingQueries.semanticDedup(s, d, k)
+      val fixed1 = math.min(time(q81k(8), src), time(q81k(8), src))
+      val grownK = 8 * factor
+      val grownN = time(q81k(grownK), out)
+      println(f"| q81 k=8 (fixed, 1×) | $fixed1%.2f | — | — |")
+      println(f"| q81 k=$grownK (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
+      s""""q81_recipe":{"k":$grownK,"t_1x_fixed":$fixed1,"t_Nx":$grownN},"""
+    } else ""
+
+    // q134 audit recipe (r16): scope-sampling can't bound the audit when
+    // growth lands INSIDE scopes (20 fixed sources hold 100× the docs at the
+    // 100× replica → sampled scopes' all-pairs term is 10,000×; measured
+    // 1587× battery growth). The lever is a within-scope doc hash-sample
+    // with modulus ~ the growth factor: per-scope populations return to the
+    // 1× shape and the recall estimate stays unbiased (truth and detected
+    // sides see the same sample). Selected by the `recipe_q134` token.
+    val q134Json: String = if (only.exists(_.exists(p => "recipe_q134".startsWith(p)))) {
+      def q134m(m: Int)(s: SparkSession, d: String): DataFrame =
+        queries.TextQueries.lshRecallAudit(s, d, m)
+      val fixed1 = math.min(time(q134m(1), src), time(q134m(1), src))
+      val grownN = time(q134m(factor), out)
+      println(f"| q134 docMod=1 (fixed, 1×) | $fixed1%.2f | — | — |")
+      println(f"| q134 docMod=$factor (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
+      s""""q134_recipe":{"doc_mod":$factor,"t_1x_fixed":$fixed1,"t_Nx":$grownN},"""
+    } else ""
+
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson"queries":$qs,""" +
-      s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN}""")
-    } else {
-      val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson"queries":$qs}""")
-    }
+    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson""" +
+      s"""$q39Json$q81Json$q134Json"queries":$qs}""")
     spark.stop()
   }
 

@@ -614,12 +614,19 @@ object EmbeddingQueries {
     * planesForCorpus, keeping per-cell populations — and the quadratic
     * within-cell term — bounded.
     */
-  val q81_semantic_dedup: Q = (s, dir) => {
+  val q81_semantic_dedup: Q = (s, dir) => semanticDedup(s, dir, k = 8)
+
+  /** q81 with the cluster count as an explicit parameter — the scale lever
+    * the scaladoc above names (ScaleTrend's q81 recipe A/B grows k with the
+    * corpus; the k=8 gate form is quadratic within cells once cells hold
+    * 100× the vectors, measured 326× at the 100× rung).
+    */
+  def semanticDedup(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val vecs = emb.select($"vec_id", S.toDouble($"embedding").as("ve"))
     val (assigned, _) = graft.operators.KMeansLite.fit(
-      vecs, "vec_id", "ve", k = 8, dims = dims, iters = 2)
+      vecs, "vec_id", "ve", k = k, dims = dims, iters = 2)
     // normalize once per row before the pair join (q39's recipe): per-pair
     // cost is one native dot product
     val nv = S.withNormalized(emb.select($"vec_id", $"embedding"), "embedding", "nv")

@@ -304,11 +304,30 @@ object TextQueries {
     * The 10x trend measured the unsampled variant at 6.3x growth (all-pairs
     * quadratic in scope size); the sample keeps the audit constant-fraction.
     */
-  val q134_lsh_recall_audit: Q = (s, dir) => {
+  val q134_lsh_recall_audit: Q = (s, dir) => lshRecallAudit(s, dir, docMod = 1)
+
+  /** q134 with the within-scope doc-sample modulus as an explicit parameter —
+    * the audit's scale lever at big rungs. Scope-sampling alone cannot keep
+    * the audit constant-cost when corpus growth lands INSIDE existing scopes
+    * (the fixture's 20 sources hold 100× the docs at the 100× replica, so
+    * the sampled scopes' all-pairs term is 10,000×: measured 1587× battery
+    * growth). A deterministic hash-sample of docs within the sampled scopes,
+    * `docMod` ~ the growth factor, returns per-scope populations to the 1×
+    * shape — the recall estimate stays unbiased because banding treats every
+    * doc identically and BOTH the truth and detected sides see the same
+    * sample. docMod=1 is the gate form (no doc filter, plan unchanged).
+    */
+  def lshRecallAudit(s: SparkSession, dir: String, docMod: Int): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val scoped = t(s, dir, "documents")
       .filter(pmod(conv(substring(md5(concat(lit("audit42:"), $"source")), 1, 8),
         16, 10).cast("long"), lit(5)) === 0L)
+    val sampled =
+      if (docMod <= 1) scoped
+      else scoped.filter(pmod(conv(substring(
+        md5(concat(lit("auditdoc:"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(docMod)) === 0L)
+    val docs = sampled
       .select($"doc_id", $"source", T.tokenSet($"text").as("ts"))
     val a = docs.select($"source", $"doc_id".as("da"), $"ts".as("tsa"))
     val b = docs.select($"source", $"doc_id".as("db"), $"ts".as("tsb"))
