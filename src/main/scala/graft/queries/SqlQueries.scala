@@ -321,19 +321,42 @@ object SqlQueries {
     val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      sql.execute(
-        s"CREATE JOB q173a OPTIONS('snapshotIntervalMillis'='200') AS\n$select")
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       // suspend as soon as the FIRST data batch lands — polled from the
       // job's own progress events (pure driver-side, no Spark job), so the
       // suspend happens mid-stream even when a cold query poll costs seconds
       def firstDataBatchDone: Boolean = graft.pipeline.JobRegistry.get("q173a")
         .exists(_.query.recentProgress.exists(_.numInputRows > 0))
-      while (!firstDataBatchDone && System.nanoTime() < deadline) Thread.sleep(20)
-      sql.execute("ALTER JOB q173a SUSPEND")
-      val atExport = total()
-      sql.execute("CREATE SNAPSHOT q173snap FOR JOB q173a")
-      sql.execute("DROP JOB q173a")
+      // the capped values span ~5 s of stream time; if the box stalls the
+      // suspend path longer than that (measured once under a loaded warm
+      // bench pass: GC + teardown debt), the job finishes before the export
+      // and the mid-stream requirement can't hold — RETRY from clean state
+      // instead of failing the gate on a lost race. The requirement itself
+      // stays strict: three straight losses fail loudly.
+      var atExport = 0L
+      var attempt = 0
+      var exported = false
+      while (!exported) {
+        attempt += 1
+        sql.execute(
+          s"CREATE JOB q173a OPTIONS('snapshotIntervalMillis'='200') AS\n$select")
+        while (!firstDataBatchDone && System.nanoTime() < deadline) Thread.sleep(20)
+        sql.execute("ALTER JOB q173a SUSPEND")
+        atExport = total()
+        if (atExport < 1000L) {
+          sql.execute("CREATE SNAPSHOT q173snap FOR JOB q173a")
+          sql.execute("DROP JOB q173a")
+          exported = true
+        } else {
+          require(attempt < 3,
+            s"q173: snapshot must be exported MID-STREAM (live state), but " +
+              s"the job finished before suspend on $attempt straight attempts")
+          System.err.println(s"[q173] suspend lost the race (attempt $attempt: " +
+            s"$atExport values at export) — resetting and retrying")
+          sql.execute("DROP JOB q173a")
+          KeyedStore.drop(store)
+        }
+      }
 
       // resume FROM THE SNAPSHOT at a different parallelism
       s.conf.set("spark.sql.shuffle.partitions", "9")
