@@ -41,6 +41,42 @@ object ScaleTrend {
     * triggers the end-of-battery isolation re-measure. */
   val OutlierK = 2.5
 
+  /** Prior-round growth ratios from an artifact's text, for the outlier
+    * trigger. A prior ratio is only comparable at the SAME factor: composite
+    * artifacts carry several rungs, so the parse is scoped to the segment
+    * following `"factor":<factor>` (flat single-rung artifacts have exactly
+    * one segment and parse whole; None when the artifact has no such rung).
+    * Prior outliers' ISOLATED ratios override their battery numbers: a row
+    * whose prior ratio is itself battery noise (the q164 case — 20.2×
+    * battery vs 4.4× isolated in r15) would otherwise carry its inflation
+    * forward and mute the OutlierK trigger forever.
+    */
+  private[graft] def parsePriorRatios(txt: String, factor: Int): Option[Map[String, Double]] = {
+    // whitespace-tolerant segmentation: python's json.dump writes
+    // `"factor": 10` with a space (caught by driving the parser against the
+    // real r16 composite), so anchor on a regex and slice between matches
+    val factorRe = """"factor":\s*(\d+)""".r
+    val marks = factorRe.findAllMatchIn(txt).toList
+    val segment = marks.zipWithIndex.collectFirst {
+      case (m, i) if m.group(1).toInt == factor =>
+        val end = if (i + 1 < marks.size) marks(i + 1).start else txt.length
+        txt.substring(m.end, end)
+    }
+    val re = """"(q[\w]+)":\s*\[\s*([-\d.Ee]+)\s*,\s*([-\d.Ee]+)\s*\]""".r
+    val isoRe =
+      (""""(q[\w]+)":\s*\{\s*"ratio_battery":\s*[-\d.Ee]+\s*,\s*""" +
+        """"ratio_isolated":\s*([-\d.Ee]+)""").r
+    segment.map { seg =>
+      val battery = re.findAllMatchIn(seg).flatMap { m =>
+        val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
+        if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
+      }.toMap
+      val isolated = isoRe.findAllMatchIn(seg)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      battery ++ isolated
+    }
+  }
+
   private val trendQueries = Seq(
     "q01_pricing_summary", "q05_join_multiway", "q07_sort_limit",
     "q18_semi_anti", "q20_tumbling_window", "q22_sessionize",
@@ -215,29 +251,10 @@ object ScaleTrend {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8")
-          // a prior ratio is only comparable at the SAME factor: composite
-          // artifacts carry several rungs, so scope the parse to the segment
-          // following this run's "factor":N (flat single-rung artifacts have
-          // exactly one segment and parse whole)
-          val segment = txt.split(""""factor":""").find(_.startsWith(s"$factor,"))
-          if (segment.isEmpty)
+          val parsed = parsePriorRatios(txt, factor)
+          if (parsed.isEmpty)
             System.err.println(s"[scaletrend] prior artifact has no factor=$factor rung")
-          val re = """"(q[\w]+)":\[([-\d.Ee]+),([-\d.Ee]+)\]""".r
-          // prior outliers' ISOLATED ratios override their battery numbers:
-          // a row whose prior ratio is itself battery noise (the q164 case —
-          // 20.2× battery vs 4.4× isolated in r15) would otherwise carry its
-          // inflation forward and mute the 2.5× trigger forever
-          val isoRe =
-            """"(q[\w]+)":\{"ratio_battery":[-\d.Ee]+,"ratio_isolated":([-\d.Ee]+)""".r
-          segment.map { seg =>
-            val battery = re.findAllMatchIn(seg).flatMap { m =>
-              val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
-              if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
-            }.toMap
-            val isolated = isoRe.findAllMatchIn(seg)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            battery ++ isolated
-          }
+          parsed
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scaletrend] prior artifact unreadable: $e"); None
