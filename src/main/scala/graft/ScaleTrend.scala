@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   *   - dimensions (region…part) kept fixed, as dimensions are.
   *
   * Then times headline queries at 1× and `factor`× and prints per-query growth
-  * (flagging anything super-linear beyond 1.5× the data growth), plus the
-  * q39 planes recipe A/B: fixed 4 planes (quadratic bucket fan-out) vs
-  * 4+log2(factor) planes (the documented scale recipe).
+  * (flagging anything super-linear beyond 1.5× the data growth).
+  *
+  * Default-form rows (r17, VERDICT r16 task 1): q39/q81/q134 are measured
+  * through their DEFAULT parameterless APIs — the lever (planes / k / docMod)
+  * is derived from corpus statistics inside the query — NOT the oracle-pinned
+  * fixed forms the registry gates carry. At the 1× base the derived lever
+  * equals the pinned one (the sizing rules are calibrated on the sf0.1
+  * fixture), so 1× times stay method-equal with prior rounds; the N× side is
+  * where the forms diverge (auto-grown lever vs r16's measured quadratics).
+  * The artifact records which rows ran default forms (`default_forms`).
   *
   * Outlier auto-adjudication (r16, VERDICT r15 item 4): two consecutive
   * rounds the same battery row (q164) needed a MANUAL isolation re-measure —
@@ -52,15 +59,39 @@ object ScaleTrend {
     * forward and mute the OutlierK trigger forever.
     */
   private[graft] def parsePriorRatios(txt: String, factor: Int): Option[Map[String, Double]] = {
+    // composite artifacts wrap the rungs in a `"rungs":[...]` array; scope
+    // the whole scan to that array so top-level keys AFTER it can never leak
+    // into the LAST rung's segment (ADVICE r16 — bracket-match the array;
+    // flat single-rung artifacts have no "rungs" key and scan whole)
+    val scanTxt = {
+      val start = txt.indexOf("\"rungs\"")
+      val open = if (start < 0) -1 else txt.indexOf('[', start)
+      if (open < 0) txt
+      else {
+        var depth = 0
+        var i = open
+        var end = txt.length
+        var found = false
+        while (i < txt.length && !found) {
+          txt.charAt(i) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) { end = i; found = true }
+            case _ =>
+          }
+          i += 1
+        }
+        txt.substring(open, end)
+      }
+    }
     // whitespace-tolerant segmentation: python's json.dump writes
     // `"factor": 10` with a space (caught by driving the parser against the
     // real r16 composite), so anchor on a regex and slice between matches
     val factorRe = """"factor":\s*(\d+)""".r
-    val marks = factorRe.findAllMatchIn(txt).toList
+    val marks = factorRe.findAllMatchIn(scanTxt).toList
     val segment = marks.zipWithIndex.collectFirst {
       case (m, i) if m.group(1).toInt == factor =>
-        val end = if (i + 1 < marks.size) marks(i + 1).start else txt.length
-        txt.substring(m.end, end)
+        val end = if (i + 1 < marks.size) marks(i + 1).start else scanTxt.length
+        scanTxt.substring(m.end, end)
     }
     val re = """"(q[\w]+)":\s*\[\s*([-\d.Ee]+)\s*,\s*([-\d.Ee]+)\s*\]""".r
     val isoRe =
@@ -71,8 +102,11 @@ object ScaleTrend {
         val (a, b) = (m.group(2).toDouble, m.group(3).toDouble)
         if (a > 0 && b > 0) Some(m.group(1) -> b / a) else None
       }.toMap
+      // a refused isolation (-1 marker) must not override the battery ratio:
+      // a negative prior would make the OutlierK trigger fire unconditionally
       val isolated = isoRe.findAllMatchIn(seg)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
       battery ++ isolated
     }
   }
@@ -150,7 +184,22 @@ object ScaleTrend {
     // round-16: the SemDeDup recipe (kmeans cells + within-cell pair prune),
     // named by the r15 judge for the big rung — cells bound the candidate
     // pairs, so growth should stay near-linear as the corpus grows
-    "q81_semantic_dedup")
+    "q81_semantic_dedup",
+    // round-17: the embedding near-dup row joins the battery in its DEFAULT
+    // form (auto-sized planes; it was previously only covered by the planes
+    // A/B block, now subsumed by the default)
+    "q39_dedup_embedding")
+
+  /** DEFAULT-form overrides (r17, VERDICT r16 task 1): these rows measure
+    * the parameterless user API, which derives its scale lever from corpus
+    * statistics. The registry forms stay pinned at the oracle constants
+    * (the DuckDB oracles hardcode 4 hyperplanes / 8 unrolled cells /
+    * unsampled scopes) and are NOT what a scale rung should measure.
+    */
+  private val defaultForms: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_dedup_embedding" -> ((s, d) => queries.EmbeddingQueries.dedupEmbedding(s, d)),
+    "q81_semantic_dedup" -> ((s, d) => queries.EmbeddingQueries.semanticDedup(s, d)),
+    "q134_lsh_recall_audit" -> ((s, d) => queries.TextQueries.lshRecallAudit(s, d)))
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -174,7 +223,9 @@ object ScaleTrend {
       dt
     }
 
-    val reg = queries.QueryRegistry.all
+    val regAll = queries.QueryRegistry.all
+    def reg(name: String): (SparkSession, String) => DataFrame =
+      defaultForms.getOrElse(name, regAll(name))
     // one warmup to amortize JVM/codegen startup
     time(reg("q01_pricing_summary"), src)
 
@@ -270,72 +321,43 @@ object ScaleTrend {
           System.err.println(f"[scaletrend] $name battery ratio ${b / a}%.1f× " +
             f"exceeds ${OutlierK}× prior ${priorRatios(name)}%.1f× — isolating")
           // isolation: fresh GC + settle so the row doesn't inherit its
-          // battery neighborhood's debt, then the battery's own method
+          // battery neighborhood's debt, then the battery's own method.
+          // NonFatal-guarded like the battery rows (ADVICE r16): one refusal
+          // or transient failure here must not throw the whole battery's
+          // artifact away after it already ran — emit the -1 refusal marker
+          // in the outliers block instead.
           System.gc(); Thread.sleep(2000)
-          val t1 = math.min(time(reg(name), src), time(reg(name), src))
-          val tN = time(reg(name), out)
-          println(f"| $name (ISOLATED re-measure) | $t1%.2f | $tN%.2f | ${tN / t1}%.1f× " +
-            f"(battery ${b / a}%.1f×, prior ${priorRatios(name)}%.1f×) |")
-          s""""$name":{"ratio_battery":${b / a},"ratio_isolated":${tN / t1},""" +
-            s""""prior_ratio":${priorRatios(name)},"t1_isolated":$t1,"tN_isolated":$tN}"""
+          try {
+            val t1 = math.min(time(reg(name), src), time(reg(name), src))
+            val tN = time(reg(name), out)
+            println(f"| $name (ISOLATED re-measure) | $t1%.2f | $tN%.2f | ${tN / t1}%.1f× " +
+              f"(battery ${b / a}%.1f×, prior ${priorRatios(name)}%.1f×) |")
+            s""""$name":{"ratio_battery":${b / a},"ratio_isolated":${tN / t1},""" +
+              s""""prior_ratio":${priorRatios(name)},"t1_isolated":$t1,"tN_isolated":$tN}"""
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+              println(s"| $name (ISOLATED re-measure) | — | — | REFUSED: $msg |")
+              s""""$name":{"ratio_battery":${b / a},"ratio_isolated":-1,""" +
+                s""""prior_ratio":${priorRatios(name)}}"""
+          }
         }
         s""""outliers":${entries.mkString("{", ",", "}")},"outlier_k":$OutlierK,"""
       }
 
-    // the q39 planes recipe: fixed planes vs planes grown with the corpus
-    // (skipped on subset runs unless q39 is selected)
     // base_method records HOW the 1× bases were measured so round-over-round
-    // growth ratios are known method-equal (or known not to be)
+    // growth ratios are known method-equal (or known not to be); the
+    // default_forms list records which rows ran the parameterless auto-sized
+    // API instead of the oracle-pinned registry form (the r16 recipe A/B
+    // blocks are subsumed: the battery row IS the recipe now, and the fixed
+    // forms' quadratic growth stays measured in SCALETREND_r16.json)
     val baseMethod = """"base_method":"best_of_2_warm","""
-    val q39Json: String = if (only.forall(_.exists("q39_dedup_embedding".startsWith))) {
-      val extraPlanes = (math.log(factor) / math.log(2)).ceil.toInt
-      def q39(planes: Int)(s: SparkSession, d: String): DataFrame =
-        queries.EmbeddingQueries.dedupEmbedding(s, d, planes)
-      val fixed1 = math.min(time(q39(4), src), time(q39(4), src))
-      val fixedN = time(q39(4), out)
-      val grownN = time(q39(4 + extraPlanes), out)
-      println(f"| q39 planes=4 (fixed) | $fixed1%.2f | $fixedN%.2f | ${fixedN / fixed1}%.1f× |")
-      println(f"| q39 planes=${4 + extraPlanes} (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
-      s""""q39_planes_fixed":[$fixed1,$fixedN],"q39_planes_recipe":$grownN,"""
-    } else ""
-
-    // q81 SemDeDup recipe A/B (r16): the gate form's k=8 cells go quadratic
-    // once corpus growth lands inside them (measured 326× at the 100× rung);
-    // the paper's lever grows k with the corpus, holding per-cell population
-    // — and the within-cell pair term — at the 1× shape. Selected by the
-    // `recipe_q81` token (battery rows stay untouched: the fixed-k N× cost
-    // is the battery's q81 row, not re-paid here).
-    val q81Json: String = if (only.exists(_.exists(p => "recipe_q81".startsWith(p)))) {
-      def q81k(k: Int)(s: SparkSession, d: String): DataFrame =
-        queries.EmbeddingQueries.semanticDedup(s, d, k)
-      val fixed1 = math.min(time(q81k(8), src), time(q81k(8), src))
-      val grownK = 8 * factor
-      val grownN = time(q81k(grownK), out)
-      println(f"| q81 k=8 (fixed, 1×) | $fixed1%.2f | — | — |")
-      println(f"| q81 k=$grownK (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
-      s""""q81_recipe":{"k":$grownK,"t_1x_fixed":$fixed1,"t_Nx":$grownN},"""
-    } else ""
-
-    // q134 audit recipe (r16): scope-sampling can't bound the audit when
-    // growth lands INSIDE scopes (20 fixed sources hold 100× the docs at the
-    // 100× replica → sampled scopes' all-pairs term is 10,000×; measured
-    // 1587× battery growth). The lever is a within-scope doc hash-sample
-    // with modulus ~ the growth factor: per-scope populations return to the
-    // 1× shape and the recall estimate stays unbiased (truth and detected
-    // sides see the same sample). Selected by the `recipe_q134` token.
-    val q134Json: String = if (only.exists(_.exists(p => "recipe_q134".startsWith(p)))) {
-      def q134m(m: Int)(s: SparkSession, d: String): DataFrame =
-        queries.TextQueries.lshRecallAudit(s, d, m)
-      val fixed1 = math.min(time(q134m(1), src), time(q134m(1), src))
-      val grownN = time(q134m(factor), out)
-      println(f"| q134 docMod=1 (fixed, 1×) | $fixed1%.2f | — | — |")
-      println(f"| q134 docMod=$factor (recipe) | — | $grownN%.2f | ${grownN / fixed1}%.1f× vs 1× baseline |")
-      s""""q134_recipe":{"doc_mod":$factor,"t_1x_fixed":$fixed1,"t_Nx":$grownN},"""
-    } else ""
+    val defaultFormsJson = defaultForms.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("\"default_forms\":[", ",", "],")
 
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$denseJson$outlierJson""" +
-      s"""$q39Json$q81Json$q134Json"queries":$qs}""")
+    println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$defaultFormsJson""" +
+      s"""$denseJson$outlierJson"queries":$qs}""")
     spark.stop()
   }
 
@@ -356,33 +378,46 @@ object ScaleTrend {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(t(n), n, 1))
 
-    def replicated(n: String)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => shift(t(n), i)).reduce(_ unionByName _)
+    // copies are written in groups of ≤64 with parquet APPEND (r17): a
+    // single 1000-branch union is one left-deep Catalyst plan — analysis
+    // alone goes quadratic and the driver stack with it. Factors ≤64 keep
+    // the old single-write shape; the produced DATA is identical either way.
+    def writeReplicated(n: String, parts: Int)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val path = s"$out/$n.parquet"
+      val groups = (0 until factor).grouped(64).toList
+      val totalParts = math.max(1, parts * pScale)
+      val perGroup = math.max(1, totalParts / groups.size)
+      groups.zipWithIndex.foreach { case (g, gi) =>
+        val df = g.map(i => shift(t(n), i)).reduce(_ unionByName _)
+        df.repartition(perGroup).write
+          .mode(if (gi == 0) "overwrite" else "append").parquet(path)
+      }
+    }
 
     val maxOrder = t("orders").agg(max($"o_orderkey")).head.getLong(0) + 1
-    write(replicated("lineitem")((df, i) =>
-      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * maxOrder))), "lineitem", 32)
-    write(replicated("orders")((df, i) =>
-      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * maxOrder))), "orders", 16)
+    writeReplicated("lineitem", 32)((df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * maxOrder)))
+    writeReplicated("orders", 16)((df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * maxOrder)))
 
     val maxEvent = t("events").agg(max($"event_id")).head.getLong(0) + 1
-    write(replicated("events")((df, i) =>
+    writeReplicated("events", 16)((df, i) =>
       df.withColumn("event_id", $"event_id" + lit(i * maxEvent))
-        .withColumn("ts", $"ts" + expr(s"INTERVAL ${i * 370} DAYS"))), "events", 16)
+        .withColumn("ts", $"ts" + expr(s"INTERVAL ${i * 370} DAYS")))
 
     val maxDoc = t("documents").agg(max($"doc_id")).head.getLong(0) + 1
-    write(replicated("documents")((df, i) =>
+    writeReplicated("documents", 8)((df, i) =>
       if (i == 0) df
       else df.withColumn("doc_id", $"doc_id" + lit(i * maxDoc))
         // per-copy token suffix: every shingle changes, so copies are new
         // documents to the dedup operators, not a wall of synthetic near-dups
         .withColumn("text", concat_ws(" ",
           transform(split($"text", "\\s+"), tok => concat(tok, lit(s"q$i")))))
-        .withColumn("n_chars", length($"text"))), "documents", 8)
+        .withColumn("n_chars", length($"text")))
 
     val maxVec = t("embeddings").agg(max($"vec_id")).head.getLong(0) + 1
     val dims = 64
-    write(replicated("embeddings")((df, i) => {
+    writeReplicated("embeddings", 8)((df, i) => {
       // rotation alone cycles at `dims` copies (gcd(7,64)=1 ⇒ period 64), so
       // copy i and i+64 would carry IDENTICAL vectors — a 100× corpus would
       // be ~1/3 exact-duplicate vectors and the dedup/ANN rows would measure
@@ -394,9 +429,25 @@ object ScaleTrend {
         if (r == 0) $"embedding"
         else concat(slice($"embedding", r + 1, dims - r), slice($"embedding", 1, r))
       val decorrelated = if ((i / dims) % 2 == 1) reverse(rotated) else rotated
+      // beyond the 128-copy rotation×reverse group (only reached at factors
+      // >128, e.g. the 1000× rung) compose a deterministic per-cycle ±1
+      // sign mask (norm-preserving like the others; md5-seeded per cycle) —
+      // without it copies i and i+128 carry IDENTICAL vectors and a 1000×
+      // corpus would be ~87% exact duplicates, measuring the fixture
+      val cyc = i / 128
+      val masked =
+        if (cyc == 0) decorrelated
+        else {
+          val signs = Array.tabulate(dims) { d =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"flip$cyc:$d".getBytes("UTF-8"))
+            if ((md(0) & 1) == 1) -1.0f else 1.0f
+          }
+          zip_with(decorrelated, typedLit(signs.toSeq), (a, b) => a * b)
+        }
       df.withColumn("vec_id", $"vec_id" + lit(i * maxVec))
-        .withColumn("embedding", decorrelated)
-    }), "embeddings", 8)
+        .withColumn("embedding", masked)
+    })
 
     marker.createNewFile()
     ()

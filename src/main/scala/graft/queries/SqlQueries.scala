@@ -321,7 +321,11 @@ object SqlQueries {
     val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      // per-PHASE deadlines (ADVICE r16): a single shared deadline erodes —
+      // a slow first suspend attempt would leave a retry (or the resume
+      // convergence wait below) expiring immediately with a misleading error
+      def freshDeadline(): Long = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var deadline = freshDeadline()
       // suspend as soon as the FIRST data batch lands — polled from the
       // job's own progress events (pure driver-side, no Spark job), so the
       // suspend happens mid-stream even when a cold query poll costs seconds
@@ -338,6 +342,7 @@ object SqlQueries {
       var exported = false
       while (!exported) {
         attempt += 1
+        deadline = freshDeadline()
         sql.execute(
           s"CREATE JOB q173a OPTIONS('snapshotIntervalMillis'='200') AS\n$select")
         while (!firstDataBatchDone && System.nanoTime() < deadline) Thread.sleep(20)
@@ -358,9 +363,11 @@ object SqlQueries {
         }
       }
 
-      // resume FROM THE SNAPSHOT at a different parallelism
+      // resume FROM THE SNAPSHOT at a different parallelism; the convergence
+      // wait gets its OWN deadline — the suspend attempts must not erode it
       s.conf.set("spark.sql.shuffle.partitions", "9")
       sql.execute(s"CREATE JOB q173b OPTIONS('initialSnapshotName'='q173snap') AS\n$select")
+      deadline = freshDeadline()
       while (total() < 1000L && System.nanoTime() < deadline) Thread.sleep(100)
       // totals update from INSIDE foreachBatch — barrier on batch completion
       // so the progress event carrying the state width exists before reading

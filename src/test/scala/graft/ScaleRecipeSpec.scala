@@ -56,6 +56,30 @@ class ScaleRecipeSpec extends SparkSpec {
     assert(ScaleTrend.parsePriorRatios(spaced, 100).get("q05_j") === 50.0)
   }
 
+  test("prior parser: top-level keys after the rungs array cannot leak into the last rung") {
+    // ADVICE r16: the last rung's segment used to slice to end-of-file, so a
+    // top-level trailer key shaped like a ratio row would enter its scan
+    val trailed =
+      """{"metric":"scale_trend","rungs":[{"factor":10,"queries":{"q05_j":[1.0,2.0]}},""" +
+        """{"factor":100,"queries":{"q05_j":[1.0,50.0]}}],""" +
+        """"notes":{"q99_trailer":[1.0,999.0]}}"""
+    val at100 = ScaleTrend.parsePriorRatios(trailed, 100).get
+    assert(at100("q05_j") === 50.0)
+    assert(!at100.contains("q99_trailer"), "trailer keys must not become priors")
+  }
+
+  test("prior parser: a refused isolation (-1 marker) falls back to the battery ratio") {
+    // ADVICE r16 follow-on: the isolation re-measure is now NonFatal-guarded
+    // and records ratio_isolated:-1 on refusal — that marker must not
+    // override the battery ratio (a negative prior would fire the OutlierK
+    // trigger unconditionally next round)
+    val refused =
+      """{"factor":10,"outliers":{"q93_c":{"ratio_battery":6.38,"ratio_isolated":-1,""" +
+        """"prior_ratio":2.14}},"queries":{"q93_c":[1.0,6.38],"q05_j":[1.0,2.0]}}"""
+    val r = ScaleTrend.parsePriorRatios(refused, 10).get
+    assert(r("q93_c") === 6.38, "battery ratio survives a refused isolation")
+  }
+
   // ---- parametrized recipe queries ------------------------------------
 
   test("q134 recipe: doc-sampled audit stays a 1-row unbiased estimate") {
@@ -71,6 +95,24 @@ class ScaleRecipeSpec extends SparkSpec {
     }
     // the sample can only shrink the audited pair space
     assert(sampled(0).getLong(0) <= gate(0).getLong(0))
+  }
+
+  test("default forms equal the oracle-pinned forms at the gate fixture (r17)") {
+    // the sizing rules are calibrated so that, at the gate fixtures, the
+    // DEFAULT (auto-sized) API derives exactly the pinned oracle constants —
+    // this is what keeps CORRECTNESS oracle-exact while the default grows
+    // the lever at scale. Row-for-row equality, not just shape.
+    import org.apache.spark.sql.DataFrame
+    def same(a: DataFrame, b: DataFrame): Unit = {
+      assert(a.columns.toSeq == b.columns.toSeq)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    same(queries.EmbeddingQueries.dedupEmbedding(spark, sf),
+      queries.EmbeddingQueries.dedupEmbedding(spark, sf, planes = 4))
+    same(queries.EmbeddingQueries.semanticDedup(spark, sf),
+      queries.EmbeddingQueries.semanticDedup(spark, sf, k = 8))
+    same(queries.TextQueries.lshRecallAudit(spark, sf),
+      queries.TextQueries.lshRecallAudit(spark, sf, docMod = 1))
   }
 
   test("q81 recipe: grown k covers every vector's dup decision consistently") {
