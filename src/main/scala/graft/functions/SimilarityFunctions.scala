@@ -135,6 +135,38 @@ object SimilarityFunctions {
     else basePlanes + math.ceil(math.log(growth) / math.log(2)).toInt
   }
 
+  /** The cluster-count scale recipe (q81 SemDeDup's lever, VERDICT r16 task
+    * 1): a within-cell all-pairs term is quadratic in cell POPULATION, so the
+    * cell count must grow LINEARLY with the corpus to hold population — and
+    * the pair term — at the calibrated shape. cells(n) = baseCells · n /
+    * baseCorpus, floored at baseCells. Measured at the 100× rung
+    * (SCALETREND_r16.json): k=8 fixed → 326× growth; k=800 = this rule →
+    * 20.3×. The SemDeDup paper applies the same discipline (50k clusters for
+    * LAION-scale corpora).
+    */
+  def cellsForCorpus(corpusSize: Long, baseCorpus: Long, baseCells: Int): Int = {
+    require(corpusSize > 0 && baseCorpus > 0 && baseCells > 0,
+      "cellsForCorpus needs positive sizes")
+    math.max(baseCells,
+      math.ceil(baseCells.toDouble * corpusSize / baseCorpus).toInt)
+  }
+
+  /** The within-scope sampling scale recipe (q134's audit lever, VERDICT r16
+    * task 1): an all-pairs audit inside sampled scopes is quadratic in
+    * PER-SCOPE population, so when corpus growth lands INSIDE existing
+    * scopes the doc-sample modulus must return per-scope populations to the
+    * calibrated shape: mod = round(avgScopePop / basePop), floored at 1
+    * (no sampling at or below the calibrated population). Measured at the
+    * 100× rung: docMod=1 fixed → 1587× growth; docMod=100 = this rule → 1.4×.
+    * The estimate stays unbiased because both the truth and detected sides
+    * see the same deterministic hash-sample.
+    */
+  def sampleModForScope(avgScopePop: Double, baseScopePop: Double): Int = {
+    require(baseScopePop > 0, "sampleModForScope needs a positive base population")
+    if (avgScopePop <= baseScopePop) 1
+    else math.max(1, math.round(avgScopePop / baseScopePop).toInt)
+  }
+
   /** Exact brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, score row-locally, keep k per query via a window on the query id.
     * Both sides are L2-normalized once per row before the cross join, so the

@@ -156,6 +156,29 @@ object EmbeddingQueries {
     */
   val q39_dedup_embedding: Q = (s, dir) => dedupEmbedding(s, dir, planes = 4)
 
+  /** Baseline corpus shape the sizing rules are calibrated against: the
+    * sf0.1 gate fixture (2000 vectors), where planes=4 / k=8 are the
+    * measured-good operating points. [[SimilarityFunctions.planesForCorpus]]
+    * and `cellsForCorpus` grow the levers from here.
+    */
+  private val baseEmbCorpus = 2000L
+
+  /** DEFAULT embedding near-dup API (VERDICT r16 task 1): the LSH plane
+    * count is DERIVED from the corpus size — one cheap metadata count —
+    * via [[SimilarityFunctions.planesForCorpus]], so a user calling the
+    * default gets the scale-safe plan at any corpus size (fixed planes at
+    * 100× the data measured 176.6× growth; this rule measured 3.1×). At the
+    * oracle-gate fixtures (≤ 2000 vectors) the derived count equals the
+    * pinned planes=4 of [[q39_dedup_embedding]], whose DuckDB oracle
+    * hardcodes 4 hyperplane sign vectors in SQL and therefore keeps the
+    * explicit-parameter form.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "embeddings").count()
+    dedupEmbedding(s, dir,
+      planes = S.planesForCorpus(n, baseEmbCorpus, basePlanes = 4))
+  }
+
   /** q39 core with the bucket count exposed: `planes` MUST grow with corpus
     * size (buckets = 2^planes; candidate pairs per bucket are quadratic in
     * bucket membership, so fixed planes at 10× the data = ~100× the pairs).
@@ -615,6 +638,21 @@ object EmbeddingQueries {
     * within-cell term — bounded.
     */
   val q81_semantic_dedup: Q = (s, dir) => semanticDedup(s, dir, k = 8)
+
+  /** DEFAULT SemDeDup API (VERDICT r16 task 1): the cell count is DERIVED
+    * from the corpus size via [[SimilarityFunctions.cellsForCorpus]] —
+    * k grows linearly with the corpus so per-cell populations (and the
+    * quadratic within-cell pair term) hold at the calibrated shape. The
+    * fixed k=8 form measured 326× growth at the 100× rung; this rule's
+    * k=800 measured 20.3×. At the oracle-gate fixtures (≤ 2000 vectors) the
+    * derived k equals the pinned k=8 of [[q81_semantic_dedup]], whose DuckDB
+    * oracle unrolls exactly 8 k-means cells in SQL and therefore keeps the
+    * explicit-parameter form.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "embeddings").count()
+    semanticDedup(s, dir, k = S.cellsForCorpus(n, baseEmbCorpus, baseCells = 8))
+  }
 
   /** q81 with the cluster count as an explicit parameter — the scale lever
     * the scaladoc above names (ScaleTrend's q81 recipe A/B grows k with the

@@ -306,6 +306,44 @@ object TextQueries {
     */
   val q134_lsh_recall_audit: Q = (s, dir) => lshRecallAudit(s, dir, docMod = 1)
 
+  /** Baseline per-scope population the audit's doc-sample modulus is
+    * calibrated against: the sf0.1 gate fixture (5000 docs over 20 sources =
+    * 250 docs/scope), where docMod=1 — no sampling — is the measured-good
+    * operating point.
+    */
+  private val baseScopePop = 250.0
+
+  /** The deterministic 1-in-5 scope hash-sample the audit runs on — shared
+    * by the audit itself and the default form's sizing statistic.
+    */
+  private def auditScopeSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(pmod(conv(substring(md5(concat(lit("audit42:"), $"source")), 1, 8),
+        16, 10).cast("long"), lit(5)) === 0L)
+  }
+
+  /** DEFAULT recall-audit API (VERDICT r16 task 1): the within-scope
+    * doc-sample modulus is DERIVED from a cheap per-scope count over the
+    * sampled scopes via [[graft.functions.SimilarityFunctions
+    * .sampleModForScope]] — per-scope populations return to the calibrated
+    * shape whatever the corpus size, so the quadratic all-pairs truth side
+    * stays constant-cost (fixed docMod=1 measured 1587× growth at the 100×
+    * rung; this rule's docMod=100 measured 1.4×). At the oracle-gate
+    * fixtures (≤ 250 docs/scope) the derived modulus is 1, identical to the
+    * pinned [[q134_lsh_recall_audit]] form whose DuckDB oracle replays the
+    * unsampled scopes.
+    */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pops = auditScopeSample(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .agg(avg($"n")).head()
+    val avgPop = if (pops.isNullAt(0)) 0.0 else pops.getDouble(0)
+    lshRecallAudit(s, dir, docMod =
+      graft.functions.SimilarityFunctions.sampleModForScope(avgPop, baseScopePop))
+  }
+
   /** q134 with the within-scope doc-sample modulus as an explicit parameter —
     * the audit's scale lever at big rungs. Scope-sampling alone cannot keep
     * the audit constant-cost when corpus growth lands INSIDE existing scopes
@@ -319,9 +357,7 @@ object TextQueries {
     */
   def lshRecallAudit(s: SparkSession, dir: String, docMod: Int): DataFrame = {
     import s.implicits._
-    val scoped = t(s, dir, "documents")
-      .filter(pmod(conv(substring(md5(concat(lit("audit42:"), $"source")), 1, 8),
-        16, 10).cast("long"), lit(5)) === 0L)
+    val scoped = auditScopeSample(s, dir)
     val sampled =
       if (docMod <= 1) scoped
       else scoped.filter(pmod(conv(substring(
