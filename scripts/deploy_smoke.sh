@@ -28,17 +28,35 @@ mkdir -p "$OUT"
 echo "[deploy-smoke] packaging..."
 sbt -batch package >"$OUT/package.log" 2>&1
 # glob, don't hard-pin: a version bump in build.sbt must not silently break
-# the smoke (ADVICE r15). Exactly one jar expected.
-JAR=$(ls target/scala-2.13/*.jar 2>/dev/null | grep -v -- '-sources\|-javadoc' | head -1)
+# the smoke (ADVICE r15). Newest-by-mtime, never lexicographic: after a
+# version bump a stale previous-version jar can sort first and the smoke
+# would silently validate old code (ADVICE r16). `|| true` keeps the
+# substitution from aborting under `set -e` when no jar exists, so the
+# friendly diagnostic below is reachable (ADVICE r16).
+JAR=$(ls -t target/scala-2.13/*.jar 2>/dev/null | grep -v -- '-sources\|-javadoc' | head -1 || true)
 test -n "$JAR" -a -f "$JAR" || { echo "[deploy-smoke] no jar under target/scala-2.13"; exit 1; }
+N_JARS=$(ls target/scala-2.13/*.jar 2>/dev/null | grep -cv -- '-sources\|-javadoc' || true)
+if [ "$N_JARS" != "1" ]; then
+  echo "[deploy-smoke] WARNING: $N_JARS candidate jars under target/scala-2.13; using newest: $JAR"
+fi
 echo "[deploy-smoke] jar: $JAR"
 
 run_mode() { # $1 = tag, $2 = master, rest = extra spark-submit conf args
   local tag=$1 master=$2; shift 2
-  local work
+  local work launcher
   work=$(mktemp -d "/tmp/graft_deploy_${tag}_XXXX")
-  echo "[deploy-smoke] $tag: spark-submit --master $master"
-  "$SPARK_HOME/bin/spark-submit" \
+  # mode 3 (standalone) submits THROUGH THE OPERATOR CLI (`graft submit`,
+  # VERDICT r16 task 2) — the path a real operator takes to a real cluster
+  # manager; the other modes keep raw spark-submit so a CLI regression can
+  # never mask (or be masked by) a packaging regression.
+  if [ "$tag" = "standalone" ]; then
+    launcher=(scripts/graft submit)
+    echo "[deploy-smoke] $tag: graft submit --master $master"
+  else
+    launcher=("$SPARK_HOME/bin/spark-submit")
+    echo "[deploy-smoke] $tag: spark-submit --master $master"
+  fi
+  "${launcher[@]}" \
     --class graft.DeploySmoke \
     --master "$master" \
     --driver-memory 4g \
@@ -64,26 +82,44 @@ if [ "${GRAFT_DEPLOY_SKIP_STANDALONE:-0}" != "1" ]; then
   export SPARK_MASTER_HOST=127.0.0.1 SPARK_LOCAL_IP=127.0.0.1
   export SPARK_IDENT_STRING=graftsmoke
   mkdir -p "$SPARK_LOG_DIR" "$SPARK_PID_DIR"
+  # fail fast if the ports are already bound (ADVICE r16): start-master fails
+  # quietly to a log, and the registration probe would poll whatever process
+  # already holds the web-UI port — 60 s of hang or probing an unrelated
+  # server. Ports are derived from $$ so concurrent smokes can't collide.
+  MASTER_PORT=$((7077 + $$ % 400))
+  MASTER_UI_PORT=$((8091 + $$ % 400))
+  WORKER_UI_PORT=$((8591 + $$ % 400))
+  for p in "$MASTER_PORT" "$MASTER_UI_PORT" "$WORKER_UI_PORT"; do
+    if python3 -c "import socket,sys; s=socket.socket(); rc=s.connect_ex(('127.0.0.1', int(sys.argv[1]))); s.close(); sys.exit(0 if rc else 1)" "$p"; then
+      : # closed (connect refused) = free
+    else
+      echo "[deploy-smoke] port $p already bound; refusing to start daemons"
+      exit 1
+    fi
+  done
   cleanup_daemons() {
     "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
     "$SPARK_HOME/sbin/stop-master.sh" >/dev/null 2>&1 || true
   }
   trap cleanup_daemons EXIT
-  echo "[deploy-smoke] standalone: starting master + worker on loopback"
-  "$SPARK_HOME/sbin/start-master.sh" --port 7077 --webui-port 8091 \
+  echo "[deploy-smoke] standalone: starting master + worker on loopback (port $MASTER_PORT)"
+  "$SPARK_HOME/sbin/start-master.sh" --port "$MASTER_PORT" --webui-port "$MASTER_UI_PORT" \
     >"$OUT/master-start.log" 2>&1
   # one 4-core worker; spark.executor.cores=2 below carves it into 2 executors,
   # mirroring local-cluster[2,2]
-  "$SPARK_HOME/sbin/start-worker.sh" spark://127.0.0.1:7077 \
-    --cores 4 --memory 4g --webui-port 8092 >"$OUT/worker-start.log" 2>&1
+  "$SPARK_HOME/sbin/start-worker.sh" "spark://127.0.0.1:$MASTER_PORT" \
+    --cores 4 --memory 4g --webui-port "$WORKER_UI_PORT" >"$OUT/worker-start.log" 2>&1
   # wait until the worker has REGISTERED with the master (the master's JSON
   # endpoint reports alive workers) — a submit before registration would sit
-  # in WAITING and still pass, but a registration failure should fail fast
-  python3 - <<'EOF'
+  # in WAITING and still pass, but a registration failure should fail fast,
+  # surfacing the daemon logs (ADVICE r16: a quiet master-start failure was
+  # otherwise invisible)
+  if ! python3 - "$MASTER_UI_PORT" <<'EOF'
 import json, time, urllib.request, sys
+port = sys.argv[1]
 for _ in range(60):
     try:
-        j = json.load(urllib.request.urlopen("http://127.0.0.1:8091/json/", timeout=2))
+        j = json.load(urllib.request.urlopen(f"http://127.0.0.1:{port}/json/", timeout=2))
         if sum(1 for w in j.get("workers", []) if w.get("state") == "ALIVE") >= 1:
             print("[deploy-smoke] worker registered"); sys.exit(0)
     except Exception:
@@ -91,7 +127,13 @@ for _ in range(60):
     time.sleep(1)
 print("[deploy-smoke] worker never registered with master"); sys.exit(1)
 EOF
-  run_mode standalone "spark://127.0.0.1:7077" \
+  then
+    echo "[deploy-smoke] --- master-start.log / newest daemon logs follow ---"
+    cat "$OUT/master-start.log" || true
+    tail -n 40 "$SPARK_LOG_DIR"/*.out 2>/dev/null || true
+    exit 1
+  fi
+  run_mode standalone "spark://127.0.0.1:$MASTER_PORT" \
     --conf spark.executor.cores=2 --conf spark.cores.max=4
   cleanup_daemons
   trap - EXIT

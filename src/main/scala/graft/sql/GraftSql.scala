@@ -32,6 +32,9 @@ final class GraftSql(spark: SparkSession) {
   private val dropMapping = """(?is)\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val showMappings = """(?is)\s*SHOW\s+(?:EXTERNAL\s+)?MAPPINGS\s*""".r
   private val showJobs = """(?is)\s*SHOW\s+JOBS\s*""".r
+  // Jet `jet list-snapshots` (JetCommandLine.java listSnapshots; the exported
+  // JobStateSnapshot registry) on the SQL surface
+  private val showSnapshots = """(?is)\s*SHOW\s+SNAPSHOTS\s*""".r
   // Jet Job.getMetrics() on the SQL surface (core/metrics/JobMetrics.java):
   // one (metric, value) row per counter for a named job
   private val showJobMetrics = """(?is)\s*SHOW\s+JOB\s+METRICS\s+(\w+)\s*""".r
@@ -154,6 +157,11 @@ final class GraftSql(spark: SparkSession) {
     case showJobs() =>
       import spark.implicits._
       JobRegistry.list.toDF("name", "running")
+
+    case showSnapshots() =>
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      GraftSql.snapshots.asScala.toSeq.sortBy(_._1).toDF("name", "checkpoint_dir")
 
     case showJobMetrics(name) =>
       import spark.implicits._
