@@ -85,6 +85,46 @@ object Bench {
     sideMin
   }
 
+  /** Untimed JVM-warm phase before the PRE calibration side (r17, VERDICT
+    * r16 task 5). All four r16 factors refused because the pre side lands on
+    * the session's warm-up decay ramp: an 8-run probe session measured the
+    * composite falling 7.18 → 5.02 monotonically, substantially JVM-local
+    * (BASELINE.md r16), so pre reads 11-23% above post all day and the
+    * agreement gate — correctly — refuses. This phase burns that ramp
+    * UNTIMED before the pre side is taken: repeat the (unchanged, frozen)
+    * [[calibrate]] probe until two consecutive composites agree within 2%
+    * or the budget lapses. Warming with the probe itself warms exactly the
+    * code paths the probe times — more targeted than a flagship-suite pass
+    * and bounded. Enabled by `SPARK_GRAFT_CALIB_WARM=<seconds budget>`
+    * (config-flagged: the probe pair's semantics are unchanged when unset);
+    * returns (passes, first composite, last composite) for the artifact.
+    */
+  private[graft] def calibWarm(spark: SparkSession): Option[(Int, Double, Double)] =
+    sys.env.get("SPARK_GRAFT_CALIB_WARM").map { v =>
+      val budget = v.toDoubleOption.filter(_ > 0).getOrElse(180.0)
+      val t0 = System.nanoTime()
+      var comps = List(calibrate(spark).values.sum)
+      System.err.println(f"[bench] calib-warm pass 1 composite=${comps.head}%.3f")
+      var done = false
+      while (!done) {
+        if ((System.nanoTime() - t0) / 1e9 >= budget) done = true
+        else {
+          val c = calibrate(spark).values.sum
+          System.err.println(f"[bench] calib-warm pass ${comps.size + 1} composite=$c%.3f")
+          val prev = comps.head
+          comps ::= c
+          if (math.abs(prev - c) / ((prev + c) / 2) <= 0.02) done = true
+        }
+      }
+      (comps.size, comps.last, comps.head)
+    }
+
+  /** The calib-warm artifact fragment ("" when the phase didn't run). */
+  private[graft] def warmJsonFragment(w: Option[(Int, Double, Double)]): String =
+    w.map { case (n, first, last) =>
+      s""""warm":{"passes":$n,"first":$first,"last":$last},"""
+    }.getOrElse("")
+
   /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
     * micro-workloads that measure the BOX, not the engine —
     *   cpu_sec:     single-thread FNV-1a over 600M steps (per-core speed and
@@ -216,6 +256,10 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
     val skipCalib =
       sys.env.contains("SPARK_GRAFT_NO_CALIBRATION") || filter.isDefined
+    // untimed warm phase (flagged; see calibWarm) — burns the JVM-local
+    // decay ramp so the pre side can land where the post side will
+    val warmPhase: Option[(Int, Double, Double)] =
+      if (skipCalib) None else calibWarm(spark)
     val calibPre: Map[String, Double] =
       if (skipCalib) Map.empty else settledCalibrate(spark, "pre")
 
@@ -404,7 +448,7 @@ object Bench {
         "\"factor_stable\":" + calibStable,
         "\"factor_bracket\":" + calibFactorBracket,
         "\"factor\":" + calibFactor
-      ).mkString("{", ",", "}")
+      ).mkString("{" + warmJsonFragment(warmPhase), ",", "}")
     }
     def norm4(v: Double): Double = math.round(v / calibFactor * 10000) / 10000.0
     val qsNorm = results.map { case (k, v, _, _) => "\"" + k + "\":" + norm4(v) }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Search: geometric ladder (doubling) from 1M rows/s (joins/sessions: 250k)
   * until a rate fails, then one bisection step — prints one JSON line with
-  * per-pipeline ceilings. Results are recorded in BASELINE.md, not gated:
+  * per-pipeline ceilings. Each pipeline's artifact entry carries a `trials`
+  * array and `best` (r17): a zero or >4×-collapsed ladder re-trials itself
+  * up to 3 times, so a transient first-probe failure (r16's stream_join
+  * reading 0.0 while re-trials sustained 375k) is adjudicated IN the
+  * artifact instead of BASELINE prose. Results are recorded in BASELINE.md, not gated:
   * the number is machine-relative (local[32] micro-batch vs the reference's
   * 45-node event-at-a-time cluster) and calibrates the architecture, not the
   * round artifact. SPARK_GRAFT_MAXRATE_ONLY=name,... filters pipelines.
@@ -142,15 +146,23 @@ object MaxRate {
     // that shifts mid-ladder is DETECTED instead of silently normalized.
     // Skippable for fast iteration (SPARK_GRAFT_NO_CALIBRATION=1).
     val skipCalib = sys.env.contains("SPARK_GRAFT_NO_CALIBRATION")
+    var warmPhase: Option[(Int, Double, Double)] = None
     val calibPre: Map[String, Double] =
       if (skipCalib) Map.empty
       else {
         Bench.streamWarmup(spark)
+        // untimed warm phase (flagged; Bench.calibWarm) — burns the
+        // JVM-local decay ramp the r16 sessions measured, then the
         // settled probe (same discipline as the bench pre/post sides): a
         // launch-adjacent single shot reads 10-40% high and would make the
         // rate decomposition blame the box for code
+        warmPhase = Bench.calibWarm(spark)
         Bench.settledCalibrate(spark, "maxrate-pre")
       }
+
+    final case class Trial(rate: Long, measured: Double, stateRows: Long) {
+      def json: String = s"""{"rate":$rate,"measured":$measured,"state_rows":$stateRows}"""
+    }
 
     def ceilingFor(p: Pipeline): (Long, Double, Long) = {
       val ceiling = 512000000L // generator guard: don't probe beyond this
@@ -181,10 +193,44 @@ object MaxRate {
       (lastOk, lastMeasured, lastState)
     }
 
+    // Artifact self-adjudication (r17, VERDICT r16 item 3 / What's-wrong 1):
+    // r16 permanently recorded `stream_join: measured 0.0` while the
+    // adjudicated truth (two manual re-trials at 375k) lived only in
+    // BASELINE.md prose. The ladder now re-trials ITSELF — automatically on
+    // a zero first probe (the ladder couldn't sustain even its own entry
+    // rate: the collapse signal; entry rates sit 4-32× below the known
+    // bands) or when a later trial reads >4× below the best so far — and
+    // the artifact carries every trial plus the best-of, so it reads
+    // truthfully without external prose. Healthy pipelines still pay
+    // exactly one ladder.
+    val MaxLadderTrials = 3
+    def trialsFor(p: Pipeline): Seq[Trial] = {
+      val trials = scala.collection.mutable.ArrayBuffer[Trial]()
+      var done = false
+      while (!done) {
+        val (r, m, st) = ceilingFor(p)
+        trials += Trial(r, m, st)
+        val best = trials.map(_.rate).max
+        val collapsed = trials.last.rate == 0 ||
+          (best > 0 && trials.last.rate * 4 < best)
+        done = !collapsed || trials.size >= MaxLadderTrials
+        if (!done) System.err.println(s"[maxrate] ${p.name}: trial " +
+          s"${trials.size} read rate=${trials.last.rate} (best=$best) — re-trialing")
+      }
+      trials.toSeq
+    }
+
     val results = pipelines.filter(p => only.forall(_.contains(p.name))).map { p =>
-      val (r, m, st) = ceilingFor(p)
-      System.err.println(s"[maxrate] ${p.name}: sustained=$r measured=$m state_rows=$st")
-      s""""${p.name}":{"rate":$r,"measured":$m,"state_rows":$st}"""
+      val trials = trialsFor(p)
+      val best = trials.maxBy(t => (t.rate, t.measured))
+      System.err.println(s"[maxrate] ${p.name}: sustained=${best.rate} " +
+        s"measured=${best.measured} state_rows=${best.stateRows} " +
+        s"(${trials.size} trial(s))")
+      // top-level fields = best-of (legacy readers unchanged); trials array
+      // is the self-adjudication record
+      s""""${p.name}":{"rate":${best.rate},"measured":${best.measured},""" +
+        s""""state_rows":${best.stateRows},"best":${best.json},""" +
+        trials.map(_.json).mkString("\"trials\":[", ",", "]}")
     }
 
     // post-ladder side: brackets the ladder so a mid-run box shift is
@@ -228,7 +274,7 @@ object MaxRate {
         "\"factor_stable\":" + calibStable,
         "\"factor_bracket\":" + calibFactorBracket,
         "\"factor\":" + calibFactor
-      ).mkString("{", ",", "}")
+      ).mkString("{" + Bench.warmJsonFragment(warmPhase), ",", "}")
     }
     println(s"""{"metric":"max_sustainable_rate","unit":"rows_per_sec",""" +
       s""""calibration":$calibJson,""" + results.mkString(",") + "}")

@@ -407,6 +407,31 @@ object Plans {
     """\| (q\w+) \| ([0-9a-f]{32}) \|""".r.findAllMatchIn(plansMd)
       .map(m => m.group(1) -> m.group(2)).toMap
 
+  /** The latest ScaleTrend artifact's outlier adjudications:
+    * (source file, rows of (query, ratio_battery, ratio_isolated)).
+    * Source = SPARK_GRAFT_SCALETREND_PRIOR if set, else the newest
+    * SCALETREND_r*.json in the working directory; None when neither exists.
+    */
+  private[graft] def scaletrendOutliers(): Option[(String, Seq[(String, Double, Double)])] = {
+    val path = sys.env.get("SPARK_GRAFT_SCALETREND_PRIOR").filter(_.nonEmpty)
+      .orElse {
+        Option(new java.io.File(".").listFiles()).flatMap(
+          _.filter(_.getName.matches("SCALETREND_r\\d+\\.json"))
+            .sortBy(_.getName).lastOption.map(_.getPath))
+      }
+    path.flatMap { p =>
+      try {
+        val txt = Files.readString(Paths.get(p))
+        val re = (""""(q\w+)":\s*\{\s*"ratio_battery":\s*([-\d.Ee]+)\s*,\s*""" +
+          """"ratio_isolated":\s*([-\d.Ee]+)""").r
+        val rows = re.findAllMatchIn(txt)
+          .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble))
+          .toSeq.distinct.sortBy(_._1)
+        Some((new java.io.File(p).getName, rows))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("8", "graft-plans")
@@ -431,6 +456,21 @@ object Plans {
     sb.append("`graft.Verify` warns PLAN-DRIFT when a gate run's shape differs.\n\n")
     sb.append("| query | fingerprint |\n|---|---|\n")
     fingerprints.result().foreach { case (n, f) => sb.append(s"| $n | $f |\n") }
+    // ScaleTrend outlier adjudications (r17, VERDICT r16 low item): surface
+    // the latest artifact's auto-adjudicated battery outliers next to the
+    // fingerprint table, so a reader checking a row's plan also sees that
+    // its last battery growth ratio was re-measured in isolation (and what
+    // the isolated truth was) instead of digging through SCALETREND jsons.
+    scaletrendOutliers() match {
+      case Some((src, rows)) if rows.nonEmpty =>
+        sb.append(s"\nScaleTrend outlier adjudications (from `$src`; " +
+          "battery ratio → isolated re-measure; -1 = isolation refused):\n\n")
+        sb.append("| query | ratio_battery | ratio_isolated |\n|---|---|---|\n")
+        rows.foreach { case (q, b, i) =>
+          sb.append(f"| $q | $b%.2f× | $i%.2f× |\n")
+        }
+      case _ => ()
+    }
     sb.append("\n# Driver-composed queries (distributed pass consumed pre-collect)\n")
     driverComposedNotes.foreach { case (name, note) =>
       sb.append(s"\n## $name\n\n$note\n")
