@@ -469,7 +469,10 @@ object Plans {
         rows.foreach { case (q, b, i) =>
           sb.append(f"| $q | $b%.2f× | $i%.2f× |\n")
         }
-      case _ => ()
+      case Some((src, _)) =>
+        sb.append(s"\nScaleTrend outlier adjudications (from `$src`): none — " +
+          "no battery row exceeded OutlierK× its prior-round ratio.\n")
+      case None => ()
     }
     sb.append("\n# Driver-composed queries (distributed pass consumed pre-collect)\n")
     driverComposedNotes.foreach { case (name, note) =>
