@@ -165,6 +165,13 @@ object ScaleTrend {
     // posting lists stay a joined table instead of a broadcast service,
     // so the 10×/100× runs exercise the no-corpus-broadcast path
     "q164_mp3_metadata", "q165_stream_ann_ivf_shard",
+    // round-18 (VERDICT r17 Next #1): the q165 FIT/SERVE split measured
+    // separately — fit_only = the offline index build (corpus pass +
+    // bucketed write + centroid build), serve_only = the streaming serve
+    // against the PREBUILT index, the cost a production serving tier pays
+    // per decade. fit MUST precede serve in this list (serve loads the
+    // index fit just persisted for the same dir).
+    "q165_fit_only", "q165_serve_only",
     // round-12: the core-DAG event-time path — frame partials keep the
     // distributed edge answer-sized ((keys × frames) rows cross the
     // shuffle, never events), so growth should track the scan, and the
@@ -201,6 +208,35 @@ object ScaleTrend {
     "q81_semantic_dedup" -> ((s, d) => queries.EmbeddingQueries.semanticDedup(s, d)),
     "q134_lsh_recall_audit" -> ((s, d) => queries.TextQueries.lshRecallAudit(s, d)))
 
+  /** Battery-only rows with no registry entry (r18): the q165 FIT/SERVE
+    * split. The fused q165 row keeps measuring the whole pipeline; these two
+    * split it so the decade ratio of SERVING alone is a measured artifact
+    * row (fit is offline in production — VERDICT r17 Next #1). serve_only
+    * loads the index the fit row just persisted; under a subset arg that
+    * skipped the fit row it falls back to fitting first (that fallback is
+    * then inside the timed window — run both rows for split numbers).
+    */
+  private val extraForms: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    def embOf(s: SparkSession, d: String) =
+      Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+    Map(
+      "q165_fit_only" -> ((s, d) => {
+        val idx = operators.IvfShardedServe.fit(
+          embOf(s, d), operators.IvfShardedServe.tableFor(d))
+        // fit is eager (bucketed write + centroid collect happen above);
+        // the returned frame is the answer-sized sidecar, so the noop write
+        // adds ~nothing to the timed window
+        s.table(operators.IvfShardedServe.centroidsTable(idx.table))
+      }),
+      "q165_serve_only" -> ((s, d) => {
+        val tbl = operators.IvfShardedServe.tableFor(d)
+        val idx = operators.IvfShardedServe.load(s, tbl)
+          .getOrElse(operators.IvfShardedServe.fit(embOf(s, d), tbl))
+        queries.StreamingQueries.q165Serve(s, d, idx)
+      }))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -225,7 +261,8 @@ object ScaleTrend {
 
     val regAll = queries.QueryRegistry.all
     def reg(name: String): (SparkSession, String) => DataFrame =
-      defaultForms.getOrElse(name, regAll(name))
+      defaultForms.getOrElse(name,
+        extraForms.getOrElse(name, regAll(name)))
     // one warmup to amortize JVM/codegen startup
     time(reg("q01_pricing_summary"), src)
 

@@ -223,6 +223,108 @@ object IvfShardedServe {
         col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
+  // ------------------------------------------------------------------------
+  // FIT / SERVE split (r18, VERDICT r17 Next #1): in production the index is
+  // built OFFLINE — once, or incrementally — and serving streams against the
+  // prebuilt tables; fusing fit into the serving pipeline made the 1000×
+  // rung read the fit's corpus pass as serving cost. The split is spec-pinned
+  // bit-equal to the fused path (ShardedAnnServeSpec): centroids come from
+  // the same deterministic distributed build, so replaying the PREBUILT
+  // index produces byte-identical rankings.
+  // ------------------------------------------------------------------------
+
+  /** A persisted index: `table` = the cell-bucketed postings, with a small
+    * `<table>_centroids` sidecar carrying (cell, centroid, b_bits, buckets).
+    * `cents` is the O(√N) broadcastable model state — the replicated-map
+    * analog; everything corpus-sized stays in the bucketed table.
+    */
+  final case class IvfIndex(table: String, bBits: Int, buckets: Int,
+                            cents: Array[(Long, Array[Double])]) {
+    def postings(s: org.apache.spark.sql.SparkSession): DataFrame = s.table(table)
+  }
+
+  def centroidsTable(table: String): String = table + "_centroids"
+
+  /** A deterministic per-dataset index table name (md5 of the data dir) —
+    * lets harnesses fit once per fixture and serve many times.
+    */
+  def tableFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_ivf_idx_${md.take(10)}"
+  }
+
+  /** FIT — the offline index build: derive the cell rule from the corpus
+    * size, write the postings as the cell-bucketed table (the layout whose
+    * per-batch serve plan has NO static-side exchange), run the
+    * deterministic centroid build, and persist centroids + the frozen cell
+    * rule in the sidecar. One corpus pass + one O(√N) collect; serving never
+    * pays any of it again.
+    */
+  def fit(emb: DataFrame, table: String, buckets: Int = 32): IvfIndex = {
+    val s = emb.sparkSession
+    val bBits = bBitsFor(emb.count())
+    val bucketed = postingsAsBucketedTable(buildPostings(emb, bBits), table, buckets)
+    val cents = buildCentroids(bucketed)
+    import s.implicits._
+    cents.toSeq.map { case (c, m) => (c, m.toSeq, bBits, buckets) }
+      .toDF("cell", "centroid", "b_bits", "buckets")
+      .write.mode("overwrite").saveAsTable(centroidsTable(table))
+    IvfIndex(table, bBits, buckets, cents)
+  }
+
+  /** Load a persisted index (None when either table is missing). The
+    * centroid collect is O(√N) — model-scale, same boundary as fit's.
+    */
+  def load(s: org.apache.spark.sql.SparkSession, table: String): Option[IvfIndex] = {
+    if (!s.catalog.tableExists(table) ||
+        !s.catalog.tableExists(centroidsTable(table))) None
+    else {
+      val rows = s.table(centroidsTable(table))
+        .select(col("cell"), col("centroid"), col("b_bits"), col("buckets"))
+        .collect()
+      if (rows.isEmpty) None
+      else {
+        val cents = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        Some(IvfIndex(table, rows.head.getInt(2), rows.head.getInt(3), cents))
+      }
+    }
+  }
+
+  /** INCREMENTAL fit — append new vectors into the FROZEN cell layout:
+    * assign cells with the index's frozen `bBits`, append into the bucketed
+    * postings table (bucket spec unchanged, so the serve plan keeps reading
+    * pre-hashed buckets). Centroids and the cell rule do NOT move — the
+    * reference analog is refreshing a replicated map's entries while the
+    * lookup topology stays (GeneralStage.java:582-734): the routing model is
+    * stable, its routed contents grow. Periodic full re-fit remains the
+    * operator's rebalancing story (exactly as IVF deployments re-train
+    * coarse quantizers offline); until then every appended vector is
+    * IMMEDIATELY servable, since candidate resolution joins the postings
+    * table, not the frozen model.
+    */
+  def append(s: org.apache.spark.sql.SparkSession, idx: IvfIndex,
+             newEmb: DataFrame): Unit = {
+    buildPostings(newEmb, idx.bBits)
+      .write.mode("append")
+      .bucketBy(idx.buckets, "cell").sortBy("cell")
+      .saveAsTable(idx.table)
+  }
+
+  /** SERVE — the streaming pipeline against a PREBUILT index: probe the
+    * broadcast centroids, shuffle-hash join the bucketed postings, bounded
+    * in-stream top-k. Identical arithmetic to the fused path (the split is
+    * where the corpus pass happens, not what is computed).
+    */
+  def serve(s: org.apache.spark.sql.SparkSession, idx: IvfIndex,
+            stream: DataFrame, tsCol: String, k: Int, nprobe: Int,
+            watermarkDelay: String = "1 second",
+            windowSize: String = "1 second"): DataFrame = {
+    val probes = probe(stream, tsCol, idx.cents, nprobe)
+    serveProbed(probes, idx.postings(s), k, watermarkDelay, windowSize)
+  }
+
   /** Production index layout: the postings persisted as a table BUCKETED BY
     * cell, so the stream-static join's static side reads pre-hashed buckets
     * and the per-micro-batch plan has NO static-side exchange (asserted by

@@ -82,12 +82,93 @@ class ShardedAnnServeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("FIT/SERVE split: fit persists an index that loads back bit-equal and serves identically") {
+    val tbl = "graft_spec_ivf_split"
+    val idx = IvfShardedServe.fit(emb, tbl, buckets = 4)
+    assert(idx.bBits == bBits)
+    val loaded = IvfShardedServe.load(spark, tbl).get
+    assert(loaded.bBits == idx.bBits && loaded.buckets == 4)
+    // the persisted model round-trips BIT-equal to the in-memory
+    // deterministic build — the property that lets the oracle replay the
+    // prebuilt index without knowing fit and serve were split
+    assert(loaded.cents.map { case (c, m) => (c, m.toSeq) }.toSeq ==
+      cents.map { case (c, m) => (c, m.toSeq) }.toSeq)
+    val probes = batchProbes()
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      IvfShardedServe.serveProbed(probes, p, k = 5)
+        .orderBy($"query_id", $"rank").collect().toSeq
+    assert(rows(postings) == rows(loaded.postings(spark)),
+      "serving the persisted index must equal serving the derived view")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfShardedServe.centroidsTable(tbl)}")
+  }
+
+  test("incremental append: frozen cells grow in place; appended vectors immediately servable") {
+    val tbl = "graft_spec_ivf_incr"
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val late = emb.filter($"vec_id" % 2 =!= 0)
+    val idx = IvfShardedServe.fit(base, tbl, buckets = 4)
+    val modelBefore = idx.cents.map { case (c, m) => (c, m.toSeq) }.toSeq
+    IvfShardedServe.append(spark, idx, late)
+    val loaded = IvfShardedServe.load(spark, tbl).get
+    // the model is FROZEN — append refreshes contents, never the routing
+    // topology (the replicated-map-refresh analog)
+    assert(loaded.bBits == idx.bBits)
+    assert(loaded.cents.map { case (c, m) => (c, m.toSeq) }.toSeq == modelBefore)
+    // postings now cover the union exactly once, under the frozen cell rule
+    assert(loaded.postings(spark).count() == emb.count())
+    val expectedCells = IvfShardedServe.buildPostings(late, idx.bBits)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotCells = loaded.postings(spark)
+      .join(late.select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotCells == expectedCells)
+    // immediate servability: a probe at an appended vector's own cell finds
+    // it as the exact-match top candidate (cosine 1) — no refit in between
+    val target = late.orderBy($"vec_id").limit(1)
+    val probe1 = IvfShardedServe.buildPostings(target, idx.bBits)
+      .select(timestamp_seconds(lit(1)).as("ts"), lit(-999L).as("query_id"),
+        $"embedding".as("qv"), $"nrm".as("qn"), $"cell".as("probe_cell"))
+      .localCheckpoint()
+    val targetId = target.select($"vec_id").head().getLong(0)
+    val top = IvfShardedServe.serveProbed(probe1, loaded.postings(spark), k = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(2) == targetId,
+      s"appended vector $targetId not served, got ${top.toSeq}")
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfShardedServe.centroidsTable(tbl)}")
+  }
+
   test("sharded serving matches the in-service q162 result exactly") {
     val a = graft.queries.StreamingQueries.q162_stream_ann_ivf_serve(spark, sf)
       .orderBy($"query_id", $"rank").collect().toSeq
     val b = graft.queries.StreamingQueries.q165_stream_ann_ivf_shard(spark, sf)
       .orderBy($"query_id", $"rank").collect().toSeq
     assert(a == b, "broadcast and partitioned forms must agree row-for-row")
+  }
+
+  test("broadcast-index serving guard: both forms refuse above the cap, naming the sharded plan") {
+    import graft.queries.StreamingQueries
+    val cap = StreamingQueries.BruteServeMaxIndexVectors
+    // at the cap: silent pass (the gate fixtures sit far below it)
+    StreamingQueries.requireBroadcastServable(cap, "brute-force ANN serving")
+    // one above: loud refusal whose text steers to q165/IvfShardedServe —
+    // the guard q161 gained in r16 and q162 in r18 (VERDICT r17 #2); both
+    // gate queries route through this one helper, so pinning its message
+    // pins both surfaces
+    for (form <- Seq("brute-force ANN serving", "IVF broadcast serving")) {
+      val ex = intercept[IllegalArgumentException] {
+        StreamingQueries.requireBroadcastServable(cap + 1, form)
+      }
+      val msg = ex.getMessage
+      assert(msg.contains(s"$form index has ${cap + 1} vectors"), msg)
+      assert(msg.contains(s"cap $cap"), msg)
+      assert(msg.contains("q165_stream_ann_ivf_shard"), msg)
+      assert(msg.contains("operators.IvfShardedServe"), msg)
+    }
   }
 
   test("graft_topk: bounded, 9-dp-quantized ordering with id tiebreak, merge-safe") {
