@@ -36,11 +36,15 @@ object Cli {
     """usage: graft <command> [options]
       |
       |commands:
-      |  submit [--class C] [--master M] [--name N] [--conf k=v]... <jar> [args...]
+      |  submit [--class C] [--master M] [--name N] [--driver-memory M]
+      |         [--conf k=v]... [--dry-run] <jar> [args...]
       |      run a packaged job via spark-submit (--dry-run prints the argv)
-      |  sql [-e "stmt[; stmt...]"] [--max-rows N]
+      |  sql [-e "stmt[; stmt...]"] [--max-rows N] [--serve]
       |      interactive SQL shell on stdin (statements end with ';'),
-      |      or execute -e statements and exit
+      |      or execute -e statements and exit; --serve publishes a
+      |      loopback control endpoint so the lifecycle verbs below can
+      |      manage THIS session's jobs from a separate process
+      |      (without a served session, those verbs act in-process only)
       |  list-jobs                      show registered jobs and their state
       |  list-snapshots                 show exported snapshots
       |  suspend <job>                  stop the job, keep its checkpoint
@@ -100,16 +104,14 @@ object Cli {
         val (cancel, pos) = rest.partition(_ == "--cancel")
         pos match {
           case job :: snap :: Nil if identifier(job) && identifier(snap) =>
-            try {
-              val sql = GraftSql(sparkF())
-              // CREATE SNAPSHOT quiesces the job for a consistent copy; Jet's
-              // save-snapshot keeps the job RUNNING unless -C/--cancel — so
-              // resume afterwards, or drop it when --cancel was given
-              render(sql.execute(s"CREATE SNAPSHOT $snap FOR JOB $job"), out)
-              if (cancel.nonEmpty) render(sql.execute(s"DROP JOB $job"), out)
-              else render(sql.execute(s"ALTER JOB $job RESUME"), out)
-              0
-            } catch { case e: Exception => err.println(s"graft: ${e.getMessage}"); 2 }
+            // CREATE SNAPSHOT quiesces the job for a consistent copy; Jet's
+            // save-snapshot keeps the job RUNNING unless -C/--cancel — so
+            // resume afterwards, or drop it when --cancel was given. Each
+            // statement routes like the other verbs (live endpoint first).
+            val follow = if (cancel.nonEmpty) s"DROP JOB $job"
+                         else s"ALTER JOB $job RESUME"
+            val rc = statement(sparkF, out, err, s"CREATE SNAPSHOT $snap FOR JOB $job")
+            if (rc == 0) statement(sparkF, out, err, follow) else rc
           case _ =>
             err.println("usage: graft save-snapshot [--cancel] <job> <name>"); 1
         }
@@ -139,10 +141,21 @@ object Cli {
     */
   private def identifier(s: String): Boolean = s.matches("\\w+")
 
+  /** Lifecycle verbs prefer a LIVE session's control endpoint when one is
+    * published (graft.sql.ControlServer — a `graft sql --serve` shell):
+    * JobRegistry is process-local, so only the owning session can actually
+    * suspend/resume/snapshot its jobs (ADVICE r17). No endpoint → execute
+    * in-process (CliSpec / same-JVM embedding — the pre-r18 behavior).
+    */
   private def statement(sparkF: () => SparkSession, out: PrintStream,
                         err: PrintStream, stmt: String): Int =
-    try { render(GraftSql(sparkF()).execute(stmt), out); 0 }
-    catch { case e: Exception => err.println(s"graft: ${e.getMessage}"); 2 }
+    graft.sql.ControlClient.route(stmt) match {
+      case Some(Right(lines)) => lines.foreach(out.println); 0
+      case Some(Left(e)) => err.println(s"graft: $e"); 2
+      case None =>
+        try { render(GraftSql(sparkF()).execute(stmt), out); 0 }
+        catch { case e: Exception => err.println(s"graft: ${e.getMessage}"); 2 }
+    }
 
   private def jobStatement(sparkF: () => SparkSession, out: PrintStream,
                            err: PrintStream, name: String,
@@ -157,9 +170,11 @@ object Cli {
     var clazz: Option[String] = None
     var master: Option[String] = None
     var name: Option[String] = None
+    var driverMemory: Option[String] = None
     var confs = List.empty[String]
     var dryRun = false
     var jarAndArgs = List.empty[String]
+    var missingValue: Option[String] = None
     var args = rest
     var parsingOpts = true
     while (args.nonEmpty) {
@@ -167,18 +182,28 @@ object Cli {
         case (("--class" | "-c") :: v :: t, true) => clazz = Some(v); t
         case ("--master" :: v :: t, true) => master = Some(v); t
         case (("--name" | "-n") :: v :: t, true) => name = Some(v); t
+        case ("--driver-memory" :: v :: t, true) => driverMemory = Some(v); t
         case ("--conf" :: v :: t, true) => confs :+= v; t
         case ("--dry-run" :: t, true) => dryRun = true; t
+        // a valued option as the LAST token (ADVICE r17): error out instead
+        // of silently treating the literal option string as the jar path
+        case ((opt @ ("--class" | "-c" | "--master" | "--name" | "-n" |
+                      "--driver-memory" | "--conf")) :: Nil, true) =>
+          missingValue = Some(opt); Nil
         case (jar :: t, _) =>
           // first positional = the jar; everything after passes through
           jarAndArgs = jar :: t; parsingOpts = false; Nil
         case (Nil, _) => Nil
       }
     }
+    if (missingValue.isDefined) {
+      err.println(s"graft submit: option ${missingValue.get} needs a value")
+      return 1
+    }
     jarAndArgs match {
       case Nil =>
         err.println("usage: graft submit [--class C] [--master M] [--name N] " +
-          "[--conf k=v]... [--dry-run] <jar> [args...]")
+          "[--driver-memory M] [--conf k=v]... [--dry-run] <jar> [args...]")
         1
       case jar :: jobArgs =>
         val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
@@ -186,6 +211,7 @@ object Cli {
           clazz.toSeq.flatMap(c => Seq("--class", c)) ++
           master.toSeq.flatMap(m => Seq("--master", m)) ++
           name.toSeq.flatMap(n => Seq("--name", n)) ++
+          driverMemory.toSeq.flatMap(m => Seq("--driver-memory", m)) ++
           confs.flatMap(c => Seq("--conf", c)) ++
           Seq(jar) ++ jobArgs
         if (dryRun) { argv.foreach(out.println); 0 }
@@ -200,11 +226,23 @@ object Cli {
                          err: PrintStream): Int = {
     var maxRows = 100
     var inline: Option[String] = None
+    var serve = false
     var args = rest
     while (args.nonEmpty) {
       args = args match {
-        case "--max-rows" :: v :: t => maxRows = v.toInt; t
+        case "--max-rows" :: v :: t =>
+          // toIntOption, not toInt (ADVICE r17): a non-numeric value is a
+          // usage error, not an uncaught NumberFormatException stack trace
+          v.toIntOption match {
+            case Some(n) if n > 0 => maxRows = n; t
+            case _ =>
+              err.println(s"graft sql: --max-rows needs a positive integer, got: $v")
+              return 1
+          }
+        case ("--max-rows" | "-e") :: Nil =>
+          err.println(s"graft sql: option ${args.head} needs a value"); return 1
         case "-e" :: v :: t => inline = Some(v); t
+        case "--serve" :: t => serve = true; t
         case other :: _ =>
           err.println(s"graft sql: unknown option: $other"); return 1
         case Nil => Nil
@@ -212,7 +250,13 @@ object Cli {
     }
     val spark = sparkF()
     val sql = GraftSql(spark)
-    inline match {
+    // --serve publishes this session's control endpoint so a standalone
+    // `graft suspend|resume|...` invocation can manage THIS shell's jobs
+    // (graft.sql.ControlServer; ADVICE r17 — lifecycle verbs used to be
+    // process-local only)
+    val control = if (serve) Some(graft.sql.ControlServer.start(sql)) else None
+    control.foreach(h => err.println(s"graft: control endpoint on 127.0.0.1:${h.port}"))
+    try inline match {
       case Some(stmts) =>
         var rc = 0
         splitStatements(stmts).foreach { stmt =>
@@ -220,7 +264,7 @@ object Cli {
         }
         rc
       case None => shell(sql, in, out, err, maxRows)
-    }
+    } finally control.foreach(_.close())
   }
 
   /** Split a `-e` payload at semicolons (quote-aware: `';'` inside string

@@ -162,4 +162,101 @@ class CliSpec extends SparkSpec {
     val parts = Cli.splitStatements(s)
     assert(parts.size == 2 && parts.head.contains("/a;b"))
   }
+
+  test("sql --max-rows rejects non-numeric values as a usage error (no stack trace)") {
+    val (rc, _, err) = cli("sql", "--max-rows", "abc", "-e", "SELECT 1")()
+    assert(rc == 1 && err.contains("--max-rows needs a positive integer"),
+      s"got rc=$rc err=$err")
+  }
+
+  test("submit: a valued option as the last token is a usage error, not the jar") {
+    // pre-r18, `graft submit --class` treated the literal string "--class"
+    // as the jar positional (ADVICE r17)
+    val (rc, _, err) = cli("submit", "--class")()
+    assert(rc == 1 && err.contains("--class needs a value"), s"rc=$rc err=$err")
+    val (rc2, _, err2) = cli("submit", "--conf")()
+    assert(rc2 == 1 && err2.contains("--conf needs a value"), s"rc=$rc2 err=$err2")
+  }
+
+  test("submit: --driver-memory passes through (bash/Scala whitelist parity)") {
+    val (rc, out, _) = cli("submit", "--driver-memory", "2g", "--dry-run",
+      "/tmp/app.jar")()
+    assert(rc == 0)
+    val argv = out.trim.split("\n").toSeq
+    assert(argv.containsSlice(Seq("--driver-memory", "2g")), argv.toString)
+  }
+
+  test("lifecycle verbs route to a live session's control endpoint (graft sql --serve)") {
+    // The ADVICE r17 medium finding: JobRegistry is process-local, so a
+    // standalone `graft suspend <job>` JVM saw an empty registry. With a
+    // served session publishing its control endpoint, the verbs manage the
+    // OWNING session's jobs. Here: the "live session" is this suite's spark;
+    // the "standalone CLI" is a Cli.run whose sparkF THROWS — proving every
+    // verb ran remotely, never in-process.
+    val addrFile = java.nio.file.Files.createTempFile("graft_ctl_", ".addr")
+    java.nio.file.Files.delete(addrFile)
+    System.setProperty("graft.control.addr.file", addrFile.toString)
+    val sql = graft.sql.GraftSql(spark)
+    val server = graft.sql.ControlServer.start(sql)
+    try {
+      graft.pipeline.KeyedStore.drop("ctl_store")
+      sql.execute(
+        """CREATE JOB ctl_j AS SINK INTO ctl_store(k)
+          |SELECT v AS k, count(*) AS n
+          |FROM TABLE(GENERATE_STREAM(200)) WHERE v < 100 GROUP BY v""".stripMargin)
+      assertRunning("ctl_j", "control-endpoint fixture job")
+
+      def remoteCli(args: String*): (Int, String, String) = {
+        val out = new ByteArrayOutputStream
+        val err = new ByteArrayOutputStream
+        val rc = Cli.run(args.toArray,
+          () => fail("lifecycle verb started an in-process session instead " +
+            "of routing to the live endpoint"),
+          new ByteArrayInputStream(Array.empty[Byte]),
+          new PrintStream(out, true, "UTF-8"),
+          new PrintStream(err, true, "UTF-8"), argv => 0)
+        (rc, out.toString("UTF-8"), err.toString("UTF-8"))
+      }
+
+      val (rcL, outL, errL) = remoteCli("list-jobs")
+      assert(rcL == 0 && outL.contains("ctl_j"), s"out=$outL err=$errL")
+      val (rcS, outS, _) = remoteCli("suspend", "ctl_j")
+      assert(rcS == 0 && outS.contains("suspended"))
+      assert(!graft.pipeline.JobRegistry.get("ctl_j").exists(_.isRunning),
+        "the LIVE session's job must be the one suspended")
+      val (rcR, outR, _) = remoteCli("resume", "ctl_j")
+      assert(rcR == 0 && outR.contains("resumed"))
+      assertRunning("ctl_j", "after remote resume")
+      // save-snapshot routes its statement SEQUENCE remotely too
+      val (rcSnap, outSnap, _) = remoteCli("save-snapshot", "ctl_j", "ctl_snap")
+      assert(rcSnap == 0 && outSnap.contains("exported") &&
+        outSnap.contains("resumed"), outSnap)
+      assert(remoteCli("delete-snapshot", "ctl_snap")._1 == 0)
+      val (rcX, outX, _) = remoteCli("cancel", "ctl_j")
+      assert(rcX == 0 && outX.contains("dropped"))
+      assert(graft.pipeline.JobRegistry.get("ctl_j").isEmpty)
+
+      // errors come back over the wire as errors, not silent OKs
+      val (rcE, _, errE) = remoteCli("delete-snapshot", "no_such_snapshot")
+      assert(rcE == 0 || rcE == 2) // GraftSql reports not-found as a status row
+      assert(errE.isEmpty || errE.contains("graft:"))
+    } finally {
+      server.close()
+      System.clearProperty("graft.control.addr.file")
+      graft.pipeline.KeyedStore.drop("ctl_store")
+    }
+  }
+
+  test("a stale control addr file falls back to in-process execution") {
+    val addrFile = java.nio.file.Files.createTempFile("graft_ctl_stale_", ".addr")
+    // a dead endpoint: nothing listens on this port
+    java.nio.file.Files.write(addrFile, "127.0.0.1:1".getBytes("UTF-8"))
+    System.setProperty("graft.control.addr.file", addrFile.toString)
+    try {
+      val (rc, out, _) = cli("list-jobs")()
+      assert(rc == 0 && out.contains("name"), s"fallback failed: $out")
+      assert(!java.nio.file.Files.exists(addrFile),
+        "stale addr file should be cleaned up on the failed connect")
+    } finally System.clearProperty("graft.control.addr.file")
+  }
 }
