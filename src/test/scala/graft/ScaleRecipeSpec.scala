@@ -132,4 +132,37 @@ class ScaleRecipeSpec extends SparkSpec {
     // quantitative lever is measured at the rung, SCALETREND_r16.json)
     assert(fixed.columns.toSeq == grown.columns.toSeq)
   }
+
+  test("q81 two-level escape: sound duplicates, bounded cells, flat-path routing (r18)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{SimilarityFunctions => S}
+    // the default still routes FLAT at/below the threshold — the gate
+    // fixtures and the 100× rung (derived k=800) keep their r17 method
+    assert(queries.EmbeddingQueries.SemanticDedupFlatKMax >= 800,
+      "the 100× rung's derived k must stay on the flat path for method-equality")
+    // drive the two-level form directly at a small k: k1=⌈√12⌉=4 coarse
+    // cells, subBits=⌈log2(3)⌉=2 → 16 composite cells over ~200 vectors
+    val out = queries.EmbeddingQueries.semanticDedupTwoLevel(spark, sf, k = 12)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "sf0.001 carries near-dup vectors; two-level must find some")
+    // shape invariants shared with the flat form
+    assert(out.columns.toSeq ==
+      Seq("cluster", "vec_id", "n_dup_partners", "kept_vec_id"))
+    assert(rows.forall(r => r.getLong(3) < r.getLong(1)),
+      "keeper must be a strictly lower vec_id")
+    // SOUNDNESS: every reported (vec, keeper) really is a ≥ 0.35 cosine
+    // pair — finer cells may MISS pairs (the SemDeDup granularity trade)
+    // but can never invent one
+    val emb = Tables(spark, sf, "embeddings")
+    val nv = S.withNormalized(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "nv")
+    val pairs = out.select(col("vec_id"), col("kept_vec_id"))
+      .join(nv.select(col("vec_id"), col("nv")), Seq("vec_id"))
+      .join(nv.select(col("vec_id").as("kept_vec_id"), col("nv").as("nv2")),
+        Seq("kept_vec_id"))
+      .select(round(S.dotAuto(col("nv"), col("nv2")), 6).as("cos"))
+      .collect()
+    assert(pairs.forall(_.getDouble(0) >= 0.35),
+      "two-level reported a pair below the 0.35 dedup threshold")
+  }
 }
