@@ -125,6 +125,34 @@ object Bench {
       s""""warm":{"passes":$n,"first":$first,"last":$last},"""
     }.getOrElse("")
 
+  /** Untimed SUSTAINED-load segment between the warm phase and the PRE
+    * calibration side (r18, VERDICT r17 Next #6). The r17 lesson (recorded
+    * in BASELINE.md): warm phase + SUSTAINED load stabilized this box class
+    * — MaxRate, whose rate ladder IS minutes of saturated streaming, got the
+    * first `factor_stable:true` pair — while warm phase + the bench's BURSTY
+    * suite refused by a hair (5.26% vs the 5% band). This segment holds
+    * MaxRate's keyed tumbling-window shape at a modest rate for
+    * `SPARK_GRAFT_CALIB_SUSTAIN` seconds (default 60) so the pre side is
+    * taken from the same sustained-load regime the ladder calibrates from.
+    * Flagged like the warm phase: unset ⇒ byte-identical pre/post semantics.
+    * Returns the held seconds for the artifact's `sustain` fragment.
+    */
+  private[graft] def calibSustain(spark: SparkSession): Option[Double] =
+    sys.env.get("SPARK_GRAFT_CALIB_SUSTAIN").map { v =>
+      val secs = v.toDoubleOption.filter(_ > 0).getOrElse(60.0)
+      System.err.println(f"[bench] calib-sustain: holding keyed tumbling load for $secs%.0f s")
+      val q = RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, 2000000L))
+        .writeStream.format("noop").outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      try Thread.sleep((secs * 1000).toLong) finally q.stop()
+      secs
+    }
+
+  /** The sustain artifact fragment ("" when the segment didn't run). */
+  private[graft] def sustainJsonFragment(s: Option[Double]): String =
+    s.map(secs => s""""sustain":{"secs":$secs},""").getOrElse("")
+
   /** Fixed-work calibration probe (VERDICT r13 item 1): four deterministic
     * micro-workloads that measure the BOX, not the engine —
     *   cpu_sec:     single-thread FNV-1a over 600M steps (per-core speed and
@@ -260,6 +288,9 @@ object Bench {
     // decay ramp so the pre side can land where the post side will
     val warmPhase: Option[(Int, Double, Double)] =
       if (skipCalib) None else calibWarm(spark)
+    // sustained-load segment between warm and pre (r18; see calibSustain)
+    val sustainPhase: Option[Double] =
+      if (skipCalib) None else calibSustain(spark)
     val calibPre: Map[String, Double] =
       if (skipCalib) Map.empty else settledCalibrate(spark, "pre")
 
@@ -448,7 +479,8 @@ object Bench {
         "\"factor_stable\":" + calibStable,
         "\"factor_bracket\":" + calibFactorBracket,
         "\"factor\":" + calibFactor
-      ).mkString("{" + warmJsonFragment(warmPhase), ",", "}")
+      ).mkString("{" + warmJsonFragment(warmPhase) +
+        sustainJsonFragment(sustainPhase), ",", "}")
     }
     def norm4(v: Double): Double = math.round(v / calibFactor * 10000) / 10000.0
     val qsNorm = results.map { case (k, v, _, _) => "\"" + k + "\":" + norm4(v) }

@@ -204,7 +204,33 @@ object MaxRate {
     // truthfully without external prose. Healthy pipelines still pay
     // exactly one ladder.
     val MaxLadderTrials = 3
+
+    // Below-prior re-trial (r18, VERDICT r17 ADVICE #3): at r17's FIRST
+    // stable calibration, four pipelines read exactly one doubling below
+    // their r16 bests with single-entry trials arrays — the zero/collapse
+    // triggers never fire on a clean-looking down-rung, so the artifact
+    // couldn't say whether the dip was real or doubling-quantization spread.
+    // Same mechanism as ScaleTrend's prior (SPARK_GRAFT_MAXRATE_PRIOR points
+    // at the previous round's artifact): a ladder whose best lands BELOW the
+    // prior round's best re-trials (≤ MaxLadderTrials total) and the
+    // pipeline's JSON carries `prior_rate` so the multi-entry trials array
+    // IS the adjudication — either a later trial recovers the prior band,
+    // or the dip is confirmed across repeated ladders.
+    val priorBests: Map[String, Long] =
+      sys.env.get("SPARK_GRAFT_MAXRATE_PRIOR").filter(_.nonEmpty).flatMap { path =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          val re = """"(\w+)":\{"rate":(\d+)""".r
+          Some(re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[maxrate] prior artifact unreadable: $e"); None
+        }
+      }.getOrElse(Map.empty)
+
     def trialsFor(p: Pipeline): Seq[Trial] = {
+      val prior = priorBests.get(p.name)
       val trials = scala.collection.mutable.ArrayBuffer[Trial]()
       var done = false
       while (!done) {
@@ -213,9 +239,11 @@ object MaxRate {
         val best = trials.map(_.rate).max
         val collapsed = trials.last.rate == 0 ||
           (best > 0 && trials.last.rate * 4 < best)
-        done = !collapsed || trials.size >= MaxLadderTrials
+        val belowPrior = prior.exists(best < _)
+        done = !(collapsed || belowPrior) || trials.size >= MaxLadderTrials
         if (!done) System.err.println(s"[maxrate] ${p.name}: trial " +
-          s"${trials.size} read rate=${trials.last.rate} (best=$best) — re-trialing")
+          s"${trials.size} read rate=${trials.last.rate} (best=$best" +
+          prior.fold("")(pr => s", prior=$pr") + ") — re-trialing")
       }
       trials.toSeq
     }
@@ -226,10 +254,12 @@ object MaxRate {
       System.err.println(s"[maxrate] ${p.name}: sustained=${best.rate} " +
         s"measured=${best.measured} state_rows=${best.stateRows} " +
         s"(${trials.size} trial(s))")
+      val priorJson = priorBests.get(p.name)
+        .map(pr => s""""prior_rate":$pr,""").getOrElse("")
       // top-level fields = best-of (legacy readers unchanged); trials array
       // is the self-adjudication record
       s""""${p.name}":{"rate":${best.rate},"measured":${best.measured},""" +
-        s""""state_rows":${best.stateRows},"best":${best.json},""" +
+        s""""state_rows":${best.stateRows},$priorJson"best":${best.json},""" +
         trials.map(_.json).mkString("\"trials\":[", ",", "]}")
     }
 

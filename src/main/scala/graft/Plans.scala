@@ -415,9 +415,13 @@ object Plans {
   private[graft] def scaletrendOutliers(): Option[(String, Seq[(String, Double, Double)])] = {
     val path = sys.env.get("SPARK_GRAFT_SCALETREND_PRIOR").filter(_.nonEmpty)
       .orElse {
+        // sort by the ROUND NUMBER, not the filename (ADVICE r17): lexical
+        // order puts SCALETREND_r9 after r17 at every digit-count boundary
+        // and would silently surface a stale round's adjudications
         Option(new java.io.File(".").listFiles()).flatMap(
           _.filter(_.getName.matches("SCALETREND_r\\d+\\.json"))
-            .sortBy(_.getName).lastOption.map(_.getPath))
+            .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+            .lastOption.map(_.getPath))
       }
     path.flatMap { p =>
       try {
