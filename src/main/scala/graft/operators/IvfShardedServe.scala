@@ -266,11 +266,30 @@ object IvfShardedServe {
     val bBits = bBitsFor(emb.count())
     val bucketed = postingsAsBucketedTable(buildPostings(emb, bBits), table, buckets)
     val cents = buildCentroids(bucketed)
+    // same orphan-dir discipline as postingsAsBucketedTable: the session
+    // catalog is in-memory, so a PREVIOUS JVM's sidecar dir survives under
+    // the warehouse with no table metadata — a managed CTAS then fails with
+    // LOCATION_ALREADY_EXISTS (caught by the full-suite run: spec JVM A fit
+    // the index, suite JVM B refit it)
+    dropTableAndLocation(s, centroidsTable(table))
     import s.implicits._
     cents.toSeq.map { case (c, m) => (c, m.toSeq, bBits, buckets) }
       .toDF("cell", "centroid", "b_bits", "buckets")
       .write.mode("overwrite").saveAsTable(centroidsTable(table))
     IvfIndex(table, bBits, buckets, cents)
+  }
+
+  /** Drop `table` AND its warehouse directory — covers the orphan-dir case
+    * (dir present, no catalog entry) that a plain DROP TABLE cannot see.
+    */
+  private def dropTableAndLocation(s: org.apache.spark.sql.SparkSession,
+                                   table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val fsPath = new org.apache.hadoop.fs.Path(new java.net.URI(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/$table"))
+    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsPath)) fs.delete(fsPath, true)
+    ()
   }
 
   /** Load a persisted index (None when either table is missing). The
@@ -333,14 +352,9 @@ object IvfShardedServe {
   def postingsAsBucketedTable(postings: DataFrame, table: String,
                               buckets: Int = 32): DataFrame = {
     val s = postings.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val path = new java.net.URI(
-      s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(fsPath)) fs.delete(fsPath, true) // orphan dir from a dropped/failed build
+    dropTableAndLocation(s, table) // incl. orphan dir from a dropped/failed build
     postings.write.bucketBy(buckets, "cell").sortBy("cell")
-      .option("path", path.toString)
+      .option("path", s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
       .saveAsTable(table)
     s.table(table)
   }
