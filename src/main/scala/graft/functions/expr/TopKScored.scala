@@ -67,12 +67,15 @@ case class TopKScored(score: Expression, id: Expression, kExpr: Expression,
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
 
-  private def quant(x: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
-
-  /** rank order: quant9(score) DESC, id ASC; < 0 = (s1,i1) ranks earlier. */
+  /** rank order: quant9(score) DESC, id ASC; < 0 = (s1,i1) ranks earlier.
+    * quant9Long is the same 9-dp HALF_UP value as a primitive (identical
+    * ordering, no BigDecimal allocation per comparison — the r18 hot-path
+    * fix the 1000× serving profile asked for).
+    */
   private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
-    val c = quant(s2).compareTo(quant(s1))
+    val c = java.lang.Long.compare(
+      graft.functions.SimilarityFunctions.quant9Long(s2),
+      graft.functions.SimilarityFunctions.quant9Long(s1))
     if (c != 0) c else java.lang.Long.compare(i1, i2)
   }
 

@@ -126,9 +126,6 @@ object IvfShardedServe {
   final case class CentIndex(cellIds: Array[Long], cents: Array[Array[Double]],
                              norms: Array[Double])
 
-  private def quant9(x: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
-
   val probeSchema: StructType = StructType(Seq(
     StructField("ts", TimestampType),
     StructField("query_id", LongType),
@@ -156,7 +153,14 @@ object IvfShardedServe {
       }
       CentIndex(cellIds, cs, norms)
     })
-    new graft.pipeline.StreamStage(stream, tsCol)
+    // spread the probe across the executor pool: the replay/file source
+    // yields one-or-two input partitions per micro-batch, and without this
+    // the O(cells)-per-event centroid ranking ran on 1-2 tasks while the
+    // rest of the box idled (the r18 1000×-rung jstack finding — 30 of 32
+    // executor threads parked). The shuffled rows are the answer-sized
+    // query events, not the corpus.
+    val parts = stream.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    new graft.pipeline.StreamStage(stream.repartition(parts), tsCol)
       .flatMapUsingService(factory, probeSchema) { (svc, r) =>
         val ts = r.getTimestamp(0)
         val qid = r.getLong(1)
@@ -168,19 +172,41 @@ object IvfShardedServe {
           var i = 0
           while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
           qn = math.sqrt(qn)
-          val probed = Array.tabulate(svc.cellIds.length) { ci =>
+          // bounded top-nprobe selection on the PRIMITIVE quantized key
+          // ((quant9 DESC, cell ASC) — quant9Long preserves the BigDecimal
+          // ordering exactly): O(cells · nprobe) long compares instead of a
+          // full O(cells log cells) sort with BigDecimal comparators, the
+          // probe stage's entire hot cost at corpus-scaled query rates
+          import graft.functions.SimilarityFunctions.quant9Long
+          val n = svc.cellIds.length
+          val topCi = new Array[Int](nprobe)
+          val topQ = new Array[Long](nprobe)
+          var filled = 0
+          var ci = 0
+          while (ci < n) {
             var d = 0.0
             val c = svc.cents(ci)
             var t = 0
             while (t < c.length) { d += qv(t).toDouble * c(t); t += 1 }
             val denom = qn * svc.norms(ci)
             val cos = d / denom
-            (ci, if (java.lang.Double.isFinite(cos)) cos else 0.0)
-          }.sortBy { case (ci, c) => (quant9(c).negate, svc.cellIds(ci)) }(
-            Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Long))
-            .take(nprobe)
-          probed.toSeq.map { case (ci, _) =>
-            Row(ts, qid, r.getSeq[Float](2), qn, svc.cellIds(ci))
+            val q = quant9Long(if (java.lang.Double.isFinite(cos)) cos else 0.0)
+            // rank earlier ⇔ larger q, then smaller cell id (ids are scanned
+            // ascending, so on a tie the incumbent — smaller cell — wins)
+            var pos = filled
+            while (pos > 0 && q > topQ(pos - 1)) pos -= 1
+            if (pos < nprobe) {
+              val last = math.min(filled, nprobe - 1)
+              var j = last
+              while (j > pos) { topQ(j) = topQ(j - 1); topCi(j) = topCi(j - 1); j -= 1 }
+              topQ(pos) = q
+              topCi(pos) = ci
+              if (filled < nprobe) filled += 1
+            }
+            ci += 1
+          }
+          (0 until filled).map { j =>
+            Row(ts, qid, r.getSeq[Float](2), qn, svc.cellIds(topCi(j)))
           }
         }
       }.df
@@ -326,6 +352,7 @@ object IvfShardedServe {
   def append(s: org.apache.spark.sql.SparkSession, idx: IvfIndex,
              newEmb: DataFrame): Unit = {
     buildPostings(newEmb, idx.bBits)
+      .repartition(idx.buckets, col("cell")) // one file per bucket per append
       .write.mode("append")
       .bucketBy(idx.buckets, "cell").sortBy("cell")
       .saveAsTable(idx.table)
@@ -353,7 +380,16 @@ object IvfShardedServe {
                               buckets: Int = 32): DataFrame = {
     val s = postings.sparkSession
     dropTableAndLocation(s, table) // incl. orphan dir from a dropped/failed build
-    postings.write.bucketBy(buckets, "cell").sortBy("cell")
+    // cluster rows onto their bucket BEFORE the bucketed write: without it
+    // every input task writes a file per bucket it touches — at the 100×
+    // rung that's 80 tasks × 32 buckets ≈ 2,560 small files whose
+    // open/footer cost the stream-static join re-pays EVERY micro-batch
+    // (measured: serve at 100× read 352 s; one file per bucket returns it
+    // to the view path's shape). repartition and bucketBy hash the same
+    // way (Murmur3 pmod n), so each of the `buckets` write tasks holds
+    // exactly its own bucket → `buckets` files total, per fit or append.
+    postings.repartition(buckets, col("cell"))
+      .write.bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
       .saveAsTable(table)
     s.table(table)
