@@ -71,6 +71,43 @@ object KMeansLite {
     (vecs.withColumn("cluster", assignExpr).select(col(idCol), col("cluster")), centroids)
   }
 
+  /** Assignment against FROZEN centroids as a primitive per-partition kernel
+    * (r18, the two-level SemDeDup escape's full-corpus pass). BIT-IDENTICAL
+    * to [[fit]]'s Catalyst assignment: [[graft.functions.expr.SquaredDistance]]
+    * accumulates `s += (x-y)*(x-y)` over ascending dims — exactly this
+    * loop — and the (d, cid)-ascending struct-argmin keeps the LOWEST cid on
+    * ties, which a strict `<` over an ascending cid scan reproduces. The
+    * expression path materializes k structs + an array per ROW for the
+    * argmin, which profiled ~100× the arithmetic at 90 centroids × 2M rows
+    * (the r18 1000×-rung diagnostic); this kernel is the flops. The Catalyst
+    * path remains [[fit]]'s (its unrolled-SQL oracles replay it at gate k).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             cents: Array[Array[Double]]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var d = 0.0
+            var i = 0
+            while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, best)
+        }
+      }.toDF(idCol, "cluster")
+  }
+
   /** Product-quantizer fit: M independent per-subspace k-means trained in ONE
     * corpus pass per iteration instead of M. Each subspace's trajectory is
     * BIT-IDENTICAL to running [[fit]] on its slice (same id-ordered init over

@@ -671,6 +671,13 @@ object EmbeddingQueries {
     */
   val SemanticDedupFlatKMax = 1024
 
+  /** Row cap for the two-level form's k-means iteration sample. 100k rows ×
+    * √k centroids keeps the Catalyst fit passes seconds-scale at any corpus
+    * size; the quantizer quality argument is SemDeDup's own (train on a
+    * subset, assign everything).
+    */
+  val TwoLevelFitSample = 100000L
+
   /** The TWO-LEVEL SemDeDup escape (the "coarse √N-cells then within-cell
     * split" form; SemDeDup itself runs approximate k-means at web scale for
     * exactly this reason — Abbas et al. 2023 §3 use faiss on LAION). Level
@@ -699,17 +706,43 @@ object EmbeddingQueries {
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val subBits = math.min(dims,
       math.max(0, math.ceil(math.log(k.toDouble / k1) / math.log(2)).toInt))
-    val (assigned, cents) = graft.operators.KMeansLite.fit(
-      vecs, "vec_id", "ve", k = k1, dims = dims, iters = 2)
-    val centDf = broadcast(cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "cent"))
-    val sub = (0 until subBits).map { j =>
-      when(element_at($"ve", j + 1) >= element_at($"cent", j + 1), lit(1L << j))
-        .otherwise(lit(0L))
-    }.foldLeft(lit(0L))(_ + _)
-    val cells = vecs.join(assigned, Seq("vec_id")).join(centDf, Seq("cluster"))
-      .select($"vec_id",
-        ($"cluster".cast("long") * lit(1L << subBits) + sub).as("cluster"))
+    // FIT on a deterministic hash-sample, ASSIGN the full corpus with the
+    // primitive kernel (r18, measured at the 1000× rung): KMeansLite.fit's
+    // Catalyst argmin pays ~100× the arithmetic per (row × centroid) — fine
+    // at gate k on gate corpora, ~20 min at 90 centroids × 2M rows. The
+    // sample caps the iteration passes (SemDeDup itself trains its
+    // quantizer on subsets at web scale); KMeansLite.assign then makes the
+    // one full-corpus pass at flops speed, bit-identical to the expression.
+    val sampleMod = math.max(1L, emb.count() / TwoLevelFitSample)
+    val fitInput =
+      if (sampleMod <= 1L) vecs else vecs.filter(pmod($"vec_id", lit(sampleMod)) === 0)
+    val (_, cents) = graft.operators.KMeansLite.fit(
+      fitInput, "vec_id", "ve", k = k1, dims = dims, iters = 2)
+    // one kernel pass emits the COMPOSITE cell (coarse argmin + centered
+    // sign-bit split) — same per-row work as KMeansLite.assign plus subBits
+    // compares, and no join to route rows to their centroid
+    val bc = s.sparkContext.broadcast(cents)
+    val cells = vecs.as[(Long, Seq[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val cent = cs(best)
+        var bits = 0L
+        var j = 0
+        while (j < subBits) { if (v(j) >= cent(j)) bits |= 1L << j; j += 1 }
+        (id, best.toLong * (1L << subBits) + bits)
+      }
+    }.toDF("vec_id", "cluster")
     semanticDedupPairs(s, emb, cells)
   }
 

@@ -133,6 +133,22 @@ class ScaleRecipeSpec extends SparkSpec {
     assert(fixed.columns.toSeq == grown.columns.toSeq)
   }
 
+  test("KMeansLite.assign kernel is bit-identical to fit's Catalyst assignment") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{SimilarityFunctions => S}
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), S.toDouble(col("embedding")).as("ve"))
+    val (assigned, cents) = graft.operators.KMeansLite.fit(
+      vecs, "vec_id", "ve", k = 8, dims = 64, iters = 2)
+    val catalyst = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = graft.operators.KMeansLite.assign(vecs, "vec_id", "ve", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel == catalyst,
+      "the primitive kernel must reproduce the struct-argmin exactly " +
+        "(same sequential sqDist, same lowest-cid tie-break)")
+  }
+
   test("q81 two-level escape: sound duplicates, bounded cells, flat-path routing (r18)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{SimilarityFunctions => S}
