@@ -330,6 +330,46 @@ object ScaleTrend {
       .map { case (a, b) => s""""dense_session_two_stage":[$a,$b],""" }
       .getOrElse("")
 
+    // SemDeDup pair-retention row (r19, VERDICT r18 Next #1): the two-level
+    // route's reported pairs are a documented SUBSET of the flat form's (the
+    // SemDeDup cluster-granularity trade, Abbas et al. 2023 §3) — this row
+    // turns "subset" into a NUMBER at the rung: both forms run on the SAME
+    // replica at the SAME derived k (the production lever), and the artifact
+    // carries |two-level pairs| / |flat pairs| plus the removed-row ratio.
+    // Skipped above 100× — the flat form is the N²-asymptotic one the
+    // two-level escape exists to replace; at 1000× it isn't a feasible
+    // comparison baseline (its own r17 measurement is the record of that).
+    val retentionJson: String =
+      if (factor <= 100 && only.forall(_.exists("semdedup_retention".startsWith))) {
+        try {
+          val n = Tables(spark, out, "embeddings").count()
+          val k = queries.EmbeddingQueries.derivedCells(spark, out)
+          def stats(df: DataFrame): (Long, Long) = {
+            val r = df.agg(sum(col("n_dup_partners")), count(lit(1))).head()
+            (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+          }
+          val (flatPairs, flatRemoved) =
+            stats(queries.EmbeddingQueries.semanticDedup(spark, out, k))
+          val (twoPairs, twoRemoved) =
+            stats(queries.EmbeddingQueries.semanticDedupTwoLevel(spark, out, k))
+          def ratio(a: Long, b: Long): Double =
+            if (b == 0) -1.0 else math.round(a.toDouble / b * 10000) / 10000.0
+          println(f"| semdedup_retention (k=$k, n=$n) | pairs ${ratio(twoPairs, flatPairs)} " +
+            f"($twoPairs/$flatPairs) | removed ${ratio(twoRemoved, flatRemoved)} " +
+            f"($twoRemoved/$flatRemoved) | |")
+          s""""semdedup_retention":{"k":$k,"n_vectors":$n,""" +
+            s""""flat_pairs":$flatPairs,"two_level_pairs":$twoPairs,""" +
+            s""""pair_retention":${ratio(twoPairs, flatPairs)},""" +
+            s""""flat_removed":$flatRemoved,"two_level_removed":$twoRemoved,""" +
+            s""""removed_retention":${ratio(twoRemoved, flatRemoved)}},"""
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            println(s"| semdedup_retention | — | — | REFUSED: $msg |")
+            s""""semdedup_retention":{"error":"${msg.replaceAll("[\"\\\\]", "")}"},"""
+        }
+      } else ""
+
     // ---- outlier auto-adjudication (r16, VERDICT r15 item 4) -------------
     // prior-round ratios from SPARK_GRAFT_SCALETREND_PRIOR (absent → skip);
     // the artifact is one JSON line, so a tiny regex pull of "name":[a,b]
@@ -394,7 +434,7 @@ object ScaleTrend {
 
     val qs = rows.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_trend","factor":$factor,$baseMethod$defaultFormsJson""" +
-      s"""$denseJson$outlierJson"queries":$qs}""")
+      s"""$denseJson$retentionJson$outlierJson"queries":$qs}""")
     spark.stop()
   }
 

@@ -145,11 +145,20 @@ object SimilarityFunctions {
       return new java.math.BigDecimal(x) // throws: same contract as before
         .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
     val a = math.abs(x) * 1e9 + 0.5
+    // domain guard (ADVICE r18): |x| ≳ 9.2e9 overflows the scale-9 unscaled
+    // long — the old BigDecimal `longValue()` fallback TRUNCATED mod 2^64
+    // there, silently misordering graft_topk on scores far outside the
+    // cosine range. Out-of-range now throws (`longValueExact`): a loud
+    // contract beats a wrapped comparator. Cosine-domain callers (|x| ≤ 2)
+    // are orders of magnitude inside the guard.
+    if (a >= 9.0e18)
+      return new java.math.BigDecimal(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
     val fl = math.floor(a)
     val f = a - fl
     if (f < 1e-5 || f > 1 - 1e-5)
       new java.math.BigDecimal(x)
-        .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
+        .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
     else if (x < 0) -fl.toLong
     else fl.toLong
   }

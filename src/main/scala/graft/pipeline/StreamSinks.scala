@@ -31,12 +31,30 @@ final class JobHandle(val name: String, val query: StreamingQuery) {
     * bounded by `maxWaitMs` (a source with no data yet may legitimately
     * never run a batch — after the bound the stop proceeds; an idle query's
     * checkpoint has no partial batch-0 state to corrupt).
+    *
+    * IDLE fast-path (ADVICE r18): a query that is demonstrably idle — no
+    * trigger executing AND no data available, observed over several
+    * consecutive polls — has no batch-0 offset write in flight, so waiting
+    * the full bound buys nothing: `ALTER JOB … SUSPEND` and `CREATE
+    * SNAPSHOT`'s quiesce on an idle job would otherwise block ~30 s each.
+    * The streak requirement (≈0.5 s of continuously idle status) covers the
+    * initializing window where both flags read false moments before the
+    * first trigger fires. The guarantee stays what it was: SOME batch
+    * committed (or the query is idle/bounded out) — a stop landing mid-write
+    * of a LATER batch's offset file remains possible and is tolerated by
+    * Spark's restart semantics (the redelivered batch replays).
     */
   def suspend(maxWaitMs: Long = 30000L): Unit = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var idleStreak = 0
     while (query.isActive && query.recentProgress.isEmpty &&
-           query.exception.isEmpty && System.nanoTime() < deadline)
+           query.exception.isEmpty && System.nanoTime() < deadline &&
+           idleStreak < 50) {
+      val st = query.status
+      if (!st.isTriggerActive && !st.isDataAvailable) idleStreak += 1
+      else idleStreak = 0
       Thread.sleep(10)
+    }
     query.stop()
   }
   /** Block until more data has been processed (test helper). */

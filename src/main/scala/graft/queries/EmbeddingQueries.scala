@@ -699,7 +699,18 @@ object EmbeddingQueries {
     * standard SemDeDup cluster-granularity trade, spec-pinned sound
     * (every reported pair really is a ≥ 0.35 pair) in ScaleRecipeSpec.
     */
-  def semanticDedupTwoLevel(s: SparkSession, dir: String, k: Int): DataFrame = {
+  def semanticDedupTwoLevel(s: SparkSession, dir: String, k: Int): DataFrame =
+    semanticDedupTwoLevel(s, dir, k, TwoLevelFitSample)
+
+  /** Two-level form with the fit-sample cap as an explicit parameter. The
+    * default cap ([[TwoLevelFitSample]]) never samples at gate fixtures —
+    * which is exactly why the q178 gate passes a SMALL cap: it forces
+    * `sampleMod > 1` at oracle scale so the DuckDB differential covers the
+    * deterministic hash-sample + sample-fit + full-corpus assignment path
+    * the production route actually takes (VERDICT r18 Next #1).
+    */
+  def semanticDedupTwoLevel(s: SparkSession, dir: String, k: Int,
+                            fitSampleCap: Long): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val vecs = emb.select($"vec_id", S.toDouble($"embedding").as("ve"))
@@ -713,7 +724,7 @@ object EmbeddingQueries {
     // sample caps the iteration passes (SemDeDup itself trains its
     // quantizer on subsets at web scale); KMeansLite.assign then makes the
     // one full-corpus pass at flops speed, bit-identical to the expression.
-    val sampleMod = math.max(1L, emb.count() / TwoLevelFitSample)
+    val sampleMod = math.max(1L, emb.count() / fitSampleCap)
     val fitInput =
       if (sampleMod <= 1L) vecs else vecs.filter(pmod($"vec_id", lit(sampleMod)) === 0)
     val (_, cents) = graft.operators.KMeansLite.fit(
@@ -786,6 +797,83 @@ object EmbeddingQueries {
        |FROM a3 x JOIN a3 y ON x.cid = y.cid AND y.vec_id < x.vec_id
        |WHERE round(${cosSql("x.ve", "y.ve")}, 6) >= 0.35
        |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------- q178 two-level SemDeDup route, oracle-gated
+  /** The TWO-LEVEL SemDeDup route FORCED at gate scale (VERDICT r18 Next #1:
+    * it is the DEFAULT above derived k=1024 — the scale regime — yet no
+    * DuckDB differential ever exercised it; its only prior evidence was
+    * ScaleRecipeSpec's kernel-bit-equality + pair-soundness checks). Gate
+    * parameters: k=12 (exactly ScaleRecipeSpec's forcing), so k1=⌈√12⌉=4
+    * coarse cells and subBits=⌈log2(12/4)⌉=2 centered sign bits; and a
+    * fitSampleCap of 200 so the deterministic hash-sample is ACTIVE at the
+    * 500-vector verify fixture (sampleMod = ⌊500/200⌋ = 2 — the production
+    * path's sample-fit/full-assign split, not a degenerate mod-1). The
+    * oracle replays ALL of it in SQL: the `vec_id % sampleMod = 0` sample,
+    * the 2-iteration k1=4 k-means prefix on the sample (q65's unrolled-layer
+    * device), the full-corpus argmin assignment against the final centroids
+    * (= the KMeansLite.assign kernel: ascending-cid strict-< keeps the
+    * lowest cid on ties, same as the (d, cid)-ascending rank here), the
+    * centered sign-bit sub-cells (ve[j] ≥ centroid[j] on the two leading
+    * dims), and the composite-cell pair decision.
+    */
+  val q178_semdedup_twolevel: Q = (s, dir) =>
+    semanticDedupTwoLevel(s, dir, k = 12, fitSampleCap = 200L)
+
+  /** The q178 k-means prefix: same unrolled-layer device as
+    * [[kmeansPrefixSql]] but (a) k=4, (b) the FIT layers run over the
+    * deterministic hash-sample `vf` while the FINAL assignment `af` runs
+    * over the whole corpus — the sample-fit/full-assign split of
+    * [[semanticDedupTwoLevel]].
+    */
+  private val q178PrefixSql: String = {
+    val k1 = 4
+    def distSql(ve: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($ve[i]-$cv[i])*($ve[i]-$cv[i])))"
+    def assignLayer(a: String, src: String, c: String) =
+      s"""$a AS (SELECT vec_id, ve, cid FROM (
+         |  SELECT f.vec_id, f.ve, c.cid,
+         |    row_number() OVER (PARTITION BY f.vec_id
+         |      ORDER BY ${distSql("f.ve", "c.cv")}, c.cid) AS rn
+         |  FROM $src f CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def centroidLayer(c: String, a: String, prev: String) =
+      s"""${c}m AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |  SELECT cid, i, round(avg(ve[i]), 8) AS m
+         |  FROM $a, range(1, ${dims + 1}) t(i) GROUP BY cid, i) GROUP BY cid),
+         |$c AS (SELECT cid, cv FROM ${c}m
+         |  UNION ALL SELECT cid, cv FROM $prev
+         |  WHERE cid NOT IN (SELECT cid FROM ${c}m))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+       |vf AS (SELECT vec_id, ve FROM v
+       |       WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 200) = 0),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS cv
+       |       FROM (SELECT * FROM vf ORDER BY vec_id LIMIT $k1)),
+       |${assignLayer("a1", "vf", "c0")},
+       |${centroidLayer("c1", "a1", "c0")},
+       |${assignLayer("a2", "vf", "c1")},
+       |${centroidLayer("c2", "a2", "c1")},
+       |${assignLayer("af", "v", "c2")}""".stripMargin
+  }
+
+  val q178_oracle: String =
+    s"""$q178PrefixSql,
+       |cells AS (
+       |  SELECT a.vec_id, a.ve,
+       |    a.cid * 4
+       |    + (CASE WHEN a.ve[1] >= c.cv[1] THEN 1 ELSE 0 END)
+       |    + (CASE WHEN a.ve[2] >= c.cv[2] THEN 2 ELSE 0 END) AS cluster
+       |  FROM af a JOIN c2 c ON a.cid = c.cid)
+       |SELECT x.cluster, x.vec_id,
+       |  count(*) AS n_dup_partners, min(y.vec_id) AS kept_vec_id
+       |FROM cells x JOIN cells y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+       |WHERE round(${cosSql("x.ve", "y.ve")}, 6) >= 0.35
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The derived SemDeDup cell count for a corpus dir — the k the DEFAULT
+    * [[semanticDedup]] routes with; exposed so the ScaleTrend retention row
+    * measures flat vs two-level at exactly the production lever.
+    */
+  def derivedCells(s: SparkSession, dir: String): Int =
+    S.cellsForCorpus(t(s, dir, "embeddings").count(), baseEmbCorpus, baseCells = 8)
 
   // ----------------------------------------------- q104 hard-negative mining
   /** Contrastive-training hard negatives: per query vector, the top-5 most
@@ -1239,6 +1327,7 @@ object EmbeddingQueries {
     "q156_kcenter_select" -> q156_kcenter_select,
     "q75_ann_ivf_multiprobe" -> q75_ann_ivf_multiprobe,
     "q81_semantic_dedup" -> q81_semantic_dedup,
+    "q178_semdedup_twolevel" -> q178_semdedup_twolevel,
     "q109_pq_ann" -> q109_pq_ann,
     "q112_ivfadc" -> q112_ivfadc)
 
@@ -1257,6 +1346,7 @@ object EmbeddingQueries {
     "q156_kcenter_select" -> q156_oracle,
     "q75_ann_ivf_multiprobe" -> q75_oracle,
     "q81_semantic_dedup" -> q81_oracle,
+    "q178_semdedup_twolevel" -> q178_oracle,
     "q109_pq_ann" -> q109_oracle,
     "q112_ivfadc" -> q112_oracle)
 }

@@ -44,6 +44,18 @@ class Quant9Spec extends AnyFunSuite {
     }
   }
 
+  test("quant9Long throws on scores outside the long-unscaled range (ADVICE r18)") {
+    // |x| ≳ 9.2e9 overflows the scale-9 unscaled long; the old longValue()
+    // fallback truncated mod 2^64 and could misorder graft_topk — the
+    // contract is now a loud ArithmeticException, never a wrapped key
+    intercept[ArithmeticException](SimilarityFunctions.quant9Long(9.3e9))
+    intercept[ArithmeticException](SimilarityFunctions.quant9Long(-9.3e9))
+    intercept[ArithmeticException](SimilarityFunctions.quant9Long(1e18))
+    // just inside the range still works and matches the reference
+    assert(SimilarityFunctions.quant9Long(9.0e9) == ref(9.0e9))
+    assert(SimilarityFunctions.quant9Long(-9.0e9) == ref(-9.0e9))
+  }
+
   test("quant9Long preserves the BigDecimal failure contract on non-finite input") {
     intercept[NumberFormatException](SimilarityFunctions.quant9Long(Double.NaN))
     intercept[NumberFormatException](SimilarityFunctions.quant9Long(Double.PositiveInfinity))
