@@ -169,4 +169,33 @@ object RateWorkloads {
       size = "5 seconds", slide = "1 second",
       key = col("auction"), keyName = "auction", nName = "n")
   }
+
+  /** Sharded ANN serving at a laddered query rate (r19, VERDICT r18 Next
+    * #6): the q165 serving pipeline — broadcast-centroid probe, stream-
+    * static shuffle-hash join against the PREBUILT cell-bucketed postings,
+    * bounded in-stream top-k — driven by the rate source instead of the
+    * fixture replay, so MaxRate's busy-time criterion yields the sizing
+    * number a deployment actually needs: sustained QUERIES/SECOND at a
+    * fixed index. Query vectors cycle through a small driver-collected set
+    * (model-scale — the index itself stays a table); each rate row becomes
+    * one ANN query with a fresh query_id.
+    */
+  def shardedAnnServe(spark: SparkSession, rowsPerSecond: Long,
+                      idx: graft.operators.IvfShardedServe.IvfIndex,
+                      queryVecs: Seq[Seq[Float]],
+                      partitions: Int = 8): DataFrame = {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", partitions.toString)
+      .load()
+    val n = queryVecs.size
+    // the probe stage reads (ts, query_id, embedding) positionally; negative
+    // ids are its watermark sentinels, so the rate value (≥0) is safe as-is
+    val shaped = src.select(col("timestamp").as("ts"),
+      col("value").as("query_id"),
+      element_at(typedLit(queryVecs), (col("value") % n).cast("int") + 1)
+        .as("embedding"))
+    graft.operators.IvfShardedServe.serve(spark, idx, shaped, "ts",
+      k = 5, nprobe = 2, watermarkDelay = "5 seconds", windowSize = "1 second")
+  }
 }
