@@ -31,9 +31,18 @@ object DedupFunctions {
     * (Public technique: Kirsch & Mitzenmacher, "Less Hashing, Same Performance".)
     */
   def tokenHashPairs(tokenSet: Column): Column =
-    transform(tokenSet, t => struct(
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
+    if (sys.env.contains("GRAFT_TOKENHASH_FOLD"))
+      transform(tokenSet, t => struct(
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
+    else {
+      // native one-digest-pass form (r19): the composed chain hex-encodes the
+      // digest and `conv`-parses it back PER TOKEN — profiled as the dominant
+      // CPU of every LSH signature build (Md5TokenHashes scaladoc has the
+      // numbers); Md5HalfSpec pins bit-equality against the fold above
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.Md5HalfPairs(Bridge.expression(tokenSet)))
+    }
 
   /** Signature of `h` MinHash values from a precomputed `tokenHashPairs` column:
     * sample i = min over tokens of `(h1 + i*h2) mod p` — native codegen

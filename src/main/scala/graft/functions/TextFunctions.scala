@@ -76,7 +76,15 @@ object TextFunctions {
     * shingle step reads it many times per row.
     */
   def tokenLongHashes(text: Column): Column =
-    transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    if (sys.env.contains("GRAFT_TOKENHASH_FOLD"))
+      transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    else {
+      // native one-digest-pass form (r19) — see expr.Md5TokenHashes; the
+      // composed chain is the GRAFT_TOKENHASH_FOLD A/B baseline and the
+      // semantic reference (Md5HalfSpec pins bit-equality)
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.Md5Half(Bridge.expression(tokens(text))))
+    }
 
   /** Distinct word-trigram hashes from a precomputed `tokenLongHashes` column:
     * trigram = h[i]·4099 + h[i+1]·31 + h[i+2] (< 2^45, exact in any engine's

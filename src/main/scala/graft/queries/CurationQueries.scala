@@ -316,10 +316,23 @@ object CurationQueries {
       .filter($"tok".isNotNull)
     val uni = tok.groupBy($"tok").agg(count(lit(1)).as("ucnt"))
     val total = uni.agg(sum($"ucnt").cast("double").as("total"))
-    val big = tok
-      .withColumn("prev",
-        lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
-      .filter($"prev".isNotNull)
+    // bigrams ARRAY-LOCALLY from the token array (r19): (prev, tok) at
+    // 0-based position p is just (ts[p], ts[p+1]) — the former lag() over a
+    // doc-keyed window paid a full exchange + sort on (doc_id, pos) for
+    // adjacency the tokenizer's output array already has, and paid it TWICE
+    // (this frame feeds both the score join and the bigram-count agg).
+    // Two-level select so the tokenize runs once per subtree, not once per
+    // element_at reference (the q70 generate-inlining lesson). Same rows,
+    // same pos values; the oracle's lag() replay is unchanged.
+    val big = t(s, dir, "documents")
+      .select($"doc_id", T.tokens($"text").as("ts"))
+      .select($"doc_id", when(size($"ts") >= 2,
+        transform(sequence(lit(1), size($"ts") - 1), i =>
+          struct(element_at($"ts", i).as("prev"), element_at($"ts", i + 1).as("tok"))))
+        .otherwise(array().cast("array<struct<prev:string,tok:string>>")).as("bs"))
+      .select($"doc_id", posexplode_outer($"bs").as(Seq("p0", "b")))
+      .filter($"b".isNotNull)
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"b.prev".as("prev"), $"b.tok".as("tok"))
     val bcnt = big.groupBy($"prev", $"tok").agg(count(lit(1)).as("bcnt"))
     big.join(bcnt, Seq("prev", "tok"))
       .join(uni.select($"tok".as("prev"), $"ucnt".as("pcnt")), "prev")
@@ -502,9 +515,16 @@ object CurationQueries {
         round(
           aggregate(transform($"lls", x => x.getField("ll")), lit(0.0), (a, b) => a + b)
             + $"prior", 6).as("score"))
-    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"clang".asc)
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"doc_id", $"clang".as("pred_lang"), $"score")
+    // per-doc argmax as ONE hash aggregate (r19): the former row_number()
+    // window paid a doc-keyed exchange + FULL SORT of the (doc × classes)
+    // score table just to keep one row per doc. min_by over the composite
+    // order key struct(-score, clang) is the same (score DESC, clang ASC)
+    // pick — scores are 6-dp-rounded doubles, ties break on clang, and the
+    // key is unique per group so the winner is deterministic — computed with
+    // map-side partials and no sort.
+    scored.groupBy($"doc_id")
+      .agg(min_by(struct($"clang", $"score"), struct((-$"score").as("ns"), $"clang")).as("b"))
+      .select($"doc_id", $"b.clang".as("pred_lang"), $"b.score".as("score"))
   }
 
   val q108_oracle: String =
@@ -784,11 +804,24 @@ object CurationQueries {
           .otherwise(array().cast("array<string>")))).as("gram"))
       .withColumn("bucket",
         pmod(conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"), lit(B)))
-    val docBucket = grams.groupBy($"doc_id", $"bucket")
-      .agg(count(lit(1)).as("c"))
-    val feat = grams.groupBy($"bucket").agg(
-      count(lit(1)).as("craw"),
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ctgt"))
+    // ONE pass over the exploded grams (r19): the bucket features are plain
+    // integer sums of the per-(doc, bucket) counts — `craw = Σ c`,
+    // `ctgt = Σ c where lang = en` (lang is doc-level, so it rides the
+    // doc-keyed agg for free) — so deriving them from docBucket removes the
+    // second full tokenize + unigram/bigram explode + md5 pass the separate
+    // `grams.groupBy(bucket)` paid. Integer-exact: same counts, same lr.
+    // materialized ONCE (localCheckpoint): three consumers stand on it (the
+    // doc-side score join, feat for lr, feat for totals) and AQE's stage
+    // reuse does not fire across the broadcast-subquery boundary — measured
+    // r19: without the checkpoint the gram pass ran per consumer. The
+    // intermediate is (docs × ≤1024)-bounded — orders of magnitude smaller
+    // than the exploded gram stream it replaces.
+    val docBucket0 = grams.groupBy($"doc_id", $"lang", $"bucket")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val docBucket = docBucket0.select($"doc_id", $"bucket", $"c")
+    val feat = docBucket0.groupBy($"bucket").agg(
+      sum($"c").as("craw"),
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ctgt"))
     val totals = feat.agg(sum($"craw").as("traw"), sum($"ctgt").as("ttgt"))
     val lr = feat.crossJoin(broadcast(totals))
       .select($"bucket", round(log(
