@@ -56,6 +56,19 @@ object GraftSession {
       // watermarkable column. `withTimestamps` additionally normalizes NTZ
       // from user-declared schemas (json/csv watchers) as a second fence.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // r19: NIO checkpoint file manager for LOCAL checkpoint roots. Spark's
+      // default FileContext manager forks a `readlink` PROCESS per atomic
+      // rename on the local filesystem (Hadoop RawLocalFileSystem.
+      // getFileLinkStatus → Shell.execCommand) — ~20-40 renames per
+      // micro-batch commit made that fork the streaming floor's dominant
+      // RUNNABLE frame (OPTIMIZATION_r19.md has the stack + A/B). The graft
+      // manager is pure NIO for file: roots and DELEGATES to Spark's default
+      // for every other scheme, so cluster deployments (hdfs:/s3a:
+      // checkpoints) keep stock semantics. SPARK_GRAFT_CKPT_MANAGER swaps a
+      // different manager in for A/B; checkpoint checksums (4.1) stay ON.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER",
+          "graft.streaming.LocalCheckpointFileManager"))
   }
 
   /** Cluster-mode tuning for the 100 TB target (applied on top of `tune`) —

@@ -308,14 +308,19 @@ object SqlQueries {
       if (!KeyedStore.exists(store)) 0L
       else KeyedStore.get(s, store)
         .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    // 200 rows/s (vs q167's 2000): the capped 1000 values span ~5s of stream
-    // time across many 200ms micro-batches, so the suspend + snapshot export
-    // reliably lands MID-STREAM with live window state to redistribute
+    // 500 rows/s (vs q167's 2000): the capped 1000 values span ~2s of stream
+    // time across many 200ms micro-batches — the suspend (polled from the
+    // first data batch, landing well under 1s in) still has seconds of
+    // margin to export MID-STREAM, and the mandatory rate-limited tail
+    // shrinks from ~5s to ~2s (r19: the old 200 rows/s made q173 the
+    // slowest bench row at 5.7-8.8s for pure pacing, not work; the
+    // lost-race RETRY below still guards a stalled box, and the oracle —
+    // the aggregated values 0..999 — is rate-invariant)
     val select =
       """SINK INTO q173_windows(window_start)
         |SELECT unix_timestamp(window.start) AS window_start,
         |  count(*) AS n, sum(v) AS sum_v
-        |FROM TABLE(GENERATE_STREAM(200))
+        |FROM TABLE(GENERATE_STREAM(500))
         |WHERE v < 1000
         |GROUP BY window(timestamp_seconds(v), '10 seconds')""".stripMargin
     val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
