@@ -218,6 +218,21 @@ object Bench {
     // the probe bimodal (8.2 vs 6.2 s composites on the same idle box)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // FROZEN-WORK pin (r19): the probe must measure the BOX against the same
+    // fixed workload every round, and state_sec's workload definition has
+    // always included Spark's stock checkpoint manager (whose local-FS
+    // rename path forks a readlink per commit — exactly what the r14 ref
+    // values absorbed). The r19 engine default
+    // (graft.streaming.LocalCheckpointFileManager) made state commits ~3×
+    // faster, which would DEFLATE the probe composite (measured: state_sec
+    // 3.2 → 1.1) and silently re-scale every cross-round normalized number.
+    // Pinning the probe's session conf to the stock manager keeps the frozen
+    // ruler intact; the engine improvement shows up where it belongs — in
+    // the measured queries — not hidden inside the factor.
+    val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevMgr = spark.conf.getOption(mgrKey)
+    spark.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
+      "checkpointing.FileContextBasedCheckpointFileManager")
     val state = try {
       implicit val sqlCtx = spark.sqlContext
       val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
@@ -235,7 +250,13 @@ object Bench {
           timeS((0 until 6).foreach(i => feed(3 + r * 6 + i)))
         }.min
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevMgr match {
+        case Some(v) => spark.conf.set(mgrKey, v)
+        case None => spark.conf.unset(mgrKey)
+      }
+    }
     Map("cpu_sec" -> cpu, "shuffle_sec" -> shuffle,
         "sched_sec" -> sched, "state_sec" -> state)
   }
