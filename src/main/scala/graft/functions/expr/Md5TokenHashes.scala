@@ -88,16 +88,23 @@ case class Md5Half(child: Expression) extends Md5TokenHashBase {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
       val out = ctx.freshName("out")
       val gadCls = classOf[GenericArrayData].getName
+      // NOTE: continuation lines must NOT start with `|` — downstream code
+      // templating strips it as a margin character, silently deleting the
+      // bitwise-OR and producing unparseable Java; the stage then falls back
+      // to INTERPRETED execution with no test signal (found at the 10× rung;
+      // Md5HalfSpec now compiles with codegen fallback disabled to pin this)
       s"""
          |int $n = $x.numElements();
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$x.isNullAt($i)) {
          |    byte[] $d = $mdRef.digest($x.getUTF8String($i).getBytes());
-         |    $out[$i] = (Long) ((($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |      | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL));
+         |    long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |      (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |    $out[$i] = Long.valueOf($h);
          |  }
          |}
          |${ev.value} = new $gadCls($out);
@@ -146,9 +153,12 @@ case class Md5HalfPairs(child: Expression) extends Md5TokenHashBase {
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val f = ctx.freshName("f")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
       val out = ctx.freshName("out")
       val gadCls = classOf[GenericArrayData].getName
       val girCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      // see Md5Half.doGenCode: no `|`-leading continuation lines
       s"""
          |int $n = $x.numElements();
          |Object[] $out = new Object[$n];
@@ -156,10 +166,12 @@ case class Md5HalfPairs(child: Expression) extends Md5TokenHashBase {
          |  Object[] $f = new Object[2];
          |  if (!$x.isNullAt($i)) {
          |    byte[] $d = $mdRef.digest($x.getUTF8String($i).getBytes());
-         |    $f[0] = (Long) ((($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |      | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL));
-         |    $f[1] = (Long) ((($d[4] & 0xffL) << 24) | (($d[5] & 0xffL) << 16)
-         |      | (($d[6] & 0xffL) << 8) | ($d[7] & 0xffL));
+         |    long $h1 = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |      (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |    long $h2 = (($d[4] & 0xffL) << 24) | (($d[5] & 0xffL) << 16) |
+         |      (($d[6] & 0xffL) << 8) | ($d[7] & 0xffL);
+         |    $f[0] = Long.valueOf($h1);
+         |    $f[1] = Long.valueOf($h2);
          |  }
          |  $out[$i] = new $girCls($f);
          |}

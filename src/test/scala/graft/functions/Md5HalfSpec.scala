@@ -67,14 +67,22 @@ class Md5HalfSpec extends SparkSpec {
     assert(np.head.getLong(0) === fp.head.getLong(0))
   }
 
-  test("native expressions participate in codegen (plan shows them, inside a stage)") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(TextFunctions.tokenSet(col("text")).as("ts"))
-    val df = docs.select(nativePairs($"ts").as("hp"), nativeHalf($"ts").as("h"))
-    assert(df.collect().nonEmpty)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_md5halfpairs"), s"missing from plan:\n$plan")
-    assert(plan.contains("graft_md5half"), s"missing from plan:\n$plan")
-    assert(plan.contains("*(1)"), s"not inside a codegen stage:\n$plan")
+  test("native expressions COMPILE inside whole-stage codegen (fallback disabled)") {
+    // a plan that PLANS a codegen stage can still fall back to interpreted
+    // execution when Janino rejects the generated source (found at the 10×
+    // rung: a `(Long)(<parenthesized>)` cast mis-parse) — disabling the
+    // fallback turns a silent interpretation into a test failure
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(TextFunctions.tokenSet(col("text")).as("ts"))
+      val df = docs.select(nativePairs($"ts").as("hp"), nativeHalf($"ts").as("h"))
+      assert(df.collect().nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_md5halfpairs"), s"missing from plan:\n$plan")
+      assert(plan.contains("graft_md5half"), s"missing from plan:\n$plan")
+      assert(plan.contains("*(1)"), s"not inside a codegen stage:\n$plan")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
