@@ -308,19 +308,22 @@ object SqlQueries {
       if (!KeyedStore.exists(store)) 0L
       else KeyedStore.get(s, store)
         .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    // 500 rows/s (vs q167's 2000): the capped 1000 values span ~2s of stream
-    // time across many 200ms micro-batches — the suspend (polled from the
-    // first data batch, landing well under 1s in) still has seconds of
-    // margin to export MID-STREAM, and the mandatory rate-limited tail
-    // shrinks from ~5s to ~2s (r19: the old 200 rows/s made q173 the
-    // slowest bench row at 5.7-8.8s for pure pacing, not work; the
-    // lost-race RETRY below still guards a stalled box, and the oracle —
-    // the aggregated values 0..999 — is rate-invariant)
+    // 400 rows/s (vs q167's 2000): the capped 1000 values span ~2.5s of
+    // stream time across many 200ms micro-batches — the suspend (polled from
+    // the first data batch, landing well under 1s in warm sessions) has
+    // seconds of margin to export MID-STREAM, and the mandatory rate-limited
+    // tail shrinks from ~5s to ~2.5s (r19: the old 200 rows/s made q173 the
+    // slowest bench row at 5.7-8.8s for pure pacing, not work). Measured
+    // margins: at 32 cores warm the suspend completes ~0.5s in; a COLD
+    // 4-core session loses attempt 1 (cold ALTER JOB SUSPEND takes >2s) and
+    // recovers on the now-warm attempt 2 — which is why the retry budget
+    // below is 4, not 3, and why the rate is not higher. The oracle — the
+    // aggregated values 0..999 — is rate-invariant.
     val select =
       """SINK INTO q173_windows(window_start)
         |SELECT unix_timestamp(window.start) AS window_start,
         |  count(*) AS n, sum(v) AS sum_v
-        |FROM TABLE(GENERATE_STREAM(500))
+        |FROM TABLE(GENERATE_STREAM(400))
         |WHERE v < 1000
         |GROUP BY window(timestamp_seconds(v), '10 seconds')""".stripMargin
     val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
@@ -358,7 +361,7 @@ object SqlQueries {
           sql.execute("DROP JOB q173a")
           exported = true
         } else {
-          require(attempt < 3,
+          require(attempt < 4,
             s"q173: snapshot must be exported MID-STREAM (live state), but " +
               s"the job finished before suspend on $attempt straight attempts")
           System.err.println(s"[q173] suspend lost the race (attempt $attempt: " +
