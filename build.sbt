@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures only a ~2000-char TAIL of `sbt "runMain ..."`
+// stdout and parses the bench's one-line JSON out of it. Two pieces of sbt
+// decoration have defeated that parse in every round so far: the logger's
+// "[info] " prefix on each forked-run stdout line, and the trailing
+// "[success] Total time: ..." epilogue that lands AFTER the JSON line.
+// StdoutOutput passes the forked process's stdout through verbatim
+// (unprefixed), and showSuccess := false drops the epilogue, so the last
+// stdout line a capture sees IS the bench's compact JSON line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -95,13 +95,17 @@ object Bench {
     * [[calibrate]] probe until two consecutive composites agree within 2%
     * or the budget lapses. Warming with the probe itself warms exactly the
     * code paths the probe times — more targeted than a flagship-suite pass
-    * and bounded. Enabled by `SPARK_GRAFT_CALIB_WARM=<seconds budget>`
-    * (config-flagged: the probe pair's semantics are unchanged when unset);
-    * returns (passes, first composite, last composite) for the artifact.
+    * and bounded. DEFAULT ON since r20 with a 120 s budget (VERDICT r19
+    * item 8: the warm+sustain recipe produced the only-ever
+    * `factor_stable:true` pairs, so driver runs should get it without env);
+    * `SPARK_GRAFT_CALIB_WARM=0` disables, any other value overrides the
+    * budget. The phase is UNTIMED — query timing methodology is unchanged.
+    * Returns (passes, first composite, last composite) for the artifact.
     */
   private[graft] def calibWarm(spark: SparkSession): Option[(Int, Double, Double)] =
-    sys.env.get("SPARK_GRAFT_CALIB_WARM").map { v =>
-      val budget = v.toDoubleOption.filter(_ > 0).getOrElse(180.0)
+    Some(sys.env.getOrElse("SPARK_GRAFT_CALIB_WARM", "120"))
+      .filter(_.toDoubleOption.forall(_ > 0)).map { v =>
+      val budget = v.toDoubleOption.filter(_ > 0).getOrElse(120.0)
       val t0 = System.nanoTime()
       var comps = List(calibrate(spark).values.sum)
       System.err.println(f"[bench] calib-warm pass 1 composite=${comps.head}%.3f")
@@ -134,11 +138,14 @@ object Bench {
     * MaxRate's keyed tumbling-window shape at a modest rate for
     * `SPARK_GRAFT_CALIB_SUSTAIN` seconds (default 60) so the pre side is
     * taken from the same sustained-load regime the ladder calibrates from.
-    * Flagged like the warm phase: unset ⇒ byte-identical pre/post semantics.
+    * DEFAULT ON since r20 at 60 s (VERDICT r19 item 8, same rationale as
+    * [[calibWarm]]); `SPARK_GRAFT_CALIB_SUSTAIN=0` disables, any other
+    * value overrides the held seconds. Untimed — methodology unchanged.
     * Returns the held seconds for the artifact's `sustain` fragment.
     */
   private[graft] def calibSustain(spark: SparkSession): Option[Double] =
-    sys.env.get("SPARK_GRAFT_CALIB_SUSTAIN").map { v =>
+    Some(sys.env.getOrElse("SPARK_GRAFT_CALIB_SUSTAIN", "60"))
+      .filter(_.toDoubleOption.forall(_ > 0)).map { v =>
       val secs = v.toDoubleOption.filter(_ > 0).getOrElse(60.0)
       System.err.println(f"[bench] calib-sustain: holding keyed tumbling load for $secs%.0f s")
       val q = RateWorkloads.statefulAgg(RateWorkloads.shaped(spark, 2000000L))
@@ -531,23 +538,42 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
     def r2(v: Double): Double = math.round(v * 100) / 100.0
-    // slowest-20 as [cold, warm] pairs (warm = -1 when the pass was skipped)
-    val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _) =>
-        "\"" + k + "\":[" + r2(v) + "," + r2(warm.getOrElse(k, -1.0)) + "]"
-      }.mkString("{", ",", "}")
     val meanSec = if (results.nonEmpty) r2(total / results.size) else 0.0
-    println(
+    // FINAL line (r20, VERDICT r19 item 1): the driver parses the ~2000-char
+    // TAIL of stdout, so the last line must (a) be complete inside that
+    // window and (b) carry a per-query `"queries"` map — the r19 compact
+    // line had only a "slowest" top-20 and parsed to nothing. A full-name
+    // 171-query map is ~4.5 KB (measured: names alone sum to 3.1 KB) and
+    // can NEVER fit the window, so this line carries the SLOWEST-first
+    // prefix of the map that fits a conservative budget, plus
+    // `queries_omitted` for the count that didn't. The omitted queries are
+    // the sub-second tail (scheduling-floor rows); the COMPLETE map is
+    // printed above and persisted in the full artifact — nothing is removed
+    // from the bench's primary output, this line is an additive parser aid.
+    val lineBudget = 1850
+    val head =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",$marker""" +
       s""""n_queries":${results.size},"mean_sec":$meanSec,""" +
       s""""calib_factor":${r2(calibFactor)},"calib_stable":$calibStable,""" +
       s""""calib_factor_bracket":${r2(calibFactorBracket)},""" +
-      s""""total_norm":${r2(total / calibFactor)},""" +
-      s""""slowest":$slowest,""" +
+      s""""total_norm":${r2(total / calibFactor)},"queries":{"""
+    val tailPart =
+      s"""},"queries_omitted":QQQ,""" +
       s""""failed":$failedJson,"stream_rows_per_sec":${r2(streamRate)},""" +
       s""""stream_rows_per_sec_rocksdb":${r2(streamRateRocks)},""" +
       s""""stream_stateless_rows_per_sec":${r2(statelessRate)},""" +
-      s""""load_avg":${r2(load)},"full_artifact":"$fullPath","sf":"$sfDir"}""")
+      s""""load_avg":${r2(load)},"full_artifact":"$fullPath","sf":"$sfDir"}"""
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r2(v) }
+    val fixedLen = head.length + tailPart.length
+    var used = 0
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.foreach { e =>
+      val add = e.length + (if (kept.nonEmpty) 1 else 0)
+      if (fixedLen + used + add <= lineBudget) { kept += e; used += add }
+    }
+    println(head + kept.mkString(",") +
+      tailPart.replace("QQQ", (entries.size - kept.size).toString))
     spark.stop()
   }
 

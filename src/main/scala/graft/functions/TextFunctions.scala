@@ -86,6 +86,20 @@ object TextFunctions {
       Bridge.column(graft.functions.expr.Md5Half(Bridge.expression(tokens(text))))
     }
 
+  /** Scalar md5-prefix hash: the first `nibbles` hex digits of md5(s) as a
+    * long — the engine's deterministic slot/bucket hash
+    * (`conv(substring(md5(s), 1, n), 16, 10).cast(long)`), native since r20
+    * (expr.Md5PrefixLong, bit-identical; Md5HalfSpec pins it). The composed
+    * chain remains the GRAFT_TOKENHASH_FOLD A/B baseline.
+    */
+  def md5PrefixLong(s: Column, nibbles: Int = 8): Column =
+    if (sys.env.contains("GRAFT_TOKENHASH_FOLD"))
+      conv(substring(md5(s), 1, nibbles), 16, 10).cast("long")
+    else {
+      import org.apache.spark.sql.graftops.Bridge
+      Bridge.column(graft.functions.expr.Md5PrefixLong(Bridge.expression(s), nibbles))
+    }
+
   /** Distinct word-trigram hashes from a precomputed `tokenLongHashes` column:
     * trigram = h[i]·4099 + h[i+1]·31 + h[i+2] (< 2^45, exact in any engine's
     * BIGINT). Set ops over longs are several times cheaper than over

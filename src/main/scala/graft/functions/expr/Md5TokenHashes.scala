@@ -43,8 +43,15 @@ abstract class Md5TokenHashBase extends UnaryExpression {
       s"$prettyName requires array<string>, got $t")
   }
 
-  @transient protected lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
+  // ThreadLocal (ADVICE r19): expression instances are normally deserialized
+  // per task, but a same-JVM plan evaluated interpreted from several threads
+  // (driver-side eval, local collect paths) would share ONE instance — a
+  // shared mutable MessageDigest corrupts digests under concurrency. Codegen
+  // allocates per-stage mutable state and is unaffected.
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  protected def md: java.security.MessageDigest = mdLocal.get()
 }
 
 object Md5TokenHashBase {
@@ -182,4 +189,82 @@ case class Md5HalfPairs(child: Expression) extends Md5TokenHashBase {
 
   override protected def withNewChildInternal(newChild: Expression): Md5HalfPairs =
     copy(child = newChild)
+}
+
+/** string → long: the first `nibbles` hex digits of md5(s) as an unsigned
+  * value — the SCALAR sibling of [[Md5Half]] for the engine's slot/bucket
+  * hashes (`conv(substring(md5(s), 1, n), 16, 10).cast(long)`), which still
+  * paid the full hex-encode + substring + base-16 string re-parse per row at
+  * r19's end (q49/q63/q95/q120/q134 sites). Bit-identical by construction:
+  * md5's hex rendering is the digest nibbles in order, so the first n hex
+  * digits ARE the leading n nibbles, and `conv(_, 16, 10)` yields the same
+  * non-negative value (n ≤ 15 keeps it under 2^60 — no sign/overflow edge).
+  * Null contract mirrors the composed chain: null input → null.
+  * `GRAFT_TOKENHASH_FOLD=1` switches callers back to the composed chain.
+  */
+case class Md5PrefixLong(child: Expression, nibbles: Int) extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 15,
+    s"graft_md5prefix supports 1..15 hex digits, got $nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5prefix"
+
+  // ThreadLocal — same concurrency argument as Md5TokenHashBase.md
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = mdLocal.get().digest(input.asInstanceOf[UTF8String].getBytes)
+    Md5PrefixLong.prefix(d, nibbles)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdRef = ctx.addMutableState("java.security.MessageDigest", "md5prefix",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, x => {
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      // see Md5Half.doGenCode: no `|`-leading continuation lines
+      s"""
+         |byte[] $d = $mdRef.digest($x.getBytes());
+         |long $v = 0L;
+         |for (int $i = 0; $i < $nibbles; $i++) {
+         |  int $b = $d[$i >> 1] & 0xff;
+         |  $v = ($v << 4) | (($i & 1) == 0 ? ($b >>> 4) : ($b & 0xf));
+         |}
+         |${ev.value} = $v;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}
+
+object Md5PrefixLong {
+  /** Leading `nibbles` hex digits of a digest as an unsigned long — shared by
+    * the interpreted path and [[graft.functions.TextFunctions.md5PrefixLong]]'s
+    * spec fixtures.
+    */
+  def prefix(d: Array[Byte], nibbles: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
 }

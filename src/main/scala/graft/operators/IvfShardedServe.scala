@@ -87,12 +87,61 @@ object IvfShardedServe {
     * Output is cell-count-sized (O(√N)) — the ONLY thing this operator
     * ever collects.
     */
+  /** The prepared accumulation input + whether the BUCKET-ALIGNED
+    * (exchange-free) path applies (r20, VERDICT r19 item 5). When the
+    * postings frame is served by a genuine bucketed-by-cell scan, every cell
+    * already lives whole inside one scan partition — the corpus-sized
+    * `repartition(cell)` exchange the fallback pays adds nothing, so the
+    * aligned path is just the in-partition sort. The guard is PLAN-TIME
+    * (Bridge.bucketedScanOn on the exact frame to be executed): anything
+    * else — a view, a misconfigured read, a scan auto-demoted to
+    * non-bucketed — falls back to the shuffle, never silently splits a cell
+    * (a parquet file split mid-cell would corrupt the sequential sums).
+    * Callers must evaluate an aligned frame under the same
+    * autoBucketedScan=false bracket the guard was checked under —
+    * [[buildCentroids]] owns that bracket.
+    */
+  private[graft] def centroidBuildInput(postings: DataFrame): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.graftops.Bridge
+    val sel = postings.select(col("cell"), col("vec_id"), col("embedding"))
+    val aligned = sel.sortWithinPartitions(col("cell"), col("vec_id"))
+    if (Bridge.bucketedScanOn(aligned, "cell")) (aligned, true)
+    else (sel.repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id")), false)
+  }
+
   def buildCentroids(postings: DataFrame): Array[(Long, Array[Double])] = {
     val s = postings.sparkSession
     import s.implicits._
-    postings.select(col("cell"), col("vec_id"), col("embedding"))
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
+    // bracket BOTH the plan-time guard and the execution: with
+    // auto-bucketed-scan on, Spark demotes a bucketed read whenever the plan
+    // itself shows no required distribution — and an opaque mapPartitions
+    // shows none, so the aligned path would never engage (and worse, a
+    // demoted scan may SPLIT files and break cell-partition locality)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.getOption(autoKey)
+    val (input, alignedUsed) = try {
+      s.conf.set(autoKey, "false")
+      val (in, aligned) = centroidBuildInput(postings)
+      (materializeCentroids(in), aligned)
+    } finally prevAuto match {
+      case Some(v) => s.conf.set(autoKey, v)
+      case None => s.conf.unset(autoKey)
+    }
+    if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+      System.err.println(s"[ivf] centroid build path: " +
+        (if (alignedUsed) "bucket-aligned (no exchange)" else "shuffle fallback"))
+    input
+  }
+
+  /** The deterministic per-cell sequential accumulation + collect — shared
+    * by both centroid-build paths (identical arithmetic; only the absence of
+    * the exchange differs).
+    */
+  private def materializeCentroids(prepared: DataFrame): Array[(Long, Array[Double])] = {
+    val s = prepared.sparkSession
+    import s.implicits._
+    prepared
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
         var cur = 0L

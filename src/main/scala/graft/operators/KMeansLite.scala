@@ -37,10 +37,23 @@ object KMeansLite {
       }.toArray)
 
     def assignExpr = {
-      // argmin over k (distance, cid) structs; struct ordering = (d, cid) asc.
-      // Distance as a higher-order fold over the literal centroid array — the
-      // k·dims unrolled expression tree blows past codegen/JIT method limits
-      // (same lesson as SimilarityFunctions.withNormalized).
+      // Native path (r20, VERDICT r19 item 4): ONE expression holding the
+      // centroids as a referenced object — per-iteration plans share one
+      // compiled codegen stage instead of re-analyzing + re-compiling a
+      // k·dims literal tree each loop (ArgminSqDist's doc has the full
+      // argument; ArgminSqDistSpec pins bit-equality to the literal form).
+      if (!sys.env.contains("GRAFT_KMEANS_LITERALS") &&
+          !sys.env.contains("GRAFT_KMEANS_UNROLL")) {
+        import org.apache.spark.sql.graftops.Bridge
+        Bridge.column(graft.functions.expr.ArgminSqDist(
+          Bridge.expression(col(vecCol).cast("array<double>")), centroids))
+      } else {
+      // literal-tree forms (GRAFT_KMEANS_LITERALS / GRAFT_KMEANS_UNROLL A/B
+      // baselines): argmin over k (distance, cid) structs; struct ordering =
+      // (d, cid) asc. Distance as a higher-order fold over the literal
+      // centroid array — the k·dims unrolled expression tree blows past
+      // codegen/JIT method limits (same lesson as
+      // SimilarityFunctions.withNormalized).
       val scored = (0 until centroids.length).map { c =>
         val cv = array(centroids(c).map(lit): _*)
         val d =
@@ -54,6 +67,7 @@ object KMeansLite {
         struct(d.as("d"), lit(c).as("cid"))
       }
       array_min(array(scored: _*)).getField("cid")
+      }
     }
 
     for (_ <- 1 to iters) {
@@ -136,12 +150,21 @@ object KMeansLite {
 
     def codeExpr(mm: Int) = {
       val sliced = transform(slice(col(vecCol), mm * sub + 1, sub), x => x.cast("double"))
+      // same native/literal split as fit's assignExpr (one compiled stage per
+      // iteration loop instead of m·k·sub fresh literals per iteration)
+      if (!sys.env.contains("GRAFT_KMEANS_LITERALS") &&
+          !sys.env.contains("GRAFT_KMEANS_UNROLL")) {
+        import org.apache.spark.sql.graftops.Bridge
+        Bridge.column(graft.functions.expr.ArgminSqDist(
+          Bridge.expression(sliced), books(mm)))
+      } else {
       val scored = (0 until books(mm).length).map { c =>
         val cv = array(books(mm)(c).map(lit): _*)
         val d = graft.functions.SimilarityFunctions.sqDist(sliced, cv)
         struct(d.as("d"), lit(c).as("cid"))
       }
       array_min(array(scored: _*)).getField("cid")
+      }
     }
     def codesLong = vecs.select(col(idCol), col(vecCol),
       posexplode(array((0 until m).map(mm => codeExpr(mm)): _*)).as(Seq("m", "code")))

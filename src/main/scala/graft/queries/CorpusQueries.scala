@@ -516,8 +516,7 @@ object CorpusQueries {
       .select($"source", round($"w_raw" / max($"w_raw").over(all), 6).as("rate"))
     val kept = docTok.join(broadcast(rates), "source")
       .withColumn("h",
-        conv(substring(md5(concat(lit("mix42:"), $"doc_id".cast("string"))), 1, 8),
-          16, 10).cast("long"))
+        T.md5PrefixLong(concat(lit("mix42:"), $"doc_id".cast("string"))))
       .filter($"h" / lit(4294967296.0) < $"rate")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tokens").cast("long").as("tokens_kept"))

@@ -521,7 +521,11 @@ object CurationQueries {
     // order key struct(-score, clang) is the same (score DESC, clang ASC)
     // pick — scores are 6-dp-rounded doubles, ties break on clang, and the
     // key is unique per group so the winner is deterministic — computed with
-    // map-side partials and no sort.
+    // map-side partials and no sort. FINITE-SCORE assumption (ADVICE r19):
+    // a NaN score would diverge from the replaced window (desc ordering
+    // ranks NaN first; -NaN sorts LAST under min) — unreachable here because
+    // scores are finite log-sums of add-1-smoothed ratios plus a finite
+    // prior, recorded in case the scoring ever changes.
     scored.groupBy($"doc_id")
       .agg(min_by(struct($"clang", $"score"), struct((-$"score").as("ns"), $"clang")).as("b"))
       .select($"doc_id", $"b.clang".as("pred_lang"), $"b.score".as("score"))
@@ -803,7 +807,7 @@ object CurationQueries {
           i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))))
           .otherwise(array().cast("array<string>")))).as("gram"))
       .withColumn("bucket",
-        pmod(conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"), lit(B)))
+        pmod(T.md5PrefixLong($"gram"), lit(B)))
     // ONE pass over the exploded grams (r19): the bucket features are plain
     // integer sums of the per-(doc, bucket) counts — `craw = Σ c`,
     // `ctgt = Σ c where lang = en` (lang is doc-level, so it rides the
@@ -816,8 +820,15 @@ object CurationQueries {
     // r19: without the checkpoint the gram pass ran per consumer. The
     // intermediate is (docs × ≤1024)-bounded — orders of magnitude smaller
     // than the exploded gram stream it replaces.
-    val docBucket0 = grams.groupBy($"doc_id", $"lang", $"bucket")
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    // r20 A/B lever (VERDICT r19 item 2: the driver read q120 SLOWER after
+    // the eager checkpoint landed): GRAFT_Q120_CKPT = eager | lazy | none.
+    val docBucketAgg = grams.groupBy($"doc_id", $"lang", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val docBucket0 = sys.env.getOrElse("GRAFT_Q120_CKPT", "eager") match {
+      case "none" => docBucketAgg
+      case "lazy" => docBucketAgg.localCheckpoint(false)
+      case _ => docBucketAgg.localCheckpoint(true)
+    }
     val docBucket = docBucket0.select($"doc_id", $"bucket", $"c")
     val feat = docBucket0.groupBy($"bucket").agg(
       sum($"c").as("craw"),

@@ -319,8 +319,8 @@ object TextQueries {
   private def auditScopeSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .filter(pmod(conv(substring(md5(concat(lit("audit42:"), $"source")), 1, 8),
-        16, 10).cast("long"), lit(5)) === 0L)
+      .filter(pmod(T.md5PrefixLong(concat(lit("audit42:"), $"source")),
+        lit(5)) === 0L)
   }
 
   /** DEFAULT recall-audit API (VERDICT r16 task 1): the within-scope
@@ -360,9 +360,9 @@ object TextQueries {
     val scoped = auditScopeSample(s, dir)
     val sampled =
       if (docMod <= 1) scoped
-      else scoped.filter(pmod(conv(substring(
-        md5(concat(lit("auditdoc:"), $"doc_id".cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(docMod)) === 0L)
+      else scoped.filter(pmod(
+        T.md5PrefixLong(concat(lit("auditdoc:"), $"doc_id".cast("string"))),
+        lit(docMod)) === 0L)
     val docs = sampled
       .select($"doc_id", $"source", T.tokenSet($"text").as("ts"))
     val a = docs.select($"source", $"doc_id".as("da"), $"ts".as("tsa"))
@@ -433,8 +433,14 @@ object TextQueries {
     val nEdges = pairs.count()
     val deg = pairs.select($"id_a".as("v")).unionByName(pairs.select($"id_b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
-    val nNodes = deg.count()
-    val wedges = deg.agg(sum($"d" * ($"d" - 1L) / lit(2L)).cast("long")).head.getLong(0)
+    // ONE action for node count + wedge sum (r20): deg was recomputed from
+    // the checkpointed edge list twice — once for count(), once for the
+    // wedge aggregate — for two numbers one hash-agg pass produces together.
+    // Integer-exact: same count, same sum.
+    val degStats = deg.agg(count(lit(1)).as("n"),
+      sum($"d" * ($"d" - 1L) / lit(2L)).cast("long").as("w")).head
+    val nNodes = degStats.getLong(0)
+    val wedges = degStats.getLong(1)
     val tri = pairs.as("e1")
       .join(pairs.as("e2"), $"e1.id_b" === $"e2.id_a")
       .join(pairs.as("e3"),
@@ -647,8 +653,8 @@ object TextQueries {
     */
   val q49_stratified_sample: Q = (s, dir) => {
     import s.implicits._
-    val slot = pmod(conv(substring(md5(concat(lit("smp:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(100L))
+    val slot = pmod(
+      T.md5PrefixLong(concat(lit("smp:"), $"doc_id".cast("string"))), lit(100L))
     t(s, dir, "documents")
       .filter(slot < 20)
       .groupBy($"source")

@@ -494,7 +494,7 @@ object TpchQueries {
     t(s, dir, "lineitem")
       .select($"l_returnflag", $"l_partkey").distinct()
       .withColumn("hv",
-        conv(substring(md5($"l_partkey".cast("string")), 1, 15), 16, 10)
+        graft.functions.TextFunctions.md5PrefixLong($"l_partkey".cast("string"), 15)
           .cast("double") / lit(1152921504606846976.0)) // 2^60
       .groupBy($"l_returnflag")
       .agg(round(kmv($"hv"), 4).as("est_distinct"),

@@ -77,7 +77,12 @@ class LocalCheckpointFileManager(root: Path, hadoopConf: Configuration)
     else {
       val jp = jpath(root)
       Files.createDirectories(jp)
-      new Path(jp.toUri)
+      // (scheme, authority, rawPath) — NOT new Path(jp.toUri): nio Path.toUri
+      // appends a trailing slash for existing directories, the exact
+      // Hadoop-Path pathology status() documents (getName becomes "").
+      // ADVICE r19.
+      val abs = jp.toAbsolutePath.toString
+      new Path("file", null, if (abs.isEmpty) "/" else abs)
     }
 
   override def createAtomic(path: Path,
@@ -103,9 +108,23 @@ class LocalCheckpointFileManager(root: Path, hadoopConf: Configuration)
               } else {
                 // link(2) fails EEXIST atomically — no check-then-rename race
                 try Files.createLink(dst, tmp)
-                catch { case _: NioFileAlreadyExists =>
-                  throw new FileAlreadyExistsException(
-                    s"rename destination $dst already exists")
+                catch {
+                  case _: NioFileAlreadyExists =>
+                    throw new FileAlreadyExistsException(
+                      s"rename destination $dst already exists")
+                  case e @ (_: UnsupportedOperationException |
+                            _: java.nio.file.FileSystemException)
+                      if !e.isInstanceOf[NoSuchFileException] =>
+                    // file: roots on filesystems WITHOUT hard links (some
+                    // overlay/network mounts) refuse link(2) — fall back to
+                    // Spark's FileSystemBased manager semantics: exists-check
+                    // + atomic move (a narrower no-overwrite guarantee, but
+                    // the write succeeds instead of failing the query).
+                    // ADVICE r19.
+                    if (Files.exists(dst))
+                      throw new FileAlreadyExistsException(
+                        s"rename destination $dst already exists")
+                    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
                 } finally Files.deleteIfExists(tmp)
               }
             } catch { case e: NoSuchFileException =>
@@ -197,15 +216,25 @@ class LocalCheckpointFileManager(root: Path, hadoopConf: Configuration)
     else {
       val jp = jpath(path)
       if (Files.exists(jp)) {
-        // checkpoint dirs are deleted recursively (purge, temp cleanup)
-        if (Files.isDirectory(jp)) {
-          val s = Files.walk(jp)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.sorted(java.util.Comparator.reverseOrder[JPath]())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          } finally s.close()
-        } else Files.deleteIfExists(jp)
+        // checkpoint dirs are deleted recursively (purge, temp cleanup).
+        // Concurrent removals (state-store maintenance thread) can make the
+        // walk itself throw for entries that vanish mid-traversal — treat
+        // vanished entries as already deleted, exactly like deleteIfExists
+        // does for the per-file case. ADVICE r19.
+        try {
+          if (Files.isDirectory(jp)) {
+            val s = Files.walk(jp)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.sorted(java.util.Comparator.reverseOrder[JPath]())
+                .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            } finally s.close()
+          } else Files.deleteIfExists(jp)
+        } catch {
+          case _: NoSuchFileException => ()
+          case e: java.io.UncheckedIOException
+              if e.getCause.isInstanceOf[NoSuchFileException] => ()
+        }
       }
       ()
     }

@@ -92,6 +92,29 @@ object Bridge {
     }
   }
 
+  /** True when `df`'s physical plan is served by EXACTLY ONE file scan that
+    * (a) reads a relation bucketed by exactly `colName` and (b) actually
+    * executes as a bucketed scan (one RDD partition per bucket — no file
+    * splitting or cross-bucket coalescing), so per-key partition-locality
+    * holds without an exchange. The plan-time guard for
+    * IvfShardedServe.buildCentroids' exchange-free path: callers must check
+    * this on the exact frame they execute (auto-bucketed-scan can silently
+    * demote a bucketed read when the PLAN shows no need for the
+    * distribution — disable it for the bracket, as buildCentroids does).
+    */
+  def bucketedScanOn(df: org.apache.spark.sql.DataFrame, colName: String): Boolean = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans.length == 1 && scans.head.bucketedScan &&
+      scans.head.relation.bucketSpec.exists(_.bucketColumnNames == Seq(colName))
+  }
+
   /** The file-source root paths under a DataFrame's analyzed plan — the part
     * of the input identity that plan CANONICALIZATION erases (a parquet
     * LogicalRelation renders as `Relation [cols] parquet` with no path, and

@@ -67,6 +67,51 @@ class Md5HalfSpec extends SparkSpec {
     assert(np.head.getLong(0) === fp.head.getLong(0))
   }
 
+  private def foldPrefix(c: org.apache.spark.sql.Column, n: Int) =
+    conv(substring(md5(c), 1, n), 16, 10).cast("long")
+  private def nativePrefix(c: org.apache.spark.sql.Column, n: Int) =
+    Bridge.column(graft.functions.expr.Md5PrefixLong(Bridge.expression(c), n))
+
+  test("Md5PrefixLong == composed conv(md5) chain at 8 and 15 digits (r20 scalar sites)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("smp:"), col("doc_id").cast("string")).as("s"))
+    val rows = docs.select(
+      nativePrefix($"s", 8).as("n8"), foldPrefix($"s", 8).as("f8"),
+      nativePrefix($"s", 15).as("n15"), foldPrefix($"s", 15).as("f15")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    // unicode + empty + long strings, and the null contract
+    val edge = Seq(Some("café"), Some("中文"), Some(""), Some("x" * 300), None)
+      .toDF("s")
+    val er = edge.select(nativePrefix($"s", 8).as("n"), foldPrefix($"s", 8).as("f"))
+      .collect()
+    er.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("Md5PrefixLong COMPILES inside whole-stage codegen (fallback disabled)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("string").as("s"))
+      val df = docs.select(nativePrefix($"s", 8).as("h8"), nativePrefix($"s", 15).as("h15"))
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val fold = docs.select(foldPrefix($"s", 8), foldPrefix($"s", 15)).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        fold.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_md5prefix"), s"missing from plan:\n$plan")
+      assert(plan.contains("*(1)"), s"not inside a codegen stage:\n$plan")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native expressions COMPILE inside whole-stage codegen (fallback disabled)") {
     // a plan that PLANS a codegen stage can still fall back to interpreted
     // execution when Janino rejects the generated source (found at the 10×

@@ -82,6 +82,39 @@ class ShardedAnnServeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("centroid build: bucket-aligned scan drops the exchange; misaligned input falls back") {
+    val table = "graft_spec_ivf_centbuild"
+    val bucketed = IvfShardedServe.postingsAsBucketedTable(postings, table, buckets = 4)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      val (alignedDf, aligned) = IvfShardedServe.centroidBuildInput(bucketed)
+      assert(aligned, "bucketed-by-cell postings must take the aligned path")
+      val plan = alignedDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"aligned centroid input must carry NO exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"aligned centroid input must read the bucketed layout:\n$plan")
+      // a derived view (no bucketed files behind it) must NOT take the
+      // aligned path — the guard is what makes the optimization safe
+      val (fallbackDf, misAligned) = IvfShardedServe.centroidBuildInput(postings)
+      assert(!misAligned, "a derived view is not bucket-aligned; must fall back")
+      assert(fallbackDf.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the fallback path keeps its repartition(cell) exchange")
+    } finally prev match {
+      case Some(v) => spark.conf.set(autoKey, v)
+      case None => spark.conf.unset(autoKey)
+    }
+    // end-to-end equality through the public API: aligned (bucketed table)
+    // and fallback (view) builds produce bit-identical centroids
+    val a = IvfShardedServe.buildCentroids(bucketed)
+    val b = IvfShardedServe.buildCentroids(postings)
+    assert(a.map { case (c, m) => (c, m.toSeq) }.toSeq ==
+      b.map { case (c, m) => (c, m.toSeq) }.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("FIT/SERVE split: fit persists an index that loads back bit-equal and serves identically") {
     val tbl = "graft_spec_ivf_split"
     val idx = IvfShardedServe.fit(emb, tbl, buckets = 4)
