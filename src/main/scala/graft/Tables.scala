@@ -49,6 +49,34 @@ object Tables {
       .foldLeft(df)((d, n) => d.withColumn(n, col(n).cast(TimestampType)))
   }
 
+  /** Fan a CPU-dense pass out of an under-parallel scan (r20; guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately after
+    * the read"). The gate fixtures are ONE parquet file with ONE row group
+    * per table, so every scan stage — and with it the whole
+    * tokenize/hash/explode pass fused into it — runs as a SINGLE task no
+    * matter the core count (measured: q108's two corpus passes were two
+    * 1-task jobs of 1.5–2 s each on an idle 32-core box; `maxPartitionBytes`
+    * cannot split one row group). A round-robin repartition to the session's
+    * default parallelism moves the heavy row-local work onto every core.
+    *
+    * SCALE-ADAPTIVE, not a local[32] constant: the guard is the measured
+    * scan parallelism — when the input already yields at least half the
+    * session's default parallelism in scan partitions (any production
+    * layout: many files / many row groups), this is a NO-OP and no exchange
+    * is added. The exchange, when taken, carries each input byte once —
+    * bounded by the scan itself — and only where callers know the next pass
+    * is CPU-bound per row (the tokenize/hash family), never blanket.
+    * `GRAFT_SCAN_FANOUT=0` disables for A/B.
+    */
+  def fanOutScan(df: DataFrame): DataFrame =
+    if (sys.env.get("GRAFT_SCAN_FANOUT").contains("0")) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // planning-only partition probe (no job): the physical scan's split count
+      val cur = df.rdd.getNumPartitions
+      if (cur * 2 <= target) df.repartition(target) else df
+    }
+
   /** Register every table as a temp view so `spark.sql` queries see the same names
     * the DuckDB oracle sees.
     */

@@ -105,7 +105,7 @@ object CorpusQueries {
     */
   val q84_unigram_logprob: Q = (s, dir) => {
     import s.implicits._
-    val tok = t(s, dir, "documents")
+    val tok = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
       .filter($"tok".isNotNull)
     val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
@@ -218,7 +218,7 @@ object CorpusQueries {
     */
   val q86_cross_corpus_dedup: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     val half = substring($"source", 4, 10).cast("int")
     val newDocs = docs.filter(half >= 10)

@@ -193,7 +193,7 @@ object CurationQueries {
     */
   val q100_vocab_oov: Q = (s, dir) => {
     import s.implicits._
-    val toks = t(s, dir, "documents")
+    val toks = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", explode(T.tokens($"text")).as("tok"))
     val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"tok").limit(50)
@@ -311,6 +311,11 @@ object CurationQueries {
     */
   val q103_bigram_logprob: Q = (s, dir) => {
     import s.implicits._
+    // NO fanOutScan here (measured r20): q103 with the scan fan-out read
+    // +13-24% on repeated warm A/Bs — its two passes each feed an agg AND a
+    // join, and the extra round-robin exchange costs more than the widened
+    // tokenize saves on this shape. The only fanned query family is the one
+    // that measured faster; see OPTIMIZATION_r20.md C7.
     val tok = t(s, dir, "documents")
       .select($"doc_id", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
       .filter($"tok".isNotNull)
@@ -392,7 +397,7 @@ object CurationQueries {
   val q105_source_ngram_overlap: Q = (s, dir) => {
     import s.implicits._
     val n = 5
-    val g = t(s, dir, "documents")
+    val g = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"source", T.tokens($"text").as("ts"))
       .filter(size($"ts") >= n)
       .withColumn("i", explode(sequence(lit(1), size($"ts") - (n - 1))))
@@ -479,7 +484,7 @@ object CurationQueries {
     */
   val q108_nb_classifier: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
     // NOT widened: the Width.widen A/B on tokenize-bound passes (BASELINE.md
     // r7) reproduces here — 6.6 s widened vs 6.0 s narrow at sf0.1
     val tok = docs
@@ -799,7 +804,7 @@ object CurationQueries {
   val q120_dsir_select: Q = (s, dir) => {
     import s.implicits._
     val B = 1024
-    val grams = t(s, dir, "documents")
+    val grams = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"lang", T.tokens($"text").as("ws"))
       .filter(size($"ws") > 0)
       .select($"doc_id", $"lang", explode(concat($"ws",

@@ -1014,8 +1014,11 @@ object StreamingQueries {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = Tables(s, dir, "documents")
-    // fit (batch side, one tokenize pass; q108's arithmetic)
-    val tokc = docs
+    // fit (batch side, one tokenize pass; q108's arithmetic). The fit
+    // tokenize fans out of the single-row-group gate scan (Tables.fanOutScan
+    // — no-op on production layouts); the replayed stream side already
+    // widens per micro-batch below.
+    val tokc = Tables.fanOutScan(docs)
       .select($"lang", explode(T.tokens($"text")).as("tok"))
       .groupBy($"tok", $"lang").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
@@ -1070,8 +1073,12 @@ object StreamingQueries {
     import graft.functions.{TextFunctions => T, DedupFunctions => D}
     val docs = Tables(s, dir, "documents").select($"doc_id", $"source", $"text")
     val half = substring($"source", 4, 10).cast("int")
+    // static side: fan the reference-corpus signature build out of the
+    // single-row-group gate scan (Tables.fanOutScan; the stream side's
+    // per-batch repartition below is the same fix for the replay source)
     val refSig = D.referenceSignatures(
-      docs.filter(half < 10).select($"doc_id", T.tokenSet($"text").as("toks")),
+      Tables.fanOutScan(docs.filter(half < 10))
+        .select($"doc_id", T.tokenSet($"text").as("toks")),
       "doc_id", "toks", hashes = 12, bands = 2).localCheckpoint(true)
     StreamRunner.replayFiles(s, docs.filter(half >= 10).select($"doc_id", $"text"),
         "doc_id", "append") { df =>

@@ -163,7 +163,7 @@ object TextQueries {
     */
   val q36_dedup_minhash_lsh: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2, minJaccard = 0.9,
         scopeCols = Seq("source"))
@@ -231,7 +231,7 @@ object TextQueries {
     */
   val q130_dedup_pagerank: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     val pairs = D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
         minJaccard = 0.9, scopeCols = Seq("source"))
@@ -318,7 +318,7 @@ object TextQueries {
     */
   private def auditScopeSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
+    Tables.fanOutScan(t(s, dir, "documents"))
       .filter(pmod(T.md5PrefixLong(concat(lit("audit42:"), $"source")),
         lit(5)) === 0L)
   }
@@ -425,7 +425,7 @@ object TextQueries {
     */
   val q141_dedup_graph_stats: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     val pairs = D.candidatePairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
         minJaccard = 0.9, scopeCols = Seq("source"))
@@ -478,7 +478,7 @@ object TextQueries {
     */
   val q93_containment: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     D.containmentPairs(docs, "doc_id", "toks", hashes = 12, bands = 2,
         minContainment = 0.5, scopeCols = Seq("source"))
@@ -577,7 +577,7 @@ object TextQueries {
     */
   val q47_dedup_clusters: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", $"source", T.tokenSet($"text").as("toks"))
     val pairs = D.candidatePairs(docs, "doc_id", "toks",
       hashes = 12, bands = 2, minJaccard = 0.9, scopeCols = Seq("source"))
@@ -955,7 +955,7 @@ object TextQueries {
     val thresh = math.ceil(0.01 * docs.count()).toLong
     // two-level select: materialize the md5 token hashes once per row (the
     // q70 generate-inlining lesson) before the multi-reference shingle expr
-    val sh = docs
+    val sh = Tables.fanOutScan(docs)
       .select($"doc_id", T.tokenLongHashes($"text").as("th"))
       .select($"doc_id", T.shingleHashesFrom($"th", 3).as("sh"))
     val ex = sh.select($"doc_id", explode_outer($"sh").as("h"))
@@ -1019,7 +1019,7 @@ object TextQueries {
     val coef = Seq(1L, 31L, 131L, 4099L, 16381L, 65537L, 262139L, 524287L)
     // two-level select: materialize token hashes before the window transform
     // references them W times (the q70 generate-inlining lesson)
-    val th = t(s, dir, "documents")
+    val th = Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", T.tokenLongHashes($"text").as("h"))
       .filter(size($"h") >= W)
     val wins = th.select($"doc_id",
@@ -1091,7 +1091,7 @@ object TextQueries {
     val spans = q79_repeated_spans(s, dir)
       .groupBy($"doc_id")
       .agg(collect_list(struct($"span_start".as("s"), $"span_end".as("e"))).as("spans"))
-    t(s, dir, "documents")
+    Tables.fanOutScan(t(s, dir, "documents"))
       .select($"doc_id", T.tokens($"text").as("toks"))
       .join(spans, Seq("doc_id"), "left")
       // docs with no spans carry a NULL array: exists → NULL, coalesce keeps
@@ -1242,7 +1242,8 @@ object TextQueries {
     */
   val q121_pmi_collocations: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents").select(T.tokens($"text").as("ws"))
+    val docs = Tables.fanOutScan(t(s, dir, "documents"))
+      .select(T.tokens($"text").as("ws"))
       .filter(size($"ws") > 0)
     val uni = docs.select(explode($"ws").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c1"))

@@ -230,7 +230,13 @@ class PlanSpec extends SparkSpec {
     val exchangeBlocks = formatted.split("\n\n").filter(b =>
       b.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
     assert(exchangeBlocks.nonEmpty, s"no Exchange node found in:\n$formatted")
-    exchangeBlocks.foreach(b =>
+    // the guarded scan fan-out (Tables.fanOutScan, r20) is a ROUND-ROBIN
+    // exchange that carries each input byte exactly once, right after the
+    // scan, and only when the input is an unsplittable single row group —
+    // exempt; the invariant under test is that no KEYED shuffle (the
+    // join/agg exchanges, which at 100 TB move data many times) carries the
+    // text or token payload
+    exchangeBlocks.filterNot(_.contains("RoundRobinPartitioning")).foreach(b =>
       assert(!b.contains("text#") && !b.contains("ts#"),
         s"text/token payload shuffled in:\n$b"))
   }
