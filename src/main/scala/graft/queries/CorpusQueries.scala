@@ -105,7 +105,11 @@ object CorpusQueries {
     */
   val q84_unigram_logprob: Q = (s, dir) => {
     import s.implicits._
-    val tok = Tables.fanOutScan(t(s, dir, "documents"))
+    // NO fanOutScan here (measured r20): like q103, q84's token pass feeds
+    // an agg AND a join from one subtree — fanned, q84's 1× read 0.88→1.11 s
+    // and the composing q128 regressed 31% at the 10× rung (isolated A/B
+    // 1.87 → 2.45 s); the serial scan is the faster shape for this class.
+    val tok = t(s, dir, "documents")
       .select($"doc_id", posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
       .filter($"tok".isNotNull)
     val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
